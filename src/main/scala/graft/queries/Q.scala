@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Shared helpers for the query inventory (SURVEY.md §2).
+  *
+  * Oracle-parity rules (driver hash-compares against DuckDB at sf0.01):
+  *  - every output column aliased identically in Spark and DuckDB SQL;
+  *  - timestamps rendered as 'yyyy-MM-dd HH:mm:ss' strings (events.ts is
+  *    parquet TIMESTAMP(NANOS); both engines floor ns → s identically);
+  *  - floats rounded to a fixed scale AFTER aggregation; money-critical
+  *    sums go through DECIMAL(18,2) so they are order-independent;
+  *  - deterministic ORDER BY on a unique key in both engines;
+  *  - window ORDER BY always tie-broken by a unique column.
+  */
+object Q {
+
+  /** Spark-side timestamp render format (== DuckDB '%Y-%m-%d %H:%M:%S'). */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def tsS(c: Column): Column = date_format(c, TsFmt)
+
+  def events(s: SparkSession, dir: String): DataFrame     = Tables.events(s, dir)
+  def lineitem(s: SparkSession, dir: String): DataFrame   = Tables.lineitem(s, dir)
+  def orders(s: SparkSession, dir: String): DataFrame     = Tables.orders(s, dir)
+  def customer(s: SparkSession, dir: String): DataFrame   = Tables.customer(s, dir)
+  def nation(s: SparkSession, dir: String): DataFrame     = Tables.nation(s, dir)
+  def region(s: SparkSession, dir: String): DataFrame     = Tables.region(s, dir)
+  def part(s: SparkSession, dir: String): DataFrame       = Tables.part(s, dir)
+  def supplier(s: SparkSession, dir: String): DataFrame   = Tables.supplier(s, dir)
+  def documents(s: SparkSession, dir: String): DataFrame  = Tables.documents(s, dir)
+  def embeddings(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  /** Exact (order-independent) money sum: route doubles through DECIMAL(18,2). */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+}

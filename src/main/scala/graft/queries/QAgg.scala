@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Aggregations — SURVEY.md §2.4 (A1-A9). The InfluxQL aggregation surface
+  * (MEAN/SUM/MIN/MAX/COUNT/FIRST/LAST/DISTINCT/PERCENTILE/MEDIAN/STDDEV/
+  * SPREAD, GROUP BY time(n) — ref README.md:3) over the events table.
+  *
+  * Scale notes: every groupBy below is a partial+final hash aggregate
+  * (map-side combine), so the shuffle carries one row per (group, partition),
+  * not per input row. At 100 TB the grouping keys here (event_type, user_id,
+  * 1-minute buckets) are low-cardinality → the final agg is tiny; AQE
+  * coalesces the post-shuffle partitions.
+  */
+object QAgg {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_group_by_plc",
+      "A1: group by device/measurement key (ref create_my_data_groups, InfluxConnector2.py:244-270)",
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q_group_by_interval",
+      "A2: group by acquisition interval, collect member set (ref group_by_interval, InfluxConnector2.py:85-94)",
+      """SELECT CASE event_type WHEN 'click' THEN '1s' WHEN 'view' THEN '2s'
+        |            WHEN 'purchase' THEN '10s' WHEN 'signup' THEN '60s' ELSE '300s' END AS interval,
+        |       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS members,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY interval""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("interval",
+          when(col("event_type") === "click", "1s").when(col("event_type") === "view", "2s")
+            .when(col("event_type") === "purchase", "10s").when(col("event_type") === "signup", "60s")
+            .otherwise("300s"))
+        .groupBy("interval")
+        .agg(
+          concat_ws(",", transform(sort_array(collect_set(col("user_id"))), _.cast("string"))).as("members"),
+          count(lit(1)).as("n"))
+        .orderBy("interval")
+    },
+
+    GraftQuery(
+      "q_agg_basic",
+      "A3: MEAN/SUM/MIN/MAX/COUNT per series (InfluxQL, README.md:3)",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value, round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"), round(min("value"), 2).as("min_value"),
+          round(max("value"), 2).as("max_value"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q_agg_last",
+      "A4: FIRST()/LAST() per series via min_by/max_by (the m_value cache, ref InfluxConnector2.py:53,173)",
+      """SELECT user_id, arg_max(value, ts) AS last_value, arg_min(value, ts) AS first_value,
+        |       strftime(max(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS last_ts_s
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(max_by(col("value"), col("ts")).as("last_value"),
+          min_by(col("value"), col("ts")).as("first_value"),
+          tsS(max(col("ts"))).as("last_ts_s"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q_agg_distinct",
+      "A5: COUNT(DISTINCT) per group (InfluxQL DISTINCT; at 100 TB swap to approx_count_distinct/HLL)",
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("nd_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q_agg_percentile",
+      "A6: PERCENTILE/MEDIAN/STDDEV (InfluxQL, README.md:3); exact percentile matches quantile_cont",
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_value,
+        |       round(stddev_samp(value), 4) AS sd_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q_agg_spread",
+      "A7: SPREAD = max - min (InfluxQL, README.md:3)",
+      """SELECT event_type, round(max(value) - min(value), 2) AS spread
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(round(max("value") - min("value"), 2).as("spread"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q_agg_rollup",
+      "A8: multi-granularity rollup (per-PLC, per-tag, total dashboards, ref README.md:98-100)",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(user_id::VARCHAR, 'ALL') AS uid,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, user_id) ORDER BY etype, uid""".stripMargin) { (s, dir) =>
+      events(s, dir).rollup(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("user_id").cast("string"), lit("ALL")).as("uid"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "uid")
+    },
+
+    GraftQuery(
+      "q_downsample_1m",
+      "A9/F8 FLAGSHIP: GROUP BY time(1m), series — the InfluxQL continuous-query surface (README.md:3)",
+      """SELECT strftime(time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, round(avg(value), 4) AS mean_value, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(round(avg("value"), 4).as("mean_value"), count(lit(1)).as("n"))
+        .select(tsS(col("window.start")).as("ws"), col("event_type"), col("mean_value"), col("n"))
+        .orderBy("ws", "event_type")
+    },
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.functions.{DecodeS7, EmaAggregator, S7}
+import graft.sinks.LineProtocol
+import graft.sources.ConfigXml
+import Q._
+
+/** The custom components as query-inventory entries — SURVEY.md §2.1 S1
+  * (XML config scan), §2.10 D3 (DecodeS7), D4 (EMA aggregator), S3
+  * (line-protocol shaping), plus the multimodal binary-column plumbing.
+  */
+object QCustom {
+
+  /** Deterministic reference-schema tag catalog (mirrors the XML written by
+    * ConfigApp/ConfigApp.py:54-84; address forms from README.md:45-51).
+    */
+  val SampleConfigXml: String = {
+    val plcs = (1 to 3).map { p =>
+      val tags = Seq(
+        ("S7WLReal", "S7AreaDB", s"DB$p.DBD0", s"plc${p}_temp", "True", "1s"),
+        ("S7WLWord", "S7AreaDB", s"DB$p.DBW4", s"plc${p}_count", "True", "10s"),
+        ("S7WLBit", "S7AreaPE", "I0.3", s"plc${p}_switch", "True", "min"),
+        ("S7WLByte", "S7AreaMK", "MW2", s"plc${p}_mode", "False", "60s"),
+      ).map { case (t, ar, ad, al, ac, iv) =>
+        s"<data><data_type>$t</data_type><area>$ar</area><address>$ad</address>" +
+          s"<alias>$al</alias><active>$ac</active><interval>$iv</interval></data>"
+      }.mkString
+      s"""<plc slot="$p">10.0.0.$p$tags</plc>"""
+    }.mkString
+    s"<communication>$plcs</communication>"
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery.rowsOnly(
+      "q_config_scan",
+      "S1: XML tag-catalog scan → typed Dataset (ref create_my_data_groups, InfluxConnector2.py:250-270)") { (s, dir) =>
+      ConfigXml.load(s, SampleConfigXml)
+        .filter(col("active"))   // P1 at load time, like the reference (:263-264)
+        .orderBy("plc", "alias")
+        .toDF()
+    },
+
+    GraftQuery(
+      "q_decode_s7",
+      "D3: native DecodeS7 Catalyst expression round-trip (codegen'd, ref InfluxConnector2.py:146-170)",
+      """SELECT event_id,
+        |       CAST((event_id % 65536) - 32768 AS BIGINT) AS w_val,
+        |       CAST(CAST(value AS FLOAT) AS DOUBLE) AS r_val,
+        |       (user_id >> (event_id % 8)) & 1 AS b_val,
+        |       event_id AS d_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      DecodeS7.register(s)
+      // Buffer synthesis (encode) is test scaffolding via small UDFs; the
+      // decode path under test is the native expression.
+      val encWord = udf((id: Long) => S7.encodeWord(((id % 65536) - 32768).toShort))
+      val encReal = udf((v: Double) => S7.encodeReal(v.toFloat))
+      val encBits = udf((u: Long) => S7.encodeBits(u.toInt))
+      val encDWord = udf((id: Long) => S7.encodeDWord(id))
+      events(s, dir)
+        .withColumn("wbuf", encWord(col("event_id")))
+        .withColumn("rbuf", encReal(col("value")))
+        .withColumn("bbuf", encBits(col("user_id")))
+        .withColumn("dbuf", encDWord(col("event_id")))
+        .select(col("event_id"),
+          expr(s"decode_s7(wbuf, ${S7.WLWord}, 0)").cast("bigint").as("w_val"),
+          expr(s"decode_s7(rbuf, ${S7.WLReal}, 0)").as("r_val"),
+          expr(s"decode_s7(bbuf, ${S7.WLBit}, CAST(event_id % 8 AS INT))").cast("bigint").as("b_val"),
+          expr(s"decode_s7(dbuf, ${S7.WLDWord}, 0)").cast("bigint").as("d_val"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery.rowsOnly(
+      "q_ema",
+      "D4: order-sensitive EMA per series via a typed Aggregator (forecasting surface, README.md:3)") { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+        .as[(Long, Long, Double)]
+      ds.groupByKey(_._1)
+        .agg(new EmaAggregator(0.3).toColumn.name("ema"))
+        .toDF("user_id", "ema")
+        .select(col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q_multimodal_meta",
+      "Extension: multimodal binary-column plumbing — typed mapPartitions 'decode' over opaque bytes",
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |       64 + octet_length(encode(text)) % 1217 AS width,
+        |       64 + (octet_length(encode(text)) * 31) % 929 AS height,
+        |       octet_length(encode(text)) // 1024 + 1 AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // Real multimodal plumbing: an opaque binary column flows through a
+      // typed per-partition batch "decoder". The decode itself is a
+      // deterministic stand-in (no image/audio libs in this container) —
+      // swap `fakeDecode` for a real codec; schema/partitioning/batching
+      // stay identical.
+      def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+        val len = bytes.length.toLong
+        (id, len, 64 + len % 1217, 64 + (len * 31) % 929, len / 1024 + 1)
+      }
+      documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+        .toDF("doc_id", "byte_len", "width", "height", "frames")
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_line_protocol",
+      "S3: line-protocol point shaping (batched sink formatting, fixes per-sample POST of InfluxConnector2.py:176)",
+      """SELECT event_id,
+        |       'plc-' || user_id || ' ' || event_type || '=' || printf('%.2f', value)
+        |         || ' ' || (epoch_us(ts) * 1000) AS line
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      LineProtocol.format(events(s, dir)).orderBy("event_id")
+    },
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Near-duplicate detection over documents — MinHash+LSH, SimHash, and
+  * n-gram Jaccard (training-data-pipeline extensions; VERDICT.md round-1
+  * explicitly requires the banded/LSH shape, not all-pairs).
+  *
+  * Engine-portable hashing: token/shingle → polynomial char hash mod
+  * 1000000007, then k universal hashes (a*h+b) mod 100003 — pure integer
+  * arithmetic, so DuckDB computes bit-identical values and every stage is
+  * oracle-checkable (no reliance on engine-private hash functions).
+  *
+  * Scale design: signatures are computed per-row with higher-order array
+  * functions (no explode, no join, no global vocab — embarrassingly
+  * parallel). Candidate generation is the LSH band→bucket equi-join
+  * (shuffle on (band, key), bucket sizes ~ duplicates only), never an
+  * all-pairs cross join. n-gram Jaccard restricts its inverted index to
+  * rare shingles (df ≤ 5) — the classic stop-shingle cutoff that bounds
+  * per-shingle pair fan-out at 100 TB.
+  */
+object QDedup {
+
+  // 8 universal hashes for MinHash (4 bands × 2 rows), 16 for SimHash bits.
+  private val A  = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  private val B  = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val A2 = A ++ Seq(173L, 179L, 181L, 191L, 193L, 197L, 199L, 211L)
+  private val B2 = B ++ Seq(37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+  private val P  = 100003L
+  private val CP = 1000000007L
+
+  // ---- Spark-side expression fragments (Spark SQL lambda syntax) ----
+  private def sparkCharHash(v: String) =
+    s"aggregate(split($v, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $CP)"
+
+  /** documents → (doc_id, sh: array<string> distinct 3-token shingles, hs: array<long>). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("hs", expr(s"transform(sh, tok -> ${sparkCharHash("tok")})"))
+
+  /** (doc_id, mh0..mh7) MinHash signature — per-row, no shuffle. */
+  private def signatures(df: DataFrame): DataFrame = {
+    val sig = A.indices.foldLeft(shingled(df)) { (d, i) =>
+      d.withColumn(s"mh$i", expr(s"array_min(transform(hs, hv -> (${A(i)} * hv + ${B(i)}) % $P))"))
+    }
+    sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")): _*)
+  }
+
+  // ---- DuckDB-side fragments ----
+  private val duckCharHash =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok, ''), ch -> unicode(ch)::BIGINT)), (acc, b) -> (acc * 31 + b) % $CP)"
+
+  private val duckBase =
+    s"""base AS (
+       |  SELECT doc_id,
+       |         list_transform(
+       |           list_distinct(list_transform(range(len(toks) - 2),
+       |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])),
+       |           tok -> $duckCharHash) AS hs
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3)""".stripMargin
+
+  private val duckSig = {
+    val cols = A.indices.map(i =>
+      s"list_min(list_transform(hs, hv -> (${A(i)} * hv + ${B(i)}) % $P)) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $cols FROM base)"
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_minhash_sig",
+      "Extension: MinHash signatures (k=8) over 3-token shingles — per-row, shuffle-free",
+      s"""WITH $duckBase, $duckSig
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      signatures(documents(s, dir)).orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_dedup_minhash",
+      "Extension: MinHash-LSH candidate pairs (4 bands × 2 rows) + estimated Jaccard",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $duckBase, $duckSig,
+           |bands AS ($bands),
+           |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |          FROM bands x JOIN bands y
+           |            ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id)
+           |SELECT p.doc_a, p.doc_b, round(($est) / 8.0, 4) AS est_sim
+           |FROM pairs p JOIN sig a ON p.doc_a = a.doc_id JOIN sig b ON p.doc_b = b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, dir) =>
+      // eager localCheckpoint: the signature is reused by 3 join branches;
+      // without it the interpreted higher-order-fn lineage is recomputed per branch
+      val sig = signatures(documents(s, dir)).localCheckpoint(true)
+      val bandStructs = (0 until 4).map(j =>
+        struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.k").as("k"))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      val aSig = A.indices.foldLeft(sig)((d, i) => d.withColumnRenamed(s"mh$i", s"amh$i"))
+        .withColumnRenamed("doc_id", "a_id")
+      val bSig = A.indices.foldLeft(sig)((d, i) => d.withColumnRenamed(s"mh$i", s"bmh$i"))
+        .withColumnRenamed("doc_id", "b_id")
+      val est = A.indices.map(i =>
+        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
+      pairs.join(aSig, col("doc_a") === col("a_id"))
+        .join(bSig, col("doc_b") === col("b_id"))
+        .select(col("doc_a"), col("doc_b"), round(est / lit(8.0), 4).as("est_sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
+      "q_dedup_simhash",
+      "Extension: 16-bit SimHash fingerprint per document + bucket size (exact-match candidates)",
+      {
+        val sCols = A2.indices.map(i =>
+          s"list_sum(list_transform(hs, hv -> CASE WHEN ((${A2(i)} * hv + ${B2(i)}) % $P) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i")
+          .mkString(", ")
+        val fp = A2.indices.map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+           |hashed AS (SELECT doc_id,
+           |             list_transform(t, tok -> $duckCharHash) AS hs FROM toks),
+           |sums AS (SELECT doc_id, $sCols FROM hashed),
+           |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM sums)
+           |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_bucket
+           |FROM fps ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Token-level hashes keep duplicate tokens → natural term weighting.
+      val hashed = documents(s, dir)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("hs", expr(s"transform(toks, tok -> ${sparkCharHash("tok")})"))
+      val withSums = A2.indices.foldLeft(hashed) { (d, i) =>
+        d.withColumn(s"s$i", expr(
+          s"aggregate(hs, 0L, (acc, hv) -> acc + (CASE WHEN ((${A2(i)} * hv + ${B2(i)}) % $P) % 2 = 1 THEN 1 ELSE -1 END))"))
+      }
+      val fp = A2.indices.map(i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      withSums.withColumn("fp", fp.cast("long"))
+        .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("fp")))
+        .select("doc_id", "fp", "n_bucket")
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_ngram_jaccard",
+      "Extension: n-gram Jaccard near-dup — rare-shingle inverted index (df ≤ 5), never all-pairs",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(lower(text), ' ')) >= 3),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_distinct(list_transform(range(len(t) - 2),
+        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |         WHERE df BETWEEN 2 AND 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN rare r ON a.shingle = r.shingle
+        |         JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+        |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+        |           FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |           JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |           GROUP BY 1, 2)
+        |SELECT s.doc_a, s.doc_b, s.shared,
+        |       round(s.shared::DOUBLE / (sa.n + sb.n - s.shared), 4) AS jaccard
+        |FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+        |JOIN sizes sb ON sb.doc_id = s.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = shingled(documents(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .localCheckpoint(true)   // reused 5× below; avoid re-shingling
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("shingle")
+      val cand = sh.as("a").join(rare.as("r"), col("a.shingle") === col("r.shingle"))
+        .join(sh.as("b"), col("b.shingle") === col("a.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val shared = cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("y.shingle") === col("x.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          round(col("shared").cast("double") / (col("sa.n") + col("sb.n") - col("shared")), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+}

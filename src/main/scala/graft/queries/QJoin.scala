@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Joins — SURVEY.md §2.3 (J1-J6).
+  *
+  * Scale design per join:
+  *  - J1 broadcast: the config/dimension side is tiny (nation=25, region=5
+  *    rows at every SF) → explicit broadcast() keeps the fact side
+  *    shuffle-free. At 100 TB this is the only sane plan.
+  *  - J2/J3 semi/anti: plan as Broadcast*Join when the right side is small;
+  *    never materialize the join payload.
+  *  - J4 sort-merge: large⋈large with an explicit merge hint so the plan is
+  *    stable across SFs (both sides shuffle-partitioned on the key; at scale
+  *    bucketing both tables by orderkey removes the shuffle entirely).
+  *  - J5 as-of: no Spark builtin. Union probe+reference rows, one window
+  *    pass partitioned by key ordered by (ts, side) — reference rows sort
+  *    before probes at equal ts so ties match DuckDB ASOF (probe.ts >=
+  *    ref.ts). Single shuffle on the series key; no nested-loop.
+  *  - J6 range join: rewritten as an equi-join on a computed bucket column
+  *    against a broadcast bucket dim — Spark would otherwise plan
+  *    BroadcastNestedLoopJoin for the between-predicate (SURVEY §2.3).
+  */
+object QJoin {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_join_broadcast",
+      "J1: config-enrichment broadcast join (ref get_data_by_alias, ConfigApp.py:120-136)",
+      """SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    GraftQuery(
+      "q_join_semi",
+      "J2: left-semi — keys with at least one match (ref get_data_aliases, ConfigApp.py:102-118)",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q_join_anti",
+      "J3: left-anti — keys with no match (ref delete_element, ConfigApp.py:138-153)",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    GraftQuery(
+      "q_join_sortmerge",
+      "J4: large⋈large sort-merge join (metadata enrichment at scale, ref README.md:98-100)",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      // DECIMAL(18,2) sum is exact → order-independent → DuckDB hash parity.
+      val revenue = sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      lineitem(s, dir)
+        .join(orders(s, dir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(revenue.cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    GraftQuery(
+      "q_join_asof",
+      "J5: as-of join — last purchase value at or before each click (the m_value cache as a join, ref InfluxConnector2.py:53,173)",
+      """SELECT p.event_id, p.user_id, p.value, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON p.user_id = r.user_id AND p.ts >= r.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(1).as("is_probe"))
+      val refs = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(0).as("is_probe"))
+      // One shuffle on user_id; refs sort before probes at equal ts → ties
+      // behave like DuckDB ASOF's probe.ts >= ref.ts.
+      val wAsof = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionByName(refs)
+        .withColumn("asof_value",
+          last(when(col("is_probe") === 0, col("value")), ignoreNulls = true).over(wAsof))
+        .filter(col("is_probe") === 1)
+        .select("event_id", "user_id", "value", "asof_value")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_join_range",
+      "J6: range join rewritten as bucketed equi-join (avoids BroadcastNestedLoopJoin, SURVEY §2.3)",
+      """SELECT b.bucket_name, count(*) AS n
+        |FROM events e
+        |JOIN (VALUES ('b0',0,20),('b1',20,40),('b2',40,60),('b3',60,80),('b4',80,100),
+        |             ('b5',100,120),('b6',120,140),('b7',140,160),('b8',160,180),('b9',180,200))
+        |     b(bucket_name, lo, hi)
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY b.bucket_name ORDER BY b.bucket_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // The oracle states the range predicate; we execute the scale-correct
+      // plan: value → bucket id (width 20), equi-join a broadcast dim.
+      val dim = Seq.tabulate(10)(i => (i.toLong, s"b$i")).toDF("bucket_id", "bucket_name")
+      events(s, dir)
+        .filter(col("value") >= 0 && col("value") < 200)
+        .withColumn("bucket_id", floor(col("value") / 20))
+        .join(broadcast(dim), "bucket_id")
+        .groupBy("bucket_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket_name")
+    },
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Text-analysis operators over the documents table — SURVEY.md §2.8 F13 /
+  * D5 plus the training-data-pipeline extensions (language-ID, quality
+  * scoring, token counting, document fingerprinting).
+  *
+  * All token work is builtin split/explode/higher-order functions —
+  * codegen'd, no UDFs. At 100 TB the tokenize→explode→groupBy(token) path
+  * is the classic word-count shape: partial aggregation collapses the
+  * explosion map-side before the single shuffle on token.
+  */
+object QText {
+
+  private val EnStop = "('the','a','of','and','is','to','in')"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_text_tokens",
+      "F13/D5: tokenize + global token frequency (explode is the builtin Generator — no UDTF)",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    GraftQuery(
+      "q_text_langid",
+      "Extension: n-gram/stopword language-ID heuristic per document",
+      s"""SELECT doc_id, lang,
+         |       round(len(list_filter(string_split(lower(text), ' '), t -> t IN $EnStop))::DOUBLE
+         |             / len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+         |       CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t IN $EnStop))::DOUBLE
+         |                 / len(string_split(lower(text), ' ')) > 0.02
+         |            THEN 'en' ELSE 'unk' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hits = expr(s"size(filter(split(lower(text), ' '), t -> t IN $EnStop))")
+      val n = size(split(lower(col("text")), " "))
+      documents(s, dir)
+        .withColumn("stop_ratio_raw", hits.cast("double") / n)
+        .select(col("doc_id"), col("lang"),
+          round(col("stop_ratio_raw"), 4).as("stop_ratio"),
+          when(col("stop_ratio_raw") > 0.02, "en").otherwise("unk").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_text_quality",
+      "Extension: document quality scoring (length / token stats / stopword ratio)",
+      s"""SELECT doc_id, length(text) AS n_chars_m,
+         |       len(string_split(lower(text), ' ')) AS n_tokens,
+         |       round(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)::BIGINT))::DOUBLE
+         |             / len(string_split(lower(text), ' ')), 4) AS avg_tok_len,
+         |       CASE WHEN len(string_split(text, ' ')) >= 80 THEN 'high'
+         |            WHEN len(string_split(text, ' ')) >= 40 THEN 'medium'
+         |            ELSE 'low' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      val nTok = size(toks)
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars_m"),
+          nTok.cast("bigint").as("n_tokens"),
+          round(expr("aggregate(split(lower(text), ' '), 0L, (a, t) -> a + length(t))").cast("double")
+            / nTok, 4).as("avg_tok_len"),
+          when(nTok >= 80, "high").when(nTok >= 40, "medium").otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_token_count",
+      "Extension: token counting — whitespace + regex (BPE-ish ≤4-char chunks)",
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
+        |       len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("bigint").as("word_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("bigint").as("bpe_ish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_doc_fingerprint",
+      "Extension: polynomial rolling-hash document fingerprint (content-defined, engine-portable)",
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |                     list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+        |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("fp"))
+        .orderBy("doc_id")
+    },
+  )
+}

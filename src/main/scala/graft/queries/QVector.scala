@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Similarity search over the embeddings table — SURVEY.md §2.10 D6 + the
+  * ANN extensions (brute-force baseline, LSH buckets, IVF scale path).
+  *
+  * Scale design (the 100 TB story, per VERDICT.md round-1):
+  *  - the probe set is always bounded and BROADCAST — the corpus is never
+  *    cross-joined against itself;
+  *  - q_lsh_bucket assigns every vector to a random-hyperplane bucket in a
+  *    single per-row pass (no shuffle); near-dup candidates are generated
+  *    by an equi-join on the bucket key, so the pair count is
+  *    sum(bucket²) ≪ n²;
+  *  - q_knn_ivf probes only the top-2 coarse cells (labels here stand in
+  *    for k-means cells) — the IVF pruning pattern: the fine search scans
+  *    1/5th of the corpus instead of all of it.
+  *
+  * All dot products run in double with identical left-to-right accumulation
+  * in Spark (`aggregate` fold) and DuckDB (`list_dot_product`) → exact
+  * hash parity.
+  */
+object QVector {
+
+  /** Deterministic integer hyperplanes: w(h,d) = ((h*37 + d*101) % 19) - 9. */
+  private def plane(h: Int): Seq[Long] = (0 until 64).map(d => ((h * 37 + d * 101) % 19).toLong - 9)
+
+  private def sDot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
+  private def sCos(a: String, b: String) =
+    s"${sDot(a, b)} / (sqrt(${sDot(a, a)}) * sqrt(${sDot(b, b)}))"
+
+  private def dCos(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Spark-side LSH bucket id from 8 hyperplane sign bits. */
+  private def sparkBucket(df: DataFrame): DataFrame = {
+    val bits = (0 until 8).map { h =>
+      val w = s"array(${plane(h).map(v => s"${v}D").mkString(",")})"
+      when(expr(sDot("embedding", w)) > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  private val duckBucket = (0 until 8).map { h =>
+    val w = s"[${plane(h).mkString(",")}]::DOUBLE[]"
+    s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << h} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_array_dot",
+      "F10/D6: dot product + cosine vs a fixed probe vector (higher-order array fns, no UDF)",
+      s"""WITH p AS (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       round(list_dot_product(e.embedding::DOUBLE[], p.probe), 4) + 0 AS dot,
+         |       round(${dCos("e.embedding::DOUBLE[]", "p.probe")}, 4) + 0 AS cos
+         |FROM embeddings e, p ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+      emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (round(expr(sDot("embedding", "probe")), 4) + lit(0.0)).as("dot"),
+          (round(expr(sCos("embedding", "probe")), 4) + lit(0.0)).as("cos"))
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q_lsh_bucket",
+      "Extension: random-hyperplane LSH bucket per vector (single per-row pass, shuffle-free)",
+      s"""SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket,
+         |       count(*) OVER (PARTITION BY CAST($duckBucket AS BIGINT)) AS n_bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      sparkBucket(embeddings(s, dir))
+        .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("bucket")))
+        .select("vec_id", "bucket", "n_bucket")
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q_dedup_embedding",
+      "Extension: embedding near-dup candidates — bucket equi-join + exact cosine ≥ 0.2 (not all-pairs)",
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($duckBucket AS BIGINT) AS bucket
+         |           FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(${dCos("x.e", "y.e")}, 4) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${dCos("x.e", "y.e")} >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val b = sparkBucket(embeddings(s, dir)).select("vec_id", "embedding", "bucket")
+        .localCheckpoint(true)   // bucket reused on both join sides
+      val x = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
+      val y = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket").as("bucket_b"))
+      x.join(y, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos_raw", expr(sCos("ea", "eb")))
+        .filter(col("cos_raw") >= 0.2)
+        .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    GraftQuery(
+      "q_knn_brute",
+      "D6: brute-force cosine top-k — bounded probe set broadcast against the corpus",
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT pr.probe_id, e.vec_id AS neighbor_id,
+         |                  ${dCos("e.embedding::DOUBLE[]", "pr.pe")} AS score
+         |           FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id)
+         |SELECT probe_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk,
+         |       round(score, 4) AS score
+         |FROM scored QUALIFY rnk <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          expr(sCos("embedding", "pe")).as("score_raw"))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy("probe_id", "rnk")
+    },
+
+    GraftQuery(
+      "q_knn_ivf",
+      "Extension: IVF-pruned ANN — coarse quantize to top-2 cells, fine-search only those cells",
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
+         |ex AS (SELECT label, unnest(embedding) AS v, unnest(range(1, len(embedding) + 1)) AS pos
+         |       FROM embeddings),
+         |cent AS (SELECT label, pos, avg(v::DOUBLE) AS cv FROM ex GROUP BY 1, 2),
+         |pex AS (SELECT probe_id, unnest(pe) AS pv, unnest(range(1, len(pe) + 1)) AS pos FROM pr),
+         |pc AS (SELECT p.probe_id, c.label,
+         |              sum(p.pv * c.cv) / (sqrt(sum(p.pv * p.pv)) * sqrt(sum(c.cv * c.cv))) AS cos_pc
+         |       FROM pex p JOIN cent c ON c.pos = p.pos GROUP BY 1, 2),
+         |sel AS (SELECT probe_id, label FROM pc
+         |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos_pc DESC, label) <= 2),
+         |cand AS (SELECT s.probe_id, e.vec_id, e.embedding::DOUBLE[] AS ce
+         |         FROM sel s JOIN embeddings e ON e.label = s.label),
+         |scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, ${dCos("c.ce", "pr.pe")} AS score
+         |           FROM cand c JOIN pr ON pr.probe_id = c.probe_id
+         |           WHERE c.vec_id <> c.probe_id)
+         |SELECT probe_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk,
+         |       round(score, 4) AS score
+         |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      // Coarse cells: element-wise centroid per label (labels stand in for
+      // k-means cells; at scale these come from a trained coarse quantizer).
+      val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+      val pex = probes.select(col("probe_id"), posexplode(col("pe")).as(Seq("pos", "pv")))
+        .withColumn("pv", col("pv").cast("double"))
+      val pc = pex.join(cent, "pos")
+        .groupBy("probe_id", "label")
+        .agg((sum(col("pv") * col("cv")) /
+          (sqrt(sum(col("pv") * col("pv"))) * sqrt(sum(col("cv") * col("cv"))))).as("cos_pc"))
+      val wSel = Window.partitionBy("probe_id").orderBy(col("cos_pc").desc, col("label"))
+      val sel = pc.withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+        .select("probe_id", "label")
+      val cand = sel.join(emb, "label")
+        .select(col("probe_id"), col("vec_id"), col("embedding").as("ce"))
+      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+      cand.join(broadcast(probes), "probe_id")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          expr(sCos("ce", "pe")).as("score_raw"))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy("probe_id", "rnk")
+    },
+  )
+}

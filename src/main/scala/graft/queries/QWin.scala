@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Window functions — SURVEY.md §2.5 (W1-W6): the InfluxQL per-series
+  * transforms (LAST/DERIVATIVE/MOVING_AVERAGE/TOP/CUMULATIVE_SUM, ref
+  * README.md:3) plus z-score anomaly detection.
+  *
+  * Every window partitions by the series key (user_id / event_type), so the
+  * single shuffle is on the series key — exactly the partitioning a 100 TB
+  * time-series table would already be bucketed by; with bucketing in place
+  * these become shuffle-free. ORDER BY inside each window is tie-broken by
+  * event_id so results are deterministic under parallel execution.
+  */
+object QWin {
+
+  // Per-series event-time window, deterministic tie-break.
+  private def w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+  private val duckW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_win_last",
+      "W1/T8: running last non-null per series (the m_value cache, ref InfluxConnector2.py:53,173)",
+      s"""SELECT event_id, user_id,
+         |       last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+         |         OVER ($duckW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("last_seen",
+          last(when(col("value") >= 50, col("value")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "last_seen")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_derivative",
+      "W2: DERIVATIVE — dvalue/dt per series (InfluxQL, README.md:3)",
+      s"""SELECT event_id, user_id,
+         |       round((value - lag(value) OVER ($duckW))
+         |             / ((epoch_us(ts) - lag(epoch_us(ts)) OVER ($duckW)) / 1000000.0), 6) + 0 AS deriv
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val dv = col("value") - lag(col("value"), 1).over(w)
+      val dt = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0)
+      events(s, dir)
+        // `+ 0` folds IEEE -0.0 (from rounding tiny negatives) to +0.0 in
+        // both engines — keeps hash parity.
+        .withColumn("deriv", round(dv / dt, 6) + lit(0.0))
+        .select("event_id", "user_id", "deriv")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_movavg",
+      "W3: MOVING_AVERAGE(3) with an explicit rows frame (InfluxQL, README.md:3)",
+      s"""SELECT event_id, user_id,
+         |       round(avg(value) OVER ($duckW ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("ma3", round(avg(col("value")).over(w.rowsBetween(-2, Window.currentRow)), 4))
+        .select("event_id", "user_id", "ma3")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_topk_per_group",
+      "W4: TOP(k) per series via row_number (InfluxQL TOP/BOTTOM, README.md:3)",
+      """SELECT event_type, event_id, value,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |FROM events
+        |QUALIFY rn <= 5 ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
+      val wk = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    },
+
+    GraftQuery(
+      "q_win_cumsum",
+      "W5: CUMULATIVE_SUM per series (counter totalization, InfluxQL README.md:3)",
+      s"""SELECT event_id, user_id,
+         |       round(sum(value) OVER ($duckW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS csum
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("csum",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select("event_id", "user_id", "csum")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_zscore",
+      "W6: per-series z-score — anomaly detection on stored series (README.md:3)",
+      """SELECT event_id, event_type,
+        |       round((value - avg(value) OVER (PARTITION BY event_type))
+        |             / stddev_samp(value) OVER (PARTITION BY event_type), 3) + 0 AS z
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val wz = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .withColumn("z",
+          round((col("value") - avg(col("value")).over(wz)) / stddev_samp(col("value")).over(wz), 3)
+            + lit(0.0))
+        .select("event_id", "event_type", "z")
+        .orderBy("event_id")
+    },
+  )
+}
