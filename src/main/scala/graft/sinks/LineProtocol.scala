@@ -37,6 +37,14 @@ object LineProtocol {
         col("event_type"), col("value"),
         expr("unix_micros(ts) * 1000L")).as("line"))
 
+  /** Shape a point frame (ts, measurement, alias, value) — the decoded PLC
+    * sample shape of SURVEY §2.2 P2 — into line-protocol strings.
+    */
+  def formatPoints(df: DataFrame): DataFrame =
+    df.select(
+      lineCol(col("measurement"), col("alias"), col("value"),
+        expr("unix_micros(ts) * 1000L")).as("line"))
+
   /** Batch-append a one-column frame of lines to `dir/part-<batchId>.lp`.
     * Stand-in for the InfluxDB HTTP endpoint (zero-egress container); the
     * batching structure — collect per batch, single writer, newline-joined

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.queries.QStream
+import graft.sinks.LineProtocol
+import graft.sources.TagConfig
+
+/** Structured-Streaming assembly — SURVEY.md §2.9.
+  *
+  * The reference's runtime model maps as (SURVEY §3.1):
+  *  - process-per-PLC (Linux/InfluxConnector2.py:288-291) → source
+  *    partitions, tasks scheduled across executors;
+  *  - thread-per-interval-group (:197-209) → one StreamingQuery per
+  *    interval group, independent ProcessingTime triggers sharing one
+  *    session (T1/T2);
+  *  - adaptive sleep(interval − elapsed) (:177-186) → Trigger.ProcessingTime
+  *    does elapsed-compensated pacing natively (T1);
+  *  - reconnect-on-error loop (:187-195) → checkpointLocation + restart
+  *    (T10); graceful stop event (:115-116) → query.stop() (T11).
+  *
+  * Streaming transforms reuse the oracle-checked batch twins in
+  * [[QStream]] — one plan, two execution modes; parity is asserted by
+  * StreamingParitySpec over MemoryStream inputs.
+  */
+object Pipelines {
+
+  /** T4 + T7: watermarked tumbling aggregation over a streaming frame. */
+  def tumbling(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    QStream.tumbling(stream.withWatermark("ts", watermark))
+
+  /** T6 + T7: watermarked session windows. */
+  def session(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    QStream.session(stream.withWatermark("ts", watermark))
+
+  /** T9: streaming dedup — state bounded by the watermark horizon. */
+  def dedup(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Parse the reference's interval enum ('min', '1s' … '300s',
+    * ConfigApp.py:187) into a trigger; 'min' = as-fast-as-possible (T1).
+    */
+  def triggerFor(interval: String): Trigger = interval.trim match {
+    case "min" => Trigger.ProcessingTime(0L)
+    case s     => Trigger.ProcessingTime(s"${s.stripSuffix("s")} seconds")
+  }
+
+  /** S2 → P5 → P2: the full simulated ingestion stream — DSv2 source
+    * emitting raw S7 buffers, decoded by the native DecodeS7 expression
+    * into the point shape (ts, measurement, alias, value), null decodes
+    * dropped (P4, ref InfluxConnector2.py:172).
+    */
+  def s7DecodedStream(spark: SparkSession, plcs: Seq[String], tagsPerPlc: Int = 4,
+      intervalMs: Long = 1000L): DataFrame = {
+    graft.functions.DecodeS7.register(spark)
+    spark.readStream
+      .format("graft.sources.S7SimSource")
+      .option("plcs", plcs.mkString(","))
+      .option("tagsPerPlc", tagsPerPlc.toString)
+      .option("intervalMs", intervalMs.toString)
+      .load()
+      .select(col("ts"), col("plc").as("measurement"), col("alias"),
+        expr("decode_s7(buf, type_code, bit)").as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** T2: per-interval query fan-out. Groups active tags by interval (ref
+    * group_by_interval, InfluxConnector2.py:85-94) and starts one
+    * line-protocol-sinked StreamingQuery per group, each with its own
+    * trigger cadence and checkpoint. `mkStream` builds the source frame
+    * for one interval group (so tests can inject MemoryStream and prod
+    * can bind the s7sim DSv2 source).
+    */
+  def intervalFanOut(
+      spark: SparkSession,
+      tags: Seq[TagConfig],
+      mkStream: Seq[TagConfig] => DataFrame,
+      outDir: String,
+      checkpointRoot: String): Seq[StreamingQuery] = {
+    val groups = tags.filter(_.active).groupBy(_.interval).toSeq.sortBy(_._1)
+    groups.map { case (interval, groupTags) =>
+      val lines = LineProtocol.formatPoints(mkStream(groupTags))
+      lines.writeStream
+        .outputMode("append")
+        .trigger(triggerFor(interval))
+        .option("checkpointLocation", s"$checkpointRoot/$interval")
+        .foreachBatch((batch: DataFrame, id: Long) =>
+          LineProtocol.append(s"$outDir/interval=$interval")(batch, id))
+        .queryName(s"graft-interval-$interval")
+        .start()
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.functions.EmaAggregator
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the two order-sensitive custom pieces:
+  * the union-window as-of join (SURVEY §7.4 hard part) and the EMA
+  * Aggregator (D4).
+  */
+class AsofAndEmaSpec extends SparkTestBase {
+
+  test("as-of join: last reference value at or before each probe ts, per key") {
+    import spark.implicits._
+    // key, ts, value, is_probe
+    val refs = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 5L, 50.0)).toDF("k", "t", "v")
+      .withColumn("is_probe", lit(0))
+    val probes = Seq((1L, 9L), (1L, 10L), (1L, 25L), (2L, 4L), (3L, 7L)).toDF("k", "t")
+      .withColumn("v", lit(null).cast("double")).withColumn("is_probe", lit(1))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = probes.unionByName(refs)
+      .withColumn("asof", last(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select("k", "t", "asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+    assert(out((1L, 9L)) == null)          // before first ref
+    assert(out((1L, 10L)) === 100.0)       // tie: ref at equal ts visible (>=)
+    assert(out((1L, 25L)) === 200.0)       // latest ref wins
+    assert(out((2L, 4L)) == null)
+    assert(out((3L, 7L)) == null)          // key with no refs
+  }
+
+  test("EMA aggregator: event-time fold, alpha=0.5, unordered input") {
+    import spark.implicits._
+    // values arrive out of order; event-time order is 2.0, 4.0, 8.0
+    // ema = 2.0 → 0.5*4+0.5*2 = 3.0 → 0.5*8+0.5*3 = 5.5
+    val ds = Seq((1L, 30L, 8.0), (1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 1L, 7.0))
+      .toDS() // (key, tsMicros, value)
+    val out = ds.groupByKey(_._1).agg(new EmaAggregator(0.5).toColumn.name("ema"))
+      .collect().toMap
+    assert(out(1L) === 5.5)
+    assert(out(2L) === 7.0)
+  }
+}

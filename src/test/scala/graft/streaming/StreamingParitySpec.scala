@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.queries.QStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import java.time.Instant
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Batch/stream parity over MemoryStream (SURVEY §5.4): the same plan
+  * functions power q_stream_* (oracle-checked in batch) and the
+  * watermarked streaming pipelines.
+  */
+class StreamingParitySpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L))
+
+  private val base = Seq(
+    Ev(0, ts(1), 1, "click", 10.0), Ev(1, ts(4), 1, "click", 20.0),
+    Ev(2, ts(12), 2, "view", 30.0), Ev(3, ts(14), 1, "click", 40.0),
+    Ev(4, ts(25), 2, "view", 50.0), Ev(5, ts(26), 1, "view", 60.0))
+  // Far-future flush row advances the watermark past every base window.
+  private val flush = Ev(99, ts(24 * 60), 9, "flush", 0.0)
+
+  test("tumbling window: stream (append + watermark) == batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.tumbling(ms.toDF(), "30 seconds")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("append").start()
+    ms.addData(base: _*)
+    q.processAllAvailable()
+    ms.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+    val batch = QStream.tumbling(base.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("session window: stream (append + watermark) == batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.session(ms.toDF(), "30 seconds")
+      .writeStream.format("memory").queryName("session_out").outputMode("append").start()
+    ms.addData(base: _*)
+    q.processAllAvailable()
+    ms.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("session_out").collect().map(_.toSeq).toSet
+    val batch = QStream.session(base.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.dedup(ms.toDF(), "30 seconds")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    ms.addData(base ++ base.map(e => e.copy(value = e.value + 999)): _*) // dup ids
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_out").select("event_id", "value").as[(Long, Double)].collect()
+    assert(streamed.map(_._1).sorted === base.map(_.event_id).sorted)  // one row per id
+    assert(streamed.forall(r => base.exists(e => e.event_id == r._1 && e.value == r._2))) // first wins
+  }
+}
