@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in one JVM; interpreted higher-order
+  // expressions allocate heavily — a small heap turns into GC thrash.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark codegen emits thousands of Janino classes across a long query
+  // sequence; the default 240m code cache fills, the JIT shuts off, and
+  // throughput collapses 10-50x. Large cache + flushing keeps JIT alive.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -36,4 +36,14 @@ object Q {
 
   /** Exact (order-independent) money sum: route doubles through DECIMAL(18,2). */
   def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Spread a small-file scan across all cores before CPU-heavy per-row
+    * work (shingling, hashing, vector math). The documents/embeddings
+    * parquet files are single-partition at test SFs, which would otherwise
+    * serialize interpreted higher-order-function evaluation onto one core.
+    * At 100 TB inputs arrive already multi-partition and this repartition
+    * collapses to a no-op-sized shuffle of the (small) dimension side.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

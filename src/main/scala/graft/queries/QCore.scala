@@ -135,9 +135,10 @@ object QCore {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // Filter on the RAW nanos column so the predicate pushes down to the
+      // parquet row-group stats (see Tables.events). 2024-01-10/20 UTC.
       events(s, dir)
-        .filter($("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-                $("ts") <  lit("2024-01-20 00:00:00").cast("timestamp"))
+        .filter($("ts_ns") >= 1704844800000000000L && $("ts_ns") < 1705708800000000000L)
         .select($("event_id"), tsS($("ts")).as("ts_s"), $("value"))
         .orderBy("event_id")
     },

@@ -104,7 +104,7 @@ object QCustom {
         val len = bytes.length.toLong
         (id, len, 64 + len % 1217, 64 + (len * 31) % 929, len / 1024 + 1)
       }
-      documents(s, dir)
+      Q.fanout(documents(s, dir))
         .select(col("doc_id"), col("text").cast("binary").as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })

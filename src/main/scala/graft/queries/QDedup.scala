@@ -36,10 +36,18 @@ object QDedup {
   private def sparkCharHash(v: String) =
     s"aggregate(split($v, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $CP)"
 
-  /** documents → (doc_id, sh: array<string> distinct 3-token shingles, hs: array<long>). */
+  /** documents → (doc_id, sh: array<string> distinct 3-token shingles, hs: array<long>).
+    *
+    * The repartition between `toks` and `sh` is load-bearing twice over:
+    * it spreads the single-file scan across cores, AND it is an exchange
+    * barrier that stops CollapseProject from inlining `toks` into the
+    * shingle lambda — inlined, every `toks[i]` access re-splits the whole
+    * document (~240 regex splits per doc; observed 300s → 3s at sf0.1).
+    */
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(lower(col("text")), " "))
-      .filter(size(col("toks")) >= 3)
+    Q.fanout(
+      df.withColumn("toks", split(lower(col("text")), " "))
+        .filter(size(col("toks")) >= 3))
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
       .withColumn("hs", expr(s"transform(sh, tok -> ${sparkCharHash("tok")})"))
@@ -99,26 +107,30 @@ object QDedup {
            |FROM pairs p JOIN sig a ON p.doc_a = a.doc_id JOIN sig b ON p.doc_b = b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, dir) =>
-      // eager localCheckpoint: the signature is reused by 3 join branches;
+      // eager localCheckpoint: the signature is reused by both join sides;
       // without it the interpreted higher-order-fn lineage is recomputed per branch
       val sig = signatures(documents(s, dir)).localCheckpoint(true)
       val bandStructs = (0 until 4).map(j =>
         struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.k").as("k"))
-      val pairs = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.k") === col("y.k") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      val aSig = A.indices.foldLeft(sig)((d, i) => d.withColumnRenamed(s"mh$i", s"amh$i"))
-        .withColumnRenamed("doc_id", "a_id")
-      val bSig = A.indices.foldLeft(sig)((d, i) => d.withColumnRenamed(s"mh$i", s"bmh$i"))
-        .withColumnRenamed("doc_id", "b_id")
+      // Carry the full signature through the band explode so candidate
+      // generation and est_sim come out of a SINGLE self-join (band, key):
+      // no second/third join back to sig. Self-join via RENAMED frames,
+      // not .as(alias): aliased self-joins of the same plan de-duplicate
+      // attributes and degrade the equi-keys to a cartesian product
+      // (observed 135s → <5s at sf0.1).
+      val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+        .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+          col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
+      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
       val est = A.indices.map(i =>
         when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-      pairs.join(aSig, col("doc_a") === col("a_id"))
-        .join(bSig, col("doc_b") === col("b_id"))
-        .select(col("doc_a"), col("doc_b"), round(est / lit(8.0), 4).as("est_sim"))
+      bx.join(by,
+          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(round(max(est) / lit(8.0), 4).as("est_sim"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -140,7 +152,7 @@ object QDedup {
       }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // Token-level hashes keep duplicate tokens → natural term weighting.
-      val hashed = documents(s, dir)
+      val hashed = Q.fanout(documents(s, dir))
         .withColumn("toks", split(lower(col("text")), " "))
         .withColumn("hs", expr(s"transform(toks, tok -> ${sparkCharHash("tok")})"))
       val withSums = A2.indices.foldLeft(hashed) { (d, i) =>
@@ -180,22 +192,34 @@ object QDedup {
         |JOIN sizes sb ON sb.doc_id = s.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = shingled(documents(s, dir))
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
         .localCheckpoint(true)   // reused 5× below; avoid re-shingling
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
-      val cand = sh.as("a").join(rare.as("r"), col("a.shingle") === col("r.shingle"))
-        .join(sh.as("b"), col("b.shingle") === col("a.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val shared = cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("y.shingle") === col("x.shingle"))
+      // Renamed frames for every self-join (see q_dedup_minhash note).
+      val shA = sh.toDF("doc_a", "sh_a")
+      // (sh uses explode_outer: plain explode gets an InferFiltersFromGenerate
+      // size(sh)>0 filter pushed below the fanout exchange with the whole
+      // shingle lambda inlined — re-splitting the text per element on the
+      // single pre-shuffle partition. sh is non-empty by the len>=3 guard,
+      // so outer == inner here.)
+      val shB = sh.toDF("doc_b", "sh_b")
+      val cand = shA.join(rare, col("sh_a") === col("shingle"))
+        .join(shB, col("sh_b") === col("sh_a") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val shX = sh.toDF("xd", "xs")
+      val shY = sh.toDF("yd", "ys")
+      val shared = cand.join(shX, col("doc_a") === col("xd"))
+        .join(shY, col("doc_b") === col("yd") && col("ys") === col("xs"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      val sizeA = sizes.toDF("da", "na")
+      val sizeB = sizes.toDF("db", "nb")
       shared
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .join(sizeA, col("doc_a") === col("da"))
+        .join(sizeB, col("doc_b") === col("db"))
         .select(col("doc_a"), col("doc_b"), col("shared"),
-          round(col("shared").cast("double") / (col("sa.n") + col("sb.n") - col("shared")), 4).as("jaccard"))
+          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
   )

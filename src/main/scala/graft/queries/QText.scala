@@ -99,7 +99,7 @@ object QText {
         |                     list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
         |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      documents(s, dir).select(
+      Q.fanout(documents(s, dir)).select(
         col("doc_id"),
         expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("fp"))
         .orderBy("doc_id")

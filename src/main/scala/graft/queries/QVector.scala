@@ -38,11 +38,12 @@ object QVector {
 
   /** Spark-side LSH bucket id from 8 hyperplane sign bits. */
   private def sparkBucket(df: DataFrame): DataFrame = {
+    val fanned = Q.fanout(df)
     val bits = (0 until 8).map { h =>
       val w = s"array(${plane(h).map(v => s"${v}D").mkString(",")})"
       when(expr(sDot("embedding", w)) > 0, lit(1L << h)).otherwise(lit(0L))
     }
-    df.withColumn("bucket", bits.reduce(_ + _))
+    fanned.withColumn("bucket", bits.reduce(_ + _))
   }
 
   private val duckBucket = (0 until 8).map { h =>
@@ -62,7 +63,7 @@ object QVector {
          |FROM embeddings e, p ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val emb = embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
-      emb.crossJoin(broadcast(probe))
+      Q.fanout(emb).crossJoin(broadcast(probe))
         .select(col("vec_id"),
           (round(expr(sDot("embedding", "probe")), 4) + lit(0.0)).as("dot"),
           (round(expr(sCos("embedding", "probe")), 4) + lit(0.0)).as("cos"))
@@ -118,7 +119,7 @@ object QVector {
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
-      emb.crossJoin(broadcast(probes))
+      Q.fanout(emb).crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           expr(sCos("embedding", "pe")).as("score_raw"))
@@ -168,7 +169,7 @@ object QVector {
       val wSel = Window.partitionBy("probe_id").orderBy(col("cos_pc").desc, col("label"))
       val sel = pc.withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
         .select("probe_id", "label")
-      val cand = sel.join(emb, "label")
+      val cand = sel.join(Q.fanout(emb), "label")
         .select(col("probe_id"), col("vec_id"), col("embedding").as("ce"))
       val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
       cand.join(broadcast(probes), "probe_id")

@@ -32,10 +32,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` restored to a proper (microsecond) TimestampType. */
+  /** `events` with `ts` restored to a proper (microsecond) TimestampType.
+    *
+    * The raw nanosecond column survives as `ts_ns`: predicates on the
+    * DERIVED `ts` cannot reach the parquet scan, so time-range queries
+    * filter on `ts_ns` instead — that pushes down to row-group min/max
+    * stats, which is what makes a time-bounded scan cheap at 100 TB.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

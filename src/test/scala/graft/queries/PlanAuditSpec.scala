@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{Registry, SparkTestBase}
+
+/** Physical-plan audits (SURVEY §4): the plans must carry the properties
+  * that make them survive a 100 TB scale-up — broadcast joins where a side
+  * is small, TakeOrderedAndProject for top-k, predicate/projection pushdown
+  * into the parquet scan, sort-merge for large⋈large, and no cartesian
+  * products anywhere in the inventory.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    Registry.byName(name).run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_join_broadcast plans BroadcastHashJoin (dimension side broadcast)") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_semi / q_join_anti plan broadcast semi/anti joins") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_join_sortmerge honors the merge hint (no broadcast of the fact side)") {
+    assert(planOf("q_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q_topk_global plans TakeOrderedAndProject (no full sort)") {
+    assert(planOf("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_time_range pushes the time predicate into the parquet scan (via raw ts_ns)") {
+    val plan = planOf("q_time_range")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts,17048448"))
+  }
+
+  test("q_filter_active pushes the status predicate into the parquet scan") {
+    val plan = planOf("q_filter_active")
+    assert(plan.contains("EqualTo(o_orderstatus,O)"))
+  }
+
+  test("scans prune columns (q_sort reads only the 3 projected columns)") {
+    val plan = planOf("q_sort")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
+  }
+
+  test("no cartesian products or nested-loop joins anywhere in the inventory") {
+    Registry.all.foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      // BroadcastNestedLoopJoin is acceptable only for the bounded-probe
+      // crossJoin in knn/array_dot (probe side is ≤5 rows, broadcast).
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(Set("q_knn_brute", "q_array_dot").contains(q.name),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("window queries shuffle once on the series key (single Exchange before Window)") {
+    val plan = planOf("q_win_derivative")
+    assert(plan.contains("Window"))
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size >= 1)
+  }
+}
