@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup pipeline.
+  *
+  * Semantics are EXACTLY the engine-portable polynomial hash the DuckDB
+  * oracles compute with list lambdas:
+  *   h(s) = fold over chars: acc = (acc * 31 + codepoint) mod 1e9+7
+  * so results stay oracle-checkable — but evaluated in one JVM pass per
+  * row instead of per-element interpreted lambda trees (the lambda form
+  * costs ~µs per character; these cost ~ns).
+  */
+object TextHash {
+  val Mod = 1000000007L
+
+  private[functions] def requireStringArray(
+      fn: String, child: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  def hashToken(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += 1 }
+    acc
+  }
+
+  /** Hash of "tok1 tok2 tok3" without materializing the concatenation. */
+  def hashShingle(t1: UTF8String, t2: UTF8String, t3: UTF8String): Long = {
+    var acc = 0L
+    def fold(s: UTF8String): Unit = {
+      val str = s.toString
+      var i = 0
+      while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += 1 }
+    }
+    fold(t1); acc = (acc * 31 + ' '.toInt) % Mod
+    fold(t2); acc = (acc * 31 + ' '.toInt) % Mod
+    fold(t3)
+    acc
+  }
+
+  /** Register both expressions in the session registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (children: Seq[Expression]) => TokenHashes(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head))
+  }
+}
+
+/** `token_hashes(array<string>) → array<long>` — per-token polynomial hash
+  * (== transform(toks, tok -> charPoly(tok))). Duplicates preserved (term
+  * weighting for SimHash).
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextHash.requireStringArray(prettyName, child)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = TextHash.hashToken(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(array<string>) → array<long>` — DISTINCT hashes of all
+  * 3-token shingles (== transform(distinct 3-shingles, charPoly)), one
+  * pass, no intermediate shingle strings. Input must have ≥ 3 tokens.
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextHash.requireStringArray(prettyName, child)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(TextHash.hashShingle(
+        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -36,21 +36,23 @@ object QDedup {
   private def sparkCharHash(v: String) =
     s"aggregate(split($v, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $CP)"
 
-  /** documents → (doc_id, sh: array<string> distinct 3-token shingles, hs: array<long>).
+  /** documents → (doc_id, hs: array<long> of DISTINCT 3-token-shingle
+    * hashes) via the native ShingleHashes expression (one JVM pass per
+    * row; the interpreted lambda form cost µs per character).
     *
-    * The repartition between `toks` and `sh` is load-bearing twice over:
-    * it spreads the single-file scan across cores, AND it is an exchange
-    * barrier that stops CollapseProject from inlining `toks` into the
-    * shingle lambda — inlined, every `toks[i]` access re-splits the whole
-    * document (~240 regex splits per doc; observed 300s → 3s at sf0.1).
+    * The repartition between `toks` and the hash is load-bearing twice
+    * over: it spreads the single-file scan across cores, AND it is an
+    * exchange barrier that stops CollapseProject from inlining `toks`
+    * into downstream lambdas (inlined, every `toks[i]` access re-splits
+    * the whole document; observed 300s → 3s at sf0.1).
     */
-  private def shingled(df: DataFrame): DataFrame =
+  private def shingled(df: DataFrame): DataFrame = {
+    graft.functions.TextHash.register(df.sparkSession)
     Q.fanout(
       df.withColumn("toks", split(lower(col("text")), " "))
         .filter(size(col("toks")) >= 3))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .withColumn("hs", expr(s"transform(sh, tok -> ${sparkCharHash("tok")})"))
+      .withColumn("hs", expr("shingle_hashes(toks)"))
+  }
 
   /** (doc_id, mh0..mh7) MinHash signature — per-row, no shuffle. */
   private def signatures(df: DataFrame): DataFrame = {
@@ -64,13 +66,15 @@ object QDedup {
   private val duckCharHash =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok, ''), ch -> unicode(ch)::BIGINT)), (acc, b) -> (acc * 31 + b) % $CP)"
 
+  // list_distinct AFTER hashing: matches ShingleHashes' dedup-by-hash
+  // exactly even in the (unlikely) event of a hash collision.
   private val duckBase =
     s"""base AS (
        |  SELECT doc_id,
-       |         list_transform(
-       |           list_distinct(list_transform(range(len(toks) - 2),
-       |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])),
-       |           tok -> $duckCharHash) AS hs
+       |         list_distinct(list_transform(
+       |           list_transform(range(len(toks) - 2),
+       |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]),
+       |           tok -> $duckCharHash)) AS hs
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
        |  WHERE len(toks) >= 3)""".stripMargin
 
@@ -152,9 +156,10 @@ object QDedup {
       }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // Token-level hashes keep duplicate tokens → natural term weighting.
+      graft.functions.TextHash.register(s)
       val hashed = Q.fanout(documents(s, dir))
         .withColumn("toks", split(lower(col("text")), " "))
-        .withColumn("hs", expr(s"transform(toks, tok -> ${sparkCharHash("tok")})"))
+        .withColumn("hs", expr("token_hashes(toks)"))
       val withSums = A2.indices.foldLeft(hashed) { (d, i) =>
         d.withColumn(s"s$i", expr(
           s"aggregate(hs, 0L, (acc, hv) -> acc + (CASE WHEN ((${A2(i)} * hv + ${B2(i)}) % $P) % 2 = 1 THEN 1 ELSE -1 END))"))
@@ -170,12 +175,8 @@ object QDedup {
     GraftQuery(
       "q_ngram_jaccard",
       "Extension: n-gram Jaccard near-dup — rare-shingle inverted index (df ≤ 5), never all-pairs",
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |              WHERE len(string_split(lower(text), ' ')) >= 3),
-        |sh AS (SELECT doc_id,
-        |              unnest(list_distinct(list_transform(range(len(t) - 2),
-        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
-        |       FROM toks),
+      s"""WITH $duckBase,
+        |sh AS (SELECT doc_id, unnest(hs) AS shingle FROM base),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
         |         WHERE df BETWEEN 2 AND 5),
@@ -192,7 +193,7 @@ object QDedup {
         |JOIN sizes sb ON sb.doc_id = s.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = shingled(documents(s, dir))
-        .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
         .localCheckpoint(true)   // reused 5× below; avoid re-shingling
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
