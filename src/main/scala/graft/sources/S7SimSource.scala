@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,14 +43,17 @@ class S7SimSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = S7SimSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val plcs = properties.getOrDefault("plcs", "10.0.0.1,10.0.0.2")
+    // getTable receives a case-PRESERVING map; wrap it so option("tagsPerPlc")
+    // and option("tagsperplc") both resolve.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val plcs = opts.getOrDefault("plcs", "10.0.0.1,10.0.0.2")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(plcs.nonEmpty, "s7sim: option 'plcs' must name at least one device ip")
     def intOpt(key: String, default: String): Int =
-      try properties.getOrDefault(key, default).trim.toInt
+      try opts.getOrDefault(key, default).trim.toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"s7sim: option '$key' must be an integer, got '${properties.get(key)}'") }
+          s"s7sim: option '$key' must be an integer, got '${opts.get(key)}'") }
     new S7SimTable(plcs, intOpt("tagsperplc", "4"), intOpt("intervalms", "1000").toLong)
   }
 }
@@ -101,18 +104,37 @@ private[sources] case class TickOffset(tick: Long) extends Offset {
 }
 
 private[sources] class S7SimMicroBatchStream(plcs: Seq[String], tagsPerPlc: Int, intervalMs: Long)
-    extends MicroBatchStream {
-  // One simulated tick becomes available per latestOffset poll.
+    extends MicroBatchStream with SupportsAdmissionControl {
+  // One simulated tick becomes available per latestOffset poll. The
+  // admission-control variant receives the start offset, so a query
+  // restarted from a checkpoint resumes the tick sequence exactly where
+  // the committed offset left it (T10) — no replayed duplicates, no
+  // skipped ticks.
   private var latest = 0L
 
+  private def tickOf(o: Offset): Long = o match {
+    case TickOffset(t) => t
+    case other         => other.json().toLong
+  }
+
   override def latestOffset(): Offset = { latest += 1; TickOffset(latest) }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    latest = math.max(latest, tickOf(start)) + 1
+    TickOffset(latest)
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def initialOffset(): Offset = TickOffset(0L)
-  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.toLong
+    latest = math.max(latest, t)
+    TickOffset(t)
+  }
+  override def commit(end: Offset): Unit =
+    latest = math.max(latest, tickOf(end))
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[TickOffset].tick, end.asInstanceOf[TickOffset].tick)
+    val (s, e) = (tickOf(start), tickOf(end))
     // Process-per-PLC → partition-per-PLC: each device polls independently.
     plcs.zipWithIndex.map { case (plc, idx) =>
       S7SimPartition(plc, idx, tagsPerPlc, s, e, intervalMs): InputPartition
