@@ -43,3 +43,38 @@ class EmaAggregator(alpha: Double)
 
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+object Ema {
+
+  /** The 100 TB path: one shuffle on the series key, an in-partition sort,
+    * then a single streaming fold per partition — O(1) state per series
+    * regardless of series length (vs the Aggregator's O(rows) buffer).
+    * Input rows are (key, tsMicros, value); output (key, ema).
+    */
+  def emaByKey(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)], alpha: Double)
+      : org.apache.spark.sql.Dataset[(Long, Double)] = {
+    import org.apache.spark.sql.functions.col
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Double)]
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
+    // toDF: the input Dataset may carry arbitrary column names (a typed
+    // view over named columns keeps them) — normalize before repartition.
+    ds.toDF("k", "t", "v")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "t")
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var curKey = 0L
+        var ema = 0.0
+        var open = false
+        for ((k, _, v) <- it) {
+          if (!open || k != curKey) {
+            if (open) out += ((curKey, ema))
+            curKey = k; ema = v; open = true
+          } else ema = alpha * v + (1 - alpha) * ema
+        }
+        if (open) out += ((curKey, ema))
+        out.iterator
+      }
+  }
+}

@@ -96,6 +96,31 @@ object QWin {
     },
 
     GraftQuery(
+      "q_win_difference",
+      "W7: DIFFERENCE — per-series delta between consecutive samples (InfluxQL, README.md:3)",
+      s"""SELECT event_id, user_id,
+         |       round(value - lag(value) OVER ($duckW), 2) + 0 AS diff
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("diff", round(col("value") - lag(col("value"), 1).over(w), 2) + lit(0.0))
+        .select("event_id", "user_id", "diff")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_elapsed",
+      "W8: ELAPSED — microseconds between consecutive samples per series (InfluxQL, README.md:3)",
+      s"""SELECT event_id, user_id,
+         |       epoch_us(ts) - lag(epoch_us(ts)) OVER ($duckW) AS elapsed_us
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("elapsed_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select("event_id", "user_id", "elapsed_us")
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_win_zscore",
       "W6: per-series z-score — anomaly detection on stored series (README.md:3)",
       """SELECT event_id, event_type,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SparkTestBase
-import graft.functions.EmaAggregator
+import graft.functions.{Ema, EmaAggregator}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,5 +43,18 @@ class AsofAndEmaSpec extends SparkTestBase {
       .collect().toMap
     assert(out(1L) === 5.5)
     assert(out(2L) === 7.0)
+  }
+
+  test("EMA scale path (sortWithinPartitions + streaming fold) matches the Aggregator") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unique timestamps per key (tie order between the two paths is undefined)
+    val rows = Seq.tabulate(2000)(i => ((i % 13).toLong, ((i * 997) % 2000000).toLong, rnd.nextDouble() * 100))
+    val ds = rows.toDS()
+    val viaAgg = ds.groupByKey(_._1).agg(new EmaAggregator(0.3).toColumn.name("ema"))
+      .collect().toMap
+    val viaScale = Ema.emaByKey(ds, 0.3).collect().toMap
+    assert(viaScale.keySet === viaAgg.keySet)
+    viaScale.foreach { case (k, v) => assert(math.abs(v - viaAgg(k)) < 1e-9, s"key $k") }
   }
 }
