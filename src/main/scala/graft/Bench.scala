@@ -23,7 +23,8 @@ object Bench {
     // Untimed JIT/codegen warmup: one representative query per family so
     // the timed loop measures steady-state throughput, not first-query
     // compiler latency.
-    Seq("q_downsample_1m", "q_minhash_sig", "q_lsh_bucket", "q_join_broadcast")
+    Seq("q_downsample_1m", "q_minhash_sig", "q_lsh_bucket", "q_join_broadcast",
+        "q_addr_parse", "q_win_derivative", "q_text_tokens", "q_knn_ivf")
       .foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
                catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -8,7 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // Optional third arg (dev only): comma-separated query-name filter.
     val only: Set[String] = args.drop(2).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

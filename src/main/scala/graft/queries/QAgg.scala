@@ -85,6 +85,15 @@ object QAgg {
         .orderBy("event_type")
     },
 
+    GraftQuery.rowsOnly(
+      "q_agg_approx_distinct",
+      "A5 scale path: approx_count_distinct (HLL++) — what replaces exact distinct at 100 TB; rows-only (approximate, no exact oracle)") { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    },
+
     GraftQuery(
       "q_agg_percentile",
       "A6: PERCENTILE/MEDIAN/STDDEV (InfluxQL, README.md:3); exact percentile matches quantile_cont",
