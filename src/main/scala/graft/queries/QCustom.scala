@@ -18,11 +18,13 @@ object QCustom {
     */
   val SampleConfigXml: String = {
     val plcs = (1 to 3).map { p =>
+      // Tag order mirrors the sim source's register cycle (Real, Word,
+      // DWord, Bit) so positional enrichment is type-consistent.
       val tags = Seq(
         ("S7WLReal", "S7AreaDB", s"DB$p.DBD0", s"plc${p}_temp", "True", "1s"),
         ("S7WLWord", "S7AreaDB", s"DB$p.DBW4", s"plc${p}_count", "True", "10s"),
-        ("S7WLBit", "S7AreaPE", "I0.3", s"plc${p}_switch", "True", "min"),
-        ("S7WLByte", "S7AreaMK", "MW2", s"plc${p}_mode", "False", "60s"),
+        ("S7WLDWord", "S7AreaMK", "MD2", s"plc${p}_total", "True", "min"),
+        ("S7WLBit", "S7AreaPE", "I0.3", s"plc${p}_mode", "False", "60s"),
       ).map { case (t, ar, ad, al, ac, iv) =>
         s"<data><data_type>$t</data_type><area>$ar</area><address>$ad</address>" +
           s"<alias>$al</alias><active>$ac</active><interval>$iv</interval></data>"

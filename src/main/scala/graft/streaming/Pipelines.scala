@@ -67,6 +67,45 @@ object Pipelines {
       .filter(col("value").isNotNull)
   }
 
+  /** The complete reference dataflow as ONE assembly (SURVEY §3.1):
+    * S1 config scan → S2 device source → D3 native decode → J1 broadcast
+    * config enrichment (P1 active filter + alias mapping) → P2 point
+    * projection → S3 batched line-protocol sink.
+    *
+    * The tag catalog maps positionally onto the simulated device's
+    * registers (tag index within its PLC — the reference reads registers
+    * in catalog order too, InfluxConnector2.py:139-170). The catalog is a
+    * broadcast dimension: enrichment adds no shuffle to the stream.
+    */
+  def ingest(spark: SparkSession, configXml: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val tags = graft.sources.ConfigXml.parseString(configXml)
+    val plcs = tags.map(_.plc).distinct.sorted
+    val maxTags = tags.groupBy(_.plc).map(_._2.size).max
+    // (plc, tag_idx, alias, active): positional register map per device.
+    val catalog = tags.groupBy(_.plc).toSeq.flatMap { case (plc, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (plc, i, t.alias, t.active) }
+    }.toDF("cfg_plc", "cfg_idx", "cfg_alias", "active")
+
+    val decoded = s7DecodedStream(spark, plcs, tagsPerPlc = maxTags)
+      .withColumn("tag_idx",
+        regexp_extract(col("alias"), "_tag([0-9]+)$", 1).cast("int"))
+    val points = decoded
+      .join(broadcast(catalog),
+        col("measurement") === col("cfg_plc") && col("tag_idx") === col("cfg_idx"))
+      .filter(col("active"))                                  // P1
+      .select(col("ts"), col("measurement"), col("cfg_alias").as("alias"), col("value"))
+
+    LineProtocol.formatPoints(points)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, id: Long) => LineProtocol.append(outDir)(batch, id))
+      .queryName("graft-ingest")
+      .start()
+  }
+
   /** T2: per-interval query fan-out. Groups active tags by interval (ref
     * group_by_interval, InfluxConnector2.py:85-94) and starts one
     * line-protocol-sinked StreamingQuery per group, each with its own
