@@ -68,10 +68,15 @@ object TextHash {
 
 /** `token_hashes(array<string>) → array<long>` — per-token polynomial hash
   * (== transform(toks, tok -> charPoly(tok))). Duplicates preserved (term
-  * weighting for SimHash).
+  * weighting for SimHash). Null elements map to null (same as `transform`
+  * with a null-propagating lambda), so the output's containsNull mirrors
+  * the input's.
   */
 case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _               => ArrayType(LongType, containsNull = true)
+  }
   override def prettyName: String = "token_hashes"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextHash.requireStringArray(prettyName, child)
@@ -81,7 +86,8 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
     val out = new Array[Any](arr.numElements())
     var i = 0
     while (i < out.length) {
-      out(i) = TextHash.hashToken(arr.getUTF8String(i))
+      val s = arr.getUTF8String(i)
+      out(i) = if (s == null) null else TextHash.hashToken(s)
       i += 1
     }
     new GenericArrayData(out)
@@ -94,6 +100,8 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
 /** `shingle_hashes(array<string>) → array<long>` — DISTINCT hashes of all
   * 3-token shingles (== transform(distinct 3-shingles, charPoly)), one
   * pass, no intermediate shingle strings. Input must have ≥ 3 tokens.
+  * Windows containing a null token are skipped (a null token is not a
+  * shingle member), so the output never contains null.
   */
 case class ShingleHashes(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -107,8 +115,10 @@ case class ShingleHashes(child: Expression) extends UnaryExpression with Codegen
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i + 2 < n) {
-      seen.add(TextHash.hashShingle(
-        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2)))
+      val (a, b, c) = (arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+      if (a != null && b != null && c != null) {
+        seen.add(TextHash.hashShingle(a, b, c))
+      }
       i += 1
     }
     val out = new Array[Any](seen.size())

@@ -36,9 +36,24 @@ object QCustom {
 
   val all: Seq[GraftQuery] = Seq(
 
-    GraftQuery.rowsOnly(
+    GraftQuery(
       "q_config_scan",
-      "S1: XML tag-catalog scan → typed Dataset (ref create_my_data_groups, InfluxConnector2.py:250-270)") { (s, dir) =>
+      "S1: XML tag-catalog scan → typed Dataset (ref create_my_data_groups, InfluxConnector2.py:250-270)",
+      // The catalog XML is deterministic, so the oracle is the expected
+      // parse result itself — this checks the DOM scan end-to-end (field
+      // positions, slot attribute, bool coercion, active filter, ordering).
+      """SELECT * FROM (VALUES
+        |  ('10.0.0.1', 1, 'S7WLWord',  'S7AreaDB', 'DB1.DBW4', 'plc1_count', TRUE, '10s'),
+        |  ('10.0.0.1', 1, 'S7WLReal',  'S7AreaDB', 'DB1.DBD0', 'plc1_temp',  TRUE, '1s'),
+        |  ('10.0.0.1', 1, 'S7WLDWord', 'S7AreaMK', 'MD2',      'plc1_total', TRUE, 'min'),
+        |  ('10.0.0.2', 2, 'S7WLWord',  'S7AreaDB', 'DB2.DBW4', 'plc2_count', TRUE, '10s'),
+        |  ('10.0.0.2', 2, 'S7WLReal',  'S7AreaDB', 'DB2.DBD0', 'plc2_temp',  TRUE, '1s'),
+        |  ('10.0.0.2', 2, 'S7WLDWord', 'S7AreaMK', 'MD2',      'plc2_total', TRUE, 'min'),
+        |  ('10.0.0.3', 3, 'S7WLWord',  'S7AreaDB', 'DB3.DBW4', 'plc3_count', TRUE, '10s'),
+        |  ('10.0.0.3', 3, 'S7WLReal',  'S7AreaDB', 'DB3.DBD0', 'plc3_temp',  TRUE, '1s'),
+        |  ('10.0.0.3', 3, 'S7WLDWord', 'S7AreaMK', 'MD2',      'plc3_total', TRUE, 'min')
+        |) AS t(plc, slot, "dataType", area, address, alias, active, interval)
+        |ORDER BY plc, alias""".stripMargin) { (s, dir) =>
       ConfigXml.load(s, SampleConfigXml)
         .filter(col("active"))   // P1 at load time, like the reference (:263-264)
         .orderBy("plc", "alias")
@@ -74,13 +89,25 @@ object QCustom {
         .orderBy("event_id")
     },
 
-    GraftQuery.rowsOnly(
+    GraftQuery(
       "q_ema",
-      "D4: order-sensitive EMA per series via a typed Aggregator (forecasting surface, README.md:3)") { (s, dir) =>
+      "D4: order-sensitive EMA per series via a typed Aggregator (forecasting surface, README.md:3)",
+      // Closed form of the recurrence ema_i = a*v_i + (1-a)*ema_(i-1),
+      // ema_1 = v_1: ema_n = (1-a)^(n-1)*v_1 + sum_{i>=2} a*(1-a)^(n-i)*v_i.
+      // FP drift vs the fold is O(n*eps) ~ 1e-12 — far inside round(6).
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         count(*)     OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        |       round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+        |                      ELSE 0.3 * power(0.7, n - rn) * value END), 6) AS ema
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ds = events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
-        .as[(Long, Long, Double)]
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
       ds.groupByKey(_._1)
         .agg(new EmaAggregator(0.3).toColumn.name("ema"))
         .toDF("user_id", "ema")

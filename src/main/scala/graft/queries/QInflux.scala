@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import Q._
+
+/** Round-3 widening of the InfluxQL function surface (ref README.md:3 —
+  * the reference stores points precisely so InfluxDB 1.7 can run these):
+  * INTEGRAL, MODE, NON_NEGATIVE_DERIVATIVE/DIFFERENCE, SAMPLE, and the
+  * `GROUP BY time(n) fill(previous|linear)` gap-filling surface, plus a
+  * value histogram.
+  *
+  * Scale notes: every operator here is a single shuffle on the series key
+  * (user_id / event_type) — the partitioning a 100 TB series table is
+  * bucketed by, making these shuffle-free under bucketing. Gap-filling
+  * generates the time grid per series with `sequence()+explode` —
+  * distributed row generation proportional to the OUTPUT size, never a
+  * driver-side loop, and the grid join is co-partitioned with the
+  * aggregate (same key) so AQE plans a local join.
+  */
+object QInflux {
+
+  // Per-series event-time window, deterministic tie-break (Q.scala rules).
+  private def w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+  private val duckW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_agg_integral",
+      "A10: INTEGRAL — trapezoidal area under value(t) per series (InfluxQL, README.md:3)",
+      s"""WITH d AS (
+         |  SELECT user_id, value,
+         |         lag(value)        OVER ($duckW) AS pv,
+         |         epoch_us(ts)      AS tu,
+         |         lag(epoch_us(ts)) OVER ($duckW) AS ptu
+         |  FROM events)
+         |SELECT user_id,
+         |       round(sum((value + pv) / 2 * (tu - ptu) / 1000000.0), 2) AS integral
+         |FROM d WHERE pv IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("tu", unix_micros(col("ts")))
+        .withColumn("ptu", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("pv").isNotNull)
+      d.groupBy("user_id")
+        .agg(round(sum((col("value") + col("pv")) / 2 * (col("tu") - col("ptu")) / lit(1000000.0)), 2)
+          .as("integral"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q_agg_mode",
+      "A11: MODE — most frequent (rounded) value per series, ties → lowest (InfluxQL, README.md:3)",
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value, 0) AS BIGINT) AS v, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, v AS mode_value, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, v) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // Two-level: partial+final hash agg on (series, value), then a
+      // per-series top-1 — the map-side combine keeps the shuffle at
+      // |distinct values| per series, not |rows|.
+      val c = events(s, dir)
+        .groupBy(col("event_type"), round(col("value"), 0).cast("bigint").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val rk = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("v"))
+      c.withColumn("rn", row_number().over(rk))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("v").as("mode_value"), col("cnt"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
+      "q_win_nonneg",
+      "W9: NON_NEGATIVE_DERIVATIVE / NON_NEGATIVE_DIFFERENCE — negative results dropped to NULL (InfluxQL)",
+      s"""WITH d AS (
+         |  SELECT event_id, user_id,
+         |         round((value - lag(value) OVER ($duckW))
+         |               / ((epoch_us(ts) - lag(epoch_us(ts)) OVER ($duckW)) / 1000000.0), 6) + 0 AS deriv,
+         |         round(value - lag(value) OVER ($duckW), 2) + 0 AS diff
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |       CASE WHEN deriv >= 0 THEN deriv END AS nn_deriv,
+         |       CASE WHEN diff  >= 0 THEN diff  END AS nn_diff
+         |FROM d ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val dv = col("value") - lag(col("value"), 1).over(w)
+      val dt = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0)
+      events(s, dir)
+        .withColumn("deriv", round(dv / dt, 6) + lit(0.0))
+        .withColumn("diff", round(col("value") - lag(col("value"), 1).over(w), 2) + lit(0.0))
+        .select(col("event_id"), col("user_id"),
+          when(col("deriv") >= 0, col("deriv")).as("nn_deriv"),
+          when(col("diff") >= 0, col("diff")).as("nn_diff"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_fill_previous",
+      "A12: GROUP BY time(1h) fill(previous) — gap-filled downsample, grid generated distributed (InfluxQL)",
+      """WITH a AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM a GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.h, a.v FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.h = a.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, v,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      val a = events(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      // Grid rows are generated per series ON THE EXECUTORS (sequence +
+      // explode): output-proportional work, no driver loop; the grid
+      // inherits the aggregate's (user_id) partitioning so the left join
+      // below needs no extra shuffle of the big side.
+      val grid = a.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wf = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(a, Seq("user_id", "h"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(wf))
+        .select(col("user_id"), tsS(col("h")).as("bucket"), col("v"), col("filled"))
+        .orderBy("user_id", "bucket")
+    },
+
+    GraftQuery(
+      "q_fill_linear",
+      "A13: GROUP BY time(1h) fill(linear) — linear interpolation between surrounding samples (InfluxQL)",
+      """WITH a AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM a GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.h, a.v FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.h = a.h),
+        |ctx AS (
+        |  SELECT user_id, h, v,
+        |         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, v,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |              floor((pv + (nv - pv) * (epoch_us(h) - ph) / (nh - ph)) * 10000) / 10000
+        |       END AS filled
+        |FROM ctx ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      val a = events(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val grid = a.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wPrev = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val hu = unix_micros(col("h"))
+      grid.join(a, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, hu), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, hu), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), tsS(col("h")).as("bucket"), col("v"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              // floor(x*1e4)/1e4, NOT round(x,4): the interpolated double is
+              // bit-identical in both engines (same IEEE ops on identical
+              // inputs), and floor of it is too — round() isn't (Spark
+              // rounds the shortest decimal repr, DuckDB the binary value;
+              // values near a .00005 boundary split).
+              floor((col("pv") + (col("nv") - col("pv")) * (hu - col("ph")) / (col("nh") - col("ph")))
+                * 10000) / 10000)
+            .as("filled"))
+        .orderBy("user_id", "bucket")
+    },
+
+    GraftQuery(
+      "q_sample",
+      "A14: SAMPLE(3) per series — deterministic pseudo-random pick via an LCG hash rank (InfluxQL SAMPLE)",
+      """SELECT event_id, user_id, value, rk FROM (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY (event_id * 1103515245 + 12345) % 2147483647, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
+      // InfluxQL SAMPLE uses reservoir sampling; an LCG-hash rank is the
+      // deterministic, oracle-checkable equivalent with the same uniformity
+      // at scale (and per-partition top-k pushes the filter map-side).
+      val rk = Window.partitionBy("user_id")
+        .orderBy((col("event_id") * 1103515245L + 12345L) % 2147483647L, col("event_id"))
+      events(s, dir)
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select("event_id", "user_id", "value", "rk")
+        .orderBy("user_id", "rk")
+    },
+
+    GraftQuery(
+      "q_histogram",
+      "A15: value histogram — fixed-width bins per series (dashboard surface, README.md:98-100)",
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+  )
+}

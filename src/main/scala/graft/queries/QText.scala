@@ -92,6 +92,27 @@ object QText {
     },
 
     GraftQuery(
+      "q_text_pii",
+      "Extension: PII scrub — mask emails and long digit runs before training (regexp_replace, codegen'd)",
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(text,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnums
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val numPat = "[0-9]{7,}"
+      documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"), numPat, "<NUM>")
+          .as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).cast("bigint").as("n_longnums"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_doc_fingerprint",
       "Extension: polynomial rolling-hash document fingerprint (content-defined, engine-portable)",
       """SELECT doc_id,

@@ -45,16 +45,21 @@ object LineProtocol {
       lineCol(col("measurement"), col("alias"), col("value"),
         expr("unix_micros(ts) * 1000L")).as("line"))
 
-  /** Batch-append a one-column frame of lines to `dir/part-<batchId>.lp`.
+  /** Batch-write a one-column frame of lines to `dir/part-<batchId>.lp`.
     * Stand-in for the InfluxDB HTTP endpoint (zero-egress container); the
     * batching structure — collect per batch, single writer, newline-joined
     * payload — is exactly what an HTTP client would send as one POST body.
+    *
+    * The write TRUNCATES (append=false): foreachBatch is at-least-once, so
+    * a micro-batch replayed after a failure between write and checkpoint
+    * commit overwrites its own file instead of duplicating points — the
+    * batchId-keyed filename makes the whole sink idempotent.
     */
   def append(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val lines = batch.select("line").collect().map(_.getString(0))
     if (lines.nonEmpty) {
-      val w = new BufferedWriter(new FileWriter(s"$dir/part-$batchId.lp", true))
+      val w = new BufferedWriter(new FileWriter(s"$dir/part-$batchId.lp", false))
       try { lines.foreach { l => w.write(l); w.newLine() } }
       finally w.close()
     }

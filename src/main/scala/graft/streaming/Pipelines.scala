@@ -81,6 +81,9 @@ object Pipelines {
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
     val tags = graft.sources.ConfigXml.parseString(configXml)
+    require(tags.nonEmpty,
+      "ingest: config XML declares no <plc>/<data> tags — nothing to poll " +
+        "(check the config document; ref create_my_data_groups, InfluxConnector2.py:250-270)")
     val plcs = tags.map(_.plc).distinct.sorted
     val maxTags = tags.groupBy(_.plc).map(_._2.size).max
     // (plc, tag_idx, alias, active): positional register map per device.

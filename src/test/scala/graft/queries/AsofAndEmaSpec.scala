@@ -37,19 +37,30 @@ class AsofAndEmaSpec extends SparkTestBase {
     import spark.implicits._
     // values arrive out of order; event-time order is 2.0, 4.0, 8.0
     // ema = 2.0 → 0.5*4+0.5*2 = 3.0 → 0.5*8+0.5*3 = 5.5
-    val ds = Seq((1L, 30L, 8.0), (1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 1L, 7.0))
-      .toDS() // (key, tsMicros, value)
+    val ds = Seq((1L, 30L, 3L, 8.0), (1L, 10L, 1L, 2.0), (1L, 20L, 2L, 4.0), (2L, 1L, 4L, 7.0))
+      .toDS() // (key, tsMicros, uniqueId, value)
     val out = ds.groupByKey(_._1).agg(new EmaAggregator(0.5).toColumn.name("ema"))
       .collect().toMap
     assert(out(1L) === 5.5)
     assert(out(2L) === 7.0)
   }
 
+  test("EMA aggregator: equal timestamps fold in unique-id order (deterministic on ties)") {
+    import spark.implicits._
+    // all three rows share ts=10; id order 1,2,3 → fold 2.0, 4.0, 8.0 → 5.5
+    val ds = Seq((1L, 10L, 3L, 8.0), (1L, 10L, 1L, 2.0), (1L, 10L, 2L, 4.0)).toDS()
+    val out = ds.repartition(8).groupByKey(_._1)
+      .agg(new EmaAggregator(0.5).toColumn.name("ema")).collect().toMap
+    assert(out(1L) === 5.5)
+  }
+
   test("EMA scale path (sortWithinPartitions + streaming fold) matches the Aggregator") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    // unique timestamps per key (tie order between the two paths is undefined)
-    val rows = Seq.tabulate(2000)(i => ((i % 13).toLong, ((i * 997) % 2000000).toLong, rnd.nextDouble() * 100))
+    // duplicate timestamps across keys; the unique id column breaks ties
+    // identically in both paths.
+    val rows = Seq.tabulate(2000)(i =>
+      ((i % 13).toLong, ((i * 997) % 20000).toLong, i.toLong, rnd.nextDouble() * 100))
     val ds = rows.toDS()
     val viaAgg = ds.groupByKey(_._1).agg(new EmaAggregator(0.3).toColumn.name("ema"))
       .collect().toMap
