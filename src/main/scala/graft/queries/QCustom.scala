@@ -142,6 +142,33 @@ object QCustom {
     },
 
     GraftQuery(
+      "q_multimodal_frames",
+      "Extension: frame-sampling plumbing — explode one row per 64-byte 'frame' of an opaque media column, per-frame feature",
+      """SELECT doc_id, frame_idx,
+        |       unicode(substr(text, frame_idx * 64 + 1, 1)) AS first_byte,
+        |       octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS frame_len
+        |FROM (SELECT doc_id, text,
+        |             unnest(range((octet_length(encode(text)) + 63) // 64)) AS frame_idx
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      // The real-codec version swaps the substr "decode" for an image/video
+      // frame grab inside the same shape: sequence+explode fans one row per
+      // frame out ON THE EXECUTORS (output-proportional, no driver loop),
+      // and downstream per-frame features are ordinary columns. Row count
+      // = total frames, so a 100 TB corpus fans out in parallel with no
+      // skew beyond document length itself. (Division by 64 — a power of
+      // two — is exact in binary FP, so the cast truncation equals the
+      // oracle's integer division.)
+      Q.fanout(documents(s, dir))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST((length(text) + 63) / 64 AS INT) - 1)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          ascii(expr("substr(text, frame_idx * 64 + 1, 1)")).cast("bigint").as("first_byte"),
+          length(expr("substr(text, frame_idx * 64 + 1, 64)")).cast("bigint").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    GraftQuery(
       "q_line_protocol",
       "S3: line-protocol point shaping (batched sink formatting, fixes per-sample POST of InfluxConnector2.py:176)",
       """SELECT event_id,

@@ -214,6 +214,53 @@ object QInflux {
     },
 
     GraftQuery(
+      "q_holt_forecast",
+      "A16: HOLT_WINTERS-style 1-step forecast — Holt linear (double exponential) smoothing per series (InfluxQL forecasting, README.md:3)",
+      // Same fold, same IEEE op order in both engines (recursive CTE vs
+      // aggregate HOF), so the doubles are bit-identical; floor-truncate
+      // for the rendered value (see q_fill_linear note).
+      // Init: l=v2, b=v2-v1; step: l' = a*v + (1-a)*(l+b), b' = g*(l'-l) + (1-g)*b.
+      // (NOT list_reduce with a struct accumulator: DuckDB updates the
+      // accumulator's fields sequentially in place, so the second field's
+      // expression reads the first field's NEW value — a plain recursive
+      // CTE evaluates all step columns from the old row.)
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |s(user_id, n, vals, i, l, b) AS (
+        |  SELECT user_id, n, vals, CAST(3 AS BIGINT), vals[2]::DOUBLE, (vals[2] - vals[1])::DOUBLE
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT user_id, n, vals, i + 1,
+        |         0.5 * vals[i] + 0.5 * (l + b),
+        |         0.3 * ((0.5 * vals[i] + 0.5 * (l + b)) - l) + 0.7 * b
+        |  FROM s WHERE i <= n),
+        |fc AS (
+        |  SELECT user_id, n, floor((l + b) * 10000) / 10000 AS forecast FROM s WHERE i = n + 1
+        |  UNION ALL
+        |  SELECT user_id, n, vals[1] FROM o WHERE n = 1)
+        |SELECT user_id, n, forecast FROM fc ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // collect_list + array_sort gives the event-time-ordered series per
+      // key after ONE shuffle; the Holt fold then runs as a codegen'd
+      // higher-order aggregate over the array — no second pass, no UDAF.
+      // (At 100 TB the emaByKey-style sortWithinPartitions+fold variant
+      // streams in O(1) state; this closed array form is the SQL-surface
+      // twin.)
+      val lNew = "0.5 * x.l + 0.5 * (acc.l + acc.b)"
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("transform(array_sort(collect_list(struct(unix_micros(ts) AS t, event_id AS i, value AS v))), e -> e.v)").as("vals"))
+        .selectExpr("user_id", "size(vals) AS n", "element_at(vals, 1) AS v1",
+          s"""aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)),
+             |  named_struct('l', element_at(vals, 2), 'b', element_at(vals, 2) - element_at(vals, 1)),
+             |  (acc, v) -> named_struct('l', 0.5 * v + 0.5 * (acc.l + acc.b),
+             |                           'b', 0.3 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b)) AS st""".stripMargin)
+        .selectExpr("user_id", "CAST(n AS BIGINT) AS n",
+          "CASE WHEN n = 1 THEN v1 ELSE floor((st.l + st.b) * 10000) / 10000 END AS forecast")
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
       "q_histogram",
       "A15: value histogram — fixed-width bins per series (dashboard surface, README.md:98-100)",
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n

@@ -46,6 +46,21 @@ object QStream {
       .select("event_id", "user_id", "event_type", "value")
   }
 
+  /** T8: write-on-change — emit a row only when the series' value band
+    * (floor(value/100)) differs from the previous sample's. This is the
+    * "only write when the reading moved" reasoning the reference's m_value
+    * cache exists for (Linux/InfluxConnector2.py:53,173). Batch twin of
+    * the flatMapGroupsWithState pipeline in graft.streaming.Pipelines.
+    */
+  def changeBands(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    df.withColumn("band", floor(col("value") / 100).cast("long"))
+      .withColumn("pband", lag(col("band"), 1).over(wk))
+      .filter(col("pband").isNull || col("band") =!= col("pband"))
+      .select("event_id", "user_id", "band")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -89,6 +104,19 @@ object QStream {
         |       count(*) AS n
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
       session(events(s, dir)).orderBy("user_id", "session_start")
+    },
+
+    GraftQuery(
+      "q_change_detect",
+      "T8: write-on-change per series (the m_value cache purpose, ref InfluxConnector2.py:53,173); streaming twin = flatMapGroupsWithState",
+      """SELECT event_id, user_id, band FROM (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(value / 100) AS BIGINT) AS band,
+        |         lag(CAST(floor(value / 100) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pband
+        |  FROM events)
+        |WHERE pband IS NULL OR band <> pband ORDER BY event_id""".stripMargin) { (s, dir) =>
+      changeBands(events(s, dir)).orderBy("event_id")
     },
 
     GraftQuery(

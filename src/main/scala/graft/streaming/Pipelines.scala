@@ -1,13 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.queries.QStream
 import graft.sinks.LineProtocol
 import graft.sources.TagConfig
+
+/** Input/output rows of the stateful change-detection pipeline (T8). */
+case class BandSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, band: Long)
+case class BandChange(event_id: Long, user_id: Long, band: Long)
 
 /** Structured-Streaming assembly — SURVEY.md §2.9.
   *
@@ -39,6 +43,38 @@ object Pipelines {
   /** T9: streaming dedup — state bounded by the watermark horizon. */
   def dedup(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** T8: stateful write-on-change — one Long of state per series (the
+    * last emitted value band), kept by flatMapGroupsWithState; a row is
+    * emitted only when its band differs. State is O(|series|), not
+    * O(rows): exactly the reference's m_value cache (InfluxConnector2
+    * .py:53,173) lifted to distributed, checkpointed state. Batch twin:
+    * [[QStream.changeBands]] (oracle-checked as q_change_detect).
+    *
+    * Rows inside one micro-batch group are folded in (ts, event_id)
+    * order, so replays and batch/stream runs agree as long as batches
+    * arrive in event-time order (the source's tick order).
+    */
+  def changeDetect(stream: DataFrame): Dataset[BandChange] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") / 100).cast("long").as("band"))
+      .as[BandSample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[BandSample], state: GroupState[Long]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last: Option[Long] = if (state.exists) Some(state.get) else None
+          val out = sorted.flatMap { e =>
+            if (last.contains(e.band)) None
+            else { last = Some(e.band); Some(BandChange(e.event_id, e.user_id, e.band)) }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
 
   /** Parse the reference's interval enum ('min', '1s' … '300s',
     * ConfigApp.py:187) into a trigger; 'min' = as-fast-as-possible (T1).

@@ -58,6 +58,31 @@ class StreamingParitySpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("stateful change-detect: stream (state across micro-batches) == batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // bands: u1 → 0,1,1,2 (emit 0,1,2); u2 → 1,1 (emit first only)
+    val b1 = Seq(
+      Ev(0, ts(1), 1, "click", 10.0), Ev(1, ts(4), 1, "click", 120.0),
+      Ev(2, ts(12), 2, "view", 130.0))
+    val b2 = Seq(
+      Ev(3, ts(14), 1, "click", 150.0),   // same band as event 1 → suppressed
+      Ev(4, ts(25), 2, "view", 199.0),    // same band → suppressed (state crossed batches)
+      Ev(5, ts(26), 1, "view", 260.0))    // new band → emitted
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.changeDetect(ms.toDF())
+      .writeStream.format("memory").queryName("change_out").outputMode("append").start()
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("change_out").collect().map(_.toSeq).toSet
+    val batch = QStream.changeBands((b1 ++ b2).toDF()).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4)   // events 0, 1, 2, 5
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
