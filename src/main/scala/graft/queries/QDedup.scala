@@ -184,34 +184,58 @@ object QDedup {
         .agg(max(est).as("m"))
         .filter(col("m") >= 4)
         .select("doc_a", "doc_b")
-      // Connected components by iterative min-label propagation: each
-      // round every node takes the min of its own and its neighbors'
-      // labels; converges in <= diameter rounds (near-dup components are
-      // shallow — dup clusters, not long chains). The per-round count()
-      // touches only the candidate-pair subgraph (the rare near-dup
-      // slice, even at 100 TB). For adversarial deep graphs the
-      // large-star/small-star variant halves the diameter per round
-      // (O(log n) rounds); the join structure below is the same.
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").localCheckpoint(true)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbr = edges
-          .join(labels.toDF("dst", "dl"), "dst")
-          .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
-        val updated = labels.join(nbr, Seq("node"), "left")
-          .select(col("node"), col("label"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("nlabel"))
-          .localCheckpoint(true)
-        changed = updated.filter(col("nlabel") =!= col("label")).count()
-        labels = updated.select(col("node"), col("nlabel").as("label"))
-        iter += 1
+      // Connected components, scale-adaptive (like broadcast-join
+      // selection): the candidate-pair set is the rare near-dup slice of
+      // the corpus, so it is usually SMALL relative to input — when it
+      // fits the driver comfortably, exact union-find in memory beats
+      // iterative joins by the per-round scheduling cost. Past the
+      // threshold, fall back to distributed min-label propagation
+      // (converges in <= diameter rounds; near-dup components are shallow
+      // dup clusters; for adversarial deep graphs the large-star/
+      // small-star variant halves the diameter per round).
+      val spark = s
+      val pairsC = pairs.localCheckpoint(true)
+      val nPairs = pairsC.count()
+      if (nPairs <= 1000000L) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairsC.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root → canonical = component min
+        }
+        import spark.implicits._
+        parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
+          .orderBy("doc_id")
+      } else {
+        val edges = pairsC.union(pairsC.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").localCheckpoint(true)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbr = edges
+            .join(labels.toDF("dst", "dl"), "dst")
+            .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
+          val updated = labels.join(nbr, Seq("node"), "left")
+            .select(col("node"), col("label"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("nlabel"))
+            .localCheckpoint(true)
+          changed = updated.filter(col("nlabel") =!= col("label")).count()
+          labels = updated.select(col("node"), col("nlabel").as("label"))
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
       }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-        .orderBy("doc_id")
     },
 
     GraftQuery(

@@ -261,6 +261,26 @@ object QInflux {
     },
 
     GraftQuery(
+      "q_pivot",
+      "A17: one column per series (Grafana multi-series table, README.md:98-100) — pivot on the series tag",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       round(avg(value) FILTER (event_type = 'click'), 4) AS click,
+        |       round(avg(value) FILTER (event_type = 'error'), 4) AS error,
+        |       round(avg(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+        |       round(avg(value) FILTER (event_type = 'signup'), 4) AS signup,
+        |       round(avg(value) FILTER (event_type = 'view'), 4) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      // Explicit pivot values: no extra distinct-scan job, stable schema
+      // (the open-ended form collects distinct keys to the driver — an
+      // anti-pattern on a high-cardinality tag at 100 TB).
+      events(s, dir)
+        .groupBy(tsS(date_trunc("hour", col("ts"))).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(avg(col("value")), 4))
+        .orderBy("bucket")
+    },
+
+    GraftQuery(
       "q_histogram",
       "A15: value histogram — fixed-width bins per series (dashboard surface, README.md:98-100)",
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n

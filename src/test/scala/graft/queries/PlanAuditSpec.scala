@@ -64,4 +64,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Window"))
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size >= 1)
   }
+
+  test("q_sample pushes per-series top-k map-side (Partial+Final WindowGroupLimit)") {
+    val plan = planOf("q_sample")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window-group-limit before the shuffle:\n$plan")
+  }
+
+  test("q_fill_previous generates the time grid distributed (Generate over sequence)") {
+    val plan = planOf("q_fill_previous")
+    assert(plan.contains("Generate explode(sequence"), s"grid must be executor-side:\n$plan")
+    assert(plan.contains("Window"))
+  }
 }

@@ -13,6 +13,19 @@ class BucketedJoinSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   test("co-bucketed join plans with no Exchange (shuffle-free sort-merge)") {
+    // A previous JVM's managed-table dirs survive under spark-warehouse/
+    // while the fresh in-memory catalog has no entry for them — clear both
+    // sides so saveAsTable doesn't hit LOCATION_ALREADY_EXISTS.
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
     BucketedStore.write(
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
       "b_orders", "o_orderkey", 4)
