@@ -135,10 +135,11 @@ object QFunc {
 
     GraftQuery(
       "q_math",
-      "F12: math surface — abs/round/floor/ceil/sqrt, engineering-unit scaling (InfluxQL, README.md:3)",
+      "F12: math surface — abs/round/floor/ceil/sqrt/ln/log10, engineering-unit scaling (InfluxQL, README.md:3)",
       """SELECT event_id, round(abs(value - 100), 2) AS a, round(value, 1) AS r,
         |       CAST(floor(value) AS BIGINT) AS f, CAST(ceil(value) AS BIGINT) AS c,
-        |       round(sqrt(value), 6) AS sq, round(value * value, 4) AS p2
+        |       round(sqrt(value), 6) AS sq, round(value * value, 4) AS p2,
+        |       round(ln(value), 6) AS lnv, round(log10(value), 6) AS lgv
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -147,7 +148,9 @@ object QFunc {
         floor(col("value")).cast("bigint").as("f"),
         ceil(col("value")).cast("bigint").as("c"),
         round(sqrt(col("value")), 6).as("sq"),
-        round(col("value") * col("value"), 4).as("p2"))
+        round(col("value") * col("value"), 4).as("p2"),
+        round(log(col("value")), 6).as("lnv"),
+        round(log10(col("value")), 6).as("lgv"))
         .orderBy("event_id")
     },
   )

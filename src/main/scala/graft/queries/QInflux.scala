@@ -261,6 +261,39 @@ object QInflux {
     },
 
     GraftQuery(
+      "q_win_rsi",
+      "W10: RELATIVE_STRENGTH_INDEX(14) per series — SMA variant, window-expressible (InfluxQL technical analysis)",
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts,
+         |         value - lag(value) OVER ($duckW) AS df
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, user_id,
+         |         avg(CASE WHEN df > 0 THEN df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+         |         avg(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+         |  FROM d WHERE df IS NOT NULL)
+         |SELECT event_id, user_id,
+         |       CASE WHEN al = 0 THEN 100
+         |            ELSE round(100 - 100 / (1 + ag / al), 4) END AS rsi
+         |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val df14 = col("value") - lag(col("value"), 1).over(w)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-13, Window.currentRow)
+      events(s, dir)
+        .withColumn("df", df14)
+        .filter(col("df").isNotNull)
+        .withColumn("ag", avg(when(col("df") > 0, col("df")).otherwise(0)).over(wf))
+        .withColumn("al", avg(when(col("df") < 0, -col("df")).otherwise(0)).over(wf))
+        .select(col("event_id"), col("user_id"),
+          when(col("al") === 0, 100.0)
+            .otherwise(round(lit(100) - lit(100) / (lit(1) + col("ag") / col("al")), 4))
+            .as("rsi"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_pivot",
       "A17: one column per series (Grafana multi-series table, README.md:98-100) — pivot on the series tag",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

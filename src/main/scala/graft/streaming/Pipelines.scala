@@ -84,6 +84,26 @@ object Pipelines {
     case s     => Trigger.ProcessingTime(s"${s.stripSuffix("s")} seconds")
   }
 
+  /** Stream-stream enrichment (beyond the reference's static catalog):
+    * decoded points joined to a live config-UPDATE stream — e.g. alias
+    * renames pushed while ingest runs. A watermarked interval join:
+    * an update tagged `uts` applies to points with
+    * `uts <= ts < uts + validity`; both sides' state is bounded by the
+    * watermark + the validity horizon, so this runs indefinitely with
+    * O(validity-window) state per key — Spark's stream-stream join
+    * machinery does the state expiry.
+    *
+    * points:  (ts TIMESTAMP, measurement STRING, tag_idx INT, value DOUBLE)
+    * updates: (uts TIMESTAMP, u_plc STRING, u_idx INT, u_alias STRING)
+    */
+  def joinConfigUpdates(points: DataFrame, updates: DataFrame,
+      validity: String = "10 minutes", watermark: String = "1 minute"): DataFrame =
+    points.withWatermark("ts", watermark)
+      .join(updates.withWatermark("uts", watermark),
+        expr(s"""measurement = u_plc AND tag_idx = u_idx AND
+                |uts <= ts AND ts < uts + interval $validity""".stripMargin))
+      .select(col("ts"), col("measurement"), col("u_alias").as("alias"), col("value"))
+
   /** S2 → P5 → P2: the full simulated ingestion stream — DSv2 source
     * emitting raw S7 buffers, decoded by the native DecodeS7 expression
     * into the point shape (ts, measurement, alias, value), null decodes

@@ -83,6 +83,35 @@ class StreamingParitySpec extends SparkTestBase {
     assert(streamed.size === 4)   // events 0, 1, 2, 5
   }
 
+  test("stream-stream config-update join: updates apply within their validity window only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val points = MemoryStream[(Timestamp, String, Int, Double)]
+    val updates = MemoryStream[(Timestamp, String, Int, String)]
+    val joined = Pipelines.joinConfigUpdates(
+      points.toDF().toDF("ts", "measurement", "tag_idx", "value"),
+      updates.toDF().toDF("uts", "u_plc", "u_idx", "u_alias"),
+      validity = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("cfgjoin_out")
+      .outputMode("append").start()
+    // update at minute 0 is valid for [0, 10); point at minute 5 matches,
+    // point at minute 30 is past validity; the unknown tag never matches.
+    updates.addData((ts(0), "10.0.0.1", 0, "temp_v2"))
+    points.addData(
+      (ts(5), "10.0.0.1", 0, 42.0),
+      (ts(30), "10.0.0.1", 0, 43.0),
+      (ts(5), "10.0.0.1", 1, 44.0))
+    q.processAllAvailable()
+    // advance both watermarks far past everything so all results are final
+    updates.addData((ts(24 * 60), "zz", 9, "flush"))
+    points.addData((ts(24 * 60), "zz", 8, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cfgjoin_out")
+      .select("alias", "value").as[(String, Double)].collect().toSet
+    assert(out === Set(("temp_v2", 42.0)))
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
