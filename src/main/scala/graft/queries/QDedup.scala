@@ -84,6 +84,86 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
+  /** Shared by q_dedup_groups / q_dedup_keep: (doc_id, cluster) for every
+    * doc in a near-dup component (cluster = component min doc_id).
+    */
+  private def clusterGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    // Pairs: same single band self-join as q_dedup_minhash, thresholded
+    // at >= 4/8 matching minhashes (est. Jaccard >= 0.5) -- an INTEGER
+    // threshold, so both engines cut identically (no FP boundary).
+    val sig = signatures(documents(s, dir)).localCheckpoint(true)
+      val bandStructs = (0 until 4).map(j =>
+        struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
+      val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+        .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+          col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
+      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
+      val est = A.indices.map(i =>
+        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
+      val pairs = bx.join(by,
+          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(est).as("m"))
+        .filter(col("m") >= 4)
+        .select("doc_a", "doc_b")
+      // Connected components, scale-adaptive (like broadcast-join
+      // selection): the candidate-pair set is the rare near-dup slice of
+      // the corpus, so it is usually SMALL relative to input — when it
+      // fits the driver comfortably, exact union-find in memory beats
+      // iterative joins by the per-round scheduling cost. Past the
+      // threshold, fall back to distributed min-label propagation
+      // (converges in <= diameter rounds; near-dup components are shallow
+      // dup clusters; for adversarial deep graphs the large-star/
+      // small-star variant halves the diameter per round).
+      val spark = s
+      val pairsC = pairs.localCheckpoint(true)
+      val nPairs = pairsC.count()
+      if (nPairs <= 1000000L) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairsC.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root → canonical = component min
+        }
+        import spark.implicits._
+        parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
+          .orderBy("doc_id")
+      } else {
+        val edges = pairsC.union(pairsC.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").localCheckpoint(true)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbr = edges
+            .join(labels.toDF("dst", "dl"), "dst")
+            .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
+          val updated = labels.join(nbr, Seq("node"), "left")
+            .select(col("node"), col("label"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("nlabel"))
+            .localCheckpoint(true)
+          changed = updated.filter(col("nlabel") =!= col("label")).count()
+          labels = updated.select(col("node"), col("nlabel").as("label"))
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      }
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -163,79 +243,46 @@ object QDedup {
            |SELECT src AS doc_id, least(src, min(dst)) AS cluster
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      // Pairs: same single band self-join as q_dedup_minhash, thresholded
-      // at >= 4/8 matching minhashes (est. Jaccard >= 0.5) — an INTEGER
-      // threshold, so both engines cut identically (no FP boundary).
-      val sig = signatures(documents(s, dir)).localCheckpoint(true)
-      val bandStructs = (0 until 4).map(j =>
-        struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-      val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-        explode(array(bandStructs: _*)).as("bk"): _*)
-        .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-          col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
-      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
-      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
-      val est = A.indices.map(i =>
-        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-      val pairs = bx.join(by,
-          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(max(est).as("m"))
-        .filter(col("m") >= 4)
-        .select("doc_a", "doc_b")
-      // Connected components, scale-adaptive (like broadcast-join
-      // selection): the candidate-pair set is the rare near-dup slice of
-      // the corpus, so it is usually SMALL relative to input — when it
-      // fits the driver comfortably, exact union-find in memory beats
-      // iterative joins by the per-round scheduling cost. Past the
-      // threshold, fall back to distributed min-label propagation
-      // (converges in <= diameter rounds; near-dup components are shallow
-      // dup clusters; for adversarial deep graphs the large-star/
-      // small-star variant halves the diameter per round).
-      val spark = s
-      val pairsC = pairs.localCheckpoint(true)
-      val nPairs = pairsC.count()
-      if (nPairs <= 1000000L) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        pairsC.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root → canonical = component min
-        }
-        import spark.implicits._
-        parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
-          .orderBy("doc_id")
-      } else {
-        val edges = pairsC.union(pairsC.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").localCheckpoint(true)
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node")).localCheckpoint(true)
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nbr = edges
-            .join(labels.toDF("dst", "dl"), "dst")
-            .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
-          val updated = labels.join(nbr, Seq("node"), "left")
-            .select(col("node"), col("label"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("nlabel"))
-            .localCheckpoint(true)
-          changed = updated.filter(col("nlabel") =!= col("label")).count()
-          labels = updated.select(col("node"), col("nlabel").as("label"))
-          iter += 1
-        }
-        labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-          .orderBy("doc_id")
-      }
+      clusterGroups(s, dir).orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_dedup_keep",
+      "Extension: the dedup KEEP LIST — corpus minus non-canonical near-dup cluster members (the actual training-set filter)",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH RECURSIVE $duckBase, $duckSig,
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |scored AS (SELECT p.doc_a, p.doc_b
+           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
+           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+           |          UNION ALL SELECT doc_b, doc_a FROM scored),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |       FROM reach GROUP BY src)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster)
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      // Victims = cluster members that are not their cluster's canonical
+      // doc; the corpus anti-joins them away. This is the query a training
+      // pipeline actually ships — groups are diagnostics, THIS is the
+      // filtered dataset.
+      val victims = clusterGroups(s, dir).filter(col("doc_id") =!= col("cluster"))
+      documents(s, dir)
+        .join(victims.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     },
 
     GraftQuery(

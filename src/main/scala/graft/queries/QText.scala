@@ -113,6 +113,29 @@ object QText {
     },
 
     GraftQuery(
+      "q_stratified_sample",
+      "Extension: stratified training-mix sampling — fixed quota per source via deterministic LCG-hash rank",
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Same WindowGroupLimit map-side cut as q_sample: each stratum's
+      // quota is taken before the shuffle, so a 100 TB corpus moves only
+      // quota x |strata| rows. Quota-per-source is how training mixes are
+      // actually specified (vs a global fraction that skews to big strata).
+      val rk = Window.partitionBy("source")
+        .orderBy((col("doc_id") * 1103515245L + 12345L) % 2147483647L, col("doc_id"))
+      documents(s, dir)
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    },
+
+    GraftQuery(
       "q_doc_fingerprint",
       "Extension: polynomial rolling-hash document fingerprint (content-defined, engine-portable)",
       """SELECT doc_id,
