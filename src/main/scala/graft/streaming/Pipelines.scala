@@ -84,6 +84,30 @@ object Pipelines {
     case s     => Trigger.ProcessingTime(s"${s.stripSuffix("s")} seconds")
   }
 
+  /** A9 streaming: continuous-query materialization — InfluxDB CQs
+    * (`GROUP BY time(1m)` maintained as data arrives, README.md:3) as a
+    * watermarked streaming rollup persisted per micro-batch. Append mode
+    * emits each window once, when the watermark finalizes it; every batch
+    * OVERWRITES its own `batch=<id>` directory, so a replayed micro-batch
+    * (foreachBatch is at-least-once) is idempotent — same contract as
+    * [[graft.sinks.LineProtocol.append]]. Readers scan the root; `batch`
+    * is just a partition column.
+    */
+  def continuousDownsample(stream: DataFrame, outDir: String, checkpointDir: String,
+      window_ : String = "1 minute", watermark: String = "2 minutes"): StreamingQuery = {
+    val rollup = stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(avg(col("value")).as("mean_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("mean_value"), col("n"))
+    rollup.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .queryName("graft-cq-downsample")
+      .start()
+  }
+
   /** Stream-stream enrichment (beyond the reference's static catalog):
     * decoded points joined to a live config-UPDATE stream — e.g. alias
     * renames pushed while ingest runs. A watermarked interval join:
