@@ -207,6 +207,30 @@ object QCore {
         .intersect(e.filter($("event_type") === "purchase").select("user_id"))
         .orderBy("user_id")
     },
+
+    GraftQuery(
+      "q_unpivot",
+      "U5: UNPIVOT — wide metric columns to long (metric, val) rows; Spark-native melt, no shuffle",
+      // Oracle states it as portable UNION ALL; Spark executes the native
+      // unpivot (an Expand node — one pass over the scan, zero shuffles).
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 200
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .filter($("l_orderkey") < 200)
+        .unpivot(
+          Array($("l_orderkey"), $("l_linenumber")),
+          Array($("l_discount"), $("l_quantity"), $("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
   )
 
   private def $(name: String) = col(name)

@@ -323,5 +323,36 @@ object QInflux {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
     },
+
+    GraftQuery(
+      "q_agg_corr",
+      "A18: PEARSON correlation + sample covariance per series (Flux pearsonr; README.md:98-100)",
+      // x = whole seconds since 2024-01-01 (floored identically in both
+      // engines; small magnitude keeps co-moment drift far inside round(4)).
+      """SELECT user_id,
+        |       round(corr(value, floor(epoch(ts)) - 1704067200), 4) + 0 AS corr_tv,
+        |       round(covar_samp(value, (floor(epoch(ts)) - 1704067200) / 3600.0), 4) + 0 AS covar_vh
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val x = unix_timestamp(col("ts")) - lit(1704067200L)
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          (round(corr(col("value"), x), 4) + lit(0.0)).as("corr_tv"),
+          (round(covar_samp(col("value"), x / 3600.0), 4) + lit(0.0)).as("covar_vh"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
+      "q_regex_match",
+      "A19: regex series selection — InfluxQL `FROM /re/` and `=~ /re/` tag predicates (README.md:98-100)",
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events WHERE regexp_matches(event_type, '^(cl|pu)')
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type").rlike("^(cl|pu)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")
+    },
   )
 }

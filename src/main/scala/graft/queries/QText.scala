@@ -148,5 +148,24 @@ object QText {
         expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("fp"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_text_normalize",
+      "Extension: canonical text normalization for dedup/training — ASCII-fold, lowercase, collapse whitespace",
+      // Non-[A-Za-z0-9] chars are replaced BEFORE lower() so case folding
+      // only ever sees ASCII — identical in both engines regardless of
+      // locale/ICU differences on non-ASCII input.
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9]', ' ', 'g')),
+        |                           ' +', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9]', ' ', 'g')),
+        |                                  ' +', ' ', 'g'))) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .withColumn("norm_text",
+          trim(regexp_replace(lower(regexp_replace(col("text"), "[^A-Za-z0-9]", " ")), " +", " ")))
+        .select(col("doc_id"), col("norm_text"), length(col("norm_text")).as("norm_len"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,12 +1,13 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import Q._
 
 /** Similarity search over the embeddings table — SURVEY.md §2.10 D6 + the
-  * ANN extensions (brute-force baseline, LSH buckets, IVF scale path).
+  * ANN extensions (brute-force baseline, LSH buckets, IVF scale path,
+  * int8 quantization, recall measurement).
   *
   * Scale design (the 100 TB story, per VERDICT.md round-1):
   *  - the probe set is always bounded and BROADCAST — the corpus is never
@@ -17,7 +18,14 @@ import Q._
   *    sum(bucket²) ≪ n²;
   *  - q_knn_ivf probes only the top-2 coarse cells (labels here stand in
   *    for k-means cells) — the IVF pruning pattern: the fine search scans
-  *    1/5th of the corpus instead of all of it.
+  *    1/5th of the corpus instead of all of it;
+  *  - q_quantized_dot is the memory-side scale lever: int8 codes are 4×
+  *    smaller than float32, so 4× more corpus fits per executor and scan
+  *    bandwidth drops 4×; the integer dot is exact (≤ 2^53) and the
+  *    rank error vs float cosine is measured per row;
+  *  - q_knn_recall closes the loop: ANN quality (recall@5 of IVF against
+  *    the brute-force ground truth) computed as a query, the way a 100 TB
+  *    index build would validate itself on a sampled probe set.
   *
   * All dot products run in double with identical left-to-right accumulation
   * in Spark (`aggregate` fold) and DuckDB (`list_dot_product`) → exact
@@ -36,6 +44,17 @@ object QVector {
   private def dCos(a: String, b: String) =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Int8 scalar quantization: q(x) = floor(clamp(x,−1,1)·127 + 0.5).
+    * floor(x+0.5) (not round) so Spark and DuckDB round identically; the
+    * quantized values stay exact in double (|q| ≤ 127, products ≤ 16129,
+    * 64-dim sums ≤ ~1e6 ≪ 2^53), so both engines compute bit-identical
+    * dots.
+    */
+  private def sQuant(c: String) =
+    s"transform($c, x -> floor(greatest(least(cast(x AS double), 1.0D), -1.0D) * 127.0D + 0.5D))"
+  private def dQuant(c: String) =
+    s"list_transform($c::DOUBLE[], x -> floor(greatest(least(x, 1.0), -1.0) * 127.0 + 0.5))"
+
   /** Spark-side LSH bucket id from 8 hyperplane sign bits. */
   private def sparkBucket(df: DataFrame): DataFrame = {
     val fanned = Q.fanout(df)
@@ -50,6 +69,87 @@ object QVector {
     val w = s"[${plane(h).mkString(",")}]::DOUBLE[]"
     s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << h} ELSE 0 END)"
   }.mkString(" + ")
+
+  // ---- shared ANN builders (used by q_knn_brute / q_knn_ivf / q_knn_recall)
+
+  /** Probe set: bounded, always broadcast. */
+  private def probesDF(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+
+  /** Brute-force cosine ranking: (probe_id, neighbor_id, rnk, score_raw). */
+  private def bruteTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+    Q.fanout(embeddings(s, dir)).crossJoin(broadcast(probesDF(s, dir)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        expr(sCos("embedding", "pe")).as("score_raw"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-pruned ranking: coarse-quantize probes to top-2 cells, fine-search
+    * only those cells. Returns (probe_id, neighbor_id, rnk, score_raw).
+    */
+  private def ivfTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val probes = probesDF(s, dir)
+    // Coarse cells: element-wise centroid per label (labels stand in for
+    // k-means cells; at scale these come from a trained coarse quantizer).
+    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+    val pex = probes.select(col("probe_id"), posexplode(col("pe")).as(Seq("pos", "pv")))
+      .withColumn("pv", col("pv").cast("double"))
+    val pc = pex.join(cent, "pos")
+      .groupBy("probe_id", "label")
+      .agg((sum(col("pv") * col("cv")) /
+        (sqrt(sum(col("pv") * col("pv"))) * sqrt(sum(col("cv") * col("cv"))))).as("cos_pc"))
+    val wSel = Window.partitionBy("probe_id").orderBy(col("cos_pc").desc, col("label"))
+    val sel = pc.withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+      .select("probe_id", "label")
+    val cand = sel.join(Q.fanout(emb), "label")
+      .select(col("probe_id"), col("vec_id"), col("embedding").as("ce"))
+    val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), "probe_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        expr(sCos("ce", "pe")).as("score_raw"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+  }
+
+  // DuckDB twins of the builders, as composable CTE fragments.
+  private val dPr =
+    "pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5)"
+
+  private val dBrute =
+    s"""bscored AS (SELECT pr.probe_id, e.vec_id AS neighbor_id,
+       |                   ${dCos("e.embedding::DOUBLE[]", "pr.pe")} AS score
+       |            FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id),
+       |brute AS (SELECT probe_id, neighbor_id, score,
+       |                 row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+       |          FROM bscored)""".stripMargin
+
+  private val dIvf =
+    s"""ex AS (SELECT label, unnest(embedding) AS v, unnest(range(1, len(embedding) + 1)) AS pos
+       |       FROM embeddings),
+       |cent AS (SELECT label, pos, avg(v::DOUBLE) AS cv FROM ex GROUP BY 1, 2),
+       |pex AS (SELECT probe_id, unnest(pe) AS pv, unnest(range(1, len(pe) + 1)) AS pos FROM pr),
+       |pc AS (SELECT p.probe_id, c.label,
+       |              sum(p.pv * c.cv) / (sqrt(sum(p.pv * p.pv)) * sqrt(sum(c.cv * c.cv))) AS cos_pc
+       |       FROM pex p JOIN cent c ON c.pos = p.pos GROUP BY 1, 2),
+       |sel AS (SELECT probe_id, label FROM pc
+       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos_pc DESC, label) <= 2),
+       |cand AS (SELECT s.probe_id, e.vec_id, e.embedding::DOUBLE[] AS ce
+       |         FROM sel s JOIN embeddings e ON e.label = s.label),
+       |iscored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, ${dCos("c.ce", "pr.pe")} AS score
+       |            FROM cand c JOIN pr ON pr.probe_id = c.probe_id
+       |            WHERE c.vec_id <> c.probe_id),
+       |ivf AS (SELECT probe_id, neighbor_id, score,
+       |               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+       |        FROM iscored)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -67,6 +167,30 @@ object QVector {
         .select(col("vec_id"),
           (round(expr(sDot("embedding", "probe")), 4) + lit(0.0)).as("dot"),
           (round(expr(sCos("embedding", "probe")), 4) + lit(0.0)).as("cos"))
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q_quantized_dot",
+      "Extension: int8 scalar-quantized cosine (4x memory/scan reduction) + per-row rank error vs float",
+      s"""WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |q AS (SELECT e.vec_id,
+         |             ${dCos("e.embedding::DOUBLE[]", "p.embedding::DOUBLE[]")} AS cos_f,
+         |             ${dCos(dQuant("e.embedding"), dQuant("p.embedding"))} AS cos_q
+         |      FROM embeddings e, p)
+         |SELECT vec_id, round(cos_f, 4) + 0 AS cos_float, round(cos_q, 4) + 0 AS cos_int8,
+         |       round(abs(cos_q - cos_f), 4) + 0 AS abs_err
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+      Q.fanout(emb).crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          expr(sCos("embedding", "probe")).as("cos_f"),
+          expr(sCos(sQuant("embedding"), sQuant("probe"))).as("cos_q"))
+        .select(col("vec_id"),
+          (round(col("cos_f"), 4) + lit(0.0)).as("cos_float"),
+          (round(col("cos_q"), 4) + lit(0.0)).as("cos_int8"),
+          (round(abs(col("cos_q") - col("cos_f")), 4) + lit(0.0)).as("abs_err"))
         .orderBy("vec_id")
     },
 
@@ -106,25 +230,11 @@ object QVector {
     GraftQuery(
       "q_knn_brute",
       "D6: brute-force cosine top-k — bounded probe set broadcast against the corpus",
-      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
-         |scored AS (SELECT pr.probe_id, e.vec_id AS neighbor_id,
-         |                  ${dCos("e.embedding::DOUBLE[]", "pr.pe")} AS score
-         |           FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id)
-         |SELECT probe_id, neighbor_id,
-         |       row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk,
-         |       round(score, 4) AS score
-         |FROM scored QUALIFY rnk <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = embeddings(s, dir)
-      val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
-      Q.fanout(emb).crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          expr(sCos("embedding", "pe")).as("score_raw"))
-        .withColumn("rnk", row_number().over(wk))
-        .filter(col("rnk") <= 10)
+      s"""WITH $dPr,
+         |$dBrute
+         |SELECT probe_id, neighbor_id, rnk, round(score, 4) AS score
+         |FROM brute WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      bruteTop(s, dir, 10)
         .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
           round(col("score_raw"), 4).as("score"))
         .orderBy("probe_id", "rnk")
@@ -133,54 +243,35 @@ object QVector {
     GraftQuery(
       "q_knn_ivf",
       "Extension: IVF-pruned ANN — coarse quantize to top-2 cells, fine-search only those cells",
-      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
-         |ex AS (SELECT label, unnest(embedding) AS v, unnest(range(1, len(embedding) + 1)) AS pos
-         |       FROM embeddings),
-         |cent AS (SELECT label, pos, avg(v::DOUBLE) AS cv FROM ex GROUP BY 1, 2),
-         |pex AS (SELECT probe_id, unnest(pe) AS pv, unnest(range(1, len(pe) + 1)) AS pos FROM pr),
-         |pc AS (SELECT p.probe_id, c.label,
-         |              sum(p.pv * c.cv) / (sqrt(sum(p.pv * p.pv)) * sqrt(sum(c.cv * c.cv))) AS cos_pc
-         |       FROM pex p JOIN cent c ON c.pos = p.pos GROUP BY 1, 2),
-         |sel AS (SELECT probe_id, label FROM pc
-         |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos_pc DESC, label) <= 2),
-         |cand AS (SELECT s.probe_id, e.vec_id, e.embedding::DOUBLE[] AS ce
-         |         FROM sel s JOIN embeddings e ON e.label = s.label),
-         |scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, ${dCos("c.ce", "pr.pe")} AS score
-         |           FROM cand c JOIN pr ON pr.probe_id = c.probe_id
-         |           WHERE c.vec_id <> c.probe_id)
-         |SELECT probe_id, neighbor_id,
-         |       row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk,
-         |       round(score, 4) AS score
-         |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val emb = embeddings(s, dir)
-      val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      // Coarse cells: element-wise centroid per label (labels stand in for
-      // k-means cells; at scale these come from a trained coarse quantizer).
-      val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
-      val pex = probes.select(col("probe_id"), posexplode(col("pe")).as(Seq("pos", "pv")))
-        .withColumn("pv", col("pv").cast("double"))
-      val pc = pex.join(cent, "pos")
-        .groupBy("probe_id", "label")
-        .agg((sum(col("pv") * col("cv")) /
-          (sqrt(sum(col("pv") * col("pv"))) * sqrt(sum(col("cv") * col("cv"))))).as("cos_pc"))
-      val wSel = Window.partitionBy("probe_id").orderBy(col("cos_pc").desc, col("label"))
-      val sel = pc.withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
-        .select("probe_id", "label")
-      val cand = sel.join(Q.fanout(emb), "label")
-        .select(col("probe_id"), col("vec_id"), col("embedding").as("ce"))
-      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
-      cand.join(broadcast(probes), "probe_id")
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          expr(sCos("ce", "pe")).as("score_raw"))
-        .withColumn("rnk", row_number().over(wk))
-        .filter(col("rnk") <= 5)
+      s"""WITH $dPr,
+         |$dIvf
+         |SELECT probe_id, neighbor_id, rnk, round(score, 4) AS score
+         |FROM ivf WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      ivfTop(s, dir, 5)
         .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
           round(col("score_raw"), 4).as("score"))
         .orderBy("probe_id", "rnk")
+    },
+
+    GraftQuery(
+      "q_knn_recall",
+      "Extension: ANN quality gate — recall@5 of the IVF index vs brute-force ground truth, per probe",
+      s"""WITH $dPr,
+         |$dBrute,
+         |$dIvf
+         |SELECT b.probe_id, count(i.neighbor_id) / 5.0 AS recall5
+         |FROM (SELECT probe_id, neighbor_id FROM brute WHERE rnk <= 5) b
+         |LEFT JOIN (SELECT probe_id, neighbor_id FROM ivf WHERE rnk <= 5) i
+         |       ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin) { (s, dir) =>
+      val b = bruteTop(s, dir, 5).select("probe_id", "neighbor_id")
+      val i = ivfTop(s, dir, 5)
+        .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"))
+      b.join(i, col("probe_id") === col("i_probe") && col("neighbor_id") === col("i_neighbor"),
+          "left")
+        .groupBy("probe_id")
+        .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
+        .orderBy("probe_id")
     },
   )
 }
