@@ -31,7 +31,7 @@ object BloomFns {
       (children: Seq[Expression]) => children match {
         case Seq(c)       => new BloomFilterAggregate(c)
         case Seq(c, n)    => new BloomFilterAggregate(c, n)
-        case Seq(c, n, b) => BloomFilterAggregate(c, n, b)
+        case Seq(c, n, b) => BloomFilterAggregate(c, n, b, 0, 0)
         case _ => throw new IllegalArgumentException(
           "graft_bloom_agg(hash[, estimatedItems[, numBits]])")
       })
