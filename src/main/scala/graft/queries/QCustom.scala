@@ -61,6 +61,43 @@ object QCustom {
     },
 
     GraftQuery(
+      "q_config_update",
+      "S1: batch catalog UPDATE — last-write-wins per alias, applied to ALL rows matching the alias (ref update_element, ConfigApp.py:155-176)",
+      // update_element mutates EVERY <data> whose alias matches, and a
+      // sequence of updates leaves the last one's values. Batch analogue:
+      // catalog = orders keyed by o_orderstatus (non-unique alias → the
+      // update-all-matching behavior is observable), updates = lineitem
+      // rows keyed by l_linestatus, update sequence = (shipdate, orderkey,
+      // linenumber). Rows with an alias no update touches keep their value.
+      """WITH upd AS (
+        |  SELECT l_linestatus AS alias, l_extendedprice AS new_value,
+        |         row_number() OVER (PARTITION BY l_linestatus
+        |                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |SELECT o_orderkey, o_orderstatus AS alias,
+        |       round(coalesce(u.new_value, o_totalprice), 2) AS value,
+        |       CAST(CASE WHEN u.new_value IS NULL THEN 0 ELSE 1 END AS BIGINT) AS updated
+        |FROM orders o
+        |LEFT JOIN (SELECT alias, new_value FROM upd WHERE rn = 1) u
+        |       ON o.o_orderstatus = u.alias
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Last write per alias via max(struct(seq..., payload)) — partial-agg
+      // (map-side combine) instead of the oracle's window sort: no
+      // single-reducer skew when one alias dominates a 100 TB update log.
+      val lastUpd = lineitem(s, dir)
+        .groupBy(col("l_linestatus").as("alias"))
+        .agg(max(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))).as("w"))
+        .select(col("alias"), col("w.l_extendedprice").as("new_value"))
+      orders(s, dir)
+        .join(broadcast(lastUpd), col("o_orderstatus") === col("alias"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus").as("alias"),
+          round(coalesce(col("new_value"), col("o_totalprice")), 2).as("value"),
+          when(col("new_value").isNull, 0L).otherwise(1L).as("updated"))
+        .orderBy("o_orderkey")
+    },
+
+    GraftQuery(
       "q_decode_s7",
       "D3: native DecodeS7 Catalyst expression round-trip (codegen'd, ref InfluxConnector2.py:146-170)",
       """SELECT event_id,

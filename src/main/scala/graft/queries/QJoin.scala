@@ -113,6 +113,40 @@ object QJoin {
     },
 
     GraftQuery(
+      "q_join_bloom",
+      "Extension: explicit bloom runtime-filter join — fact rows pruned by a dim-side bloom BEFORE the shuffle (BloomFns)",
+      // The oracle is the PLAIN join: the bloom admits false positives but
+      // never false negatives, and the exact join that follows removes the
+      // false positives — identical results, that's what makes the runtime
+      // filter safe. At 100 TB the bloom (a few MB, broadcast via scalar
+      // subquery) keeps non-matching fact rows out of the Exchange.
+      """SELECT p_brand, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      graft.functions.BloomFns.register(s)
+      lineitem(s, dir).createOrReplaceTempView("graft_bloom_lineitem")
+      part(s, dir).createOrReplaceTempView("graft_bloom_part")
+      // MERGE hint: keep the join a shuffle join so the bloom prune sits
+      // below the fact side's Exchange — the pattern only pays off when
+      // there IS a shuffle to shrink (with a broadcast join Spark would
+      // not need it).
+      s.sql(
+        """SELECT /*+ MERGE(d) */ d.p_brand AS p_brand, count(*) AS n,
+          |       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+          |FROM (SELECT l_partkey, l_quantity FROM graft_bloom_lineitem
+          |      WHERE graft_might_contain(
+          |              (SELECT graft_bloom_agg(xxhash64(p_partkey))
+          |               FROM graft_bloom_part WHERE p_size <= 5),
+          |              xxhash64(l_partkey))) l
+          |JOIN (SELECT p_partkey, p_brand FROM graft_bloom_part WHERE p_size <= 5) d
+          |  ON l.l_partkey = d.p_partkey
+          |GROUP BY d.p_brand
+          |ORDER BY d.p_brand""".stripMargin)
+    },
+
+    GraftQuery(
       "q_join_range",
       "J6: range join rewritten as bucketed equi-join (avoids BroadcastNestedLoopJoin, SURVEY §2.3)",
       """SELECT b.bucket_name, count(*) AS n

@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row}
 import org.apache.spark.sql.functions._
 
 import java.io.{BufferedWriter, FileWriter}
@@ -45,23 +46,72 @@ object LineProtocol {
       lineCol(col("measurement"), col("alias"), col("value"),
         expr("unix_micros(ts) * 1000L")).as("line"))
 
-  /** Batch-write a one-column frame of lines to `dir/part-<batchId>.lp`.
-    * Stand-in for the InfluxDB HTTP endpoint (zero-egress container); the
-    * batching structure — collect per batch, single writer, newline-joined
-    * payload — is exactly what an HTTP client would send as one POST body.
+  /** Write a one-column frame of lines to `dir/part-<batchId>-<pid>.lp`,
+    * ONE FILE PER PARTITION, written ON THE EXECUTORS — the rows never pass
+    * through the driver. Each file is the newline-joined payload one HTTP
+    * POST would carry (stand-in for the InfluxDB write endpoint in this
+    * zero-egress container): one connection per partition, reused across
+    * every row in it — vs the reference's one POST per sample
+    * (Linux/InfluxConnector2.py:176). At 100 TB this is the difference
+    * between a driver OOM and an embarrassingly parallel ingest.
     *
-    * The write TRUNCATES (append=false): foreachBatch is at-least-once, so
-    * a micro-batch replayed after a failure between write and checkpoint
-    * commit overwrites its own file instead of duplicating points — the
-    * batchId-keyed filename makes the whole sink idempotent.
+    * Idempotent under foreachBatch's at-least-once replay: a replayed
+    * batchId first clears its own `part-<batchId>-*` files (a failed
+    * attempt may have run with a different partition count), then each
+    * task TRUNCATES its file — no duplicated points.
     */
   def append(dir: String)(batch: DataFrame, batchId: Long): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val lines = batch.select("line").collect().map(_.getString(0))
-    if (lines.nonEmpty) {
-      val w = new BufferedWriter(new FileWriter(s"$dir/part-$batchId.lp", false))
-      try { lines.foreach { l => w.write(l); w.newLine() } }
-      finally w.close()
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val stale = Files.list(root)
+    try stale.filter(_.getFileName.toString.startsWith(s"part-$batchId-"))
+      .forEach(p => Files.deleteIfExists(p))
+    finally stale.close()
+    batch.select("line").foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val w = new BufferedWriter(new FileWriter(s"$dir/part-$batchId-$pid.lp", false))
+        try it.foreach { r => w.write(r.getString(0)); w.newLine() }
+        finally w.close()
+      }
     }
   }
+
+  /** Per-partition "connection" standing in for an InfluxDB HTTP client. */
+  trait LineConnection { def post(payload: String): Unit; def close(): Unit }
+
+  /** Serializable factory shipped to the executors; `open` runs once per
+    * (partition, epoch) — the connection-reuse contract of a real sink.
+    */
+  trait LineConnectionFactory extends Serializable {
+    def open(partitionId: Long, epochId: Long): LineConnection
+  }
+
+  /** Streaming sink path (`writeStream.foreach`): one connection per
+    * partition per epoch, lines buffered into POST-sized payloads
+    * (`maxPayload` bytes, like Influx's recommended ~1 MB batch), flushed
+    * on overflow and at close. Exactly the per-partition open/post/close
+    * lifecycle a 100 TB ingest needs; swap the factory for a real HTTP
+    * client outside this container.
+    */
+  def writer(factory: LineConnectionFactory, maxPayload: Int = 1 << 20): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      @transient private var conn: LineConnection = _
+      @transient private var buf: java.lang.StringBuilder = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        conn = factory.open(partitionId, epochId)
+        buf = new java.lang.StringBuilder
+        true
+      }
+      override def process(row: Row): Unit = {
+        buf.append(row.getString(0)).append('\n')
+        if (buf.length >= maxPayload) { conn.post(buf.toString); buf.setLength(0) }
+      }
+      override def close(errorOrNull: Throwable): Unit = {
+        if (conn != null) {
+          if (buf.length > 0) conn.post(buf.toString)
+          conn.close()
+        }
+      }
+    }
 }

@@ -59,6 +59,22 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_join_bloom applies the bloom prune on the fact side below the shuffle join") {
+    val plan = planOf("q_join_bloom")
+    assert(plan.contains("SortMergeJoin"), s"bloom pattern needs a shuffle join to shrink:\n$plan")
+    assert(plan.contains("might_contain"), s"fact side must be bloom-pruned:\n$plan")
+    // The prune must run BEFORE the join: in the plan string the filter
+    // appears after (= below) the SortMergeJoin node.
+    assert(plan.indexOf("might_contain") > plan.indexOf("SortMergeJoin"),
+      "bloom filter must sit below the join, not above it")
+  }
+
+  test("q_knn_ivf reads precomputed centroids (checkpointed table, no per-probe corpus re-agg)") {
+    val plan = planOf("q_knn_ivf")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"centroids must come from the materialized checkpoint, not a corpus re-aggregation:\n$plan")
+  }
+
   test("window queries shuffle once on the series key (single Exchange before Window)") {
     val plan = planOf("q_win_derivative")
     assert(plan.contains("Window"))

@@ -3,6 +3,34 @@ package graft.sinks
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** Shared counters for the connection-reuse test (local[*] = one JVM, so
+  * executor-side increments are visible to the test).
+  */
+object ConnStats {
+  val opens = new AtomicInteger
+  val closes = new AtomicInteger
+  val posts = new AtomicInteger
+  val chars = new AtomicInteger
+  def reset(): Unit = Seq(opens, closes, posts, chars).foreach(_.set(0))
+}
+
+class CountingFactory(maxPayload: Int) extends LineProtocol.LineConnectionFactory {
+  def open(partitionId: Long, epochId: Long): LineProtocol.LineConnection = {
+    ConnStats.opens.incrementAndGet()
+    new LineProtocol.LineConnection {
+      def post(payload: String): Unit = {
+        ConnStats.posts.incrementAndGet()
+        ConnStats.chars.addAndGet(payload.length)
+      }
+      def close(): Unit = ConnStats.closes.incrementAndGet()
+    }
+  }
+}
+
 class LineProtocolSpec extends SparkTestBase {
 
   test("line format: measurement alias=value tsNs; measurement escaping") {
@@ -22,5 +50,52 @@ class LineProtocolSpec extends SparkTestBase {
       "plc-1", "t0", 1.25)).toDF("ts", "measurement", "alias", "value")
     val line = LineProtocol.formatPoints(df).as[String].head()
     assert(line === "plc-1 t0=1.25 1704067200000000000")
+  }
+
+  test("append writes one file per non-empty partition, executor-side, idempotent on replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lp_part").toString
+    def lpFiles = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".lp")).toSeq.sortBy(_.toString)
+    def allLines = lpFiles.flatMap(p => Files.readAllLines(p).asScala)
+
+    val batch = spark.range(100).select(concat(lit("m v="), col("id")).as("line"))
+      .repartition(4)
+    LineProtocol.append(dir)(batch.toDF(), 7L)
+    assert(lpFiles.size === 4, "one file per non-empty partition")
+    assert(lpFiles.forall(_.getFileName.toString.startsWith("part-7-")))
+    assert(allLines.sorted === (0 until 100).map(i => s"m v=$i").sorted)
+
+    // Replay of the same batchId with a DIFFERENT partition count (a failed
+    // attempt may have re-planned): stale files cleared, no duplicates.
+    LineProtocol.append(dir)(batch.repartition(2).toDF(), 7L)
+    assert(lpFiles.size === 2, "replay clears the stale attempt's files")
+    assert(allLines.sorted === (0 until 100).map(i => s"m v=$i").sorted)
+
+    // A different batchId never touches batch 7's files.
+    LineProtocol.append(dir)(batch.repartition(3).toDF(), 8L)
+    assert(lpFiles.count(_.getFileName.toString.startsWith("part-7-")) === 2)
+    assert(lpFiles.count(_.getFileName.toString.startsWith("part-8-")) === 3)
+  }
+
+  test("writer: one connection per partition per epoch, payloads batched, flush+close on finish") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    ConnStats.reset()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val lines = (0 until 50).map(i => s"m v=$i")
+    ms.addData(lines: _*)
+    val q = ms.toDF().repartition(5).select(col("value").as("line"))
+      .writeStream
+      .foreach(LineProtocol.writer(new CountingFactory(32), maxPayload = 32))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(ConnStats.opens.get === 5, "exactly one connection per partition")
+    assert(ConnStats.closes.get === ConnStats.opens.get, "every connection closed")
+    assert(ConnStats.posts.get > 5, "payloads batched above one-POST-per-partition granularity")
+    assert(ConnStats.posts.get < 50, "lines batched into payloads, not one POST per line")
+    assert(ConnStats.chars.get === lines.map(_.length + 1).sum, "every line delivered exactly once")
   }
 }
