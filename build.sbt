@@ -31,7 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Spark codegen emits thousands of Janino classes across a long query
   // sequence; the default 240m code cache fills, the JIT shuts off, and
-  // throughput collapses 10-50x. Large cache + flushing keeps JIT alive.
-  "-XX:ReservedCodeCacheSize=2g",
+  // throughput collapses 10-50x. 2g is this JVM's hard maximum. With a
+  // 48g heap GC almost never runs inside a bench-length process, so
+  // evicted codegen classloaders are never collected and their compiled
+  // code never leaves the cache — graft.Bench therefore forces periodic
+  // System.gc() to unload dead generated classes (see Bench.scala), and
+  // prints CodeHeap used/max at exit.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
   "-XX:+UseCodeCacheFlushing",
 )

@@ -41,7 +41,17 @@ object Bench {
                catch { case _: Throwable => () })
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
+    var sinceGc = 0
     for (pass <- 1 to passes; name <- names) {
+      // ~90 queries generate hundreds of codegen classes; with a 48 GiB
+      // heap the JVM may never GC inside one run, so dead generated
+      // classloaders are never unloaded and their nmethods saturate the
+      // (2g-capped) code cache — the JIT then flush-thrashes and
+      // alphabetically-late queries collapse 10-50x. Periodic explicit GC
+      // restores the class-unload cadence a long-lived server JVM has
+      // naturally. Untimed (outside the measured window).
+      sinceGc += 1
+      if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -49,12 +59,27 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}"); false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Per-query progress on stderr: makes mid-run JVM degradation (JIT /
+      // code-cache collapse shows as monotonically growing times) visible
+      // without waiting for the final JSON.
+      System.err.println(f"[bench] pass $pass $name%-28s $sec%8.3f s")
       best(name) = best.get(name) match {
         case Some(prev) if prev >= 0 && sec >= 0 => math.min(prev, sec)
         case Some(prev) if prev >= 0             => prev      // keep the success
         case _                                   => sec
       }
     }
+    // Code-heap usage at end of run — the collapse diagnostic (PERF.md):
+    // "used" at/near "max" on the nmethod heaps means the JIT shut off or
+    // started flush-thrashing partway through the run.
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .foreach { p =>
+        val u = p.getUsage
+        System.err.println(
+          s"[bench] ${p.getName}: used=${u.getUsed / 1024 / 1024}m max=${u.getMax / 1024 / 1024}m")
+      }
     def r3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
