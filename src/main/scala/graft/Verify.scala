@@ -18,9 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var sinceGc = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
+      // Same class-unload cadence as graft.Bench: without periodic GC a
+      // huge-heap JVM never unloads dead codegen classloaders across ~90
+      // queries, the 2g-capped code cache saturates, and the JIT
+      // flush-thrashes (late queries degrade 10-50x).
+      sinceGc += 1
+      if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

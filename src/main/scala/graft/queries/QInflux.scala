@@ -294,6 +294,71 @@ object QInflux {
     },
 
     GraftQuery(
+      "q_win_cmo",
+      "W11: CHANDE_MOMENTUM_OSCILLATOR(14) per series — windowed up/down momentum sums (InfluxQL technical analysis)",
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts,
+         |         value - lag(value) OVER ($duckW) AS df
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, user_id,
+         |         sum(CASE WHEN df > 0 THEN df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS su,
+         |         sum(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sd
+         |  FROM d WHERE df IS NOT NULL)
+         |SELECT event_id, user_id,
+         |       CASE WHEN su + sd = 0 THEN 0
+         |            ELSE round(100 * (su - sd) / (su + sd), 4) + 0 END AS cmo
+         |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val dff = col("value") - lag(col("value"), 1).over(w)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-13, Window.currentRow)
+      events(s, dir)
+        .withColumn("df", dff)
+        .filter(col("df").isNotNull)
+        .withColumn("su", sum(when(col("df") > 0, col("df")).otherwise(0)).over(wf))
+        .withColumn("sd", sum(when(col("df") < 0, -col("df")).otherwise(0)).over(wf))
+        .select(col("event_id"), col("user_id"),
+          when(col("su") + col("sd") === 0, 0.0)
+            .otherwise(round(lit(100) * (col("su") - col("sd")) / (col("su") + col("sd")), 4) + lit(0.0))
+            .as("cmo"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
+      "q_win_ker",
+      "W12: KAUFMANS_EFFICIENCY_RATIO(10) per series — |net change| / path length (InfluxQL technical analysis)",
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts, value,
+         |         abs(value - lag(value) OVER ($duckW)) AS adf,
+         |         abs(value - lag(value, 10) OVER ($duckW)) AS chg,
+         |         row_number() OVER ($duckW) AS rn
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, user_id, chg, rn,
+         |         sum(adf) OVER ($duckW ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
+         |  FROM d)
+         |SELECT event_id, user_id,
+         |       CASE WHEN vol = 0 THEN 0 ELSE round(chg / vol, 4) + 0 END AS ker
+         |FROM g WHERE rn > 10 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val wrn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      events(s, dir)
+        .withColumn("adf", abs(col("value") - lag(col("value"), 1).over(wrn)))
+        .withColumn("chg", abs(col("value") - lag(col("value"), 10).over(wrn)))
+        .withColumn("rn", row_number().over(wrn))
+        .withColumn("vol", sum(col("adf")).over(wf))
+        .filter(col("rn") > 10)
+        .select(col("event_id"), col("user_id"),
+          when(col("vol") === 0, 0.0)
+            .otherwise(round(col("chg") / col("vol"), 4) + lit(0.0))
+            .as("ker"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_pivot",
       "A17: one column per series (Grafana multi-series table, README.md:98-100) — pivot on the series tag",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
