@@ -87,6 +87,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected partial window-group-limit before the shuffle:\n$plan")
   }
 
+  test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("id").repartition(target)
+    // Enough partitions already → fanout must return the SAME plan, not
+    // stack a second full shuffle on a 100 TB corpus scan.
+    assert(Q.fanout(wide) eq wide)
+    // Single-partition input (the small-file test-SF case) still fans out.
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    val fanned = Q.fanout(narrow)
+    assert(fanned.rdd.getNumPartitions == target)
+  }
+
   test("q_fill_previous generates the time grid distributed (Generate over sequence)") {
     val plan = planOf("q_fill_previous")
     assert(plan.contains("Generate explode(sequence"), s"grid must be executor-side:\n$plan")
