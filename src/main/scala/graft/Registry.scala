@@ -8,8 +8,8 @@ import graft.queries._
 object Registry {
 
   lazy val all: Seq[GraftQuery] =
-    QCore.all ++ QAgg.all ++ QWin.all ++ QInflux.all ++ QJoin.all ++ QFunc.all ++
-      QStream.all ++ QText.all ++ QDedup.all ++ QVector.all ++ QCustom.all
+    QCore.all ++ QAgg.all ++ QWin.all ++ QInflux.all ++ QInfluxQL.all ++ QJoin.all ++
+      QFunc.all ++ QStream.all ++ QText.all ++ QDedup.all ++ QVector.all ++ QCustom.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,341 @@
+package graft.influxql
+
+/** InfluxQL textual front-end — AST + lexer + recursive-descent parser.
+  *
+  * The reference's declared query surface is InfluxQL via InfluxDB 1.7 +
+  * Grafana (ref README.md:3,13,98-100): users type
+  * `SELECT MEAN(value) FROM plc WHERE time >= t0 GROUP BY time(1m)`.
+  * This parser covers the subset that surface actually uses:
+  *
+  * {{{
+  * SELECT <field | FN(field[, p])> [AS alias] [, ...]
+  * FROM <measurement>
+  * [WHERE time <op> <ts literal> [AND ...] [AND tag <op> <literal|/re/>]]
+  * [GROUP BY time(<dur>)[, tag ...] [fill(null|none|previous|linear|<num>)]]
+  * [ORDER BY time [ASC|DESC]]
+  * [LIMIT n] [OFFSET m]
+  * }}}
+  *
+  * Functions: COUNT MEAN SUM MIN MAX FIRST LAST SPREAD STDDEV MEDIAN
+  * PERCENTILE — the InfluxQL aggregate/selector set the engine already
+  * implements as operators (QAgg/QInflux); the planner (InfluxQLPlanner)
+  * maps each onto those proven building blocks.
+  *
+  * Deliberate deviations, documented: `now()`-relative times are not
+  * supported (a deterministic engine surface needs absolute bounds);
+  * `fill(...)` requires an explicitly bounded time range (the unbounded
+  * grid is the classic InfluxQL footgun — at 100 TB an epoch-0-to-now grid
+  * is an output explosion, so the planner refuses it instead).
+  */
+object InfluxQLAst {
+
+  final case class Select(
+      fields: Seq[Field],
+      measurement: String,
+      where: Seq[Cond],
+      groupTimeSec: Option[Long],
+      groupTags: Seq[String],
+      fill: Fill,
+      orderDesc: Boolean,
+      limit: Option[Int],
+      offset: Option[Int])
+
+  sealed trait Field { def alias: Option[String] }
+  /** Bare field/tag projection (raw, non-aggregated select). */
+  final case class RawField(name: String, alias: Option[String]) extends Field
+  /** Aggregate/selector call, e.g. MEAN(value) or PERCENTILE(value, 90). */
+  final case class FnField(fn: String, arg: String, param: Option[Double],
+      alias: Option[String]) extends Field
+
+  sealed trait Cond
+  /** `time <op> literal`, bound normalized to epoch nanoseconds (UTC). */
+  final case class TimeCond(op: String, epochNs: Long) extends Cond
+  /** `tag <op> literal` — op ∈ {=, !=, <, <=, >, >=, =~, !~}. */
+  final case class TagCond(key: String, op: String, value: Any) extends Cond
+
+  sealed trait Fill
+  /** No fill() clause: empty buckets are omitted (same as fill(none)). */
+  case object FillMissing extends Fill
+  case object FillNone extends Fill
+  case object FillNull extends Fill
+  case object FillPrevious extends Fill
+  case object FillLinear extends Fill
+  final case class FillValue(v: Double) extends Fill
+
+  final case class InfluxQLParseException(msg: String)
+      extends RuntimeException(s"InfluxQL parse error: $msg")
+}
+
+object InfluxQLParser {
+  import InfluxQLAst._
+
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TDur(seconds: Long) extends Tok
+  private final case class TRegex(re: String) extends Tok
+  private final case class TOp(s: String) extends Tok
+
+  private val DurRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
+  private val NumRe = """-?\d+(?:\.\d+)?""".r
+  private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val StrRe = """'([^']*)'""".r
+  private val RegexRe = """/([^/]*)/""".r
+  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;""".r
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      if (q.charAt(i).isWhitespace) i += 1
+      else {
+        val rest = q.substring(i)
+        def take(m: scala.util.matching.Regex): Option[String] =
+          m.findPrefixOf(rest)
+        take(StrRe).map { s => out += TStr(s.substring(1, s.length - 1)); s } orElse
+        take(RegexRe).map { s => out += TRegex(s.substring(1, s.length - 1)); s } orElse
+        take(DurRe).map { s =>
+          val DurRe(n, u) = s: @unchecked
+          val mult = u match {
+            case "w" => 604800L; case "d" => 86400L; case "h" => 3600L
+            case "m" => 60L; case "s" => 1L
+            case other => throw InfluxQLParseException(
+              s"sub-second GROUP BY time unit '$other' not supported")
+          }
+          out += TDur(n.toLong * mult); s
+        } orElse
+        take(NumRe).map { s => out += TNum(s.toDouble); s } orElse
+        take(IdentRe).map { s => out += TIdent(s); s } orElse
+        take(OpRe).map { s => out += TOp(s); s } match {
+          case Some(consumed) => i += consumed.length
+          case None => throw InfluxQLParseException(s"unexpected input at: $rest")
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val Functions = Set("count", "mean", "sum", "min", "max", "first",
+    "last", "spread", "stddev", "median", "percentile")
+
+  /** Parse an InfluxQL SELECT statement into its AST. */
+  def parse(q: String): Select = new P(lex(q)).select()
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = {
+      if (pos >= toks.length) throw InfluxQLParseException("unexpected end of query")
+      pos += 1; toks(pos - 1)
+    }
+    private def kwPeek: Option[String] = peek.collect { case TIdent(s) => s.toLowerCase }
+    private def eatKw(kw: String): Unit = next() match {
+      case TIdent(s) if s.equalsIgnoreCase(kw) => ()
+      case t => throw InfluxQLParseException(s"expected $kw, got $t")
+    }
+    private def eatOp(op: String): Unit = next() match {
+      case TOp(`op`) => ()
+      case t => throw InfluxQLParseException(s"expected '$op', got $t")
+    }
+    private def ident(): String = next() match {
+      case TIdent(s) => s
+      case t => throw InfluxQLParseException(s"expected identifier, got $t")
+    }
+    private def intLit(): Int = next() match {
+      case TNum(v) if v == v.toInt => v.toInt
+      case t => throw InfluxQLParseException(s"expected integer, got $t")
+    }
+
+    def select(): Select = {
+      eatKw("select")
+      val fields = fieldList()
+      eatKw("from")
+      val meas = ident()
+      var where = Seq.empty[Cond]
+      var gbTime: Option[Long] = None
+      var gbTags = Seq.empty[String]
+      var fill: Fill = FillMissing
+      var desc = false
+      var limit: Option[Int] = None
+      var offset: Option[Int] = None
+      while (peek.isDefined) kwPeek match {
+        case Some("where") => next(); where = condList()
+        case Some("group") =>
+          next(); eatKw("by")
+          val (t, tags) = groupList(); gbTime = t; gbTags = tags
+          if (kwPeek.contains("fill")) { next(); fill = fillSpec() }
+        case Some("order") =>
+          next(); eatKw("by")
+          val k = ident()
+          if (!k.equalsIgnoreCase("time"))
+            throw InfluxQLParseException(s"ORDER BY supports only time, got $k")
+          kwPeek match {
+            case Some("desc") => next(); desc = true
+            case Some("asc")  => next()
+            case _            => ()
+          }
+        case Some("limit")  => next(); limit = Some(intLit())
+        case Some("offset") => next(); offset = Some(intLit())
+        case Some(other) => throw InfluxQLParseException(s"unexpected clause: $other")
+        case None => throw InfluxQLParseException(s"unexpected token: ${peek.get}")
+      }
+      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset)
+      validate(sel)
+      sel
+    }
+
+    private def fieldList(): Seq[Field] = {
+      val fs = Seq.newBuilder[Field]
+      var more = true
+      while (more) {
+        fs += field()
+        if (peek.contains(TOp(","))) next() else more = false
+      }
+      fs.result()
+    }
+
+    private def field(): Field = {
+      val name = ident()
+      val base: Field =
+        if (peek.contains(TOp("("))) {
+          val fn = name.toLowerCase
+          if (!Functions(fn))
+            throw InfluxQLParseException(s"unknown function: $name")
+          eatOp("(")
+          val arg = ident()
+          val param =
+            if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+          eatOp(")")
+          if (fn == "percentile" && param.isEmpty)
+            throw InfluxQLParseException("PERCENTILE requires a second argument")
+          FnField(fn, arg, param, None)
+        } else RawField(name, None)
+      if (kwPeek.contains("as")) {
+        next()
+        val a = ident()
+        base match {
+          case f: FnField  => f.copy(alias = Some(a))
+          case f: RawField => f.copy(alias = Some(a))
+        }
+      } else base
+    }
+
+    private def numLit(): Double = next() match {
+      case TNum(v) => v
+      case t => throw InfluxQLParseException(s"expected number, got $t")
+    }
+
+    private def condList(): Seq[Cond] = {
+      val cs = Seq.newBuilder[Cond]
+      var more = true
+      while (more) {
+        cs += cond()
+        if (kwPeek.contains("and")) next() else more = false
+      }
+      cs.result()
+    }
+
+    private def cond(): Cond = {
+      val key = ident()
+      val op = next() match {
+        case TOp(o) if Set("=", "!=", "<", "<=", ">", ">=", "=~", "!~")(o) => o
+        case t => throw InfluxQLParseException(s"expected comparison op, got $t")
+      }
+      if (key.equalsIgnoreCase("time")) {
+        if (op == "=~" || op == "!~")
+          throw InfluxQLParseException("time does not support regex comparison")
+        TimeCond(op, next() match {
+          case TStr(s) => parseTimeNs(s)
+          case TNum(v) if v == v.toLong => v.toLong // raw epoch nanoseconds
+          case t => throw InfluxQLParseException(s"expected time literal, got $t")
+        })
+      } else next() match {
+        case TStr(s)   => TagCond(key, op, s)
+        case TNum(v)   => TagCond(key, op, v)
+        case TRegex(r) =>
+          if (op != "=~" && op != "!~")
+            throw InfluxQLParseException(s"regex literal requires =~ or !~, got $op")
+          TagCond(key, op, r)
+        case t => throw InfluxQLParseException(s"expected literal, got $t")
+      }
+    }
+
+    private def groupList(): (Option[Long], Seq[String]) = {
+      var gbTime: Option[Long] = None
+      val tags = Seq.newBuilder[String]
+      var more = true
+      while (more) {
+        val name = ident()
+        if (name.equalsIgnoreCase("time")) {
+          eatOp("(")
+          gbTime = Some(next() match {
+            case TDur(s) => s
+            case t => throw InfluxQLParseException(s"expected duration, got $t")
+          })
+          eatOp(")")
+        } else tags += name
+        // fill(...) is lexically `fill ( ... )` — stop before it
+        if (peek.contains(TOp(",")) ) next() else more = false
+      }
+      (gbTime, tags.result())
+    }
+
+    private def fillSpec(): Fill = {
+      eatOp("(")
+      val f = next() match {
+        case TIdent(s) => s.toLowerCase match {
+          case "null"     => FillNull
+          case "none"     => FillNone
+          case "previous" => FillPrevious
+          case "linear"   => FillLinear
+          case other => throw InfluxQLParseException(s"unknown fill mode: $other")
+        }
+        case TNum(v) => FillValue(v)
+        case t => throw InfluxQLParseException(s"expected fill mode, got $t")
+      }
+      eatOp(")")
+      f
+    }
+
+    private def validate(s: Select): Unit = {
+      val hasFn = s.fields.exists(_.isInstanceOf[FnField])
+      val hasRaw = s.fields.exists(_.isInstanceOf[RawField])
+      if (hasFn && hasRaw)
+        throw InfluxQLParseException(
+          "cannot mix aggregate and raw fields in one SELECT")
+      if (!hasFn && (s.groupTimeSec.isDefined || s.groupTags.nonEmpty))
+        throw InfluxQLParseException("GROUP BY requires aggregate fields")
+      if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
+        throw InfluxQLParseException("fill() requires GROUP BY time(...)")
+      val names = s.fields.map(outName)
+      if (names.distinct.size != names.size)
+        throw InfluxQLParseException(
+          s"duplicate output column (add AS aliases): ${names.mkString(", ")}")
+    }
+  }
+
+  /** Output column name for a parsed field: alias, else InfluxQL default
+    * (the lowercase function name; the field name for raw projections).
+    */
+  def outName(f: Field): String = f match {
+    case FnField(fn, _, _, alias)  => alias.getOrElse(fn)
+    case RawField(name, alias)     => alias.getOrElse(name)
+  }
+
+  /** Parse an absolute time literal to epoch nanoseconds (UTC).
+    * Accepted: `2024-01-10`, `2024-01-10 06:30:00`, RFC3339 with Z.
+    */
+  def parseTimeNs(s: String): Long = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val t = s.trim
+    val inst: Instant =
+      if (t.length == 10) LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toInstant
+      else if (t.endsWith("Z")) Instant.parse(t)
+      else LocalDateTime.parse(t, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000000L + inst.getNano
+  }
+}

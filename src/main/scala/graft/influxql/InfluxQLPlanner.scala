@@ -1,0 +1,228 @@
+package graft.influxql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import InfluxQLAst._
+
+/** Plans a parsed InfluxQL SELECT onto the engine's proven operators.
+  *
+  * Everything here maps 1:1 onto patterns that are already oracle-green as
+  * standalone queries, so the front-end inherits both their DuckDB parity
+  * rules (Q.scala) and their 100 TB scale properties:
+  *
+  *  - time predicates filter the RAW nanosecond column `ts_ns`, so they
+  *    push down to parquet row-group stats (q_time_range pattern);
+  *  - GROUP BY time(n) is `window(ts, n)` — a single partial+final hash
+  *    aggregate, one shuffle on (bucket, tags) (q_downsample_1m);
+  *  - fill(previous|linear|null|value) generates the bucket grid on the
+  *    EXECUTORS with sequence()+explode — output-proportional, no driver
+  *    loop — and fills with per-series window passes (q_fill_previous /
+  *    q_fill_linear). The grid is bounded by the WHERE time range, which
+  *    the planner REQUIRES for fill: an unbounded grid at 100 TB is an
+  *    output explosion, so it refuses instead of guessing;
+  *  - raw selects order by (ts_ns, event_id) — deterministic under ties —
+  *    and LIMIT plans as TakeOrderedAndProject (q_topk_global).
+  *
+  * Rendered-value conventions (the front-end's display contract, shared
+  * with the standalone operators so results are engine-portable):
+  * mean/stddev/median/percentile round to 4 decimals, sum/spread to 2;
+  * min/max/first/last/count are exact. Linear interpolation truncates via
+  * floor(x*1e4)/1e4 (bit-deterministic across engines, see q_fill_linear).
+  */
+object InfluxQLPlanner {
+
+  /** Parse + plan: the engine's user-facing `influxql(...)` entry point. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame =
+    plan(spark, dir, InfluxQLParser.parse(query))
+
+  def plan(spark: SparkSession, dir: String, q: Select): DataFrame = {
+    if (q.measurement != "events")
+      throw InfluxQLParseException(
+        s"unknown measurement: ${q.measurement} (this build maps measurement 'events')")
+    val base = Tables.events(spark, dir)
+    val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
+    val isAgg = q.fields.exists(_.isInstanceOf[FnField])
+    if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
+  }
+
+  // ---- predicates ---------------------------------------------------------
+
+  private def condCol(c: Cond): Column = c match {
+    case TimeCond(op, ns) => cmp(col("ts_ns"), op, lit(ns))
+    case TagCond(key, "=~", re: String) => col(key).rlike(re)
+    case TagCond(key, "!~", re: String) => !col(key).rlike(re)
+    case TagCond(key, op, v) => cmp(col(key), op, lit(v))
+  }
+
+  private def cmp(c: Column, op: String, v: Column): Column = op match {
+    case "="  => c === v
+    case "!=" => c =!= v
+    case "<"  => c < v
+    case "<=" => c <= v
+    case ">"  => c > v
+    case ">=" => c >= v
+    case other => throw InfluxQLParseException(s"unsupported operator: $other")
+  }
+
+  /** Normalized [lo, hi) time bounds in epoch ns from the WHERE conds. */
+  private def timeBounds(where: Seq[Cond]): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    where.foreach {
+      case TimeCond(">=", ns) => lo = Some(lo.fold(ns)(math.max(_, ns)))
+      case TimeCond(">", ns)  => lo = Some(lo.fold(ns + 1)(math.max(_, ns + 1)))
+      case TimeCond("<", ns)  => hi = Some(hi.fold(ns)(math.min(_, ns)))
+      case TimeCond("<=", ns) => hi = Some(hi.fold(ns + 1)(math.min(_, ns + 1)))
+      case _                  => ()
+    }
+    (lo, hi)
+  }
+
+  // ---- aggregated path ----------------------------------------------------
+
+  private def aggExpr(f: FnField): Column = {
+    val v = col(f.arg)
+    val e = f.fn match {
+      case "count"  => count(v)
+      case "mean"   => round(avg(v), 4)
+      case "sum"    => round(sum(v), 2)
+      case "min"    => min(v)
+      case "max"    => max(v)
+      case "first"  => min_by(v, col("ts"))
+      case "last"   => max_by(v, col("ts"))
+      case "spread" => round(max(v) - min(v), 2)
+      case "stddev" => round(stddev_samp(v), 4)
+      case "median" => round(expr(s"percentile(${f.arg}, 0.5)"), 4)
+      case "percentile" =>
+        val p = f.param.get / 100.0
+        round(expr(s"percentile(${f.arg}, $p)"), 4)
+      case other => throw InfluxQLParseException(s"unknown function: $other")
+    }
+    e.as(InfluxQLParser.outName(f))
+  }
+
+  private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
+    val fns = q.fields.collect { case f: FnField => f }
+    val aggNames = fns.map(InfluxQLParser.outName)
+    val tagCols = q.groupTags
+    // Epoch-aligned bucket start, computed with integer arithmetic on the
+    // raw nanos column — exact (epoch ns exceed Double's 2^53 range, so no
+    // float math here), equivalent to window(ts, n).start / time_bucket.
+    val bucketed = q.groupTimeSec match {
+      case Some(sec) =>
+        filtered.withColumn("__t",
+          timestamp_seconds(expr(s"(ts_ns div ${sec}000000000L) * $sec")))
+      case None => filtered
+    }
+    val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
+    val aggExprs = fns.map(aggExpr)
+    val agg =
+      if (keyCols.isEmpty) bucketed.agg(aggExprs.head, aggExprs.tail: _*)
+      else bucketed.groupBy(keyCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+
+    val filled = q.fill match {
+      case FillMissing | FillNone => agg
+      case mode => gridFill(spark, agg, q, aggNames, mode)
+    }
+
+    val timeOut =
+      if (q.groupTimeSec.isDefined)
+        Seq(date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time"))
+      else Nil
+    val out = filled.select(
+      timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
+    val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
+    limited(ordered, q)
+  }
+
+  /** Join the aggregate onto the full bucket grid over the WHERE range and
+    * fill per the requested mode. Grid = (distinct observed tag combos) ×
+    * (bucket sequence) — generated distributed via sequence()+explode.
+    */
+  private def gridFill(spark: SparkSession, agg: DataFrame, q: Select,
+      aggNames: Seq[String], mode: Fill): DataFrame = {
+    val sec = q.groupTimeSec.get
+    val (loOpt, hiOpt) = timeBounds(q.where)
+    val (lo, hi) = (loOpt, hiOpt) match {
+      case (Some(l), Some(h)) => (l, h)
+      case _ => throw InfluxQLParseException(
+        "fill() requires a bounded time range in WHERE (an unbounded grid is unsafe at scale)")
+    }
+    val nsPer = sec * 1000000000L
+    val b0 = math.floorDiv(lo, nsPer) * sec       // first bucket start, epoch s
+    val bN = math.floorDiv(hi - 1, nsPer) * sec   // last bucket start, epoch s
+    val tags = q.groupTags
+    val seqCol = explode(sequence(
+      timestamp_seconds(lit(b0)), timestamp_seconds(lit(bN)),
+      expr(s"interval $sec seconds"))).as("__t")
+    val grid =
+      if (tags.isEmpty) spark.range(1).select(seqCol)
+      else agg.select(tags.map(col): _*).distinct().select(tags.map(col) :+ seqCol: _*)
+    val joined = grid.join(agg, Seq("__t") ++ tags, "left")
+    mode match {
+      case FillNull => joined
+      case FillValue(v) =>
+        aggNames.foldLeft(joined)((df, n) => df.withColumn(n, coalesce(col(n), lit(v))))
+      case FillPrevious =>
+        val w = Window.partitionBy(tags.map(col): _*).orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aggNames.foldLeft(joined)((df, n) =>
+          df.withColumn(n, last(col(n), ignoreNulls = true).over(w)))
+      case FillLinear =>
+        val wPrev = Window.partitionBy(tags.map(col): _*).orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy(tags.map(col): _*).orderBy("__t")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val tu = unix_micros(col("__t"))
+        aggNames.foldLeft(joined) { (df, n) =>
+          df.withColumn(s"__pv_$n", last(col(n), ignoreNulls = true).over(wPrev))
+            .withColumn(s"__ph_$n", last(when(col(n).isNotNull, tu), ignoreNulls = true).over(wPrev))
+            .withColumn(s"__nv_$n", first(col(n), ignoreNulls = true).over(wNext))
+            .withColumn(s"__nh_$n", first(when(col(n).isNotNull, tu), ignoreNulls = true).over(wNext))
+            .withColumn(n,
+              when(col(n).isNotNull, col(n))
+                .when(col(s"__pv_$n").isNotNull && col(s"__nv_$n").isNotNull,
+                  // floor-truncate, not round: bit-deterministic across
+                  // engines (q_fill_linear parity note).
+                  floor((col(s"__pv_$n") + (col(s"__nv_$n") - col(s"__pv_$n"))
+                    * (tu - col(s"__ph_$n")) / (col(s"__nh_$n") - col(s"__ph_$n")))
+                    * 10000) / 10000))
+            .drop(s"__pv_$n", s"__ph_$n", s"__nv_$n", s"__nh_$n")
+        }
+      case other => throw InfluxQLParseException(s"unsupported fill: $other")
+    }
+  }
+
+  // ---- raw path -----------------------------------------------------------
+
+  private def planRaw(filtered: DataFrame, q: Select): DataFrame = {
+    val fieldCols = q.fields.map { f =>
+      col(f.asInstanceOf[RawField].name).as(InfluxQLParser.outName(f))
+    }
+    // (ts_ns, event_id) ordering: deterministic under rendered-second ties.
+    val ord =
+      if (q.orderDesc) Seq(col("ts_ns").desc, col("event_id").desc)
+      else Seq(col("ts_ns").asc, col("event_id").asc)
+    val out = filtered.orderBy(ord: _*)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("time") +: fieldCols: _*)
+    limited(out, q)
+  }
+
+  // ---- shared tail --------------------------------------------------------
+
+  private def ordering(df: DataFrame, q: Select, hasTime: Boolean,
+      tags: Seq[String]): DataFrame = {
+    val timeOrd =
+      if (hasTime) Seq(if (q.orderDesc) col("time").desc else col("time").asc) else Nil
+    val cols = timeOrd ++ tags.map(col)
+    if (cols.isEmpty) df else df.orderBy(cols: _*)
+  }
+
+  private def limited(df: DataFrame, q: Select): DataFrame = {
+    val off = q.offset.fold(df)(df.offset)
+    q.limit.fold(off)(off.limit)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.influxql
+
+import graft.SparkTestBase
+import InfluxQLAst._
+
+/** Parser unit tests (AST shapes + rejection of invalid queries) and
+  * planner semantics the oracle queries don't cover (fill(value), OFFSET,
+  * bound normalization, measurement validation).
+  */
+class InfluxQLSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- parser -------------------------------------------------------------
+
+  test("parses the full clause set into the expected AST") {
+    val q = InfluxQLParser.parse(
+      """SELECT MEAN(value) AS m, COUNT(value) FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND event_type = 'click'
+        |GROUP BY time(1h), user_id fill(previous)
+        |ORDER BY time DESC LIMIT 10 OFFSET 5""".stripMargin)
+    assert(q.fields == Seq(
+      FnField("mean", "value", None, Some("m")),
+      FnField("count", "value", None, None)))
+    assert(q.measurement == "events")
+    assert(q.where == Seq(
+      TimeCond(">=", 1704067200000000000L),
+      TimeCond("<", 1704672000000000000L),
+      TagCond("event_type", "=", "click")))
+    assert(q.groupTimeSec.contains(3600L))
+    assert(q.groupTags == Seq("user_id"))
+    assert(q.fill == FillPrevious)
+    assert(q.orderDesc && q.limit.contains(10) && q.offset.contains(5))
+  }
+
+  test("duration units: 90s, 5m, 1d, 1w; sub-second rejected") {
+    def dur(d: String): Long =
+      InfluxQLParser.parse(s"SELECT COUNT(value) FROM events GROUP BY time($d)")
+        .groupTimeSec.get
+    assert(dur("90s") == 90L)
+    assert(dur("5m") == 300L)
+    assert(dur("1d") == 86400L)
+    assert(dur("1w") == 604800L)
+    intercept[InfluxQLParseException](dur("500ms"))
+  }
+
+  test("time literals: date, datetime, RFC3339, raw epoch ns") {
+    def lo(t: String): Long =
+      InfluxQLParser.parse(s"SELECT COUNT(value) FROM events WHERE time >= $t")
+        .where.head.asInstanceOf[TimeCond].epochNs
+    assert(lo("'2024-01-01'") == 1704067200000000000L)
+    assert(lo("'2024-01-01 06:30:00'") == 1704090600000000000L)
+    assert(lo("'2024-01-01T06:30:00Z'") == 1704090600000000000L)
+    assert(lo("1704067200000000000") == 1704067200000000000L)
+  }
+
+  test("regex tag predicate parses; regex on time rejected") {
+    val q = InfluxQLParser.parse(
+      "SELECT COUNT(value) FROM events WHERE event_type =~ /^(cl|pu)/ GROUP BY event_type")
+    assert(q.where == Seq(TagCond("event_type", "=~", "^(cl|pu)")))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT COUNT(value) FROM events WHERE time =~ /x/"))
+  }
+
+  test("invalid queries are rejected with parse errors") {
+    // mixing raw and aggregate fields
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT value, MEAN(value) FROM events"))
+    // GROUP BY without an aggregate
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT value FROM events GROUP BY time(1h)"))
+    // fill without GROUP BY time
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT MEAN(value) FROM events GROUP BY user_id fill(previous)"))
+    // unknown function
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT FROBNICATE(value) FROM events"))
+    // percentile without its parameter
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT PERCENTILE(value) FROM events"))
+    // duplicate output names (needs aliases)
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT MEAN(value), MEAN(value) FROM events"))
+    // ORDER BY a non-time column
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT value FROM events ORDER BY value"))
+    // trailing garbage
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT MEAN(value) FROM events BOGUS CLAUSE"))
+  }
+
+  // ---- planner ------------------------------------------------------------
+
+  test("unknown measurement is rejected at planning time") {
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sql(spark, dir, "SELECT MEAN(value) FROM nope"))
+  }
+
+  test("fill() without a bounded WHERE time range is refused (unbounded grid)") {
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sql(spark, dir,
+        "SELECT MEAN(value) FROM events GROUP BY time(1h) fill(previous)").collect())
+  }
+
+  test("fill(0) substitutes the value into empty buckets") {
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1h), user_id fill(0)""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("m"))))
+    assert(rows.exists(r => r.getDouble(r.fieldIndex("m")) == 0.0))
+  }
+
+  test("fill(null) keeps empty buckets with null; grid covers the WHERE range") {
+    val df = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1h), user_id fill(null)""".stripMargin)
+    val users = df.select("user_id").distinct().count()
+    // full grid: every observed series × every bucket in [t0, t1)
+    assert(df.count() == users * 48)
+  }
+
+  test("LIMIT + OFFSET paginate the ordered raw select") {
+    def page(limit: Int, offset: Int): Seq[String] =
+      InfluxQLPlanner.sql(spark, dir,
+        s"""SELECT value FROM events WHERE event_type = 'click'
+           |ORDER BY time DESC LIMIT $limit OFFSET $offset""".stripMargin)
+        .collect().map(_.mkString("|")).toSeq
+    val first4 = page(4, 0)
+    assert(first4.size == 4)
+    assert(page(2, 2) == first4.drop(2))
+  }
+
+  test("aggregate over everything (no GROUP BY) yields one row") {
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n, MEAN(value) AS m FROM events").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) > 0)
+  }
+
+  test("time predicates reach the parquet scan as ts_ns pushed filters") {
+    val plan = InfluxQLPlanner.sql(spark, dir,
+      """SELECT value FROM events
+        |WHERE time >= '2024-01-10' AND time < '2024-01-11'""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"),
+      s"time bound must push down to the scan:\n$plan")
+  }
+}
