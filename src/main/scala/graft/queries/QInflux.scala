@@ -240,23 +240,18 @@ object QInflux {
         |  UNION ALL
         |  SELECT user_id, n, vals[1] FROM o WHERE n = 1)
         |SELECT user_id, n, forecast FROM fc ORDER BY user_id""".stripMargin) { (s, dir) =>
-      // collect_list + array_sort gives the event-time-ordered series per
-      // key after ONE shuffle; the Holt fold then runs as a codegen'd
-      // higher-order aggregate over the array — no second pass, no UDAF.
-      // (At 100 TB the emaByKey-style sortWithinPartitions+fold variant
-      // streams in O(1) state; this closed array form is the SQL-surface
-      // twin.)
-      val lNew = "0.5 * x.l + 0.5 * (acc.l + acc.b)"
-      events(s, dir)
-        .groupBy("user_id")
-        .agg(expr("transform(array_sort(collect_list(struct(unix_micros(ts) AS t, event_id AS i, value AS v))), e -> e.v)").as("vals"))
-        .selectExpr("user_id", "size(vals) AS n", "element_at(vals, 1) AS v1",
-          s"""aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)),
-             |  named_struct('l', element_at(vals, 2), 'b', element_at(vals, 2) - element_at(vals, 1)),
-             |  (acc, v) -> named_struct('l', 0.5 * v + 0.5 * (acc.l + acc.b),
-             |                           'b', 0.3 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b)) AS st""".stripMargin)
-        .selectExpr("user_id", "CAST(n AS BIGINT) AS n",
-          "CASE WHEN n = 1 THEN v1 ELSE floor((st.l + st.b) * 10000) / 10000 END AS forecast")
+      // O(1)-state scale path (VERDICT r4 #3): one shuffle on the series
+      // key, in-partition sort, streaming fold — per-series state is
+      // (n, v1, l, b), never the series history. The collect_list array
+      // form this replaced kept a hot series' entire history in one
+      // aggregation buffer (unbounded at 100 TB); it survives as the
+      // equality pin in AsofAndEmaSpec and as the recursive-CTE oracle.
+      // Plan pinned collect_list-free in PlanAuditSpec.
+      graft.functions.Holt.holtByKey(
+        events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")), col("event_id"), col("value")),
+        alpha = 0.5, gamma = 0.3)
+        .toDF("user_id", "n", "forecast")
         .orderBy("user_id")
     },
 

@@ -54,6 +54,32 @@ class AsofAndEmaSpec extends SparkTestBase {
     assert(out(1L) === 5.5)
   }
 
+  test("Holt scale path (streaming fold) matches the closed array-fold form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 13 series of mixed lengths incl. n=1 and n=2 edge cases; duplicate
+    // timestamps broken by the unique id, as in the registered query.
+    val rows = Seq.tabulate(1500)(i =>
+      ((i % 13).toLong, ((i * 991) % 5000).toLong, i.toLong, rnd.nextDouble() * 200)) ++
+      Seq((100L, 1L, 9001L, 42.5), (101L, 1L, 9002L, 7.0), (101L, 2L, 9003L, 9.0))
+    val df = rows.toDF("k", "t", "i", "v")
+    // The pre-r5 registered implementation: collect_list array + HOF fold
+    // (kept here as the equality pin; the oracle twin is the DuckDB
+    // recursive CTE the driver checks at sf0.01).
+    val viaArray = df.groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(t, i, v))), e -> e.v)").as("vals"))
+      .selectExpr("k", "size(vals) AS n", "element_at(vals, 1) AS v1",
+        """aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)),
+          |  named_struct('l', try_element_at(vals, 2), 'b', try_element_at(vals, 2) - element_at(vals, 1)),
+          |  (acc, v) -> named_struct('l', 0.5 * v + 0.5 * (acc.l + acc.b),
+          |              'b', 0.3 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b)) AS st""".stripMargin)
+      .selectExpr("k", "n", "CASE WHEN n = 1 THEN v1 ELSE floor((st.l + st.b) * 10000) / 10000 END AS fc")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2))).toMap
+    val viaScale = graft.functions.Holt.holtByKey(df, 0.5, 0.3)
+      .collect().map { case (k, n, fc) => k -> (n, fc) }.toMap
+    assert(viaScale === viaArray)
+  }
+
   test("EMA scale path (sortWithinPartitions + streaming fold) matches the Aggregator") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

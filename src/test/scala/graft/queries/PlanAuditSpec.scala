@@ -87,6 +87,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected partial window-group-limit before the shuffle:\n$plan")
   }
 
+  test("q_holt_forecast folds with O(1) state (no collect_list buffer in the plan)") {
+    val plan = planOf("q_holt_forecast")
+    assert(!plan.contains("collect_list"),
+      s"Holt must stream-fold, not buffer the series history per key:\n$plan")
+    assert(plan.contains("MapPartitions") && plan.toLowerCase.contains("sort"),
+      s"expected the sortWithinPartitions + mapPartitions fold:\n$plan")
+  }
+
   test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(1000).toDF("id").repartition(target)
