@@ -54,7 +54,8 @@ class S7SimSource extends TableProvider {
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"s7sim: option '$key' must be an integer, got '${opts.get(key)}'") }
-    new S7SimTable(plcs, intOpt("tagsperplc", "4"), intOpt("intervalms", "1000").toLong)
+    new S7SimTable(plcs, intOpt("tagsperplc", "4"), intOpt("intervalms", "1000").toLong,
+      intOpt("ticksperpoll", "1").toLong)
   }
 }
 
@@ -83,7 +84,8 @@ object S7SimSource {
   }
 }
 
-private[sources] class S7SimTable(plcs: Seq[String], tagsPerPlc: Int, intervalMs: Long)
+private[sources] class S7SimTable(plcs: Seq[String], tagsPerPlc: Int, intervalMs: Long,
+    ticksPerPoll: Long = 1L)
     extends Table with SupportsRead {
   override def name(): String = s"s7sim(${plcs.mkString(",")})"
   override def schema(): StructType = S7SimSource.Schema
@@ -94,7 +96,7 @@ private[sources] class S7SimTable(plcs: Seq[String], tagsPerPlc: Int, intervalMs
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = S7SimSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new S7SimMicroBatchStream(plcs, tagsPerPlc, intervalMs)
+          new S7SimMicroBatchStream(plcs, tagsPerPlc, intervalMs, ticksPerPoll)
       }
     }
 }
@@ -103,9 +105,11 @@ private[sources] case class TickOffset(tick: Long) extends Offset {
   override def json(): String = tick.toString
 }
 
-private[sources] class S7SimMicroBatchStream(plcs: Seq[String], tagsPerPlc: Int, intervalMs: Long)
+private[sources] class S7SimMicroBatchStream(plcs: Seq[String], tagsPerPlc: Int, intervalMs: Long,
+    ticksPerPoll: Long = 1L)
     extends MicroBatchStream with SupportsAdmissionControl {
-  // One simulated tick becomes available per latestOffset poll. The
+  // `ticksPerPoll` simulated ticks become available per latestOffset poll
+  // (default 1; StreamBench raises it to form substantial batches). The
   // admission-control variant receives the start offset, so a query
   // restarted from a checkpoint resumes the tick sequence exactly where
   // the committed offset left it (T10) — no replayed duplicates, no
@@ -117,9 +121,9 @@ private[sources] class S7SimMicroBatchStream(plcs: Seq[String], tagsPerPlc: Int,
     case other         => other.json().toLong
   }
 
-  override def latestOffset(): Offset = { latest += 1; TickOffset(latest) }
+  override def latestOffset(): Offset = { latest += ticksPerPoll; TickOffset(latest) }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    latest = math.max(latest, tickOf(start)) + 1
+    latest = math.max(latest, tickOf(start)) + ticksPerPoll
     TickOffset(latest)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

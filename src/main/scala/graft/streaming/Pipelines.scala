@@ -134,13 +134,14 @@ object Pipelines {
     * dropped (P4, ref InfluxConnector2.py:172).
     */
   def s7DecodedStream(spark: SparkSession, plcs: Seq[String], tagsPerPlc: Int = 4,
-      intervalMs: Long = 1000L): DataFrame = {
+      intervalMs: Long = 1000L, sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     graft.functions.DecodeS7.register(spark)
     spark.readStream
       .format("graft.sources.S7SimSource")
       .option("plcs", plcs.mkString(","))
       .option("tagsPerPlc", tagsPerPlc.toString)
       .option("intervalMs", intervalMs.toString)
+      .options(sourceOptions)
       .load()
       .select(col("ts"), col("plc").as("measurement"), col("alias"),
         expr("decode_s7(buf, type_code, bit)").as("value"))
@@ -158,7 +159,8 @@ object Pipelines {
     * broadcast dimension: enrichment adds no shuffle to the stream.
     */
   def ingest(spark: SparkSession, configXml: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
     import spark.implicits._
     val tags = graft.sources.ConfigXml.parseString(configXml)
     require(tags.nonEmpty,
@@ -171,7 +173,8 @@ object Pipelines {
       ts.zipWithIndex.map { case (t, i) => (plc, i, t.alias, t.active) }
     }.toDF("cfg_plc", "cfg_idx", "cfg_alias", "active")
 
-    val decoded = s7DecodedStream(spark, plcs, tagsPerPlc = maxTags)
+    val decoded = s7DecodedStream(spark, plcs, tagsPerPlc = maxTags,
+      sourceOptions = sourceOptions)
       .withColumn("tag_idx",
         regexp_extract(col("alias"), "_tag([0-9]+)$", 1).cast("int"))
     val points = decoded
@@ -183,7 +186,7 @@ object Pipelines {
     LineProtocol.formatPoints(points)
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch((batch: DataFrame, id: Long) => LineProtocol.append(outDir)(batch, id))
       .queryName("graft-ingest")
       .start()
