@@ -62,6 +62,31 @@ object QDedup {
     sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")): _*)
   }
 
+  /** The banded MinHash signature table (doc_id, mh0..mh7, band_id, k) —
+    * the LSH candidate-generation frame (4 bands × 2 rows). The full
+    * signature rides along so candidate pairs and est_sim come out of a
+    * SINGLE self-join on (band_id, k): no join back to sig. Self-joins of
+    * this frame go through RENAMED `toDF` copies, never `.as(alias)`
+    * (aliased self-joins of one plan de-duplicate attributes and degrade
+    * the equi-keys to a cartesian product; observed 135s → <5s at sf0.1).
+    *
+    * Public because at 100 TB this is the table a deployment PERSISTS
+    * bucketed by (band_id, k) via [[graft.sinks.BucketedStore]] — the
+    * candidate self-join then runs bucket-to-bucket with NO shuffle
+    * (pinned by BucketedJoinSpec "LSH band table").
+    */
+  def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint: the signature is reused by both join sides;
+    // without it the higher-order-fn lineage is recomputed per branch.
+    val sig = signatures(documents(s, dir)).localCheckpoint(true)
+    val bandStructs = (0 until 4).map(j =>
+      struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
+    sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+      explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+        col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+  }
+
   // ---- DuckDB-side fragments ----
   private val duckCharHash =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok, ''), ch -> unicode(ch)::BIGINT)), (acc, b) -> (acc * 31 + b) % $CP)"
@@ -191,21 +216,7 @@ object QDedup {
            |FROM pairs p JOIN sig a ON p.doc_a = a.doc_id JOIN sig b ON p.doc_b = b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, dir) =>
-      // eager localCheckpoint: the signature is reused by both join sides;
-      // without it the interpreted higher-order-fn lineage is recomputed per branch
-      val sig = signatures(documents(s, dir)).localCheckpoint(true)
-      val bandStructs = (0 until 4).map(j =>
-        struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-      // Carry the full signature through the band explode so candidate
-      // generation and est_sim come out of a SINGLE self-join (band, key):
-      // no second/third join back to sig. Self-join via RENAMED frames,
-      // not .as(alias): aliased self-joins of the same plan de-duplicate
-      // attributes and degrade the equi-keys to a cartesian product
-      // (observed 135s → <5s at sf0.1).
-      val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-        explode(array(bandStructs: _*)).as("bk"): _*)
-        .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-          col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+      val bands = bandedSignatures(s, dir)
       val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
       val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
       val est = A.indices.map(i =>

@@ -19,7 +19,13 @@ object BucketedStore {
     * `key`. Readers get the bucketing metadata via `spark.table(name)`.
     */
   def write(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    write(df, name, Seq(key), buckets)
+
+  /** Composite-key variant — e.g. the LSH band table bucketed by
+    * (band_id, k) so the candidate self-join is bucket-to-bucket.
+    */
+  def write(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
 }
