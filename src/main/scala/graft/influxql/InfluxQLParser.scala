@@ -46,6 +46,12 @@ object InfluxQLAst {
   /** Aggregate/selector call, e.g. MEAN(value) or PERCENTILE(value, 90). */
   final case class FnField(fn: String, arg: String, param: Option[Double],
       alias: Option[String]) extends Field
+  /** Transform over a bucketed aggregate, e.g. DERIVATIVE(MEAN(value), 1h)
+    * or MOVING_AVERAGE(MEAN(value), 3) — the nested shape Grafana panels
+    * emit. `param` is the derivative unit in seconds / the window width.
+    */
+  final case class TransformField(fn: String, inner: FnField, param: Option[Double],
+      alias: Option[String]) extends Field
 
   sealed trait Cond
   /** `time <op> literal`, bound normalized to epoch nanoseconds (UTC). */
@@ -118,6 +124,9 @@ object InfluxQLParser {
 
   private val Functions = Set("count", "mean", "sum", "min", "max", "first",
     "last", "spread", "stddev", "median", "percentile")
+
+  private val Transforms = Set("derivative", "non_negative_derivative",
+    "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
   /** Parse an InfluxQL SELECT statement into its AST. */
   def parse(q: String): Select = new P(lex(q)).select()
@@ -201,30 +210,63 @@ object InfluxQLParser {
       val base: Field =
         if (peek.contains(TOp("("))) {
           val fn = name.toLowerCase
-          if (!Functions(fn))
-            throw InfluxQLParseException(s"unknown function: $name")
           eatOp("(")
-          val arg = ident()
-          val param =
-            if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+          val f: Field =
+            if (Transforms(fn)) {
+              // nested shape: TRANSFORM(AGG(field)[, unit|n])
+              val innerName = ident()
+              if (!peek.contains(TOp("(")))
+                throw InfluxQLParseException(
+                  s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
+              val inner = aggCall(innerName)
+              val param =
+                if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
+              TransformField(fn, inner, param, None)
+            } else aggCallBody(fn, name)
           eatOp(")")
-          if (fn == "percentile" && param.isEmpty)
-            throw InfluxQLParseException("PERCENTILE requires a second argument")
-          FnField(fn, arg, param, None)
+          f
         } else RawField(name, None)
       if (kwPeek.contains("as")) {
         next()
         val a = ident()
         base match {
-          case f: FnField  => f.copy(alias = Some(a))
-          case f: RawField => f.copy(alias = Some(a))
+          case f: FnField        => f.copy(alias = Some(a))
+          case f: TransformField => f.copy(alias = Some(a))
+          case f: RawField       => f.copy(alias = Some(a))
         }
       } else base
+    }
+
+    /** `NAME ( ... )` where NAME has already been consumed. */
+    private def aggCall(name: String): FnField = {
+      eatOp("(")
+      val f = aggCallBody(name.toLowerCase, name)
+      eatOp(")")
+      f
+    }
+
+    /** Body of an aggregate call after its '(' — arg [, param]. */
+    private def aggCallBody(fn: String, name: String): FnField = {
+      if (!Functions(fn))
+        throw InfluxQLParseException(s"unknown function: $name")
+      val arg = ident()
+      val param =
+        if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+      if (fn == "percentile" && param.isEmpty)
+        throw InfluxQLParseException("PERCENTILE requires a second argument")
+      FnField(fn, arg, param, None)
     }
 
     private def numLit(): Double = next() match {
       case TNum(v) => v
       case t => throw InfluxQLParseException(s"expected number, got $t")
+    }
+
+    /** A number, or a duration rendered as seconds (DERIVATIVE unit). */
+    private def numOrDur(): Double = next() match {
+      case TNum(v) => v
+      case TDur(s) => s.toDouble
+      case t => throw InfluxQLParseException(s"expected number or duration, got $t")
     }
 
     private def condList(): Seq[Cond] = {
@@ -300,13 +342,17 @@ object InfluxQLParser {
     }
 
     private def validate(s: Select): Unit = {
-      val hasFn = s.fields.exists(_.isInstanceOf[FnField])
+      val hasFn = s.fields.exists(f =>
+        f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
       val hasRaw = s.fields.exists(_.isInstanceOf[RawField])
       if (hasFn && hasRaw)
         throw InfluxQLParseException(
           "cannot mix aggregate and raw fields in one SELECT")
       if (!hasFn && (s.groupTimeSec.isDefined || s.groupTags.nonEmpty))
         throw InfluxQLParseException("GROUP BY requires aggregate fields")
+      if (s.fields.exists(_.isInstanceOf[TransformField]) && s.groupTimeSec.isEmpty)
+        throw InfluxQLParseException(
+          "DERIVATIVE/MOVING_AVERAGE/… over an aggregate require GROUP BY time(...)")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       val names = s.fields.map(outName)
@@ -320,8 +366,9 @@ object InfluxQLParser {
     * (the lowercase function name; the field name for raw projections).
     */
   def outName(f: Field): String = f match {
-    case FnField(fn, _, _, alias)  => alias.getOrElse(fn)
-    case RawField(name, alias)     => alias.getOrElse(name)
+    case FnField(fn, _, _, alias)        => alias.getOrElse(fn)
+    case TransformField(fn, _, _, alias) => alias.getOrElse(fn)
+    case RawField(name, alias)           => alias.getOrElse(name)
   }
 
   /** Parse an absolute time literal to epoch nanoseconds (UTC).

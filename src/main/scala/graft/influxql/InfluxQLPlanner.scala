@@ -44,7 +44,8 @@ object InfluxQLPlanner {
         s"unknown measurement: ${q.measurement} (this build maps measurement 'events')")
     val base = Tables.events(spark, dir)
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
-    val isAgg = q.fields.exists(_.isInstanceOf[FnField])
+    val isAgg = q.fields.exists(f =>
+      f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
     if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
   }
 
@@ -105,7 +106,12 @@ object InfluxQLPlanner {
   }
 
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
-    val fns = q.fields.collect { case f: FnField => f }
+    // Transforms compute their INNER aggregate per bucket here, then get
+    // windowed over the (tags, __t) frame after fill — same rendered-value
+    // conventions as the standalone operators (q_win_derivative: round 6
+    // + `+0` to fold IEEE -0.0; q_win_movavg: round 4; q_win_cumsum:
+    // round 2).
+    val fns: Seq[Field] = q.fields
     val aggNames = fns.map(InfluxQLParser.outName)
     val tagCols = q.groupTags
     // Epoch-aligned bucket start, computed with integer arithmetic on the
@@ -118,7 +124,11 @@ object InfluxQLPlanner {
       case None => filtered
     }
     val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
-    val aggExprs = fns.map(aggExpr)
+    val aggExprs = fns.map {
+      case f: FnField        => aggExpr(f)
+      case t: TransformField => aggExpr(t.inner).as(InfluxQLParser.outName(t))
+      case f => throw InfluxQLParseException(s"unexpected raw field in aggregate: $f")
+    }
     val agg =
       if (keyCols.isEmpty) bucketed.agg(aggExprs.head, aggExprs.tail: _*)
       else bucketed.groupBy(keyCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
@@ -128,11 +138,39 @@ object InfluxQLPlanner {
       case mode => gridFill(spark, agg, q, aggNames, mode)
     }
 
+    val transformed = {
+      val tfs = fns.collect { case t: TransformField => t }
+      val w = Window.partitionBy(tagCols.map(col): _*).orderBy("__t")
+      tfs.foldLeft(filled) { (df, t) =>
+        val n = InfluxQLParser.outName(t)
+        val v = col(n)
+        val tu = unix_micros(col("__t"))
+        val c = t.fn match {
+          case "derivative" | "non_negative_derivative" =>
+            // Δvalue / (Δt in units); unit defaults to 1s (InfluxQL).
+            val unitMicros = t.param.getOrElse(1.0) * 1000000.0
+            val d = round((v - lag(v, 1).over(w)) /
+              ((tu - lag(tu, 1).over(w)) / lit(unitMicros)), 6) + lit(0.0)
+            if (t.fn.startsWith("non_")) when(d >= 0, d) else d
+          case "difference" | "non_negative_difference" =>
+            val d = round(v - lag(v, 1).over(w), 2) + lit(0.0)
+            if (t.fn.startsWith("non_")) when(d >= 0, d) else d
+          case "moving_average" =>
+            val width = t.param.getOrElse(2.0).toInt
+            round(avg(v).over(w.rowsBetween(-(width - 1), Window.currentRow)), 4)
+          case "cumulative_sum" =>
+            round(sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          case other => throw InfluxQLParseException(s"unknown transform: $other")
+        }
+        df.withColumn(n, c)
+      }
+    }
+
     val timeOut =
       if (q.groupTimeSec.isDefined)
         Seq(date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time"))
       else Nil
-    val out = filled.select(
+    val out = transformed.select(
       timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
     val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
     limited(ordered, q)

@@ -119,6 +119,61 @@ object QInfluxQL {
         |FROM events GROUP BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_derivative",
+      "IQL7: textual DERIVATIVE(MEAN(value), 1h) GROUP BY time(1h), tag — the Grafana rate-panel shape",
+      """WITH a AS (
+        |  SELECT user_id,
+        |         time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       round((m - lag(m) OVER (PARTITION BY user_id ORDER BY t))
+        |             / ((epoch_us(t) - lag(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t))
+        |                / 3600000000.0), 6) + 0 AS dmean
+        |FROM a ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT DERIVATIVE(MEAN(value), 1h) AS dmean FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_movavg",
+      "IQL8: textual MOVING_AVERAGE(MEAN(value), 3) GROUP BY time(1h), tag — smoothed dashboard series",
+      """WITH a AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type,
+        |       round(avg(m) OVER (PARTITION BY event_type ORDER BY t
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma
+        |FROM a ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT MOVING_AVERAGE(MEAN(value), 3) AS ma FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_cumsum",
+      "IQL9: textual CUMULATIVE_SUM(SUM(value)) GROUP BY time(1d), tag — counter totalization",
+      """WITH a AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS t,
+        |         round(sum(value), 2) AS sv
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type,
+        |       round(sum(sv) OVER (PARTITION BY event_type ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cs
+        |FROM a ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT CUMULATIVE_SUM(SUM(value)) AS cs FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1d), event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_regex",
       "IQL6: textual regex tag predicate `=~ /re/` + MEAN/COUNT per tag (InfluxQL regex selection)",
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value

@@ -62,6 +62,21 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parse("SELECT COUNT(value) FROM events WHERE time =~ /x/"))
   }
 
+  test("nested transforms parse: DERIVATIVE(MEAN(value), 1h) et al") {
+    val q = InfluxQLParser.parse(
+      """SELECT DERIVATIVE(MEAN(value), 1h) AS d, MOVING_AVERAGE(SUM(value), 3)
+        |FROM events GROUP BY time(1h), user_id""".stripMargin)
+    assert(q.fields == Seq(
+      TransformField("derivative", FnField("mean", "value", None, None), Some(3600.0), Some("d")),
+      TransformField("moving_average", FnField("sum", "value", None, None), Some(3.0), None)))
+    // transform without GROUP BY time is rejected
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT DERIVATIVE(MEAN(value)) FROM events GROUP BY user_id"))
+    // transform of a bare field (no nested aggregate) is rejected
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
