@@ -29,6 +29,14 @@ package graft.influxql
   */
 object InfluxQLAst {
 
+  sealed trait Statement
+
+  /** SHOW MEASUREMENTS / SHOW TAG KEYS [FROM m] / SHOW FIELD KEYS [FROM m]
+    * — the metadata surface InfluxDB 1.7 clients (Grafana's query builder)
+    * poll for autocompletion.
+    */
+  final case class Show(what: String, from: Option[String]) extends Statement
+
   final case class Select(
       fields: Seq[Field],
       measurement: String,
@@ -38,7 +46,7 @@ object InfluxQLAst {
       fill: Fill,
       orderDesc: Boolean,
       limit: Option[Int],
-      offset: Option[Int])
+      offset: Option[Int]) extends Statement
 
   sealed trait Field { def alias: Option[String] }
   /** Bare field/tag projection (raw, non-aggregated select). */
@@ -128,8 +136,17 @@ object InfluxQLParser {
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
-  /** Parse an InfluxQL SELECT statement into its AST. */
-  def parse(q: String): Select = new P(lex(q)).select()
+  /** Parse an InfluxQL statement (SELECT or SHOW …) into its AST. */
+  def parse(q: String): Statement = {
+    val p = new P(lex(q))
+    if (p.atShow) p.show() else p.select()
+  }
+
+  /** Parse a statement known to be a SELECT (tests, typed callers). */
+  def parseSelect(q: String): Select = parse(q) match {
+    case s: Select => s
+    case other => throw InfluxQLParseException(s"expected SELECT, parsed $other")
+  }
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
@@ -155,6 +172,22 @@ object InfluxQLParser {
     private def intLit(): Int = next() match {
       case TNum(v) if v == v.toInt => v.toInt
       case t => throw InfluxQLParseException(s"expected integer, got $t")
+    }
+
+    def atShow: Boolean = kwPeek.contains("show")
+
+    def show(): Show = {
+      eatKw("show")
+      val what = ident().toLowerCase match {
+        case "measurements" => "measurements"
+        case "tag"   => eatKw("keys"); "tag_keys"
+        case "field" => eatKw("keys"); "field_keys"
+        case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
+      }
+      val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after SHOW: ${peek.get}")
+      Show(what, from)
     }
 
     def select(): Select = {

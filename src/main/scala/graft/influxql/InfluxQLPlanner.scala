@@ -36,7 +36,29 @@ object InfluxQLPlanner {
 
   /** Parse + plan: the engine's user-facing `influxql(...)` entry point. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame =
-    plan(spark, dir, InfluxQLParser.parse(query))
+    InfluxQLParser.parse(query) match {
+      case s: Select          => plan(spark, dir, s)
+      case Show(what, from)   => planShow(spark, what, from)
+    }
+
+  /** The metadata surface Grafana's query builder polls (SHOW …). The
+    * catalog is the planner's measurement mapping itself — one
+    * measurement (`events`), its tag set, and its one field — rendered in
+    * InfluxDB 1.7's result shapes.
+    */
+  private def planShow(spark: SparkSession, what: String, from: Option[String]): DataFrame = {
+    import spark.implicits._
+    from.filter(_ != "events").foreach(m =>
+      throw InfluxQLParseException(s"unknown measurement: $m (this build maps measurement 'events')"))
+    what match {
+      case "measurements" => Seq("events").toDF("name")
+      case "tag_keys"     =>
+        Seq(("events", "event_type"), ("events", "user_id")).toDF("measurement", "tag_key")
+      case "field_keys"   =>
+        Seq(("events", "value", "float")).toDF("measurement", "field_key", "field_type")
+      case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
+    }
+  }
 
   def plan(spark: SparkSession, dir: String, q: Select): DataFrame = {
     if (q.measurement != "events")

@@ -174,6 +174,13 @@ object QInfluxQL {
         |GROUP BY time(1d), event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_show",
+      "IQL10: SHOW TAG KEYS — the metadata statement Grafana's query builder polls",
+      """SELECT * FROM (VALUES ('events', 'event_type'), ('events', 'user_id'))
+        |  AS t(measurement, tag_key) ORDER BY tag_key""".stripMargin)(influx(
+      "SHOW TAG KEYS FROM events")),
+
+    GraftQuery(
       "q_influxql_regex",
       "IQL6: textual regex tag predicate `=~ /re/` + MEAN/COUNT per tag (InfluxQL regex selection)",
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value

@@ -14,7 +14,7 @@ class InfluxQLSpec extends SparkTestBase {
   // ---- parser -------------------------------------------------------------
 
   test("parses the full clause set into the expected AST") {
-    val q = InfluxQLParser.parse(
+    val q = InfluxQLParser.parseSelect(
       """SELECT MEAN(value) AS m, COUNT(value) FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND event_type = 'click'
         |GROUP BY time(1h), user_id fill(previous)
@@ -35,7 +35,7 @@ class InfluxQLSpec extends SparkTestBase {
 
   test("duration units: 90s, 5m, 1d, 1w; sub-second rejected") {
     def dur(d: String): Long =
-      InfluxQLParser.parse(s"SELECT COUNT(value) FROM events GROUP BY time($d)")
+      InfluxQLParser.parseSelect(s"SELECT COUNT(value) FROM events GROUP BY time($d)")
         .groupTimeSec.get
     assert(dur("90s") == 90L)
     assert(dur("5m") == 300L)
@@ -46,7 +46,7 @@ class InfluxQLSpec extends SparkTestBase {
 
   test("time literals: date, datetime, RFC3339, raw epoch ns") {
     def lo(t: String): Long =
-      InfluxQLParser.parse(s"SELECT COUNT(value) FROM events WHERE time >= $t")
+      InfluxQLParser.parseSelect(s"SELECT COUNT(value) FROM events WHERE time >= $t")
         .where.head.asInstanceOf[TimeCond].epochNs
     assert(lo("'2024-01-01'") == 1704067200000000000L)
     assert(lo("'2024-01-01 06:30:00'") == 1704090600000000000L)
@@ -55,15 +55,15 @@ class InfluxQLSpec extends SparkTestBase {
   }
 
   test("regex tag predicate parses; regex on time rejected") {
-    val q = InfluxQLParser.parse(
+    val q = InfluxQLParser.parseSelect(
       "SELECT COUNT(value) FROM events WHERE event_type =~ /^(cl|pu)/ GROUP BY event_type")
     assert(q.where == Seq(TagCond("event_type", "=~", "^(cl|pu)")))
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT COUNT(value) FROM events WHERE time =~ /x/"))
+      InfluxQLParser.parseSelect("SELECT COUNT(value) FROM events WHERE time =~ /x/"))
   }
 
   test("nested transforms parse: DERIVATIVE(MEAN(value), 1h) et al") {
-    val q = InfluxQLParser.parse(
+    val q = InfluxQLParser.parseSelect(
       """SELECT DERIVATIVE(MEAN(value), 1h) AS d, MOVING_AVERAGE(SUM(value), 3)
         |FROM events GROUP BY time(1h), user_id""".stripMargin)
     assert(q.fields == Seq(
@@ -71,37 +71,50 @@ class InfluxQLSpec extends SparkTestBase {
       TransformField("moving_average", FnField("sum", "value", None, None), Some(3.0), None)))
     // transform without GROUP BY time is rejected
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT DERIVATIVE(MEAN(value)) FROM events GROUP BY user_id"))
+      InfluxQLParser.parseSelect("SELECT DERIVATIVE(MEAN(value)) FROM events GROUP BY user_id"))
     // transform of a bare field (no nested aggregate) is rejected
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
+      InfluxQLParser.parseSelect("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
   }
 
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT value, MEAN(value) FROM events"))
+      InfluxQLParser.parseSelect("SELECT value, MEAN(value) FROM events"))
     // GROUP BY without an aggregate
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT value FROM events GROUP BY time(1h)"))
+      InfluxQLParser.parseSelect("SELECT value FROM events GROUP BY time(1h)"))
     // fill without GROUP BY time
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT MEAN(value) FROM events GROUP BY user_id fill(previous)"))
+      InfluxQLParser.parseSelect("SELECT MEAN(value) FROM events GROUP BY user_id fill(previous)"))
     // unknown function
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT FROBNICATE(value) FROM events"))
+      InfluxQLParser.parseSelect("SELECT FROBNICATE(value) FROM events"))
     // percentile without its parameter
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT PERCENTILE(value) FROM events"))
+      InfluxQLParser.parseSelect("SELECT PERCENTILE(value) FROM events"))
     // duplicate output names (needs aliases)
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT MEAN(value), MEAN(value) FROM events"))
+      InfluxQLParser.parseSelect("SELECT MEAN(value), MEAN(value) FROM events"))
     // ORDER BY a non-time column
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT value FROM events ORDER BY value"))
+      InfluxQLParser.parseSelect("SELECT value FROM events ORDER BY value"))
     // trailing garbage
     intercept[InfluxQLParseException](
-      InfluxQLParser.parse("SELECT MEAN(value) FROM events BOGUS CLAUSE"))
+      InfluxQLParser.parseSelect("SELECT MEAN(value) FROM events BOGUS CLAUSE"))
+  }
+
+  test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
+    assert(InfluxQLParser.parse("SHOW MEASUREMENTS") == Show("measurements", None))
+    assert(InfluxQLParser.parse("SHOW TAG KEYS FROM events") == Show("tag_keys", Some("events")))
+    assert(InfluxQLParser.parse("SHOW FIELD KEYS") == Show("field_keys", None))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW TAG KEYS FROM events").count() == 2)
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW FIELD KEYS").count() == 1)
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sql(spark, dir, "SHOW TAG KEYS FROM nope"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("SHOW RETENTION POLICIES"))
   }
 
   // ---- planner ------------------------------------------------------------

@@ -87,6 +87,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected partial window-group-limit before the shuffle:\n$plan")
   }
 
+  test("InfluxQL front-end inherits the scan pushdown (textual WHERE time → ts_ns row-group stats)") {
+    val plan = planOf("q_influxql_basic")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
+      s"parsed time bounds must reach the parquet scan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"bucket agg must be a hash aggregate:\n$plan")
+  }
+
+  test("InfluxQL raw select with ORDER BY time DESC LIMIT plans TakeOrderedAndProject") {
+    assert(planOf("q_influxql_raw").contains("TakeOrderedAndProject"))
+  }
+
   test("q_holt_forecast folds with O(1) state (no collect_list buffer in the plan)") {
     val plan = planOf("q_holt_forecast")
     assert(!plan.contains("collect_list"),
