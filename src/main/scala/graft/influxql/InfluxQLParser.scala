@@ -37,6 +37,13 @@ object InfluxQLAst {
     */
   final case class Show(what: String, from: Option[String]) extends Statement
 
+  /** CREATE CONTINUOUS QUERY name ON db BEGIN SELECT … END — InfluxDB's
+    * standing `GROUP BY time(n)` rollup (ref README.md:3 "continuous
+    * queries"); planned onto a watermarked Structured Streaming aggregate
+    * by [[InfluxQLPlanner.continuous]].
+    */
+  final case class CreateCq(name: String, db: String, select: Select) extends Statement
+
   final case class Select(
       fields: Seq[Field],
       measurement: String,
@@ -139,7 +146,9 @@ object InfluxQLParser {
   /** Parse an InfluxQL statement (SELECT or SHOW …) into its AST. */
   def parse(q: String): Statement = {
     val p = new P(lex(q))
-    if (p.atShow) p.show() else p.select()
+    if (p.atShow) p.show()
+    else if (p.atCreate) p.createCq()
+    else p.select()
   }
 
   /** Parse a statement known to be a SELECT (tests, typed callers). */
@@ -175,6 +184,20 @@ object InfluxQLParser {
     }
 
     def atShow: Boolean = kwPeek.contains("show")
+    def atCreate: Boolean = kwPeek.contains("create")
+
+    def createCq(): CreateCq = {
+      eatKw("create"); eatKw("continuous"); eatKw("query")
+      val name = ident()
+      eatKw("on")
+      val db = ident()
+      eatKw("begin")
+      val sel = select()          // stops (without consuming) at END
+      eatKw("end")
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after END: ${peek.get}")
+      CreateCq(name, db, sel)
+    }
 
     def show(): Show = {
       eatKw("show")
@@ -202,7 +225,9 @@ object InfluxQLParser {
       var desc = false
       var limit: Option[Int] = None
       var offset: Option[Int] = None
-      while (peek.isDefined) kwPeek match {
+      var done = false
+      while (!done && peek.isDefined) kwPeek match {
+        case Some("end")   => done = true   // CREATE CQ BEGIN … END terminator
         case Some("where") => next(); where = condList()
         case Some("group") =>
           next(); eatKw("by")

@@ -37,8 +37,10 @@ object InfluxQLPlanner {
   /** Parse + plan: the engine's user-facing `influxql(...)` entry point. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame =
     InfluxQLParser.parse(query) match {
-      case s: Select          => plan(spark, dir, s)
-      case Show(what, from)   => planShow(spark, what, from)
+      case s: Select        => plan(spark, dir, s)
+      case Show(what, from) => planShow(spark, what, from)
+      case _: CreateCq      => throw InfluxQLParseException(
+        "CREATE CONTINUOUS QUERY plans onto a stream — use InfluxQLPlanner.continuous(frame, query)")
     }
 
   /** The metadata surface Grafana's query builder polls (SHOW …). The
@@ -69,6 +71,56 @@ object InfluxQLPlanner {
     val isAgg = q.fields.exists(f =>
       f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
     if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
+  }
+
+  /** Plan a CREATE CONTINUOUS QUERY (or its inner SELECT) onto an events
+    * frame — streaming or batch, SAME code path, so batch/stream parity
+    * holds by construction (asserted over MemoryStream in
+    * StreamingParitySpec). On a streaming frame the event-time column is
+    * watermarked and the bucket becomes a `window()` aggregate: Spark
+    * finalizes each window in append mode once the watermark passes it —
+    * exactly InfluxDB's standing `GROUP BY time(n)` rollup semantics
+    * (ref README.md:3 "continuous queries").
+    *
+    * CQ restrictions (each rejected explicitly): no absolute time bounds
+    * (a standing query has none), no fill() (append mode emits only
+    * observed windows), no ORDER BY/LIMIT (unbounded output), plain
+    * aggregates only (window transforms over finalized buckets belong in
+    * a downstream batch query over the rollup store).
+    */
+  def continuous(frame: DataFrame, query: String,
+      watermark: String = "2 minutes"): DataFrame = {
+    val sel = InfluxQLParser.parse(query) match {
+      case CreateCq(_, _, s) => s
+      case s: Select         => s
+      case other => throw InfluxQLParseException(s"not a continuous query: $other")
+    }
+    val sec = sel.groupTimeSec.getOrElse(
+      throw InfluxQLParseException("a continuous query requires GROUP BY time(...)"))
+    if (sel.where.exists(_.isInstanceOf[TimeCond]))
+      throw InfluxQLParseException("continuous queries take no absolute time bounds")
+    if (sel.fill != FillMissing && sel.fill != FillNone)
+      throw InfluxQLParseException("fill() is not supported in continuous queries")
+    if (sel.limit.isDefined || sel.offset.isDefined || sel.orderDesc)
+      throw InfluxQLParseException("ORDER BY/LIMIT are not supported in continuous queries")
+    val fns = sel.fields.map {
+      case f: FnField if !Set("percentile", "median").contains(f.fn) => f
+      case f => throw InfluxQLParseException(
+        s"continuous queries support plain streaming aggregates, got $f")
+    }
+    // Watermark semantics caveat (inherent to Spark, documented here): the
+    // optimizer pushes deterministic tag predicates below the
+    // EventTimeWatermark node toward the source, so a tag-filtered CQ's
+    // watermark advances with the FILTERED series' event time — a window
+    // of a quiet series finalizes only when that series produces newer
+    // data (or the query is stopped/flushed), not when unrelated series
+    // do. Same behavior as hand-written watermarked aggregations.
+    val wm0 = if (frame.isStreaming) frame.withWatermark("ts", watermark) else frame
+    val filtered = sel.where.foldLeft(wm0)((df, c) => df.filter(condCol(c)))
+    filtered.groupBy(window(col("ts"), s"$sec seconds") +: sel.groupTags.map(col): _*)
+      .agg(aggExpr(fns.head), fns.tail.map(aggExpr): _*)
+      .select(col("window.start").as("time") +:
+        (sel.groupTags.map(col) ++ fns.map(f => col(InfluxQLParser.outName(f)))): _*)
   }
 
   // ---- predicates ---------------------------------------------------------

@@ -108,6 +108,17 @@ object Pipelines {
       .start()
   }
 
+  /** A9 streaming via the TEXTUAL surface: InfluxDB's
+    * `CREATE CONTINUOUS QUERY … BEGIN SELECT … GROUP BY time(n) END`
+    * planned onto a watermarked streaming aggregate
+    * ([[graft.influxql.InfluxQLPlanner.continuous]]) — sink it like
+    * [[continuousDownsample]]. Batch/stream parity by construction (one
+    * code path), asserted in StreamingParitySpec.
+    */
+  def continuousFromInfluxQL(stream: DataFrame, cq: String,
+      watermark: String = "2 minutes"): DataFrame =
+    graft.influxql.InfluxQLPlanner.continuous(stream, cq, watermark)
+
   /** Stream-stream enrichment (beyond the reference's static catalog):
     * decoded points joined to a live config-UPDATE stream — e.g. alias
     * renames pushed while ingest runs. A watermarked interval join:

@@ -104,6 +104,27 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT MEAN(value) FROM events BOGUS CLAUSE"))
   }
 
+  test("CREATE CONTINUOUS QUERY parses; CQ restrictions rejected") {
+    val cq = InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY cq1 ON plc BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END")
+      .asInstanceOf[CreateCq]
+    assert(cq.name == "cq1" && cq.db == "plc")
+    assert(cq.select.groupTimeSec.contains(60L))
+    // sql() refuses to run a CQ against a static dir
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "CREATE CONTINUOUS QUERY cq1 ON plc BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END"))
+    // continuous() rejects absolute time bounds, fill, LIMIT, raw fields
+    def cont(q: String) =
+      InfluxQLPlanner.continuous(graft.tables.Tables.events(spark, dir), q)
+    intercept[InfluxQLParseException](
+      cont("SELECT MEAN(value) FROM events WHERE time >= '2024-01-01' GROUP BY time(1m)"))
+    intercept[InfluxQLParseException](
+      cont("SELECT MEAN(value) FROM events GROUP BY time(1m) LIMIT 5"))
+    intercept[InfluxQLParseException](
+      cont("SELECT PERCENTILE(value, 90) FROM events GROUP BY time(1m)"))
+    intercept[InfluxQLParseException](cont("SELECT value FROM events"))
+  }
+
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
     assert(InfluxQLParser.parse("SHOW MEASUREMENTS") == Show("measurements", None))
     assert(InfluxQLParser.parse("SHOW TAG KEYS FROM events") == Show("tag_keys", Some("events")))

@@ -58,6 +58,33 @@ class StreamingParitySpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("InfluxQL CREATE CONTINUOUS QUERY: watermarked stream rollup == batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val cq =
+      """CREATE CONTINUOUS QUERY cq_1m ON plc
+        |BEGIN SELECT MEAN(value) AS m, COUNT(value) AS n FROM events
+        |      WHERE event_type = 'click' GROUP BY time(5m), user_id END""".stripMargin
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.continuousFromInfluxQL(ms.toDF(), cq, "30 seconds")
+      .writeStream.format("memory").queryName("cq_out").outputMode("append").start()
+    ms.addData(base: _*)
+    q.processAllAvailable()
+    // The flush row must be IN the filtered series: Spark pushes the tag
+    // predicate below the watermark node, so only 'click' rows advance
+    // this CQ's watermark (see InfluxQLPlanner.continuous scaladoc). Its
+    // own far-future window stays unfinalized → not emitted.
+    ms.addData(Ev(99, ts(24 * 60), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cq_out").collect().map(_.toSeq).toSet
+    // batch twin: the SAME planner over the static frame
+    val batch = Pipelines.continuousFromInfluxQL(base.toDF(), cq)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful change-detect: stream (state across micro-batches) == batch twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
