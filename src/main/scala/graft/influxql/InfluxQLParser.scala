@@ -138,7 +138,7 @@ object InfluxQLParser {
   }
 
   private val Functions = Set("count", "mean", "sum", "min", "max", "first",
-    "last", "spread", "stddev", "median", "percentile")
+    "last", "spread", "stddev", "median", "percentile", "top", "bottom")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
@@ -310,8 +310,8 @@ object InfluxQLParser {
       val arg = ident()
       val param =
         if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
-      if (fn == "percentile" && param.isEmpty)
-        throw InfluxQLParseException("PERCENTILE requires a second argument")
+      if (Set("percentile", "top", "bottom")(fn) && param.isEmpty)
+        throw InfluxQLParseException(s"${fn.toUpperCase} requires a second argument")
       FnField(fn, arg, param, None)
     }
 
@@ -411,6 +411,12 @@ object InfluxQLParser {
       if (s.fields.exists(_.isInstanceOf[TransformField]) && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException(
           "DERIVATIVE/MOVING_AVERAGE/… over an aggregate require GROUP BY time(...)")
+      val selectors = s.fields.collect {
+        case FnField(fn, _, _, _) if fn == "top" || fn == "bottom" => fn
+      }
+      if (selectors.nonEmpty && (s.fields.size > 1 || s.groupTimeSec.isDefined))
+        throw InfluxQLParseException(
+          "TOP/BOTTOM must be the only field and take no GROUP BY time (tags only)")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       val names = s.fields.map(outName)

@@ -104,7 +104,7 @@ object InfluxQLPlanner {
     if (sel.limit.isDefined || sel.offset.isDefined || sel.orderDesc)
       throw InfluxQLParseException("ORDER BY/LIMIT are not supported in continuous queries")
     val fns = sel.fields.map {
-      case f: FnField if !Set("percentile", "median").contains(f.fn) => f
+      case f: FnField if !Set("percentile", "median", "top", "bottom").contains(f.fn) => f
       case f => throw InfluxQLParseException(
         s"continuous queries support plain streaming aggregates, got $f")
     }
@@ -179,7 +179,32 @@ object InfluxQLPlanner {
     e.as(InfluxQLParser.outName(f))
   }
 
+  /** TOP/BOTTOM(value, n) — a per-tag-group row SELECTOR, not an
+    * aggregate: returns the n extreme points with their times. Plans as
+    * row_number over the tag partition (ties broken by (ts_ns, event_id),
+    * deterministic) — the q_win_topk_per_group shape; at scale the rank
+    * filter pushes map-side as a WindowGroupLimit.
+    */
+  private def planTopBottom(filtered: DataFrame, q: Select, f: FnField): DataFrame = {
+    val n = f.param.get.toInt
+    val tags = q.groupTags
+    val ord =
+      if (f.fn == "top") Seq(col(f.arg).desc, col("ts_ns").asc, col("event_id").asc)
+      else Seq(col(f.arg).asc, col("ts_ns").asc, col("event_id").asc)
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
+    val ranked = filtered.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+    val out = ranked.select(
+      (date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("time") +:
+        tags.map(col)) :+ col(f.arg).as(InfluxQLParser.outName(f)) :+ col("__rn"): _*)
+    limited(out.orderBy(tags.map(col) :+ col("__rn"): _*).drop("__rn"), q)
+  }
+
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
+    q.fields match {
+      case Seq(f: FnField) if f.fn == "top" || f.fn == "bottom" =>
+        return planTopBottom(filtered, q, f)
+      case _ => ()
+    }
     // Transforms compute their INNER aggregate per bucket here, then get
     // windowed over the (tags, __t) frame after fill — same rendered-value
     // conventions as the standalone operators (q_win_derivative: round 6

@@ -174,6 +174,19 @@ object QInfluxQL {
         |GROUP BY time(1d), event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_top",
+      "IQL11: textual TOP(value, 3) per tag — row selector with times (InfluxQL TOP/BOTTOM)",
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time, event_type, value AS top_value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY value DESC, ts, event_id) AS rn
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08')
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)(influx(
+      """SELECT TOP(value, 3) AS top_value FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_show",
       "IQL10: SHOW TAG KEYS — the metadata statement Grafana's query builder polls",
       """SELECT * FROM (VALUES ('events', 'event_type'), ('events', 'user_id'))

@@ -104,6 +104,22 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT MEAN(value) FROM events BOGUS CLAUSE"))
   }
 
+  test("TOP/BOTTOM parse as sole-field selectors; misuse rejected") {
+    val q = InfluxQLParser.parseSelect(
+      "SELECT BOTTOM(value, 5) FROM events GROUP BY user_id")
+    assert(q.fields == Seq(FnField("bottom", "value", Some(5.0), None)))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT TOP(value) FROM events"))              // missing n
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT TOP(value, 3), MEAN(value) FROM events")) // not sole
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SELECT TOP(value, 3) FROM events GROUP BY time(1h)"))
+    // BOTTOM returns the n smallest, earliest-first on ties
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      "SELECT BOTTOM(value, 2) AS b FROM events GROUP BY event_type")
+    assert(rows.groupBy("event_type").count().collect().forall(_.getLong(1) == 2))
+  }
+
   test("CREATE CONTINUOUS QUERY parses; CQ restrictions rejected") {
     val cq = InfluxQLParser.parse(
       "CREATE CONTINUOUS QUERY cq1 ON plc BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END")
