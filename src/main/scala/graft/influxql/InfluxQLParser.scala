@@ -93,7 +93,10 @@ object InfluxQLParser {
   private sealed trait Tok
   private final case class TIdent(s: String) extends Tok
   private final case class TStr(s: String) extends Tok
-  private final case class TNum(v: Double) extends Tok
+  // raw text kept: epoch-ns time literals exceed a Double's 2^53 exact
+  // range, so eager toDouble would silently round them (found by
+  // InfluxQLRoundTripSpec).
+  private final case class TNum(raw: String) extends Tok { def v: Double = raw.toDouble }
   private final case class TDur(seconds: Long) extends Tok
   private final case class TRegex(re: String) extends Tok
   private final case class TOp(s: String) extends Tok
@@ -126,7 +129,7 @@ object InfluxQLParser {
           }
           out += TDur(n.toLong * mult); s
         } orElse
-        take(NumRe).map { s => out += TNum(s.toDouble); s } orElse
+        take(NumRe).map { s => out += TNum(s); s } orElse
         take(IdentRe).map { s => out += TIdent(s); s } orElse
         take(OpRe).map { s => out += TOp(s); s } match {
           case Some(consumed) => i += consumed.length
@@ -179,7 +182,7 @@ object InfluxQLParser {
       case t => throw InfluxQLParseException(s"expected identifier, got $t")
     }
     private def intLit(): Int = next() match {
-      case TNum(v) if v == v.toInt => v.toInt
+      case n: TNum if n.v == n.v.toInt => n.v.toInt
       case t => throw InfluxQLParseException(s"expected integer, got $t")
     }
 
@@ -316,13 +319,13 @@ object InfluxQLParser {
     }
 
     private def numLit(): Double = next() match {
-      case TNum(v) => v
+      case n: TNum => n.v
       case t => throw InfluxQLParseException(s"expected number, got $t")
     }
 
     /** A number, or a duration rendered as seconds (DERIVATIVE unit). */
     private def numOrDur(): Double = next() match {
-      case TNum(v) => v
+      case n: TNum => n.v
       case TDur(s) => s.toDouble
       case t => throw InfluxQLParseException(s"expected number or duration, got $t")
     }
@@ -348,12 +351,12 @@ object InfluxQLParser {
           throw InfluxQLParseException("time does not support regex comparison")
         TimeCond(op, next() match {
           case TStr(s) => parseTimeNs(s)
-          case TNum(v) if v == v.toLong => v.toLong // raw epoch nanoseconds
+          case TNum(raw) if !raw.contains('.') => raw.toLong // raw epoch ns, exact
           case t => throw InfluxQLParseException(s"expected time literal, got $t")
         })
       } else next() match {
         case TStr(s)   => TagCond(key, op, s)
-        case TNum(v)   => TagCond(key, op, v)
+        case n: TNum   => TagCond(key, op, n.v)
         case TRegex(r) =>
           if (op != "=~" && op != "!~")
             throw InfluxQLParseException(s"regex literal requires =~ or !~, got $op")
@@ -392,7 +395,7 @@ object InfluxQLParser {
           case "linear"   => FillLinear
           case other => throw InfluxQLParseException(s"unknown fill mode: $other")
         }
-        case TNum(v) => FillValue(v)
+        case n: TNum => FillValue(n.v)
         case t => throw InfluxQLParseException(s"expected fill mode, got $t")
       }
       eatOp(")")

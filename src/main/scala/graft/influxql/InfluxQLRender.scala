@@ -1,0 +1,73 @@
+package graft.influxql
+
+import InfluxQLAst._
+
+/** Statement → canonical InfluxQL text. The inverse of [[InfluxQLParser]]
+  * (`parse(render(ast)) == ast`, property-tested in InfluxQLRoundTripSpec)
+  * — used to display/normalize registered continuous queries and to log
+  * planned statements in a user-recognizable form.
+  */
+object InfluxQLRender {
+
+  def render(st: Statement): String = st match {
+    case Show("measurements", from) => s"SHOW MEASUREMENTS${fromClause(from)}"
+    case Show("tag_keys", from)     => s"SHOW TAG KEYS${fromClause(from)}"
+    case Show("field_keys", from)   => s"SHOW FIELD KEYS${fromClause(from)}"
+    case Show(other, _) => throw InfluxQLParseException(s"unrenderable SHOW: $other")
+    case CreateCq(name, db, sel) =>
+      s"CREATE CONTINUOUS QUERY $name ON $db BEGIN ${render(sel)} END"
+    case s: Select => renderSelect(s)
+  }
+
+  private def fromClause(from: Option[String]): String =
+    from.fold("")(m => s" FROM $m")
+
+  private def renderSelect(s: Select): String = {
+    val sb = new StringBuilder("SELECT ")
+    sb ++= s.fields.map(field).mkString(", ")
+    sb ++= s" FROM ${s.measurement}"
+    if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")
+    val groups = s.groupTimeSec.map(sec => s"time(${sec}s)").toSeq ++ s.groupTags
+    if (groups.nonEmpty) {
+      sb ++= " GROUP BY " + groups.mkString(", ")
+      fill(s.fill).foreach(f => sb ++= s" fill($f)")
+    }
+    if (s.orderDesc) sb ++= " ORDER BY time DESC"
+    s.limit.foreach(n => sb ++= s" LIMIT $n")
+    s.offset.foreach(n => sb ++= s" OFFSET $n")
+    sb.result()
+  }
+
+  private def field(f: Field): String = {
+    val base = f match {
+      case RawField(name, _) => name
+      case FnField(fn, arg, param, _) =>
+        s"${fn.toUpperCase}($arg${param.fold("")(p => s", ${num(p)}")})"
+      case TransformField(fn, inner, param, _) =>
+        val in = s"${inner.fn.toUpperCase}(${inner.arg}${inner.param.fold("")(p => s", ${num(p)}")})"
+        s"${fn.toUpperCase}($in${param.fold("")(p => s", ${num(p)}")})"
+    }
+    f.alias.fold(base)(a => s"$base AS $a")
+  }
+
+  private def cond(c: Cond): String = c match {
+    case TimeCond(op, ns)            => s"time $op $ns"
+    case TagCond(key, op, re: String) if op == "=~" || op == "!~" => s"$key $op /$re/"
+    case TagCond(key, op, v: String) => s"$key $op '$v'"
+    case TagCond(key, op, v: Double) => s"$key $op ${num(v)}"
+    case TagCond(key, op, v)         => s"$key $op $v"
+  }
+
+  /** Whole doubles print as integers so the token round-trips. */
+  private def num(v: Double): String =
+    if (v == v.toLong) v.toLong.toString else v.toString
+
+  private def fill(f: Fill): Option[String] = f match {
+    case FillMissing  => None
+    case FillNone     => Some("none")
+    case FillNull     => Some("null")
+    case FillPrevious => Some("previous")
+    case FillLinear   => Some("linear")
+    case FillValue(v) => Some(num(v))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.influxql
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import InfluxQLAst._
+
+/** Property test: `parse(render(ast)) == ast` over generated statements —
+  * exercises the lexer/parser across the whole accepted grammar (field
+  * shapes, predicates, group/fill combinations, clause tails) far beyond
+  * the hand-written cases in InfluxQLSpec.
+  */
+class InfluxQLRoundTripSpec extends AnyFunSuite {
+
+  private val genAggFn: Gen[String] = Gen.oneOf(
+    "count", "mean", "sum", "min", "max", "first", "last", "spread", "stddev", "median")
+
+  private def genAgg(alias: Option[String]): Gen[FnField] =
+    Gen.frequency(
+      8 -> genAggFn.map(fn => FnField(fn, "value", None, alias)),
+      2 -> Gen.choose(1, 99).map(p => FnField("percentile", "value", Some(p.toDouble), alias)))
+
+  private def genTransform(alias: Option[String]): Gen[TransformField] = for {
+    fn <- Gen.oneOf("derivative", "non_negative_derivative", "difference",
+      "non_negative_difference", "moving_average", "cumulative_sum")
+    inner <- genAgg(None)
+    param <- Gen.option(Gen.choose(2, 100).map(_.toDouble))
+  } yield TransformField(fn, inner, param, alias)
+
+  private val genTimeBounds: Gen[Seq[Cond]] = for {
+    lo <- Gen.choose(1704067200000000000L, 1705000000000000000L)
+    span <- Gen.choose(1000000000L, 604800000000000L)
+    loOp <- Gen.oneOf(">=", ">")
+    hiOp <- Gen.oneOf("<", "<=")
+  } yield Seq(TimeCond(loOp, lo), TimeCond(hiOp, lo + span))
+
+  private val genTagCond: Gen[Cond] = Gen.oneOf(
+    Gen.oneOf("click", "view", "purchase").map(v => TagCond("event_type", "=", v)),
+    Gen.choose(1, 99).map(v => TagCond("user_id", "=", v.toDouble)),
+    Gen.const(TagCond("event_type", "=~", "^(cl|pu)")),
+    Gen.const(TagCond("event_type", "!~", "^er")))
+
+  private val genWhere: Gen[Seq[Cond]] = for {
+    t <- Gen.oneOf(Gen.const(Seq.empty[Cond]), genTimeBounds)
+    tag <- Gen.option(genTagCond)
+  } yield t ++ tag.toSeq
+
+  private val genTags: Gen[Seq[String]] =
+    Gen.oneOf(Seq.empty, Seq("user_id"), Seq("event_type"), Seq("event_type", "user_id"))
+
+  private val genFill: Gen[Fill] = Gen.oneOf(
+    FillMissing, FillNone, FillNull, FillPrevious, FillLinear, FillValue(0), FillValue(1.5))
+
+  private val genTail: Gen[(Boolean, Option[Int], Option[Int])] = for {
+    desc <- Gen.oneOf(true, false)
+    limit <- Gen.option(Gen.choose(1, 1000))
+    offset <- if (limit.isDefined) Gen.option(Gen.choose(1, 100)) else Gen.const(None)
+  } yield (desc, limit, offset)
+
+  private def aliased[F <: Field](i: Int, g: Option[String] => Gen[F]): Gen[F] =
+    g(Some(s"f$i"))
+
+  private val genAggSelect: Gen[Select] = for {
+    gbTime <- Gen.option(Gen.oneOf(60L, 300L, 3600L, 86400L))
+    n <- Gen.choose(1, 3)
+    fields <- Gen.sequence[Seq[Field], Field]((0 until n).map(i =>
+      if (gbTime.isDefined) Gen.frequency[Field](
+        7 -> aliased(i, genAgg), 3 -> aliased(i, genTransform))
+      else aliased(i, genAgg)))
+    where <- genWhere
+    tags <- genTags
+    fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)
+    (desc, limit, offset) <- genTail
+  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset)
+
+  private val genRawSelect: Gen[Select] = for {
+    fields <- Gen.someOf(Seq("value", "user_id", "event_type")).suchThat(_.nonEmpty)
+    where <- genWhere
+    (desc, limit, offset) <- genTail
+  } yield Select(fields.map(f => RawField(f, None)).toSeq, "events", where,
+    None, Nil, FillMissing, desc, limit, offset)
+
+  private val genTop: Gen[Select] = for {
+    fn <- Gen.oneOf("top", "bottom")
+    k <- Gen.choose(1, 20)
+    tags <- genTags
+    where <- genWhere
+  } yield Select(Seq(FnField(fn, "value", Some(k.toDouble), Some("t0"))),
+    "events", where, None, tags, FillMissing, orderDesc = false, None, None)
+
+  private val genSelect: Gen[Select] =
+    Gen.frequency(6 -> genAggSelect, 3 -> genRawSelect, 1 -> genTop)
+
+  private val genStatement: Gen[Statement] = Gen.frequency(
+    8 -> genSelect,
+    1 -> (for {
+      what <- Gen.oneOf("measurements", "tag_keys", "field_keys")
+      from <- Gen.option(Gen.const("events"))
+    } yield Show(what, from)),
+    1 -> genSelect.suchThat(s =>
+        s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&
+        s.fill == FillMissing && !s.orderDesc)
+      .map(s => CreateCq("cq1", "plc", s)))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("parse(render(statement)) == statement for 300 generated statements") {
+    check(Prop.forAll(genStatement) { st =>
+      val rendered = InfluxQLRender.render(st)
+      val reparsed =
+        try InfluxQLParser.parse(rendered)
+        catch { case e: InfluxQLParseException =>
+          throw new AssertionError(s"failed to reparse: $rendered", e) }
+      if (reparsed != st)
+        println(s"MISMATCH:\n  rendered: $rendered\n  expected: $st\n  got:      $reparsed")
+      reparsed == st
+    })
+  }
+}
