@@ -105,8 +105,9 @@ object InfluxQLParser {
   private val NumRe = """-?\d+(?:\.\d+)?""".r
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private val StrRe = """'([^']*)'""".r
+  private val DQIdentRe = """"([^"]*)"""".r
   private val RegexRe = """/([^/]*)/""".r
-  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;""".r
+  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.""".r
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -118,6 +119,8 @@ object InfluxQLParser {
         def take(m: scala.util.matching.Regex): Option[String] =
           m.findPrefixOf(rest)
         take(StrRe).map { s => out += TStr(s.substring(1, s.length - 1)); s } orElse
+        // InfluxQL double-quotes IDENTIFIERS (Grafana emits "value", "cpu")
+        take(DQIdentRe).map { s => out += TIdent(s.substring(1, s.length - 1)); s } orElse
         take(RegexRe).map { s => out += TRegex(s.substring(1, s.length - 1)); s } orElse
         take(DurRe).map { s =>
           val DurRe(n, u) = s: @unchecked
@@ -177,6 +180,17 @@ object InfluxQLParser {
       case TOp(`op`) => ()
       case t => throw InfluxQLParseException(s"expected '$op', got $t")
     }
+    /** FROM target, possibly qualified: "db"."rp"."measurement" — the
+      * shape Grafana emits. The db/retention-policy qualifiers are
+      * accepted and dropped (single-store engine); the final segment is
+      * the measurement.
+      */
+    private def measurement(): String = {
+      var m = ident()
+      while (peek.contains(TOp("."))) { next(); m = ident() }
+      m
+    }
+
     private def ident(): String = next() match {
       case TIdent(s) => s
       case t => throw InfluxQLParseException(s"expected identifier, got $t")
@@ -220,7 +234,7 @@ object InfluxQLParser {
       eatKw("select")
       val fields = fieldList()
       eatKw("from")
-      val meas = ident()
+      val meas = measurement()
       var where = Seq.empty[Cond]
       var gbTime: Option[Long] = None
       var gbTags = Seq.empty[String]

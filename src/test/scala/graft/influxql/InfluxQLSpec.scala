@@ -62,6 +62,16 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT COUNT(value) FROM events WHERE time =~ /x/"))
   }
 
+  test("quoted identifiers and qualified FROM parse (the Grafana-emitted shape)") {
+    val q = InfluxQLParser.parseSelect(
+      """SELECT MEAN("value") AS m FROM "plc"."autogen"."events"
+        |WHERE "event_type" = 'click' GROUP BY time(1h), "user_id"""".stripMargin)
+    assert(q.measurement == "events")
+    assert(q.fields == Seq(FnField("mean", "value", None, Some("m"))))
+    assert(q.where == Seq(TagCond("event_type", "=", "click")))
+    assert(q.groupTags == Seq("user_id"))
+  }
+
   test("nested transforms parse: DERIVATIVE(MEAN(value), 1h) et al") {
     val q = InfluxQLParser.parseSelect(
       """SELECT DERIVATIVE(MEAN(value), 1h) AS d, MOVING_AVERAGE(SUM(value), 3)
