@@ -21,11 +21,12 @@ package graft.influxql
   * implements as operators (QAgg/QInflux); the planner (InfluxQLPlanner)
   * maps each onto those proven building blocks.
   *
-  * Deliberate deviations, documented: `now()`-relative times are not
-  * supported (a deterministic engine surface needs absolute bounds);
-  * `fill(...)` requires an explicitly bounded time range (the unbounded
-  * grid is the classic InfluxQL footgun — at 100 TB an epoch-0-to-now grid
-  * is an output explosion, so the planner refuses it instead).
+  * Deliberate deviations, documented: `now()`-relative bounds parse to
+  * [[InfluxQLAst.NowCond]] and resolve against an INJECTABLE instant at
+  * planning time (wall clock by default; pinned in tests for determinism);
+  * `fill(...)` requires a bounded time range (the unbounded grid is the
+  * classic InfluxQL footgun — at 100 TB an epoch-0-to-now grid is an
+  * output explosion, so the planner refuses it instead).
   */
 object InfluxQLAst {
 
@@ -71,6 +72,11 @@ object InfluxQLAst {
   sealed trait Cond
   /** `time <op> literal`, bound normalized to epoch nanoseconds (UTC). */
   final case class TimeCond(op: String, epochNs: Long) extends Cond
+  /** `time <op> now() ± dur` — resolved against an injectable "now" at
+    * planning time (InfluxQLPlanner.sql's nowNs; wall clock by default,
+    * pinned in tests/CQs for determinism). offsetNs is signed.
+    */
+  final case class NowCond(op: String, offsetNs: Long) extends Cond
   /** `tag <op> literal` — op ∈ {=, !=, <, <=, >, >=, =~, !~}. */
   final case class TagCond(key: String, op: String, value: Any) extends Cond
 
@@ -107,7 +113,7 @@ object InfluxQLParser {
   private val StrRe = """'([^']*)'""".r
   private val DQIdentRe = """"([^"]*)"""".r
   private val RegexRe = """/([^/]*)/""".r
-  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.""".r
+  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.|\+|-""".r
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -332,6 +338,11 @@ object InfluxQLParser {
       FnField(fn, arg, param, None)
     }
 
+    private def durLit(): Long = next() match {
+      case TDur(sec) => sec * 1000000000L
+      case t => throw InfluxQLParseException(s"expected duration, got $t")
+    }
+
     private def numLit(): Double = next() match {
       case n: TNum => n.v
       case t => throw InfluxQLParseException(s"expected number, got $t")
@@ -363,11 +374,20 @@ object InfluxQLParser {
       if (key.equalsIgnoreCase("time")) {
         if (op == "=~" || op == "!~")
           throw InfluxQLParseException("time does not support regex comparison")
-        TimeCond(op, next() match {
-          case TStr(s) => parseTimeNs(s)
-          case TNum(raw) if !raw.contains('.') => raw.toLong // raw epoch ns, exact
+        next() match {
+          case TStr(s) => TimeCond(op, parseTimeNs(s))
+          case TNum(raw) if !raw.contains('.') => TimeCond(op, raw.toLong) // raw epoch ns, exact
+          case TIdent(n) if n.equalsIgnoreCase("now") =>
+            eatOp("("); eatOp(")")
+            // optional ± duration, e.g. now() - 1h
+            val offset = peek match {
+              case Some(TOp("-")) => next(); -durLit()
+              case Some(TOp("+")) => next(); durLit()
+              case _              => 0L
+            }
+            NowCond(op, offset)
           case t => throw InfluxQLParseException(s"expected time literal, got $t")
-        })
+        }
       } else next() match {
         case TStr(s)   => TagCond(key, op, s)
         case n: TNum   => TagCond(key, op, n.v)

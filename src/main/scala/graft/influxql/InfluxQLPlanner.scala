@@ -34,10 +34,15 @@ import InfluxQLAst._
   */
 object InfluxQLPlanner {
 
-  /** Parse + plan: the engine's user-facing `influxql(...)` entry point. */
-  def sql(spark: SparkSession, dir: String, query: String): DataFrame =
+  /** Parse + plan: the engine's user-facing `influxql(...)` entry point.
+    * `nowNs` pins `now()`-relative time bounds (`WHERE time > now() - 1h`,
+    * the default Grafana shape) to a fixed instant; it defaults to the
+    * wall clock, so pass it explicitly wherever determinism matters.
+    */
+  def sql(spark: SparkSession, dir: String, query: String,
+      nowNs: Option[Long] = None): DataFrame =
     InfluxQLParser.parse(query) match {
-      case s: Select        => plan(spark, dir, s)
+      case s: Select        => plan(spark, dir, s, nowNs)
       case Show(what, from) => planShow(spark, what, from)
       case _: CreateCq      => throw InfluxQLParseException(
         "CREATE CONTINUOUS QUERY plans onto a stream — use InfluxQLPlanner.continuous(frame, query)")
@@ -62,10 +67,19 @@ object InfluxQLPlanner {
     }
   }
 
-  def plan(spark: SparkSession, dir: String, q: Select): DataFrame = {
-    if (q.measurement != "events")
+  def plan(spark: SparkSession, dir: String, q0: Select,
+      nowNs: Option[Long] = None): DataFrame = {
+    if (q0.measurement != "events")
       throw InfluxQLParseException(
-        s"unknown measurement: ${q.measurement} (this build maps measurement 'events')")
+        s"unknown measurement: ${q0.measurement} (this build maps measurement 'events')")
+    // Resolve now()-relative bounds to absolute epoch ns ONCE, up front —
+    // everything downstream (pushdown, fill grids) sees plain TimeConds.
+    val q = q0.copy(where = q0.where.map {
+      case NowCond(op, off) =>
+        val base = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
+        TimeCond(op, base + off)
+      case c => c
+    })
     val base = Tables.events(spark, dir)
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
     val isAgg = q.fields.exists(f =>
@@ -97,8 +111,8 @@ object InfluxQLPlanner {
     }
     val sec = sel.groupTimeSec.getOrElse(
       throw InfluxQLParseException("a continuous query requires GROUP BY time(...)"))
-    if (sel.where.exists(_.isInstanceOf[TimeCond]))
-      throw InfluxQLParseException("continuous queries take no absolute time bounds")
+    if (sel.where.exists(c => c.isInstanceOf[TimeCond] || c.isInstanceOf[NowCond]))
+      throw InfluxQLParseException("continuous queries take no time bounds (standing query)")
     if (sel.fill != FillMissing && sel.fill != FillNone)
       throw InfluxQLParseException("fill() is not supported in continuous queries")
     if (sel.limit.isDefined || sel.offset.isDefined || sel.orderDesc)
@@ -127,6 +141,8 @@ object InfluxQLPlanner {
 
   private def condCol(c: Cond): Column = c match {
     case TimeCond(op, ns) => cmp(col("ts_ns"), op, lit(ns))
+    case NowCond(_, _) => throw InfluxQLParseException(
+      "internal: now() bound must be resolved before planning")
     case TagCond(key, "=~", re: String) => col(key).rlike(re)
     case TagCond(key, "!~", re: String) => !col(key).rlike(re)
     case TagCond(key, op, v) => cmp(col(key), op, lit(v))

@@ -52,6 +52,10 @@ object InfluxQLRender {
 
   private def cond(c: Cond): String = c match {
     case TimeCond(op, ns)            => s"time $op $ns"
+    case NowCond(op, 0)              => s"time $op now()"
+    case NowCond(op, off) =>
+      val sign = if (off < 0) "-" else "+"
+      s"time $op now() $sign ${math.abs(off) / 1000000000L}s"
     case TagCond(key, op, re: String) if op == "=~" || op == "!~" => s"$key $op /$re/"
     case TagCond(key, op, v: String) => s"$key $op '$v'"
     case TagCond(key, op, v: Double) => s"$key $op ${num(v)}"

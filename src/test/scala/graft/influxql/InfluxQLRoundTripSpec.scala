@@ -40,8 +40,13 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
     Gen.const(TagCond("event_type", "=~", "^(cl|pu)")),
     Gen.const(TagCond("event_type", "!~", "^er")))
 
+  private val genNowBounds: Gen[Seq[Cond]] = for {
+    backSec <- Gen.choose(60L, 604800L)
+    hi <- Gen.oneOf(Seq.empty[Cond], Seq(NowCond("<", 0L)))
+  } yield NowCond(">=", -backSec * 1000000000L) +: hi
+
   private val genWhere: Gen[Seq[Cond]] = for {
-    t <- Gen.oneOf(Gen.const(Seq.empty[Cond]), genTimeBounds)
+    t <- Gen.oneOf(Gen.const(Seq.empty[Cond]), genTimeBounds, genNowBounds)
     tag <- Gen.option(genTagCond)
   } yield t ++ tag.toSeq
 

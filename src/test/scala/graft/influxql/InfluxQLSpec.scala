@@ -54,6 +54,21 @@ class InfluxQLSpec extends SparkTestBase {
     assert(lo("1704067200000000000") == 1704067200000000000L)
   }
 
+  test("now()-relative time bounds: parsed relative, resolved against injectable now") {
+    val q = InfluxQLParser.parseSelect(
+      "SELECT COUNT(value) AS n FROM events WHERE time >= now() - 1h AND time < now()")
+    assert(q.where == Seq(NowCond(">=", -3600000000000L), NowCond("<", 0L)))
+    // pinned now → identical rows to the equivalent absolute query
+    val nowNs = 1704844800000000000L // 2024-01-10T00:00Z
+    val rel = InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n FROM events WHERE time >= now() - 1d AND time < now()",
+      nowNs = Some(nowNs)).collect().toSeq
+    val abs = InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n FROM events WHERE time >= '2024-01-09' AND time < '2024-01-10'")
+      .collect().toSeq
+    assert(rel == abs && rel.head.getLong(0) > 0)
+  }
+
   test("regex tag predicate parses; regex on time rejected") {
     val q = InfluxQLParser.parseSelect(
       "SELECT COUNT(value) FROM events WHERE event_type =~ /^(cl|pu)/ GROUP BY event_type")
