@@ -214,5 +214,28 @@ object QCustom {
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       LineProtocol.format(events(s, dir)).orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_line_protocol_parse",
+      "S3 inverse: parse line-protocol text back to points (wire-format round trip; the read side of InfluxConnector2.py:175-176)",
+      // The oracle recomputes what parse(format(events)) must yield
+      // straight from the source table — field values compared as the
+      // exact wire text (printf twin of the sink's %.2f, proven by
+      // q_line_protocol), so no parse-then-recast float asymmetry.
+      """SELECT event_id, 'plc-' || user_id AS measurement, event_type AS field,
+        |       printf('%.2f', value) AS value_str, epoch_us(ts) * 1000 AS ts_ns
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val parsed = LineProtocol.parseLines(LineProtocol.format(events(s, dir)))
+      // Single-field lines: read the one entry via map_keys/map_values
+      // instead of explode — generating into the parse projection hit a
+      // pathological ~20s whole-stage-codegen COMPILE (runtime was fine);
+      // the scalar form compiles instantly and stays codegen'd.
+      parsed
+        .select(col("event_id"), col("measurement"),
+          element_at(map_keys(col("fields_str")), 1).as("field"),
+          element_at(map_values(col("fields_str")), 1).as("value_str"),
+          col("ts_ns"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -46,6 +46,39 @@ object LineProtocol {
       lineCol(col("measurement"), col("alias"), col("value"),
         expr("unix_micros(ts) * 1000L")).as("line"))
 
+  /** Unescape a measurement name (inverse of [[escapeMeasurement]]). */
+  def unescapeMeasurement(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\ ", " "), "\\\\,", ",")
+
+  /** Parse line-protocol text back into the point shape — the inverse of
+    * [[format]]/[[formatPoints]] and the wire format the reference's
+    * whole pipeline produces (InfluxDB 1.7 write payload,
+    * Linux/InfluxConnector2.py:175-176). Handles the general grammar
+    * `measurement[,tag=v…] field=v[,field2=v2…] [tsNs]` with
+    * backslash-escaped commas/spaces in the measurement.
+    *
+    * Entirely builtin column functions (split with lookbehind regex,
+    * str_to_map, transform_values) — codegen'd, per-row, shuffle-free; a
+    * 100 TB line-protocol backlog parses embarrassingly parallel. Parsed
+    * columns are APPENDED so callers keep their own (offsets, source ids):
+    * measurement STRING, tags MAP<STRING,STRING>, fields_str
+    * MAP<STRING,STRING> (exact wire text), fields MAP<STRING,DOUBLE>,
+    * ts_ns LONG (null if the line omitted it), ts TIMESTAMP.
+    */
+  def parseLines(df: DataFrame, lineColName: String = "line"): DataFrame =
+    df
+      .withColumn("__parts", split(col(lineColName), "(?<!\\\\) "))
+      .withColumn("__mt", split(element_at(col("__parts"), 1), "(?<!\\\\),"))
+      .withColumn("measurement", unescapeMeasurement(element_at(col("__mt"), 1)))
+      .withColumn("tags", expr(
+        """map_from_entries(transform(slice(__mt, 2, greatest(size(__mt) - 1, 0)),
+          |  s -> struct(split(s, '=', 2)[0] AS key, split(s, '=', 2)[1] AS value)))""".stripMargin))
+      .withColumn("fields_str", expr("str_to_map(element_at(__parts, 2), ',', '=')"))
+      .withColumn("fields", expr("transform_values(fields_str, (k, v) -> CAST(v AS DOUBLE))"))
+      .withColumn("ts_ns", expr("try_element_at(__parts, 3)").cast("long"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("__parts", "__mt")
+
   /** Write a one-column frame of lines to `dir/part-<batchId>-<pid>.lp`,
     * ONE FILE PER PARTITION, written ON THE EXECUTORS — the rows never pass
     * through the driver. Each file is the newline-joined payload one HTTP

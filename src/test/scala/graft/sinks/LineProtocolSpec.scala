@@ -52,6 +52,36 @@ class LineProtocolSpec extends SparkTestBase {
     assert(line === "plc-1 t0=1.25 1704067200000000000")
   }
 
+  test("parseLines inverts the format: general grammar incl. tags, escapes, missing ts") {
+    import spark.implicits._
+    val lines = Seq(
+      "cpu,host=a,dc=west usage=0.5,idle=99.1 1704067200000000000",
+      "my\\ plc,unit=c temp=21.5 5000",
+      "bare value=1.0").toDF("line")
+    val rows = LineProtocol.parseLines(lines).collect()
+      .map(r => r.getAs[String]("measurement") -> r).toMap
+    val cpu = rows("cpu")
+    assert(cpu.getAs[Map[String, String]]("tags") == Map("host" -> "a", "dc" -> "west"))
+    assert(cpu.getAs[Map[String, Double]]("fields") == Map("usage" -> 0.5, "idle" -> 99.1))
+    assert(cpu.getAs[Long]("ts_ns") == 1704067200000000000L)
+    val plc = rows("my plc")                      // escaped space unescaped
+    assert(plc.getAs[Map[String, String]]("tags") == Map("unit" -> "c"))
+    assert(plc.getAs[Map[String, Double]]("fields") == Map("temp" -> 21.5))
+    val bare = rows("bare")                       // no tags, no timestamp
+    assert(bare.getAs[Map[String, String]]("tags").isEmpty)
+    assert(bare.isNullAt(bare.fieldIndex("ts_ns")))
+
+    // full round trip through the sink formatter
+    val pts = Seq(("m 1", "temp", 3.25, 1704067200000000L))
+      .toDF("measurement", "alias", "value", "us")
+      .select(col("measurement"), col("alias"), col("value"),
+        timestamp_micros(col("us")).as("ts"))
+    val back = LineProtocol.parseLines(LineProtocol.formatPoints(pts)).collect()(0)
+    assert(back.getAs[String]("measurement") == "m 1")
+    assert(back.getAs[Map[String, Double]]("fields") == Map("temp" -> 3.25))
+    assert(back.getAs[Long]("ts_ns") == 1704067200000000000L)
+  }
+
   test("append writes one file per non-empty partition, executor-side, idempotent on replay") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lp_part").toString
