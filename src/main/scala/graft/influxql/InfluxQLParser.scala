@@ -45,6 +45,17 @@ object InfluxQLAst {
     */
   final case class CreateCq(name: String, db: String, select: Select) extends Statement
 
+  /** CREATE RETENTION POLICY name ON db DURATION <dur> REPLICATION n
+    * [DEFAULT] — InfluxDB's TTL declaration (the reference relies on the
+    * default infinite policy; dashboards routinely bound it). Enforced
+    * against the date-partitioned point store by
+    * [[InfluxQLPlanner.applyRetention]] → PointStore.expireRetention.
+    * Replication is accepted and recorded; a Spark engine delegates
+    * replication to the storage layer (HDFS/object store).
+    */
+  final case class CreateRetention(name: String, db: String, durationSec: Long,
+      replication: Int, isDefault: Boolean) extends Statement
+
   final case class Select(
       fields: Seq[Field],
       measurement: String,
@@ -159,7 +170,7 @@ object InfluxQLParser {
   def parse(q: String): Statement = {
     val p = new P(lex(q))
     if (p.atShow) p.show()
-    else if (p.atCreate) p.createCq()
+    else if (p.atCreate) p.create()
     else p.select()
   }
 
@@ -209,8 +220,35 @@ object InfluxQLParser {
     def atShow: Boolean = kwPeek.contains("show")
     def atCreate: Boolean = kwPeek.contains("create")
 
-    def createCq(): CreateCq = {
-      eatKw("create"); eatKw("continuous"); eatKw("query")
+    def create(): Statement = {
+      eatKw("create")
+      kwPeek match {
+        case Some("continuous") => createCq()
+        case Some("retention")  => createRetention()
+        case other => throw InfluxQLParseException(s"unsupported CREATE: $other")
+      }
+    }
+
+    private def createRetention(): CreateRetention = {
+      eatKw("retention"); eatKw("policy")
+      val name = ident()
+      eatKw("on")
+      val db = ident()
+      eatKw("duration")
+      val dur = next() match {
+        case TDur(sec) => sec
+        case t => throw InfluxQLParseException(s"expected duration, got $t")
+      }
+      eatKw("replication")
+      val repl = intLit()
+      val isDefault = if (kwPeek.contains("default")) { next(); true } else false
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after retention policy: ${peek.get}")
+      CreateRetention(name, db, dur, repl, isDefault)
+    }
+
+    private def createCq(): CreateCq = {
+      eatKw("continuous"); eatKw("query")
       val name = ident()
       eatKw("on")
       val db = ident()

@@ -137,6 +137,23 @@ object InfluxQLPlanner {
         (sel.groupTags.map(col) ++ fns.map(f => col(InfluxQLParser.outName(f)))): _*)
   }
 
+  /** Enforce a parsed CREATE RETENTION POLICY against a date-partitioned
+    * point store (PointStore.writePartitioned layout): partitions older
+    * than the declared duration are dropped — exactly what InfluxDB's
+    * retention enforcement service does to expired shard groups. Returns
+    * the removed partition paths. `today` is injectable for determinism.
+    */
+  def applyRetention(query: String, dir: String,
+      today: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] =
+    InfluxQLParser.parse(query) match {
+      case CreateRetention(_, _, durSec, _, _) =>
+        if (durSec < 86400L)
+          throw InfluxQLParseException(
+            "retention duration under 1d not supported (date-partitioned store)")
+        graft.sinks.PointStore.expireRetention(dir, (durSec / 86400L).toInt, today)
+      case other => throw InfluxQLParseException(s"not a retention policy: $other")
+    }
+
   // ---- predicates ---------------------------------------------------------
 
   private def condCol(c: Cond): Column = c match {

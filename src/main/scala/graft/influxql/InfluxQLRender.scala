@@ -16,6 +16,9 @@ object InfluxQLRender {
     case Show(other, _) => throw InfluxQLParseException(s"unrenderable SHOW: $other")
     case CreateCq(name, db, sel) =>
       s"CREATE CONTINUOUS QUERY $name ON $db BEGIN ${render(sel)} END"
+    case CreateRetention(name, db, durSec, repl, isDefault) =>
+      s"CREATE RETENTION POLICY $name ON $db DURATION ${durSec}s REPLICATION $repl" +
+        (if (isDefault) " DEFAULT" else "")
     case s: Select => renderSelect(s)
   }
 

@@ -166,6 +166,27 @@ class InfluxQLSpec extends SparkTestBase {
     intercept[InfluxQLParseException](cont("SELECT value FROM events"))
   }
 
+  test("CREATE RETENTION POLICY parses and enforces against a date-partitioned store") {
+    val st = InfluxQLParser.parse(
+      "CREATE RETENTION POLICY weekly ON plc DURATION 7d REPLICATION 1 DEFAULT")
+    assert(st == CreateRetention("weekly", "plc", 604800L, 1, isDefault = true))
+    // date-partitioned store: 3 partitions, one past the 7d horizon
+    val root = java.nio.file.Files.createTempDirectory("graft-rp").toFile
+    Seq("2024-01-01", "2024-01-09", "2024-01-10").foreach { d =>
+      val p = new java.io.File(root, s"measurement=plc-1/date=$d")
+      p.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(p, "part-0.parquet").toPath, "x")
+    }
+    val removed = InfluxQLPlanner.applyRetention(
+      "CREATE RETENTION POLICY weekly ON plc DURATION 7d REPLICATION 1",
+      root.toString, today = java.time.LocalDate.parse("2024-01-10"))
+    assert(removed.size == 1 && removed.head.contains("date=2024-01-01"))
+    assert(new java.io.File(root, "measurement=plc-1/date=2024-01-09").exists())
+    // sub-day durations are refused, not silently rounded to 0 days
+    intercept[InfluxQLParseException](InfluxQLPlanner.applyRetention(
+      "CREATE RETENTION POLICY h ON plc DURATION 12h REPLICATION 1", root.toString))
+  }
+
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
     assert(InfluxQLParser.parse("SHOW MEASUREMENTS") == Show("measurements", None))
     assert(InfluxQLParser.parse("SHOW TAG KEYS FROM events") == Show("tag_keys", Some("events")))
