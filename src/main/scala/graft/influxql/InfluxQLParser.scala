@@ -8,18 +8,24 @@ package graft.influxql
   * This parser covers the subset that surface actually uses:
   *
   * {{{
-  * SELECT <field | FN(field[, p])> [AS alias] [, ...]
-  * FROM <measurement>
-  * [WHERE time <op> <ts literal> [AND ...] [AND tag <op> <literal|/re/>]]
+  * SELECT <field | FN(field[, p]) | TRANSFORM(FN(field)[, unit|n])> [AS alias] [, ...]
+  * FROM ["db"."rp".]<measurement>          -- identifiers may be "double-quoted"
+  * [WHERE time <op> <ts literal | now() ± dur> [AND ...] [AND tag <op> <literal|/re/>]]
   * [GROUP BY time(<dur>)[, tag ...] [fill(null|none|previous|linear|<num>)]]
   * [ORDER BY time [ASC|DESC]]
   * [LIMIT n] [OFFSET m]
+  *
+  * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
+  * CREATE CONTINUOUS QUERY name ON db BEGIN SELECT … END
+  * CREATE RETENTION POLICY name ON db DURATION dur REPLICATION n [DEFAULT]
   * }}}
   *
   * Functions: COUNT MEAN SUM MIN MAX FIRST LAST SPREAD STDDEV MEDIAN
-  * PERCENTILE — the InfluxQL aggregate/selector set the engine already
-  * implements as operators (QAgg/QInflux); the planner (InfluxQLPlanner)
-  * maps each onto those proven building blocks.
+  * PERCENTILE TOP BOTTOM, plus nested transforms DERIVATIVE /
+  * NON_NEGATIVE_DERIVATIVE / DIFFERENCE / NON_NEGATIVE_DIFFERENCE /
+  * MOVING_AVERAGE / CUMULATIVE_SUM — the InfluxQL surface the engine
+  * already implements as operators (QAgg/QWin/QInflux); the planner
+  * (InfluxQLPlanner) maps each onto those proven building blocks.
   *
   * Deliberate deviations, documented: `now()`-relative bounds parse to
   * [[InfluxQLAst.NowCond]] and resolve against an INJECTABLE instant at
