@@ -71,7 +71,8 @@ object InfluxQLAst {
       fill: Fill,
       orderDesc: Boolean,
       limit: Option[Int],
-      offset: Option[Int]) extends Statement
+      offset: Option[Int],
+      into: Option[String] = None) extends Statement
 
   sealed trait Field { def alias: Option[String] }
   /** Bare field/tag projection (raw, non-aggregated select). */
@@ -283,6 +284,9 @@ object InfluxQLParser {
     def select(): Select = {
       eatKw("select")
       val fields = fieldList()
+      // SELECT … INTO target FROM … — manual rollup materialization (and
+      // the body of a real InfluxDB CQ); target may be db.rp.m qualified.
+      val into = if (kwPeek.contains("into")) { next(); Some(measurement()) } else None
       eatKw("from")
       val meas = measurement()
       var where = Seq.empty[Cond]
@@ -315,7 +319,7 @@ object InfluxQLParser {
         case Some(other) => throw InfluxQLParseException(s"unexpected clause: $other")
         case None => throw InfluxQLParseException(s"unexpected token: ${peek.get}")
       }
-      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset)
+      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset, into)
       validate(sel)
       sel
     }

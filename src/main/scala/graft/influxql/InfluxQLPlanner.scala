@@ -137,6 +137,24 @@ object InfluxQLPlanner {
         (sel.groupTags.map(col) ++ fns.map(f => col(InfluxQLParser.outName(f)))): _*)
   }
 
+  /** Execute a `SELECT … INTO target FROM …` — the manual rollup
+    * materialization statement (and the body of a real InfluxDB CQ):
+    * plans the SELECT as usual and writes the result as parquet under
+    * `outRoot/<target>`, overwriting (InfluxDB INTO upserts by time+tags;
+    * a full overwrite of the target measurement is the batch equivalent).
+    * Returns the written row count.
+    */
+  def into(spark: SparkSession, dir: String, query: String, outRoot: String,
+      nowNs: Option[Long] = None): Long = {
+    val sel = InfluxQLParser.parse(query) match {
+      case s: Select if s.into.isDefined => s
+      case other => throw InfluxQLParseException(s"not a SELECT INTO: $other")
+    }
+    val df = plan(spark, dir, sel, nowNs)
+    df.write.mode("overwrite").parquet(s"$outRoot/${sel.into.get}")
+    spark.read.parquet(s"$outRoot/${sel.into.get}").count()
+  }
+
   /** Enforce a parsed CREATE RETENTION POLICY against a date-partitioned
     * point store (PointStore.writePartitioned layout): partitions older
     * than the declared duration are dropped — exactly what InfluxDB's

@@ -28,6 +28,7 @@ object InfluxQLRender {
   private def renderSelect(s: Select): String = {
     val sb = new StringBuilder("SELECT ")
     sb ++= s.fields.map(field).mkString(", ")
+    s.into.foreach(t => sb ++= s" INTO $t")
     sb ++= s" FROM ${s.measurement}"
     if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")
     val groups = s.groupTimeSec.map(sec => s"time(${sec}s)").toSeq ++ s.groupTags

@@ -76,7 +76,8 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
     tags <- genTags
     fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)
     (desc, limit, offset) <- genTail
-  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset)
+    into <- Gen.option(Gen.const("rollup_1h"))
+  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset, into)
 
   private val genRawSelect: Gen[Select] = for {
     fields <- Gen.someOf(Seq("value", "user_id", "event_type")).suchThat(_.nonEmpty)

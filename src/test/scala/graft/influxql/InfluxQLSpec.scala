@@ -166,6 +166,23 @@ class InfluxQLSpec extends SparkTestBase {
     intercept[InfluxQLParseException](cont("SELECT value FROM events"))
   }
 
+  test("SELECT INTO materializes the rollup to the target measurement") {
+    val out = java.nio.file.Files.createTempDirectory("graft-into").toString
+    val q =
+      """SELECT MEAN(value) AS m INTO hourly_rollup FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1h), event_type""".stripMargin
+    val n = InfluxQLPlanner.into(spark, dir, q, out)
+    val direct = InfluxQLPlanner.sql(spark, dir, q)
+    assert(n == direct.count() && n > 0)
+    // written target readable as a plain measurement table, same rows
+    val back = spark.read.parquet(s"$out/hourly_rollup")
+    assert(back.collect().toSet == direct.collect().toSet)
+    // a SELECT without INTO is refused by into()
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.into(spark, dir, "SELECT MEAN(value) FROM events", out))
+  }
+
   test("CREATE RETENTION POLICY parses and enforces against a date-partitioned store") {
     val st = InfluxQLParser.parse(
       "CREATE RETENTION POLICY weekly ON plc DURATION 7d REPLICATION 1 DEFAULT")
