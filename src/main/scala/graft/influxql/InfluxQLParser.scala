@@ -44,6 +44,16 @@ object InfluxQLAst {
     */
   final case class Show(what: String, from: Option[String]) extends Statement
 
+  /** SHOW TAG VALUES [FROM m] WITH KEY = <tag> — the statement behind
+    * Grafana template-variable dropdowns (distinct values of one tag).
+    */
+  final case class ShowTagValues(from: Option[String], key: String) extends Statement
+
+  /** DROP MEASUREMENT m — removes the measurement's partition from the
+    * point store (InfluxDB's measurement deletion).
+    */
+  final case class DropMeasurement(name: String) extends Statement
+
   /** CREATE CONTINUOUS QUERY name ON db BEGIN SELECT … END — InfluxDB's
     * standing `GROUP BY time(n)` rollup (ref README.md:3 "continuous
     * queries"); planned onto a watermarked Structured Streaming aggregate
@@ -178,6 +188,7 @@ object InfluxQLParser {
     val p = new P(lex(q))
     if (p.atShow) p.show()
     else if (p.atCreate) p.create()
+    else if (p.atDrop) p.dropMeasurement()
     else p.select()
   }
 
@@ -225,6 +236,15 @@ object InfluxQLParser {
     }
 
     def atShow: Boolean = kwPeek.contains("show")
+    def atDrop: Boolean = kwPeek.contains("drop")
+
+    def dropMeasurement(): DropMeasurement = {
+      eatKw("drop"); eatKw("measurement")
+      val m = measurement()
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after DROP MEASUREMENT: ${peek.get}")
+      DropMeasurement(m)
+    }
     def atCreate: Boolean = kwPeek.contains("create")
 
     def create(): Statement = {
@@ -267,18 +287,27 @@ object InfluxQLParser {
       CreateCq(name, db, sel)
     }
 
-    def show(): Show = {
+    def show(): Statement = {
       eatKw("show")
       val what = ident().toLowerCase match {
         case "measurements" => "measurements"
-        case "tag"   => eatKw("keys"); "tag_keys"
+        case "tag" => ident().toLowerCase match {
+          case "keys"   => "tag_keys"
+          case "values" => "tag_values"
+          case other => throw InfluxQLParseException(s"unsupported SHOW TAG: $other")
+        }
         case "field" => eatKw("keys"); "field_keys"
         case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
       }
       val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None
+      val st: Statement =
+        if (what == "tag_values") {
+          eatKw("with"); eatKw("key"); eatOp("=")
+          ShowTagValues(from, ident())
+        } else Show(what, from)
       if (peek.isDefined)
         throw InfluxQLParseException(s"unexpected token after SHOW: ${peek.get}")
-      Show(what, from)
+      st
     }
 
     def select(): Select = {

@@ -42,10 +42,23 @@ object InfluxQLPlanner {
   def sql(spark: SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None): DataFrame =
     InfluxQLParser.parse(query) match {
-      case s: Select        => plan(spark, dir, s, nowNs)
-      case Show(what, from) => planShow(spark, what, from)
-      case _: CreateCq      => throw InfluxQLParseException(
+      case s: Select            => plan(spark, dir, s, nowNs)
+      case Show(what, from)     => planShow(spark, what, from)
+      case ShowTagValues(from, key) =>
+        from.filter(_ != "events").foreach(m => throw InfluxQLParseException(
+          s"unknown measurement: $m (this build maps measurement 'events')"))
+        if (!Set("event_type", "user_id")(key))
+          throw InfluxQLParseException(s"unknown tag key: $key")
+        // Grafana template-variable shape: (key, value) rows. Distinct of
+        // one low-cardinality tag — partial+final hash agg, tiny shuffle.
+        Tables.events(spark, dir)
+          .select(lit(key).as("key"), col(key).cast("string").as("value"))
+          .distinct().orderBy("value")
+      case _: DropMeasurement   => throw InfluxQLParseException(
+        "DROP MEASUREMENT mutates the store — use InfluxQLPlanner.dropMeasurement(query, storeDir)")
+      case _: CreateCq          => throw InfluxQLParseException(
         "CREATE CONTINUOUS QUERY plans onto a stream — use InfluxQLPlanner.continuous(frame, query)")
+      case other => throw InfluxQLParseException(s"cannot run $other against a data dir")
     }
 
   /** The metadata surface Grafana's query builder polls (SHOW …). The
@@ -154,6 +167,24 @@ object InfluxQLPlanner {
     df.write.mode("overwrite").parquet(s"$outRoot/${sel.into.get}")
     spark.read.parquet(s"$outRoot/${sel.into.get}").count()
   }
+
+  /** Execute DROP MEASUREMENT against a measurement-partitioned point
+    * store (PointStore.writePartitioned layout): removes the
+    * `measurement=<name>` partition directory. Returns true if it existed.
+    */
+  def dropMeasurement(query: String, storeDir: String): Boolean =
+    InfluxQLParser.parse(query) match {
+      case DropMeasurement(name) =>
+        val part = new java.io.File(storeDir, s"measurement=$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        val existed = part.exists()
+        if (existed) rm(part)
+        existed
+      case other => throw InfluxQLParseException(s"not a DROP MEASUREMENT: $other")
+    }
 
   /** Enforce a parsed CREATE RETENTION POLICY against a date-partitioned
     * point store (PointStore.writePartitioned layout): partitions older

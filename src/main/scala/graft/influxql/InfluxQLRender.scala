@@ -14,6 +14,8 @@ object InfluxQLRender {
     case Show("tag_keys", from)     => s"SHOW TAG KEYS${fromClause(from)}"
     case Show("field_keys", from)   => s"SHOW FIELD KEYS${fromClause(from)}"
     case Show(other, _) => throw InfluxQLParseException(s"unrenderable SHOW: $other")
+    case ShowTagValues(from, key) => s"SHOW TAG VALUES${fromClause(from)} WITH KEY = $key"
+    case DropMeasurement(name)    => s"DROP MEASUREMENT $name"
     case CreateCq(name, db, sel) =>
       s"CREATE CONTINUOUS QUERY $name ON $db BEGIN ${render(sel)} END"
     case CreateRetention(name, db, durSec, repl, isDefault) =>

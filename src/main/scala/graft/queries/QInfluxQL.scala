@@ -187,6 +187,13 @@ object QInfluxQL {
         |GROUP BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_tag_values",
+      "IQL12: SHOW TAG VALUES WITH KEY = event_type — the Grafana template-variable dropdown",
+      """SELECT 'event_type' AS key, event_type AS value
+        |FROM events GROUP BY event_type ORDER BY value""".stripMargin)(influx(
+      "SHOW TAG VALUES FROM events WITH KEY = event_type")),
+
+    GraftQuery(
       "q_influxql_show",
       "IQL10: SHOW TAG KEYS — the metadata statement Grafana's query builder polls",
       """SELECT * FROM (VALUES ('events', 'event_type'), ('events', 'user_id'))

@@ -204,6 +204,27 @@ class InfluxQLSpec extends SparkTestBase {
       "CREATE RETENTION POLICY h ON plc DURATION 12h REPLICATION 1", root.toString))
   }
 
+  test("SHOW TAG VALUES and DROP MEASUREMENT") {
+    assert(InfluxQLParser.parse("SHOW TAG VALUES FROM events WITH KEY = event_type") ==
+      ShowTagValues(Some("events"), "event_type"))
+    val vals = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = event_type").collect().map(_.getString(1))
+    assert(vals.nonEmpty && vals.sorted.sameElements(vals))
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sql(spark, dir, "SHOW TAG VALUES WITH KEY = nope"))
+
+    // DROP MEASUREMENT removes the store partition
+    val root = java.nio.file.Files.createTempDirectory("graft-drop").toFile
+    val part = new java.io.File(root, "measurement=plc-7/date=2024-01-01")
+    part.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(part, "part-0.parquet").toPath, "x")
+    // hyphenated names need quoting (a bare `plc-7` lexes as ident,op,num)
+    assert(InfluxQLParser.parse("""DROP MEASUREMENT "plc-7"""") == DropMeasurement("plc-7"))
+    assert(InfluxQLPlanner.dropMeasurement("""DROP MEASUREMENT "plc-7"""", root.toString))
+    assert(!new java.io.File(root, "measurement=plc-7").exists())
+    assert(!InfluxQLPlanner.dropMeasurement("""DROP MEASUREMENT "plc-7"""", root.toString))
+  }
+
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
     assert(InfluxQLParser.parse("SHOW MEASUREMENTS") == Show("measurements", None))
     assert(InfluxQLParser.parse("SHOW TAG KEYS FROM events") == Show("tag_keys", Some("events")))
