@@ -82,7 +82,8 @@ object InfluxQLAst {
       orderDesc: Boolean,
       limit: Option[Int],
       offset: Option[Int],
-      into: Option[String] = None) extends Statement
+      into: Option[String] = None,
+      fromSub: Option[Select] = None) extends Statement
 
   sealed trait Field { def alias: Option[String] }
   /** Bare field/tag projection (raw, non-aggregated select). */
@@ -317,7 +318,15 @@ object InfluxQLParser {
       // the body of a real InfluxDB CQ); target may be db.rp.m qualified.
       val into = if (kwPeek.contains("into")) { next(); Some(measurement()) } else None
       eatKw("from")
-      val meas = measurement()
+      // one level of subquery: FROM ( SELECT … ) — the InfluxQL
+      // aggregate-of-aggregate shape (max of hourly means).
+      val (meas, fromSub) =
+        if (peek.contains(TOp("("))) {
+          eatOp("(")
+          val inner = select()
+          eatOp(")")
+          (inner.measurement, Some(inner))
+        } else (measurement(), None)
       var where = Seq.empty[Cond]
       var gbTime: Option[Long] = None
       var gbTags = Seq.empty[String]
@@ -346,9 +355,10 @@ object InfluxQLParser {
         case Some("limit")  => next(); limit = Some(intLit())
         case Some("offset") => next(); offset = Some(intLit())
         case Some(other) => throw InfluxQLParseException(s"unexpected clause: $other")
+        case None if peek.contains(TOp(")")) => done = true  // end of FROM ( … )
         case None => throw InfluxQLParseException(s"unexpected token: ${peek.get}")
       }
-      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset, into)
+      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset, into, fromSub)
       validate(sel)
       sel
     }

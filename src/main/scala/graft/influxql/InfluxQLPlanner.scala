@@ -93,11 +93,43 @@ object InfluxQLPlanner {
         TimeCond(op, base + off)
       case c => c
     })
+    q.fromSub match {
+      case Some(sub) => return planSub(spark, dir, q, sub, nowNs)
+      case None      => ()
+    }
     val base = Tables.events(spark, dir)
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
     val isAgg = q.fields.exists(f =>
       f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
     if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
+  }
+
+  /** Outer aggregate over a one-level subquery — the InfluxQL
+    * aggregate-of-aggregate shape (`SELECT MAX(m) FROM (SELECT MEAN(value)
+    * AS m … GROUP BY time(1h), tag) GROUP BY tag`). The inner query plans
+    * as usual (its own shuffle on (bucket, tags)); the outer is one more
+    * hash aggregate over the inner's — already tiny — output, grouped by a
+    * subset of the inner's columns. Outer WHERE / GROUP BY time / fill are
+    * rejected (filter and bucket in the inner query instead); selectors
+    * needing raw event order (FIRST/LAST/TOP/BOTTOM) are rejected — the
+    * inner output has no event identity to order by.
+    */
+  private def planSub(spark: SparkSession, dir: String, q: Select, sub: Select,
+      nowNs: Option[Long]): DataFrame = {
+    if (q.where.nonEmpty || q.groupTimeSec.isDefined || q.fill != FillMissing)
+      throw InfluxQLParseException(
+        "outer query over a subquery supports plain aggregates [GROUP BY tags] only" +
+          " — filter/bucket/fill in the inner query")
+    val fns = q.fields.map {
+      case f: FnField if !Set("first", "last", "top", "bottom").contains(f.fn) => f
+      case f => throw InfluxQLParseException(s"unsupported over a subquery: $f")
+    }
+    val inner = plan(spark, dir, sub, nowNs)
+    val aggExprs = fns.map(aggExpr)
+    val out =
+      if (q.groupTags.isEmpty) inner.agg(aggExprs.head, aggExprs.tail: _*)
+      else inner.groupBy(q.groupTags.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    limited(ordering(out, q, hasTime = false, q.groupTags), q)
   }
 
   /** Plan a CREATE CONTINUOUS QUERY (or its inner SELECT) onto an events

@@ -31,7 +31,10 @@ object InfluxQLRender {
     val sb = new StringBuilder("SELECT ")
     sb ++= s.fields.map(field).mkString(", ")
     s.into.foreach(t => sb ++= s" INTO $t")
-    sb ++= s" FROM ${s.measurement}"
+    s.fromSub match {
+      case Some(sub) => sb ++= s" FROM (${renderSelect(sub)})"
+      case None      => sb ++= s" FROM ${s.measurement}"
+    }
     if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")
     val groups = s.groupTimeSec.map(sec => s"time(${sec}s)").toSeq ++ s.groupTags
     if (groups.nonEmpty) {

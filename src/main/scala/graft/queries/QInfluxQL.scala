@@ -187,6 +187,24 @@ object QInfluxQL {
         |GROUP BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_subquery",
+      "IQL13: aggregate-of-aggregate subquery — MAX/MEAN of hourly means per tag (Grafana peak panels)",
+      """WITH a AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2)
+        |SELECT event_type, max(m) AS peak_hourly, round(avg(m), 4) AS avg_hourly
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin)(influx(
+      """SELECT MAX(m) AS peak_hourly, MEAN(m) AS avg_hourly FROM
+        |  (SELECT MEAN(value) AS m FROM events
+        |   WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |   GROUP BY time(1h), event_type)
+        |GROUP BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_tag_values",
       "IQL12: SHOW TAG VALUES WITH KEY = event_type — the Grafana template-variable dropdown",
       """SELECT 'event_type' AS key, event_type AS value

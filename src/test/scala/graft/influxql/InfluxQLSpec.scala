@@ -204,6 +204,22 @@ class InfluxQLSpec extends SparkTestBase {
       "CREATE RETENTION POLICY h ON plc DURATION 12h REPLICATION 1", root.toString))
   }
 
+  test("subquery: outer aggregate over FROM ( SELECT … ); misuse rejected") {
+    val q = InfluxQLParser.parseSelect(
+      "SELECT MAX(m) AS p FROM (SELECT MEAN(value) AS m FROM events GROUP BY time(1h), user_id) GROUP BY user_id")
+    assert(q.fromSub.isDefined && q.fromSub.get.groupTimeSec.contains(3600L))
+    assert(q.groupTags == Seq("user_id"))
+    // outer WHERE / GROUP BY time / FIRST are rejected over a subquery
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT MAX(m) FROM (SELECT MEAN(value) AS m FROM events GROUP BY time(1h)) WHERE time >= '2024-01-01'"))
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT FIRST(m) FROM (SELECT MEAN(value) AS m FROM events GROUP BY time(1h))"))
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      "SELECT MAX(m) AS p FROM (SELECT MEAN(value) AS m FROM events GROUP BY time(1h), event_type) GROUP BY event_type")
+      .collect()
+    assert(rows.length > 0 && rows.forall(!_.isNullAt(1)))
+  }
+
   test("SHOW TAG VALUES and DROP MEASUREMENT") {
     assert(InfluxQLParser.parse("SHOW TAG VALUES FROM events WITH KEY = event_type") ==
       ShowTagValues(Some("events"), "event_type"))
