@@ -97,6 +97,30 @@ object InfluxQLAst {
     */
   final case class TransformField(fn: String, inner: FnField, param: Option[Double],
       alias: Option[String]) extends Field
+  /** Field arithmetic / scalar math — InfluxQL's expression surface, e.g.
+    * `MEAN(value) * 100 + 5` (unit conversion, the Grafana math box) or
+    * `ABS(value)` on a raw select. Requires an AS alias: a computed column
+    * has no canonical InfluxQL auto-name.
+    */
+  final case class ExprField(expr: FExpr, alias: Option[String]) extends Field
+
+  /** Expression tree inside an [[ExprField]]. An expression is either
+    * all-aggregate (every leaf ref sits under an [[FAgg]]) or all-raw
+    * ([[FRef]] leaves only) — mixing is rejected at validation, mirroring
+    * InfluxQL.
+    */
+  sealed trait FExpr
+  final case class FNum(v: Double) extends FExpr
+  /** Raw field/tag reference (raw-select expressions only). */
+  final case class FRef(name: String) extends FExpr
+  /** Aggregate call leaf, e.g. the MEAN(value) in MEAN(value)*100. */
+  final case class FAgg(call: FnField) extends FExpr
+  /** Binary op, op ∈ {+, -, *, /}. Render fully parenthesizes. */
+  final case class FBin(op: String, l: FExpr, r: FExpr) extends FExpr
+  /** Scalar math fn (ABS, FLOOR, ROUND, POW, …); `p` is the second numeric
+    * argument where the fn takes one (ROUND digits, POW exponent).
+    */
+  final case class FCall(fn: String, arg: FExpr, p: Option[Double]) extends FExpr
 
   sealed trait Cond
   /** `time <op> literal`, bound normalized to epoch nanoseconds (UTC). */
@@ -142,10 +166,18 @@ object InfluxQLParser {
   private val StrRe = """'([^']*)'""".r
   private val DQIdentRe = """"([^"]*)"""".r
   private val RegexRe = """/([^/]*)/""".r
-  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.|\+|-""".r
+  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.|\+|-|/""".r
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    // `/` is context-sensitive (InfluxQL too): a regex literal only ever
+    // follows =~, !~ or FROM — anywhere else it is the division operator.
+    var last: Option[Tok] = None
+    def regexOk: Boolean = last match {
+      case Some(TOp("=~")) | Some(TOp("!~")) => true
+      case Some(TIdent(s))                   => s.equalsIgnoreCase("from")
+      case _                                 => false
+    }
     var i = 0
     while (i < q.length) {
       if (q.charAt(i).isWhitespace) i += 1
@@ -153,10 +185,12 @@ object InfluxQLParser {
         val rest = q.substring(i)
         def take(m: scala.util.matching.Regex): Option[String] =
           m.findPrefixOf(rest)
-        take(StrRe).map { s => out += TStr(s.substring(1, s.length - 1)); s } orElse
+        def emit(t: Tok): Unit = { out += t; last = Some(t) }
+        take(StrRe).map { s => emit(TStr(s.substring(1, s.length - 1))); s } orElse
         // InfluxQL double-quotes IDENTIFIERS (Grafana emits "value", "cpu")
-        take(DQIdentRe).map { s => out += TIdent(s.substring(1, s.length - 1)); s } orElse
-        take(RegexRe).map { s => out += TRegex(s.substring(1, s.length - 1)); s } orElse
+        take(DQIdentRe).map { s => emit(TIdent(s.substring(1, s.length - 1))); s } orElse
+        (if (regexOk) take(RegexRe).map { s => emit(TRegex(s.substring(1, s.length - 1))); s }
+         else None) orElse
         take(DurRe).map { s =>
           val DurRe(n, u) = s: @unchecked
           val mult = u match {
@@ -165,11 +199,11 @@ object InfluxQLParser {
             case other => throw InfluxQLParseException(
               s"sub-second GROUP BY time unit '$other' not supported")
           }
-          out += TDur(n.toLong * mult); s
+          emit(TDur(n.toLong * mult)); s
         } orElse
-        take(NumRe).map { s => out += TNum(s); s } orElse
-        take(IdentRe).map { s => out += TIdent(s); s } orElse
-        take(OpRe).map { s => out += TOp(s); s } match {
+        take(NumRe).map { s => emit(TNum(s)); s } orElse
+        take(IdentRe).map { s => emit(TIdent(s)); s } orElse
+        take(OpRe).map { s => emit(TOp(s)); s } match {
           case Some(consumed) => i += consumed.length
           case None => throw InfluxQLParseException(s"unexpected input at: $rest")
         }
@@ -179,10 +213,22 @@ object InfluxQLParser {
   }
 
   private val Functions = Set("count", "mean", "sum", "min", "max", "first",
-    "last", "spread", "stddev", "median", "percentile", "top", "bottom")
+    "last", "spread", "stddev", "median", "percentile", "top", "bottom",
+    "mode", "integral", "distinct")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
+
+  /** InfluxQL 1.7 scalar math functions (field expressions). `round` and
+    * `pow` take a second numeric argument.
+    */
+  private val Scalars = Set("abs", "ceil", "floor", "round", "sqrt", "exp",
+    "ln", "log2", "log10", "sin", "cos", "tan", "asin", "acos", "atan", "pow")
+
+  /** Aggregates that produce ROWS (not one value per group) or need raw
+    * event order — excluded from arithmetic, transforms, and subqueries.
+    */
+  private val RowSelectors = Set("top", "bottom", "distinct")
 
   /** Parse an InfluxQL statement (SELECT or SHOW …) into its AST. */
   def parse(q: String): Statement = {
@@ -373,27 +419,41 @@ object InfluxQLParser {
       fs.result()
     }
 
+    /** Two-token lookahead: is the next token a TRANSFORM( call? Transforms
+      * wrap a whole bucketed series, so they stay top-level — no arithmetic
+      * around them (same restriction InfluxQL applies to e.g. DERIVATIVE).
+      */
+    private def atTransformCall: Boolean = peek match {
+      case Some(TIdent(s)) if Transforms(s.toLowerCase) =>
+        pos + 1 < toks.length && toks(pos + 1) == TOp("(")
+      case _ => false
+    }
+
     private def field(): Field = {
-      val name = ident()
       val base: Field =
-        if (peek.contains(TOp("("))) {
+        if (atTransformCall) {
+          val name = ident()
           val fn = name.toLowerCase
           eatOp("(")
-          val f: Field =
-            if (Transforms(fn)) {
-              // nested shape: TRANSFORM(AGG(field)[, unit|n])
-              val innerName = ident()
-              if (!peek.contains(TOp("(")))
-                throw InfluxQLParseException(
-                  s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
-              val inner = aggCall(innerName)
-              val param =
-                if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
-              TransformField(fn, inner, param, None)
-            } else aggCallBody(fn, name)
+          // nested shape: TRANSFORM(AGG(field)[, unit|n])
+          val innerName = ident()
+          if (!peek.contains(TOp("(")))
+            throw InfluxQLParseException(
+              s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
+          val inner = aggCall(innerName)
+          if (RowSelectors(inner.fn))
+            throw InfluxQLParseException(s"$name cannot wrap ${inner.fn.toUpperCase}")
+          val param =
+            if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
+          val f = TransformField(fn, inner, param, None)
           eatOp(")")
           f
-        } else RawField(name, None)
+        } else fieldExpr() match {
+          // single-leaf expressions collapse to the classic field shapes
+          case FAgg(f) => f
+          case FRef(n) => RawField(n, None)
+          case e       => ExprField(e, None)
+        }
       if (kwPeek.contains("as")) {
         next()
         val a = ident()
@@ -401,8 +461,56 @@ object InfluxQLParser {
           case f: FnField        => f.copy(alias = Some(a))
           case f: TransformField => f.copy(alias = Some(a))
           case f: RawField       => f.copy(alias = Some(a))
+          case f: ExprField      => f.copy(alias = Some(a))
         }
       } else base
+    }
+
+    // ---- field expressions (InfluxQL arithmetic + scalar math) ----------
+
+    private def fieldExpr(): FExpr = {
+      var l = termExpr()
+      while (peek.contains(TOp("+")) || peek.contains(TOp("-"))) {
+        val TOp(op) = next(): @unchecked
+        l = FBin(op, l, termExpr())
+      }
+      l
+    }
+
+    private def termExpr(): FExpr = {
+      var l = primaryExpr()
+      while (peek.contains(TOp("*")) || peek.contains(TOp("/"))) {
+        val TOp(op) = next(): @unchecked
+        l = FBin(op, l, primaryExpr())
+      }
+      l
+    }
+
+    private def primaryExpr(): FExpr = peek match {
+      case Some(TOp("(")) => next(); val e = fieldExpr(); eatOp(")"); e
+      case Some(n: TNum)  => next(); FNum(n.v)
+      case Some(TIdent(name)) =>
+        next()
+        if (peek.contains(TOp("("))) {
+          val fn = name.toLowerCase
+          if (Scalars(fn)) {
+            eatOp("(")
+            val a = fieldExpr()
+            val p = if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+            eatOp(")")
+            FCall(fn, a, p)
+          } else if (Functions(fn)) {
+            eatOp("(")
+            val f = aggCallBody(fn, name)
+            eatOp(")")
+            FAgg(f)
+          } else if (Transforms(fn))
+            throw InfluxQLParseException(
+              s"$name is not allowed inside an expression (top-level only)")
+          else throw InfluxQLParseException(s"unknown function: $name")
+        } else FRef(name)
+      case t => throw InfluxQLParseException(
+        s"expected expression, got ${t.getOrElse("end of query")}")
     }
 
     /** `NAME ( ... )` where NAME has already been consumed. */
@@ -413,13 +521,24 @@ object InfluxQLParser {
       f
     }
 
-    /** Body of an aggregate call after its '(' — arg [, param]. */
+    /** Body of an aggregate call after its '(' — arg [, param]. Handles
+      * COUNT(DISTINCT(field)) / COUNT(DISTINCT field) → fn `count_distinct`.
+      * INTEGRAL's param may be a duration (the unit, e.g. 1h), normalized
+      * to seconds.
+      */
     private def aggCallBody(fn: String, name: String): FnField = {
       if (!Functions(fn))
         throw InfluxQLParseException(s"unknown function: $name")
+      if (fn == "count" && kwPeek.contains("distinct")) {
+        next()
+        val arg =
+          if (peek.contains(TOp("("))) { eatOp("("); val a = ident(); eatOp(")"); a }
+          else ident()
+        return FnField("count_distinct", arg, None, None)
+      }
       val arg = ident()
       val param =
-        if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+        if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
       if (Set("percentile", "top", "bottom")(fn) && param.isEmpty)
         throw InfluxQLParseException(s"${fn.toUpperCase} requires a second argument")
       FnField(fn, arg, param, None)
@@ -524,9 +643,27 @@ object InfluxQLParser {
     }
 
     private def validate(s: Select): Unit = {
-      val hasFn = s.fields.exists(f =>
-        f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
-      val hasRaw = s.fields.exists(_.isInstanceOf[RawField])
+      s.fields.foreach {
+        case ExprField(e, alias) =>
+          if (alias.isEmpty)
+            throw InfluxQLParseException(
+              "a computed expression needs an AS alias (no canonical auto-name)")
+          val aggs = exprAggLeaves(e)
+          if (aggs.nonEmpty && exprRefLeaves(e).nonEmpty)
+            throw InfluxQLParseException(
+              "cannot mix aggregate calls and raw field references in one expression")
+          aggs.filter(f => RowSelectors(f.fn)).foreach(f =>
+            throw InfluxQLParseException(
+              s"${f.fn.toUpperCase} returns rows, not a value — not allowed in arithmetic"))
+        case _ => ()
+      }
+      def isAggField(f: Field): Boolean = f match {
+        case _: FnField | _: TransformField => true
+        case ExprField(e, _)                => exprAggLeaves(e).nonEmpty
+        case _                              => false
+      }
+      val hasFn = s.fields.exists(isAggField)
+      val hasRaw = s.fields.exists(f => !isAggField(f))
       if (hasFn && hasRaw)
         throw InfluxQLParseException(
           "cannot mix aggregate and raw fields in one SELECT")
@@ -536,11 +673,11 @@ object InfluxQLParser {
         throw InfluxQLParseException(
           "DERIVATIVE/MOVING_AVERAGE/… over an aggregate require GROUP BY time(...)")
       val selectors = s.fields.collect {
-        case FnField(fn, _, _, _) if fn == "top" || fn == "bottom" => fn
+        case FnField(fn, _, _, _) if RowSelectors(fn) => fn
       }
       if (selectors.nonEmpty && (s.fields.size > 1 || s.groupTimeSec.isDefined))
         throw InfluxQLParseException(
-          "TOP/BOTTOM must be the only field and take no GROUP BY time (tags only)")
+          "TOP/BOTTOM/DISTINCT must be the only field and take no GROUP BY time (tags only)")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       val names = s.fields.map(outName)
@@ -550,6 +687,22 @@ object InfluxQLParser {
     }
   }
 
+  /** Aggregate-call leaves of an expression tree. */
+  def exprAggLeaves(e: FExpr): Seq[FnField] = e match {
+    case FAgg(f)        => Seq(f)
+    case FBin(_, l, r)  => exprAggLeaves(l) ++ exprAggLeaves(r)
+    case FCall(_, a, _) => exprAggLeaves(a)
+    case _              => Nil
+  }
+
+  /** Raw field-reference leaves of an expression tree. */
+  def exprRefLeaves(e: FExpr): Seq[String] = e match {
+    case FRef(n)        => Seq(n)
+    case FBin(_, l, r)  => exprRefLeaves(l) ++ exprRefLeaves(r)
+    case FCall(_, a, _) => exprRefLeaves(a)
+    case _              => Nil
+  }
+
   /** Output column name for a parsed field: alias, else InfluxQL default
     * (the lowercase function name; the field name for raw projections).
     */
@@ -557,6 +710,8 @@ object InfluxQLParser {
     case FnField(fn, _, _, alias)        => alias.getOrElse(fn)
     case TransformField(fn, _, _, alias) => alias.getOrElse(fn)
     case RawField(name, alias)           => alias.getOrElse(name)
+    // validated non-empty for ExprField; placeholder keeps outName total
+    case ExprField(_, alias)             => alias.getOrElse("expr")
   }
 
   /** Parse an absolute time literal to epoch nanoseconds (UTC).

@@ -99,8 +99,11 @@ object InfluxQLPlanner {
     }
     val base = Tables.events(spark, dir)
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
-    val isAgg = q.fields.exists(f =>
-      f.isInstanceOf[FnField] || f.isInstanceOf[TransformField])
+    val isAgg = q.fields.exists {
+      case _: FnField | _: TransformField => true
+      case ExprField(e, _)                => InfluxQLParser.exprAggLeaves(e).nonEmpty
+      case _                              => false
+    }
     if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
   }
 
@@ -120,12 +123,19 @@ object InfluxQLPlanner {
       throw InfluxQLParseException(
         "outer query over a subquery supports plain aggregates [GROUP BY tags] only" +
           " — filter/bucket/fill in the inner query")
-    val fns = q.fields.map {
-      case f: FnField if !Set("first", "last", "top", "bottom").contains(f.fn) => f
+    def checkSub(f: FnField): FnField =
+      if (Set("first", "last", "top", "bottom", "distinct", "integral").contains(f.fn))
+        throw InfluxQLParseException(
+          s"${f.fn.toUpperCase} needs raw event order — unsupported over a subquery")
+      else f
+    val inner = plan(spark, dir, sub, nowNs)
+    val aggExprs = q.fields.map {
+      case f: FnField => aggExpr(checkSub(f))
+      case ExprField(e, alias) =>
+        InfluxQLParser.exprAggLeaves(e).foreach(checkSub)
+        exprOut(e, aggCol).as(alias.get)
       case f => throw InfluxQLParseException(s"unsupported over a subquery: $f")
     }
-    val inner = plan(spark, dir, sub, nowNs)
-    val aggExprs = fns.map(aggExpr)
     val out =
       if (q.groupTags.isEmpty) inner.agg(aggExprs.head, aggExprs.tail: _*)
       else inner.groupBy(q.groupTags.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
@@ -162,8 +172,13 @@ object InfluxQLPlanner {
       throw InfluxQLParseException("fill() is not supported in continuous queries")
     if (sel.limit.isDefined || sel.offset.isDefined || sel.orderDesc)
       throw InfluxQLParseException("ORDER BY/LIMIT are not supported in continuous queries")
+    // Streaming-compatible aggregates only: percentile/median buffer whole
+    // groups; distinct aggregation is unsupported in streaming; INTEGRAL
+    // needs within-group order; MODE's map buffer has no streaming state
+    // format. Each belongs in a downstream batch query over the rollup.
     val fns = sel.fields.map {
-      case f: FnField if !Set("percentile", "median", "top", "bottom").contains(f.fn) => f
+      case f: FnField if !Set("percentile", "median", "top", "bottom",
+        "distinct", "count_distinct", "mode", "integral").contains(f.fn) => f
       case f => throw InfluxQLParseException(
         s"continuous queries support plain streaming aggregates, got $f")
     }
@@ -272,10 +287,17 @@ object InfluxQLPlanner {
 
   // ---- aggregated path ----------------------------------------------------
 
-  private def aggExpr(f: FnField): Column = {
+  /** Unaliased aggregate column for one call. INTEGRAL is context-bound
+    * (needs raw point order — planAgg precomputes per-row trapezoids and
+    * overrides it), so it throws here; every other function is a plain
+    * partial+final hash aggregate. MODE uses Spark's deterministic variant
+    * (ties → lowest value), the same convention as q_agg_mode.
+    */
+  private def aggCol(f: FnField): Column = {
     val v = col(f.arg)
-    val e = f.fn match {
+    f.fn match {
       case "count"  => count(v)
+      case "count_distinct" => count_distinct(v)
       case "mean"   => round(avg(v), 4)
       case "sum"    => round(sum(v), 2)
       case "min"    => min(v)
@@ -285,13 +307,69 @@ object InfluxQLPlanner {
       case "spread" => round(max(v) - min(v), 2)
       case "stddev" => round(stddev_samp(v), 4)
       case "median" => round(expr(s"percentile(${f.arg}, 0.5)"), 4)
+      case "mode"   => expr(s"mode(${f.arg}, true)")
       case "percentile" =>
         val p = f.param.get / 100.0
         round(expr(s"percentile(${f.arg}, $p)"), 4)
+      case "integral" => throw InfluxQLParseException(
+        "INTEGRAL needs raw point order — not available in this context")
       case other => throw InfluxQLParseException(s"unknown function: $other")
     }
-    e.as(InfluxQLParser.outName(f))
   }
+
+  private def aggExpr(f: FnField): Column = aggCol(f).as(InfluxQLParser.outName(f))
+
+  /** Evaluate a field-expression tree; `leaf` resolves aggregate calls
+    * (aggCol in aggregate context, rejected in raw context).
+    */
+  private def exprCol(e: FExpr, leaf: FnField => Column): Column = e match {
+    case FNum(v)        => lit(v)
+    case FRef(n)        => col(n)
+    case FAgg(f)        => leaf(f)
+    case FBin(op, l, r) =>
+      val (a, b) = (exprCol(l, leaf), exprCol(r, leaf))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case o   => throw InfluxQLParseException(s"unknown operator: $o")
+      }
+    case FCall(fn, a, p) => scalarCol(fn, exprCol(a, leaf), p)
+  }
+
+  /** InfluxQL scalar math functions. ceil/floor cast back to double:
+    * InfluxQL (and DuckDB) keep floats floating, Spark's ceil/floor return
+    * LONG.
+    */
+  private def scalarCol(fn: String, a: Column, p: Option[Double]): Column = fn match {
+    case "abs"   => abs(a)
+    case "ceil"  => ceil(a).cast("double")
+    case "floor" => floor(a).cast("double")
+    case "round" => round(a, p.getOrElse(0.0).toInt)
+    case "sqrt"  => sqrt(a)
+    case "exp"   => exp(a)
+    case "ln"    => log(a)
+    case "log2"  => log2(a)
+    case "log10" => log10(a)
+    case "sin"   => sin(a)
+    case "cos"   => cos(a)
+    case "tan"   => tan(a)
+    case "asin"  => asin(a)
+    case "acos"  => acos(a)
+    case "atan"  => atan(a)
+    case "pow"   => pow(a, p.getOrElse(throw InfluxQLParseException(
+      "POW requires an exponent: POW(expr, n)")))
+    case other => throw InfluxQLParseException(s"unknown scalar function: $other")
+  }
+
+  /** Rendered-value convention for computed expressions: evaluate leaves
+    * with their own conventions (MEAN rounds 4 …), then round the combined
+    * double to 4 — deterministic across engines since the inputs already
+    * are.
+    */
+  private def exprOut(e: FExpr, leaf: FnField => Column): Column =
+    round(exprCol(e, leaf).cast("double"), 4)
 
   /** TOP/BOTTOM(value, n) — a per-tag-group row SELECTOR, not an
     * aggregate: returns the n extreme points with their times. Plans as
@@ -313,10 +391,22 @@ object InfluxQLPlanner {
     limited(out.orderBy(tags.map(col) :+ col("__rn"): _*).drop("__rn"), q)
   }
 
+  /** DISTINCT(field) — a row selector, not an aggregate: one row per
+    * distinct value (per tag group). Partial+final hash distinct, one
+    * shuffle on the output key — the q_distinct shape.
+    */
+  private def planDistinct(filtered: DataFrame, q: Select, f: FnField): DataFrame = {
+    val n = InfluxQLParser.outName(f)
+    val out = filtered.select(q.groupTags.map(col) :+ col(f.arg).as(n): _*).distinct()
+    limited(out.orderBy(q.groupTags.map(col) :+ col(n): _*), q)
+  }
+
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
     q.fields match {
       case Seq(f: FnField) if f.fn == "top" || f.fn == "bottom" =>
         return planTopBottom(filtered, q, f)
+      case Seq(f: FnField) if f.fn == "distinct" =>
+        return planDistinct(filtered, q, f)
       case _ => ()
     }
     // Transforms compute their INNER aggregate per bucket here, then get
@@ -337,14 +427,46 @@ object InfluxQLPlanner {
       case None => filtered
     }
     val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
+
+    // INTEGRAL pre-pass: per-row trapezoid area between consecutive points
+    // WITHIN the (bucket, tags) group, ordered (ts, event_id) — q_agg_integral
+    // convention. The window shuffles on keyCols, which the groupBy below
+    // reuses (one Exchange total). A group's first row has a null area and
+    // sum() skips it; single-point groups yield NULL (matches the oracle).
+    def fieldLeaves(f: Field): Seq[FnField] = f match {
+      case f: FnField          => Seq(f)
+      case t: TransformField   => Seq(t.inner)
+      case ExprField(e, _)     => InfluxQLParser.exprAggLeaves(e)
+      case _                   => Nil
+    }
+    def areaName(arg: String, unit: Option[Double]): String =
+      s"__area_${arg}_${unit.getOrElse(1.0).toLong}"
+    val integrals = fns.flatMap(fieldLeaves).filter(_.fn == "integral")
+      .map(f => (f.arg, f.param)).distinct
+    val prepped = if (integrals.isEmpty) bucketed else {
+      val wo = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("ts"), col("event_id"))
+      integrals.foldLeft(bucketed) { case (df, (arg, unit)) =>
+        val unitMicros = unit.getOrElse(1.0) * 1000000.0
+        df.withColumn(areaName(arg, unit),
+          (col(arg) + lag(col(arg), 1).over(wo)) / 2 *
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wo))
+            / lit(unitMicros))
+      }
+    }
+    def leafCol(f: FnField): Column = f.fn match {
+      case "integral" => round(sum(col(areaName(f.arg, f.param))), 2)
+      case _          => aggCol(f)
+    }
     val aggExprs = fns.map {
-      case f: FnField        => aggExpr(f)
-      case t: TransformField => aggExpr(t.inner).as(InfluxQLParser.outName(t))
+      case f: FnField          => leafCol(f).as(InfluxQLParser.outName(f))
+      case t: TransformField   => leafCol(t.inner).as(InfluxQLParser.outName(t))
+      case ExprField(e, alias) => exprOut(e, leafCol).as(alias.get)
       case f => throw InfluxQLParseException(s"unexpected raw field in aggregate: $f")
     }
     val agg =
-      if (keyCols.isEmpty) bucketed.agg(aggExprs.head, aggExprs.tail: _*)
-      else bucketed.groupBy(keyCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+      if (keyCols.isEmpty) prepped.agg(aggExprs.head, aggExprs.tail: _*)
+      else prepped.groupBy(keyCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
 
     val filled = q.fill match {
       case FillMissing | FillNone => agg
@@ -450,8 +572,12 @@ object InfluxQLPlanner {
   // ---- raw path -----------------------------------------------------------
 
   private def planRaw(filtered: DataFrame, q: Select): DataFrame = {
-    val fieldCols = q.fields.map { f =>
-      col(f.asInstanceOf[RawField].name).as(InfluxQLParser.outName(f))
+    val fieldCols = q.fields.map {
+      case RawField(name, alias) => col(name).as(alias.getOrElse(name))
+      // raw-select scalar math, e.g. ABS(value) AS av — per-row, codegen'd
+      case ExprField(e, alias) => exprOut(e, f => throw InfluxQLParseException(
+        s"aggregate ${f.fn.toUpperCase} in a raw select")).as(alias.get)
+      case f => throw InfluxQLParseException(s"unexpected field in raw select: $f")
     }
     // (ts_ns, event_id) ordering: deterministic under rendered-second ties.
     val ord =

@@ -50,13 +50,28 @@ object InfluxQLRender {
   private def field(f: Field): String = {
     val base = f match {
       case RawField(name, _) => name
-      case FnField(fn, arg, param, _) =>
-        s"${fn.toUpperCase}($arg${param.fold("")(p => s", ${num(p)}")})"
+      case FnField(fn, arg, param, _) => fnCall(fn, arg, param)
       case TransformField(fn, inner, param, _) =>
-        val in = s"${inner.fn.toUpperCase}(${inner.arg}${inner.param.fold("")(p => s", ${num(p)}")})"
+        val in = fnCall(inner.fn, inner.arg, inner.param)
         s"${fn.toUpperCase}($in${param.fold("")(p => s", ${num(p)}")})"
+      case ExprField(e, _) => expr(e)
     }
     f.alias.fold(base)(a => s"$base AS $a")
+  }
+
+  private def fnCall(fn: String, arg: String, param: Option[Double]): String =
+    if (fn == "count_distinct") s"COUNT(DISTINCT($arg))"
+    else s"${fn.toUpperCase}($arg${param.fold("")(p => s", ${num(p)}")})"
+
+  /** Binary ops are fully parenthesized so precedence round-trips with no
+    * precedence logic in the renderer.
+    */
+  private def expr(e: FExpr): String = e match {
+    case FNum(v)         => num(v)
+    case FRef(n)         => n
+    case FAgg(f)         => fnCall(f.fn, f.arg, f.param)
+    case FBin(op, l, r)  => s"(${expr(l)} $op ${expr(r)})"
+    case FCall(fn, a, p) => s"${fn.toUpperCase}(${expr(a)}${p.fold("")(x => s", ${num(x)}")})"
   }
 
   private def cond(c: Cond): String = c match {

@@ -219,6 +219,92 @@ object QInfluxQL {
       "SHOW TAG KEYS FROM events")),
 
     GraftQuery(
+      "q_influxql_math",
+      "IQL14: field arithmetic over aggregates — MEAN(value)*100+5, SUM/COUNT (Grafana math box)",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type,
+        |       round(round(avg(value), 4) * 100 + 5, 4) AS scaled,
+        |       round(round(sum(value), 2) / count(value), 4) AS ratio
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT MEAN(value) * 100 + 5 AS scaled, SUM(value) / COUNT(value) AS ratio
+        |FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1d), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_scalar",
+      "IQL15: scalar math on a raw select — ABS/ROUND/FLOOR+CEIL/SQRT per row (InfluxQL 1.7 math)",
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time,
+        |       round(abs(value), 4) AS av,
+        |       round(round(value, 2), 4) AS rv,
+        |       round(floor(value) + ceil(value), 4) AS fc,
+        |       round(sqrt(abs(value)), 4) AS sq
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+        |ORDER BY ts, event_id LIMIT 200""".stripMargin)(influx(
+      """SELECT ABS(value) AS av, ROUND(value, 2) AS rv,
+        |       FLOOR(value) + CEIL(value) AS fc, SQRT(ABS(value)) AS sq
+        |FROM events
+        |WHERE time >= '2024-01-10' AND time < '2024-01-11'
+        |ORDER BY time LIMIT 200""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_mode",
+      "IQL16: MODE per tag — most frequent value, ties -> lowest (q_agg_mode convention)",
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id AS mode_user FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin)(influx(
+      "SELECT MODE(user_id) AS mode_user FROM events GROUP BY event_type")),
+
+    GraftQuery(
+      "q_influxql_integral",
+      "IQL17: INTEGRAL(value) GROUP BY time(1d), tag — trapezoid area per bucket through the parser",
+      """WITH d AS (
+        |  SELECT user_id,
+        |         time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS t,
+        |         value,
+        |         lag(value) OVER w AS pv,
+        |         epoch_us(ts) AS tu,
+        |         lag(epoch_us(ts)) OVER w AS ptu
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts::TIMESTAMP)
+        |               ORDER BY ts, event_id))
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       round(sum((value + pv) / 2 * (tu - ptu) / 1000000.0), 2) AS integral
+        |FROM d GROUP BY t, user_id ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT INTEGRAL(value) AS integral FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1d), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_count_distinct",
+      "IQL18: COUNT(DISTINCT(tag)) per bucket — cardinality panels",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type, count(DISTINCT user_id) AS nu, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT COUNT(DISTINCT(user_id)) AS nu, COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1d), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_distinct",
+      "IQL19: DISTINCT(field) per tag — row selector, one row per distinct value",
+      """SELECT DISTINCT event_type, user_id AS uid FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+        |ORDER BY event_type, uid""".stripMargin)(influx(
+      """SELECT DISTINCT(user_id) AS uid FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-02'
+        |GROUP BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_regex",
       "IQL6: textual regex tag predicate `=~ /re/` + MEAN/COUNT per tag (InfluxQL regex selection)",
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value

@@ -13,12 +13,50 @@ import InfluxQLAst._
 class InfluxQLRoundTripSpec extends AnyFunSuite {
 
   private val genAggFn: Gen[String] = Gen.oneOf(
-    "count", "mean", "sum", "min", "max", "first", "last", "spread", "stddev", "median")
+    "count", "mean", "sum", "min", "max", "first", "last", "spread", "stddev",
+    "median", "mode")
 
   private def genAgg(alias: Option[String]): Gen[FnField] =
     Gen.frequency(
-      8 -> genAggFn.map(fn => FnField(fn, "value", None, alias)),
-      2 -> Gen.choose(1, 99).map(p => FnField("percentile", "value", Some(p.toDouble), alias)))
+      7 -> genAggFn.map(fn => FnField(fn, "value", None, alias)),
+      2 -> Gen.choose(1, 99).map(p => FnField("percentile", "value", Some(p.toDouble), alias)),
+      1 -> Gen.oneOf(None, Some(60.0), Some(3600.0))
+        .map(u => FnField("integral", "value", u, alias)),
+      1 -> Gen.const(FnField("count_distinct", "user_id", None, alias)))
+
+  /** Arithmetic over aggregate leaves — binary ops, scalar fns, literals.
+    * Always aliased (the parser requires it). Leaves avoid row selectors
+    * and keep FAgg/FNum only so the expression stays all-aggregate.
+    */
+  private def genFExpr(depth: Int): Gen[FExpr] =
+    if (depth <= 0)
+      Gen.frequency(
+        3 -> genAgg(None).suchThat(f => !Set("top", "bottom", "distinct")(f.fn)).map(FAgg.apply),
+        1 -> Gen.choose(-50, 100).map(n => FNum(n.toDouble)))
+    else Gen.frequency(
+      4 -> Gen.lzy(for {
+        op <- Gen.oneOf("+", "-", "*", "/")
+        l <- genFExpr(depth - 1)
+        r <- genFExpr(depth - 1)
+      } yield FBin(op, l, r)),
+      2 -> Gen.lzy(for {
+        fn <- Gen.oneOf("abs", "floor", "ceil", "sqrt", "log10")
+        a <- genFExpr(depth - 1)
+      } yield FCall(fn, a, None)),
+      1 -> Gen.lzy(genFExpr(depth - 1).map(a => FCall("pow", a, Some(2.0)))),
+      2 -> genFExpr(0))
+
+  private def genExprField(alias: Option[String]): Gen[ExprField] =
+    Gen.choose(1, 3).flatMap(genFExpr).suchThat { e =>
+      val isLeaf = e match {
+        // a bare leaf collapses to FnField/RawField on reparse
+        case _: FAgg | _: FRef | _: FNum => true
+        case _                           => false
+      }
+      // all-literal expressions don't count as aggregate fields (rejected
+      // when mixed with aggregates / GROUP BY)
+      !isLeaf && InfluxQLParser.exprAggLeaves(e).nonEmpty
+    }.map(e => ExprField(e, alias))
 
   private def genTransform(alias: Option[String]): Gen[TransformField] = for {
     fn <- Gen.oneOf("derivative", "non_negative_derivative", "difference",
@@ -70,8 +108,10 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
     n <- Gen.choose(1, 3)
     fields <- Gen.sequence[Seq[Field], Field]((0 until n).map(i =>
       if (gbTime.isDefined) Gen.frequency[Field](
-        7 -> aliased(i, genAgg), 3 -> aliased(i, genTransform))
-      else aliased(i, genAgg)))
+        6 -> aliased(i, genAgg), 2 -> aliased(i, genTransform),
+        2 -> aliased(i, genExprField))
+      else Gen.frequency[Field](
+        8 -> aliased(i, genAgg), 2 -> aliased(i, genExprField))))
     where <- genWhere
     tags <- genTags
     fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)

@@ -102,6 +102,92 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
   }
 
+  test("field arithmetic parses with precedence; division lexes next to a regex") {
+    val q = InfluxQLParser.parseSelect(
+      """SELECT MEAN(value) * 100 + 5 AS scaled, SUM(value) / COUNT(value) AS ratio
+        |FROM events WHERE event_type =~ /^cl/ GROUP BY event_type""".stripMargin)
+    assert(q.fields == Seq(
+      ExprField(FBin("+",
+        FBin("*", FAgg(FnField("mean", "value", None, None)), FNum(100)),
+        FNum(5)), Some("scaled")),
+      ExprField(FBin("/",
+        FAgg(FnField("sum", "value", None, None)),
+        FAgg(FnField("count", "value", None, None))), Some("ratio"))))
+    // `/` after =~ is still a regex literal
+    assert(q.where == Seq(TagCond("event_type", "=~", "^cl")))
+    // parentheses override precedence
+    val p = InfluxQLParser.parseSelect(
+      "SELECT (MEAN(value) + 5) * 2 AS x FROM events")
+    assert(p.fields == Seq(ExprField(
+      FBin("*", FBin("+", FAgg(FnField("mean", "value", None, None)), FNum(5)), FNum(2)),
+      Some("x"))))
+  }
+
+  test("scalar math functions parse in raw and aggregate context") {
+    val raw = InfluxQLParser.parseSelect(
+      "SELECT ABS(value) AS av, SQRT(ABS(value)) AS sq, POW(value, 2) AS p2 FROM events")
+    assert(raw.fields == Seq(
+      ExprField(FCall("abs", FRef("value"), None), Some("av")),
+      ExprField(FCall("sqrt", FCall("abs", FRef("value"), None), None), Some("sq")),
+      ExprField(FCall("pow", FRef("value"), Some(2.0)), Some("p2"))))
+    val agg = InfluxQLParser.parseSelect(
+      "SELECT FLOOR(MEAN(value)) AS fm FROM events GROUP BY event_type")
+    assert(agg.fields == Seq(
+      ExprField(FCall("floor", FAgg(FnField("mean", "value", None, None)), None), Some("fm"))))
+  }
+
+  test("new aggregates parse: MODE, INTEGRAL (duration unit), COUNT(DISTINCT)") {
+    assert(InfluxQLParser.parseSelect("SELECT MODE(user_id) FROM events GROUP BY event_type")
+      .fields == Seq(FnField("mode", "user_id", None, None)))
+    assert(InfluxQLParser.parseSelect("SELECT INTEGRAL(value, 1h) AS i FROM events")
+      .fields == Seq(FnField("integral", "value", Some(3600.0), Some("i"))))
+    // both COUNT(DISTINCT(x)) and COUNT(DISTINCT x)
+    assert(InfluxQLParser.parseSelect("SELECT COUNT(DISTINCT(user_id)) AS n FROM events")
+      .fields == Seq(FnField("count_distinct", "user_id", None, Some("n"))))
+    assert(InfluxQLParser.parseSelect("SELECT COUNT(DISTINCT user_id) AS n FROM events")
+      .fields == Seq(FnField("count_distinct", "user_id", None, Some("n"))))
+    assert(InfluxQLParser.parseSelect("SELECT DISTINCT(user_id) AS u FROM events")
+      .fields == Seq(FnField("distinct", "user_id", None, Some("u"))))
+  }
+
+  test("expression-field restrictions are rejected") {
+    // computed expression needs an alias
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT MEAN(value) * 2 FROM events"))
+    // mixing aggregate and raw refs in one expression
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT MEAN(value) + value AS x FROM events"))
+    // row selectors in arithmetic
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT TOP(value, 3) * 2 AS x FROM events"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT DISTINCT(value) * 2 AS x FROM events"))
+    // transforms stay top-level
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT DERIVATIVE(MEAN(value)) + 1 AS x FROM events GROUP BY time(1h)"))
+    // DISTINCT must be the only field
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT DISTINCT(value), COUNT(value) FROM events"))
+    // transform cannot wrap a row selector
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT DERIVATIVE(DISTINCT(value)) FROM events GROUP BY time(1h)"))
+  }
+
+  test("INTEGRAL honors its unit parameter (1h = seconds-integral / 3600)") {
+    val perSec = InfluxQLPlanner.sql(spark, dir,
+      "SELECT INTEGRAL(value) AS i FROM events GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perHour = InfluxQLPlanner.sql(spark, dir,
+      "SELECT INTEGRAL(value, 1h) AS i FROM events GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perHour.keySet == perSec.keySet && perHour.nonEmpty)
+    perHour.foreach { case (u, vH) =>
+      assert(math.abs(vH - perSec(u) / 3600.0) < 0.02, s"user $u: $vH vs ${perSec(u)} / 3600")
+    }
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
