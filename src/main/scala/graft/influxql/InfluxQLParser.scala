@@ -72,6 +72,13 @@ object InfluxQLAst {
   final case class CreateRetention(name: String, db: String, durationSec: Long,
       replication: Int, isDefault: Boolean) extends Statement
 
+  /** `where` is the top-level AND list (InfluxQL's implicit conjunction);
+    * OR groups live inside a [[BoolCond]] element. `groupTags == Seq("*")`
+    * means GROUP BY * (every tag key — expanded against the measurement
+    * catalog at planning). `groupTimeOffSec` is `time(n, offset)`'s grid
+    * shift. `slimit`/`soffset` paginate SERIES (distinct tag sets), not
+    * rows. `tz` buckets and renders in a named zone instead of UTC.
+    */
   final case class Select(
       fields: Seq[Field],
       measurement: String,
@@ -83,7 +90,11 @@ object InfluxQLAst {
       limit: Option[Int],
       offset: Option[Int],
       into: Option[String] = None,
-      fromSub: Option[Select] = None) extends Statement
+      fromSub: Option[Select] = None,
+      groupTimeOffSec: Long = 0L,
+      slimit: Option[Int] = None,
+      soffset: Option[Int] = None,
+      tz: Option[String] = None) extends Statement
 
   sealed trait Field { def alias: Option[String] }
   /** Bare field/tag projection (raw, non-aggregated select). */
@@ -132,6 +143,11 @@ object InfluxQLAst {
   final case class NowCond(op: String, offsetNs: Long) extends Cond
   /** `tag <op> literal` — op ∈ {=, !=, <, <=, >, >=, =~, !~}. */
   final case class TagCond(key: String, op: String, value: Any) extends Cond
+  /** Parenthesized boolean combination, op ∈ {and, or}. Time bounds may
+    * not appear inside (InfluxDB's own restriction: OR'd time ranges are
+    * rejected) — so fill-grid bounds stay derivable from top-level conds.
+    */
+  final case class BoolCond(op: String, l: Cond, r: Cond) extends Cond
 
   sealed trait Fill
   /** No fill() clause: empty buckets are omitted (same as fill(none)). */
@@ -160,7 +176,8 @@ object InfluxQLParser {
   private final case class TRegex(re: String) extends Tok
   private final case class TOp(s: String) extends Tok
 
-  private val DurRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
+  // sign included: time(1h, -15m) / now()-1h lex as one negative duration
+  private val DurRe = """(-?\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
   private val NumRe = """-?\d+(?:\.\d+)?""".r
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private val StrRe = """'([^']*)'""".r
@@ -375,18 +392,22 @@ object InfluxQLParser {
         } else (measurement(), None)
       var where = Seq.empty[Cond]
       var gbTime: Option[Long] = None
+      var gbOff = 0L
       var gbTags = Seq.empty[String]
       var fill: Fill = FillMissing
       var desc = false
       var limit: Option[Int] = None
       var offset: Option[Int] = None
+      var slimit: Option[Int] = None
+      var soffset: Option[Int] = None
+      var tzName: Option[String] = None
       var done = false
       while (!done && peek.isDefined) kwPeek match {
         case Some("end")   => done = true   // CREATE CQ BEGIN … END terminator
         case Some("where") => next(); where = condList()
         case Some("group") =>
           next(); eatKw("by")
-          val (t, tags) = groupList(); gbTime = t; gbTags = tags
+          val (t, off, tags) = groupList(); gbTime = t; gbOff = off; gbTags = tags
           if (kwPeek.contains("fill")) { next(); fill = fillSpec() }
         case Some("order") =>
           next(); eatKw("by")
@@ -398,13 +419,23 @@ object InfluxQLParser {
             case Some("asc")  => next()
             case _            => ()
           }
-        case Some("limit")  => next(); limit = Some(intLit())
-        case Some("offset") => next(); offset = Some(intLit())
+        case Some("limit")   => next(); limit = Some(intLit())
+        case Some("offset")  => next(); offset = Some(intLit())
+        case Some("slimit")  => next(); slimit = Some(intLit())
+        case Some("soffset") => next(); soffset = Some(intLit())
+        case Some("tz") =>
+          next(); eatOp("(")
+          tzName = Some(next() match {
+            case TStr(z) => z
+            case t => throw InfluxQLParseException(s"tz() takes a quoted zone name, got $t")
+          })
+          eatOp(")")
         case Some(other) => throw InfluxQLParseException(s"unexpected clause: $other")
         case None if peek.contains(TOp(")")) => done = true  // end of FROM ( … )
         case None => throw InfluxQLParseException(s"unexpected token: ${peek.get}")
       }
-      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset, into, fromSub)
+      val sel = Select(fields, meas, where, gbTime, gbTags, fill, desc, limit, offset,
+        into, fromSub, gbOff, slimit, soffset, tzName)
       validate(sel)
       sel
     }
@@ -561,15 +592,32 @@ object InfluxQLParser {
       case t => throw InfluxQLParseException(s"expected number or duration, got $t")
     }
 
-    private def condList(): Seq[Cond] = {
-      val cs = Seq.newBuilder[Cond]
-      var more = true
-      while (more) {
-        cs += cond()
-        if (kwPeek.contains("and")) next() else more = false
-      }
-      cs.result()
+    /** Full boolean grammar (AND binds tighter than OR), then the top
+      * level is flattened back to the AND list the rest of the engine
+      * keys on — so `parse("(a AND b)") == parse("a AND b")`.
+      */
+    private def condList(): Seq[Cond] = flattenAnd(orCond())
+
+    private def flattenAnd(c: Cond): Seq[Cond] = c match {
+      case BoolCond("and", l, r) => flattenAnd(l) ++ flattenAnd(r)
+      case c                     => Seq(c)
     }
+
+    private def orCond(): Cond = {
+      var l = andCond()
+      while (kwPeek.contains("or")) { next(); l = BoolCond("or", l, andCond()) }
+      l
+    }
+
+    private def andCond(): Cond = {
+      var l = baseCond()
+      while (kwPeek.contains("and")) { next(); l = BoolCond("and", l, baseCond()) }
+      l
+    }
+
+    private def baseCond(): Cond =
+      if (peek.contains(TOp("("))) { next(); val c = orCond(); eatOp(")"); c }
+      else cond()
 
     private def cond(): Cond = {
       val key = ident()
@@ -585,11 +633,13 @@ object InfluxQLParser {
           case TNum(raw) if !raw.contains('.') => TimeCond(op, raw.toLong) // raw epoch ns, exact
           case TIdent(n) if n.equalsIgnoreCase("now") =>
             eatOp("("); eatOp(")")
-            // optional ± duration, e.g. now() - 1h
+            // optional ± duration, e.g. now() - 1h (also unspaced now()-1h,
+            // which lexes as one signed duration token)
             val offset = peek match {
-              case Some(TOp("-")) => next(); -durLit()
-              case Some(TOp("+")) => next(); durLit()
-              case _              => 0L
+              case Some(TOp("-"))            => next(); -durLit()
+              case Some(TOp("+"))            => next(); durLit()
+              case Some(TDur(s)) if s < 0    => next(); s * 1000000000L
+              case _                         => 0L
             }
             NowCond(op, offset)
           case t => throw InfluxQLParseException(s"expected time literal, got $t")
@@ -605,24 +655,38 @@ object InfluxQLParser {
       }
     }
 
-    private def groupList(): (Option[Long], Seq[String]) = {
+    private def groupList(): (Option[Long], Long, Seq[String]) = {
       var gbTime: Option[Long] = None
+      var gbOff = 0L
       val tags = Seq.newBuilder[String]
       var more = true
       while (more) {
-        val name = ident()
-        if (name.equalsIgnoreCase("time")) {
-          eatOp("(")
-          gbTime = Some(next() match {
-            case TDur(s) => s
-            case t => throw InfluxQLParseException(s"expected duration, got $t")
-          })
-          eatOp(")")
-        } else tags += name
+        if (peek.contains(TOp("*"))) { next(); tags += "*" }
+        else {
+          val name = ident()
+          if (name.equalsIgnoreCase("time")) {
+            eatOp("(")
+            gbTime = Some(next() match {
+              case TDur(s) => s
+              case t => throw InfluxQLParseException(s"expected duration, got $t")
+            })
+            // time(n, offset) — shifts the bucket grid; sign allowed
+            if (peek.contains(TOp(","))) {
+              next()
+              val neg = if (peek.contains(TOp("-"))) { next(); true } else false
+              val off = next() match {
+                case TDur(s) => s
+                case t => throw InfluxQLParseException(s"expected offset duration, got $t")
+              }
+              gbOff = if (neg) -off else off
+            }
+            eatOp(")")
+          } else tags += name
+        }
         // fill(...) is lexically `fill ( ... )` — stop before it
         if (peek.contains(TOp(",")) ) next() else more = false
       }
-      (gbTime, tags.result())
+      (gbTime, gbOff, tags.result())
     }
 
     private def fillSpec(): Fill = {
@@ -680,6 +744,26 @@ object InfluxQLParser {
           "TOP/BOTTOM/DISTINCT must be the only field and take no GROUP BY time (tags only)")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
+      // time bounds inside an OR/parenthesized group would make the scan
+      // range (and any fill grid) ambiguous — InfluxDB rejects them too
+      def containsTime(c: Cond): Boolean = c match {
+        case BoolCond(_, l, r)          => containsTime(l) || containsTime(r)
+        case _: TimeCond | _: NowCond   => true
+        case _                          => false
+      }
+      s.where.foreach {
+        case b: BoolCond if containsTime(b) =>
+          throw InfluxQLParseException(
+            "time bounds cannot appear inside OR/parenthesized groups")
+        case _ => ()
+      }
+      if (s.groupTags.contains("*") && s.groupTags.size > 1)
+        throw InfluxQLParseException("GROUP BY * cannot be combined with named tags")
+      if (s.groupTimeOffSec != 0 && s.groupTimeSec.isEmpty)
+        throw InfluxQLParseException("time offset requires GROUP BY time(n, offset)")
+      if ((s.slimit.isDefined || s.soffset.isDefined) && s.groupTags.isEmpty)
+        throw InfluxQLParseException(
+          "SLIMIT/SOFFSET paginate series — they require GROUP BY <tags>")
       val names = s.fields.map(outName)
       if (names.distinct.size != names.size)
         throw InfluxQLParseException(

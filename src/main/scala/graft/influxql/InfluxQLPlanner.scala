@@ -87,12 +87,15 @@ object InfluxQLPlanner {
         s"unknown measurement: ${q0.measurement} (this build maps measurement 'events')")
     // Resolve now()-relative bounds to absolute epoch ns ONCE, up front —
     // everything downstream (pushdown, fill grids) sees plain TimeConds.
-    val q = q0.copy(where = q0.where.map {
+    // GROUP BY * expands against the measurement catalog here too.
+    val q1 = q0.copy(where = q0.where.map {
       case NowCond(op, off) =>
         val base = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
         TimeCond(op, base + off)
       case c => c
     })
+    val q = if (q1.groupTags == Seq("*"))
+      q1.copy(groupTags = Seq("event_type", "user_id")) else q1
     q.fromSub match {
       case Some(sub) => return planSub(spark, dir, q, sub, nowNs)
       case None      => ()
@@ -259,6 +262,9 @@ object InfluxQLPlanner {
     case TagCond(key, "=~", re: String) => col(key).rlike(re)
     case TagCond(key, "!~", re: String) => !col(key).rlike(re)
     case TagCond(key, op, v) => cmp(col(key), op, lit(v))
+    case BoolCond("or", l, r)  => condCol(l) || condCol(r)
+    case BoolCond("and", l, r) => condCol(l) && condCol(r)
+    case BoolCond(op, _, _) => throw InfluxQLParseException(s"unknown bool op: $op")
   }
 
   private def cmp(c: Column, op: String, v: Column): Column = op match {
@@ -384,9 +390,10 @@ object InfluxQLPlanner {
       if (f.fn == "top") Seq(col(f.arg).desc, col("ts_ns").asc, col("event_id").asc)
       else Seq(col(f.arg).asc, col("ts_ns").asc, col("event_id").asc)
     val w = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
-    val ranked = filtered.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+    val ranked = seriesLimited(filtered, q, tags)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
     val out = ranked.select(
-      (date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("time") +:
+      (timeStr(col("ts"), q).as("time") +:
         tags.map(col)) :+ col(f.arg).as(InfluxQLParser.outName(f)) :+ col("__rn"): _*)
     limited(out.orderBy(tags.map(col) :+ col("__rn"): _*).drop("__rn"), q)
   }
@@ -397,7 +404,8 @@ object InfluxQLPlanner {
     */
   private def planDistinct(filtered: DataFrame, q: Select, f: FnField): DataFrame = {
     val n = InfluxQLParser.outName(f)
-    val out = filtered.select(q.groupTags.map(col) :+ col(f.arg).as(n): _*).distinct()
+    val out = seriesLimited(filtered, q, q.groupTags)
+      .select(q.groupTags.map(col) :+ col(f.arg).as(n): _*).distinct()
     limited(out.orderBy(q.groupTags.map(col) :+ col(n): _*), q)
   }
 
@@ -420,10 +428,27 @@ object InfluxQLPlanner {
     // Epoch-aligned bucket start, computed with integer arithmetic on the
     // raw nanos column — exact (epoch ns exceed Double's 2^53 range, so no
     // float math here), equivalent to window(ts, n).start / time_bucket.
+    // time(n, offset) shifts the grid; tz('zone') buckets (and renders) in
+    // that zone's wall-clock time, InfluxQL's tz() semantics.
     val bucketed = q.groupTimeSec match {
       case Some(sec) =>
-        filtered.withColumn("__t",
-          timestamp_seconds(expr(s"(ts_ns div ${sec}000000000L) * $sec")))
+        val off = q.groupTimeOffSec
+        val bucketExpr = q.tz match {
+          case None =>
+            if (off == 0L)
+              expr(s"timestamp_seconds((ts_ns div ${sec}000000000L) * $sec)")
+            else
+              expr(s"timestamp_seconds(((ts_ns - ${off}000000000L) div ${sec}000000000L)" +
+                s" * $sec + $off)")
+          case Some(zone) =>
+            // local wall-clock micros (ts is micro-precision; buckets are
+            // >= 1s so no precision is lost)
+            val usPer = sec * 1000000L
+            val offUs = off * 1000000L
+            expr(s"timestamp_micros(((unix_micros(from_utc_timestamp(ts, '$zone'))" +
+              s" - ${offUs}L) div ${usPer}L) * ${usPer}L + ${offUs}L)")
+        }
+        filtered.withColumn("__t", bucketExpr)
       case None => filtered
     }
     val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
@@ -503,9 +528,10 @@ object InfluxQLPlanner {
 
     val timeOut =
       if (q.groupTimeSec.isDefined)
+        // under tz() __t is already local-naive — no further conversion
         Seq(date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time"))
       else Nil
-    val out = transformed.select(
+    val out = seriesLimited(transformed, q, tagCols).select(
       timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
     val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
     limited(ordered, q)
@@ -525,8 +551,23 @@ object InfluxQLPlanner {
         "fill() requires a bounded time range in WHERE (an unbounded grid is unsafe at scale)")
     }
     val nsPer = sec * 1000000000L
-    val b0 = math.floorDiv(lo, nsPer) * sec       // first bucket start, epoch s
-    val bN = math.floorDiv(hi - 1, nsPer) * sec   // last bucket start, epoch s
+    val offS = q.groupTimeOffSec
+    // tz: grid bounds move to the zone's wall clock — same local-naive
+    // axis the bucket column uses. (The instant-specific zone offset is
+    // applied per bound; a fill grid straddling a DST jump keeps stepping
+    // uniformly from the converted lower bound.)
+    def toLocalNs(ns: Long): Long = q.tz match {
+      case None => ns
+      case Some(zone) =>
+        val inst = java.time.Instant.ofEpochSecond(
+          math.floorDiv(ns, 1000000000L), math.floorMod(ns, 1000000000L))
+        val loc = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneId.of(zone))
+        loc.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + loc.getNano
+    }
+    val (loL, hiL) = (toLocalNs(lo), toLocalNs(hi))
+    // first/last bucket start on the (possibly shifted) grid, epoch s
+    val b0 = math.floorDiv(loL - offS * 1000000000L, nsPer) * sec + offS
+    val bN = math.floorDiv(hiL - 1 - offS * 1000000000L, nsPer) * sec + offS
     val tags = q.groupTags
     val seqCol = explode(sequence(
       timestamp_seconds(lit(b0)), timestamp_seconds(lit(bN)),
@@ -584,7 +625,7 @@ object InfluxQLPlanner {
       if (q.orderDesc) Seq(col("ts_ns").desc, col("event_id").desc)
       else Seq(col("ts_ns").asc, col("event_id").asc)
     val out = filtered.orderBy(ord: _*)
-      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("time") +: fieldCols: _*)
+      .select(timeStr(col("ts"), q).as("time") +: fieldCols: _*)
     limited(out, q)
   }
 
@@ -601,5 +642,29 @@ object InfluxQLPlanner {
   private def limited(df: DataFrame, q: Select): DataFrame = {
     val off = q.offset.fold(df)(df.offset)
     q.limit.fold(off)(off.limit)
+  }
+
+  /** SLIMIT/SOFFSET — paginate SERIES (distinct tag sets, ordered by tag
+    * values), not rows. The series list is dashboard-sized by construction,
+    * so it computes once and broadcasts; the semi-join adds no shuffle on
+    * the main side.
+    */
+  private def seriesLimited(df: DataFrame, q: Select, tags: Seq[String]): DataFrame =
+    if (q.slimit.isEmpty && q.soffset.isEmpty) df
+    else {
+      val distinctSeries = df.select(tags.map(col): _*).distinct()
+        .orderBy(tags.map(col): _*)
+      val skipped = q.soffset.fold(distinctSeries)(distinctSeries.offset)
+      val series = q.slimit.fold(skipped)(skipped.limit)
+      df.join(broadcast(series), tags, "left_semi")
+    }
+
+  /** Rendered time column: bucket/raw timestamps print in tz()'s zone when
+    * present (the bucket column is already local-naive then), else UTC.
+    */
+  private def timeStr(c: Column, q: Select): Column = {
+    val local = q.tz.filter(_ => q.groupTimeSec.isEmpty)
+      .fold(c)(zone => from_utc_timestamp(c, zone))
+    date_format(local, "yyyy-MM-dd HH:mm:ss")
   }
 }

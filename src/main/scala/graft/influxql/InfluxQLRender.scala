@@ -36,7 +36,12 @@ object InfluxQLRender {
       case None      => sb ++= s" FROM ${s.measurement}"
     }
     if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")
-    val groups = s.groupTimeSec.map(sec => s"time(${sec}s)").toSeq ++ s.groupTags
+    val timeGroup = s.groupTimeSec.map { sec =>
+      if (s.groupTimeOffSec == 0) s"time(${sec}s)"
+      else if (s.groupTimeOffSec < 0) s"time(${sec}s, -${-s.groupTimeOffSec}s)"
+      else s"time(${sec}s, ${s.groupTimeOffSec}s)"
+    }
+    val groups = timeGroup.toSeq ++ s.groupTags
     if (groups.nonEmpty) {
       sb ++= " GROUP BY " + groups.mkString(", ")
       fill(s.fill).foreach(f => sb ++= s" fill($f)")
@@ -44,6 +49,9 @@ object InfluxQLRender {
     if (s.orderDesc) sb ++= " ORDER BY time DESC"
     s.limit.foreach(n => sb ++= s" LIMIT $n")
     s.offset.foreach(n => sb ++= s" OFFSET $n")
+    s.slimit.foreach(n => sb ++= s" SLIMIT $n")
+    s.soffset.foreach(n => sb ++= s" SOFFSET $n")
+    s.tz.foreach(z => sb ++= s" tz('$z')")
     sb.result()
   }
 
@@ -84,6 +92,7 @@ object InfluxQLRender {
     case TagCond(key, op, v: String) => s"$key $op '$v'"
     case TagCond(key, op, v: Double) => s"$key $op ${num(v)}"
     case TagCond(key, op, v)         => s"$key $op $v"
+    case BoolCond(op, l, r)          => s"(${cond(l)} ${op.toUpperCase} ${cond(r)})"
   }
 
   /** Whole doubles print as integers so the token round-trips. */

@@ -305,6 +305,63 @@ object QInfluxQL {
         |GROUP BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_where_or",
+      "IQL20: OR + parenthesized tag predicates (AND binds tighter, InfluxQL grammar)",
+      """SELECT event_type, count(value) AS n, round(avg(value), 4) AS m
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  AND (event_type = 'click' OR user_id < 10)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)(influx(
+      """SELECT COUNT(value) AS n, MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |  AND (event_type = 'click' OR user_id < 10)
+        |GROUP BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_slimit",
+      "IQL21: GROUP BY time(1d), * SLIMIT/SOFFSET — series pagination over all tags",
+      """WITH a AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS t, event_type, user_id,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        |  GROUP BY 1, 2, 3),
+        |s AS (SELECT DISTINCT event_type, user_id FROM a
+        |      ORDER BY event_type, user_id LIMIT 3 OFFSET 1)
+        |SELECT strftime(a.t, '%Y-%m-%d %H:%M:%S') AS time, a.event_type, a.user_id, a.m
+        |FROM a JOIN s USING (event_type, user_id)
+        |ORDER BY time, event_type, user_id""".stripMargin)(influx(
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1d), * SLIMIT 3 SOFFSET 1""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_time_offset",
+      "IQL22: GROUP BY time(1h, 30m) — offset-shifted bucket grid",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP, INTERVAL '30 minutes'),
+        |                '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type, round(avg(value), 4) AS m, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        |GROUP BY 1, 2 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT MEAN(value) AS m, COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-04'
+        |GROUP BY time(1h, 30m), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_tz",
+      "IQL23: GROUP BY time(1d) tz('America/New_York') — zone-local day buckets (oracle pins EST: the window is DST-free January)",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP - INTERVAL 5 HOUR),
+        |                '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type, round(avg(value), 4) AS m, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT MEAN(value) AS m, COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1d), event_type tz('America/New_York')""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_regex",
       "IQL6: textual regex tag predicate `=~ /re/` + MEAN/COUNT per tag (InfluxQL regex selection)",
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value

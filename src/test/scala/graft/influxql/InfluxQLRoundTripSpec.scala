@@ -78,6 +78,17 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
     Gen.const(TagCond("event_type", "=~", "^(cl|pu)")),
     Gen.const(TagCond("event_type", "!~", "^er")))
 
+  /** Tag-only boolean groups (time bounds inside OR are rejected). The
+    * root is always OR: a top-level AND group canonicalizes to the flat
+    * AND list on reparse, so it would not round-trip structurally.
+    */
+  private val genBoolCond: Gen[Cond] = for {
+    l <- genTagCond
+    r <- Gen.oneOf(genTagCond, Gen.lzy(for {
+      l2 <- genTagCond; r2 <- genTagCond; op2 <- Gen.oneOf("or", "and")
+    } yield BoolCond(op2, l2, r2)))
+  } yield BoolCond("or", l, r)
+
   private val genNowBounds: Gen[Seq[Cond]] = for {
     backSec <- Gen.choose(60L, 604800L)
     hi <- Gen.oneOf(Seq.empty[Cond], Seq(NowCond("<", 0L)))
@@ -85,7 +96,7 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
 
   private val genWhere: Gen[Seq[Cond]] = for {
     t <- Gen.oneOf(Gen.const(Seq.empty[Cond]), genTimeBounds, genNowBounds)
-    tag <- Gen.option(genTagCond)
+    tag <- Gen.option(Gen.frequency(3 -> genTagCond, 1 -> genBoolCond))
   } yield t ++ tag.toSeq
 
   private val genTags: Gen[Seq[String]] =
@@ -105,6 +116,7 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
 
   private val genAggSelect: Gen[Select] = for {
     gbTime <- Gen.option(Gen.oneOf(60L, 300L, 3600L, 86400L))
+    gbOff <- if (gbTime.isDefined) Gen.oneOf(0L, 0L, 0L, 1800L, -900L) else Gen.const(0L)
     n <- Gen.choose(1, 3)
     fields <- Gen.sequence[Seq[Field], Field]((0 until n).map(i =>
       if (gbTime.isDefined) Gen.frequency[Field](
@@ -113,11 +125,15 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
       else Gen.frequency[Field](
         8 -> aliased(i, genAgg), 2 -> aliased(i, genExprField))))
     where <- genWhere
-    tags <- genTags
+    tags <- Gen.frequency(5 -> genTags, 1 -> Gen.const(Seq("*")))
     fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)
     (desc, limit, offset) <- genTail
+    slimit <- if (tags.nonEmpty) Gen.option(Gen.choose(1, 20)) else Gen.const(None)
+    soffset <- if (slimit.isDefined) Gen.option(Gen.choose(1, 5)) else Gen.const(None)
+    tzOpt <- Gen.option(Gen.oneOf("America/New_York", "Europe/Warsaw"))
     into <- Gen.option(Gen.const("rollup_1h"))
-  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset, into)
+  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset,
+    into, None, gbOff, slimit, soffset, tzOpt)
 
   private val genRawSelect: Gen[Select] = for {
     fields <- Gen.someOf(Seq("value", "user_id", "event_type")).suchThat(_.nonEmpty)

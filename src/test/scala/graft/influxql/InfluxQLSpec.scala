@@ -188,6 +188,68 @@ class InfluxQLSpec extends SparkTestBase {
     }
   }
 
+  test("OR/parenthesized predicates parse; AND binds tighter; time inside OR rejected") {
+    val q = InfluxQLParser.parseSelect(
+      """SELECT COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND (event_type = 'click' OR user_id < 10)
+        |GROUP BY event_type""".stripMargin)
+    assert(q.where == Seq(
+      TimeCond(">=", 1704067200000000000L),
+      BoolCond("or", TagCond("event_type", "=", "click"), TagCond("user_id", "<", 10.0))))
+    // AND binds tighter than OR: a OR b AND c == a OR (b AND c)
+    val p = InfluxQLParser.parseSelect(
+      """SELECT COUNT(value) AS n FROM events
+        |WHERE event_type = 'view' OR event_type = 'click' AND user_id < 10""".stripMargin)
+    assert(p.where == Seq(BoolCond("or",
+      TagCond("event_type", "=", "view"),
+      BoolCond("and", TagCond("event_type", "=", "click"), TagCond("user_id", "<", 10.0)))))
+    // a parenthesized pure-AND group canonicalizes to the flat AND list
+    val flat = InfluxQLParser.parseSelect(
+      "SELECT COUNT(value) AS n FROM events WHERE (event_type = 'click' AND user_id < 10)")
+    assert(flat.where == Seq(
+      TagCond("event_type", "=", "click"), TagCond("user_id", "<", 10.0)))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT COUNT(value) FROM events WHERE event_type = 'click' OR time >= '2024-01-01'"))
+  }
+
+  test("GROUP BY *, time(n, offset), SLIMIT/SOFFSET, tz() parse into the AST") {
+    val q = InfluxQLParser.parseSelect(
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1h, 30m), * SLIMIT 3 SOFFSET 1 tz('America/New_York')""".stripMargin)
+    assert(q.groupTimeSec.contains(3600L) && q.groupTimeOffSec == 1800L)
+    assert(q.groupTags == Seq("*"))
+    assert(q.slimit.contains(3) && q.soffset.contains(1))
+    assert(q.tz.contains("America/New_York"))
+    // negative offset
+    assert(InfluxQLParser.parseSelect(
+      "SELECT MEAN(value) AS m FROM events GROUP BY time(1h, -15m), event_type")
+      .groupTimeOffSec == -900L)
+    // * cannot mix with named tags; SLIMIT needs tags
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT MEAN(value) AS m FROM events GROUP BY *, user_id"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT MEAN(value) AS m FROM events GROUP BY time(1h) SLIMIT 3"))
+  }
+
+  test("SLIMIT/SOFFSET paginate distinct series, not rows") {
+    val df = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1d), * SLIMIT 3 SOFFSET 1""".stripMargin)
+    val series = df.select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(series.length == 3)
+    // SOFFSET 1 skips the first series of the full ordered list
+    val all = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1d), *""".stripMargin)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(series.toSeq == all.slice(1, 4).toSeq)
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
