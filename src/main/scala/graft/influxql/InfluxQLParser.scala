@@ -54,6 +54,13 @@ object InfluxQLAst {
     */
   final case class DropMeasurement(name: String) extends Statement
 
+  /** DELETE FROM m [WHERE time …/tag …] — point deletion. Planned against
+    * the date-partitioned point store: fully-covered date partitions drop
+    * whole (no rewrite, the retention fast path), partially-covered ones
+    * rewrite with the predicate inverted.
+    */
+  final case class Delete(measurement: String, where: Seq[Cond]) extends Statement
+
   /** CREATE CONTINUOUS QUERY name ON db BEGIN SELECT … END — InfluxDB's
     * standing `GROUP BY time(n)` rollup (ref README.md:3 "continuous
     * queries"); planned onto a watermarked Structured Streaming aggregate
@@ -253,6 +260,7 @@ object InfluxQLParser {
     if (p.atShow) p.show()
     else if (p.atCreate) p.create()
     else if (p.atDrop) p.dropMeasurement()
+    else if (p.atDelete) p.delete()
     else p.select()
   }
 
@@ -309,6 +317,17 @@ object InfluxQLParser {
         throw InfluxQLParseException(s"unexpected token after DROP MEASUREMENT: ${peek.get}")
       DropMeasurement(m)
     }
+    def atDelete: Boolean = kwPeek.contains("delete")
+
+    def delete(): Delete = {
+      eatKw("delete"); eatKw("from")
+      val m = measurement()
+      val where = if (kwPeek.contains("where")) { next(); condList() } else Nil
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after DELETE: ${peek.get}")
+      Delete(m, where)
+    }
+
     def atCreate: Boolean = kwPeek.contains("create")
 
     def create(): Statement = {
@@ -355,6 +374,13 @@ object InfluxQLParser {
       eatKw("show")
       val what = ident().toLowerCase match {
         case "measurements" => "measurements"
+        case "databases"    => "databases"
+        case "series"       => "series"
+        case "retention" =>
+          eatKw("policies")
+          // optional ON <db> — accepted and dropped (single-store engine)
+          if (kwPeek.contains("on")) { next(); ident(): Unit }
+          "retention_policies"
         case "tag" => ident().toLowerCase match {
           case "keys"   => "tag_keys"
           case "values" => "tag_values"

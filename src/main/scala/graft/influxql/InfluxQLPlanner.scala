@@ -43,7 +43,7 @@ object InfluxQLPlanner {
       nowNs: Option[Long] = None): DataFrame =
     InfluxQLParser.parse(query) match {
       case s: Select            => plan(spark, dir, s, nowNs)
-      case Show(what, from)     => planShow(spark, what, from)
+      case Show(what, from)     => planShow(spark, dir, what, from)
       case ShowTagValues(from, key) =>
         from.filter(_ != "events").foreach(m => throw InfluxQLParseException(
           s"unknown measurement: $m (this build maps measurement 'events')"))
@@ -56,6 +56,8 @@ object InfluxQLPlanner {
           .distinct().orderBy("value")
       case _: DropMeasurement   => throw InfluxQLParseException(
         "DROP MEASUREMENT mutates the store — use InfluxQLPlanner.dropMeasurement(query, storeDir)")
+      case _: Delete            => throw InfluxQLParseException(
+        "DELETE mutates the store — use InfluxQLPlanner.delete(spark, query, storeDir)")
       case _: CreateCq          => throw InfluxQLParseException(
         "CREATE CONTINUOUS QUERY plans onto a stream — use InfluxQLPlanner.continuous(frame, query)")
       case other => throw InfluxQLParseException(s"cannot run $other against a data dir")
@@ -66,16 +68,28 @@ object InfluxQLPlanner {
     * measurement (`events`), its tag set, and its one field — rendered in
     * InfluxDB 1.7's result shapes.
     */
-  private def planShow(spark: SparkSession, what: String, from: Option[String]): DataFrame = {
+  private def planShow(spark: SparkSession, dir: String, what: String,
+      from: Option[String]): DataFrame = {
     import spark.implicits._
     from.filter(_ != "events").foreach(m =>
       throw InfluxQLParseException(s"unknown measurement: $m (this build maps measurement 'events')"))
     what match {
       case "measurements" => Seq("events").toDF("name")
+      case "databases"    => Seq("plc").toDF("name")
       case "tag_keys"     =>
         Seq(("events", "event_type"), ("events", "user_id")).toDF("measurement", "tag_key")
       case "field_keys"   =>
         Seq(("events", "value", "float")).toDF("measurement", "field_key", "field_type")
+      case "retention_policies" =>
+        // fresh-InfluxDB default: the infinite autogen policy
+        Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replican", "default")
+      case "series" =>
+        // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
+        // sorted by key — distinct over the tag set, one small shuffle
+        Tables.events(spark, dir)
+          .select(concat(lit("events,event_type="), col("event_type"),
+            lit(",user_id="), col("user_id").cast("string")).as("key"))
+          .distinct().orderBy("key")
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }
   }
@@ -226,14 +240,85 @@ object InfluxQLPlanner {
     InfluxQLParser.parse(query) match {
       case DropMeasurement(name) =>
         val part = new java.io.File(storeDir, s"measurement=$name")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
         val existed = part.exists()
-        if (existed) rm(part)
+        if (existed) rmTree(part)
         existed
       case other => throw InfluxQLParseException(s"not a DROP MEASUREMENT: $other")
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Execute DELETE FROM m [WHERE time …/tag …] against a
+    * measurement+date-partitioned point store (PointStore.writePartitioned
+    * layout). Two-speed, like InfluxDB's shard-aware deletes:
+    *
+    *  - date partitions FULLY inside the time bound (no tag predicate)
+    *    drop whole — O(#partitions), no data read, the retention fast
+    *    path;
+    *  - partially-covered or tag-filtered partitions rewrite with the
+    *    predicate inverted (read, keep non-matching, swap in place).
+    *
+    * Store rows carry tag `alias`; predicates on other keys are rejected.
+    * Returns (droppedPartitionPaths, rewrittenPartitionPaths).
+    */
+  def delete(spark: SparkSession, query: String, storeDir: String,
+      nowNs: Option[Long] = None): (Seq[String], Seq[String]) =
+    InfluxQLParser.parse(query) match {
+      case Delete(m, where0) =>
+        val where = where0.map {
+          case NowCond(op, off) =>
+            TimeCond(op, nowNs.getOrElse(System.currentTimeMillis() * 1000000L) + off)
+          case c => c
+        }
+        def checkKeys(c: Cond): Unit = c match {
+          case TagCond(k, _, _) if k != "alias" =>
+            throw InfluxQLParseException(s"unknown tag in DELETE: $k (store tags: alias)")
+          case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
+          case _ => ()
+        }
+        val tagConds = where.filterNot(c =>
+          c.isInstanceOf[TimeCond] || c.isInstanceOf[NowCond])
+        tagConds.foreach(checkKeys)
+        val (lo, hi) = timeBounds(where)
+        val mdir = new java.io.File(storeDir, s"measurement=$m")
+        if (!mdir.isDirectory)
+          throw InfluxQLParseException(s"unknown measurement: $m (no store partition)")
+        val dropped = Seq.newBuilder[String]
+        val rewritten = Seq.newBuilder[String]
+        Option(mdir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("date="))
+          .sortBy(_.getName)
+          .foreach { dd =>
+            val day = java.time.LocalDate.parse(dd.getName.stripPrefix("date="))
+            val dayLo = day.atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.getEpochSecond * 1000000000L
+            val dayHi = dayLo + 86400L * 1000000000L
+            val overlaps = lo.forall(_ < dayHi) && hi.forall(_ > dayLo)
+            if (overlaps) {
+              val covered = lo.forall(_ <= dayLo) && hi.forall(_ >= dayHi)
+              if (covered && tagConds.isEmpty) { rmTree(dd); dropped += dd.getPath }
+              else {
+                val df = spark.read.parquet(dd.getPath)
+                val tsNs = unix_micros(col("ts")) * 1000L
+                val timePred = (lo.map(l => tsNs >= l) ++ hi.map(h => tsNs < h))
+                  .reduceOption(_ && _).getOrElse(lit(true))
+                val tagPred = tagConds.map(condCol)
+                  .reduceOption(_ && _).getOrElse(lit(true))
+                val keep = df.filter(!(timePred && tagPred))
+                val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
+                keep.write.mode("overwrite").parquet(tmp.getPath)
+                rmTree(dd)
+                if (!tmp.renameTo(dd))
+                  throw new java.io.IOException(s"rename failed: $tmp -> $dd")
+                rewritten += dd.getPath
+              }
+            }
+          }
+        (dropped.result(), rewritten.result())
+      case other => throw InfluxQLParseException(s"not a DELETE: $other")
     }
 
   /** Enforce a parsed CREATE RETENTION POLICY against a date-partitioned

@@ -13,9 +13,15 @@ object InfluxQLRender {
     case Show("measurements", from) => s"SHOW MEASUREMENTS${fromClause(from)}"
     case Show("tag_keys", from)     => s"SHOW TAG KEYS${fromClause(from)}"
     case Show("field_keys", from)   => s"SHOW FIELD KEYS${fromClause(from)}"
+    case Show("databases", _)       => "SHOW DATABASES"
+    case Show("series", from)       => s"SHOW SERIES${fromClause(from)}"
+    case Show("retention_policies", _) => "SHOW RETENTION POLICIES"
     case Show(other, _) => throw InfluxQLParseException(s"unrenderable SHOW: $other")
     case ShowTagValues(from, key) => s"SHOW TAG VALUES${fromClause(from)} WITH KEY = $key"
     case DropMeasurement(name)    => s"DROP MEASUREMENT $name"
+    case Delete(m, where) =>
+      s"DELETE FROM $m" +
+        (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND "))
     case CreateCq(name, db, sel) =>
       s"CREATE CONTINUOUS QUERY $name ON $db BEGIN ${render(sel)} END"
     case CreateRetention(name, db, durSec, repl, isDefault) =>

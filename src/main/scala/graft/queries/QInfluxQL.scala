@@ -362,6 +362,14 @@ object QInfluxQL {
         |GROUP BY time(1d), event_type tz('America/New_York')""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_series",
+      "IQL24: SHOW SERIES — distinct series keys in InfluxDB's measurement,tag=v format",
+      """SELECT DISTINCT concat('events,event_type=', event_type,
+        |                       ',user_id=', CAST(user_id AS VARCHAR)) AS key
+        |FROM events ORDER BY key""".stripMargin)(influx(
+      "SHOW SERIES FROM events")),
+
+    GraftQuery(
       "q_influxql_regex",
       "IQL6: textual regex tag predicate `=~ /re/` + MEAN/COUNT per tag (InfluxQL regex selection)",
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value

@@ -399,7 +399,70 @@ class InfluxQLSpec extends SparkTestBase {
     assert(InfluxQLPlanner.sql(spark, dir, "SHOW FIELD KEYS").count() == 1)
     intercept[InfluxQLParseException](
       InfluxQLPlanner.sql(spark, dir, "SHOW TAG KEYS FROM nope"))
-    intercept[InfluxQLParseException](InfluxQLParser.parse("SHOW RETENTION POLICIES"))
+    // round-5 additions: DATABASES, RETENTION POLICIES, SERIES
+    assert(InfluxQLParser.parse("SHOW DATABASES") == Show("databases", None))
+    assert(InfluxQLParser.parse("SHOW RETENTION POLICIES ON plc") ==
+      Show("retention_policies", None))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW DATABASES")
+      .collect().map(_.getString(0)).toSeq == Seq("plc"))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW RETENTION POLICIES")
+      .collect().map(_.getString(0)).toSeq == Seq("autogen"))
+    val series = InfluxQLPlanner.sql(spark, dir, "SHOW SERIES FROM events")
+      .collect().map(_.getString(0))
+    assert(series.nonEmpty && series.forall(_.startsWith("events,event_type=")))
+    assert(series.sorted.sameElements(series) && series.distinct.length == series.length)
+  }
+
+  test("DELETE drops covered date partitions whole and rewrites partial ones") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-delete").toFile
+    val points = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value"))
+    graft.sinks.PointStore.writePartitioned(points, root.toString)
+    def dayRows(d: String): Long =
+      spark.read.parquet(root.toString)
+        .filter(col("date") === d).count()
+    val day2 = dayRows("2024-01-02")
+
+    // fully-covered day -> whole-partition drop, no rewrite
+    val (dropped, rewritten) = InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE time < '2024-01-02'", root.toString)
+    assert(dropped.size == 1 && dropped.head.contains("date=2024-01-01"))
+    assert(rewritten.isEmpty)
+    assert(!new java.io.File(root, "measurement=plc1/date=2024-01-01").exists())
+    assert(dayRows("2024-01-02") == day2)
+
+    // partial window -> in-place rewrite of just that day
+    val before2 = dayRows("2024-01-02")
+    val hits = spark.read.parquet(root.toString)
+      .filter(col("date") === "2024-01-02" &&
+        col("ts") >= lit("2024-01-02 06:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-02 12:00:00").cast("timestamp")).count()
+    assert(hits > 0)
+    val (d2, r2) = InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE time >= '2024-01-02 06:00:00' AND time < '2024-01-02 12:00:00'",
+      root.toString)
+    assert(d2.isEmpty && r2.size == 1 && r2.head.contains("date=2024-01-02"))
+    assert(dayRows("2024-01-02") == before2 - hits)
+
+    // tag-predicate delete rewrites every remaining day
+    val clicks = spark.read.parquet(root.toString).filter(col("alias") === "click").count()
+    assert(clicks > 0)
+    val (d3, r3) = InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE alias = 'click'", root.toString)
+    assert(d3.isEmpty && r3.size == 2)
+    assert(spark.read.parquet(root.toString).filter(col("alias") === "click").count() == 0)
+
+    // unknown tag key rejected; unknown measurement rejected
+    intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE bogus = 'x'", root.toString))
+    intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
+      "DELETE FROM nope WHERE time < '2024-01-02'", root.toString))
+    // parse + render round-trip
+    assert(InfluxQLParser.parse("DELETE FROM plc1 WHERE alias = 'click'") ==
+      Delete("plc1", Seq(TagCond("alias", "=", "click"))))
   }
 
   // ---- planner ------------------------------------------------------------
