@@ -114,7 +114,9 @@ object InfluxQLAst {
     * emit. `param` is the derivative unit in seconds / the window width.
     */
   final case class TransformField(fn: String, inner: FnField, param: Option[Double],
-      alias: Option[String]) extends Field
+      alias: Option[String],
+      /** second numeric argument — HOLT_WINTERS(fn, N, S)'s seasonality S */
+      param2: Option[Double] = None) extends Field
   /** Field arithmetic / scalar math — InfluxQL's expression surface, e.g.
     * `MEAN(value) * 100 + 5` (unit conversion, the Grafana math box) or
     * `ABS(value)` on a raw select. Requires an AS alias: a computed column
@@ -238,10 +240,11 @@ object InfluxQLParser {
 
   private val Functions = Set("count", "mean", "sum", "min", "max", "first",
     "last", "spread", "stddev", "median", "percentile", "top", "bottom",
-    "mode", "integral", "distinct")
+    "mode", "integral", "distinct", "elapsed", "sample")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
-    "difference", "non_negative_difference", "moving_average", "cumulative_sum")
+    "difference", "non_negative_difference", "moving_average", "cumulative_sum",
+    "holt_winters")
 
   /** InfluxQL 1.7 scalar math functions (field expressions). `round` and
     * `pow` take a second numeric argument.
@@ -252,7 +255,7 @@ object InfluxQLParser {
   /** Aggregates that produce ROWS (not one value per group) or need raw
     * event order — excluded from arithmetic, transforms, and subqueries.
     */
-  private val RowSelectors = Set("top", "bottom", "distinct")
+  private val RowSelectors = Set("top", "bottom", "distinct", "elapsed", "sample")
 
   /** Parse an InfluxQL statement (SELECT or SHOW …) into its AST. */
   def parse(q: String): Statement = {
@@ -502,7 +505,20 @@ object InfluxQLParser {
             throw InfluxQLParseException(s"$name cannot wrap ${inner.fn.toUpperCase}")
           val param =
             if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
-          val f = TransformField(fn, inner, param, None)
+          val param2 =
+            if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
+          if (fn == "holt_winters") {
+            if (param.isEmpty || param2.isEmpty)
+              throw InfluxQLParseException(
+                "HOLT_WINTERS takes (aggregate, N, S): forecast steps and seasonality")
+            if (param2.get != 0)
+              throw InfluxQLParseException(
+                "seasonal HOLT_WINTERS is not supported — S must be 0 (Holt linear)")
+            if (param.get < 1)
+              throw InfluxQLParseException("HOLT_WINTERS needs N >= 1 forecast steps")
+          } else if (param2.isDefined)
+            throw InfluxQLParseException(s"$name takes at most one parameter")
+          val f = TransformField(fn, inner, param, None, param2)
           eatOp(")")
           f
         } else fieldExpr() match {
@@ -596,7 +612,7 @@ object InfluxQLParser {
       val arg = ident()
       val param =
         if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
-      if (Set("percentile", "top", "bottom")(fn) && param.isEmpty)
+      if (Set("percentile", "top", "bottom", "sample")(fn) && param.isEmpty)
         throw InfluxQLParseException(s"${fn.toUpperCase} requires a second argument")
       FnField(fn, arg, param, None)
     }
@@ -767,7 +783,15 @@ object InfluxQLParser {
       }
       if (selectors.nonEmpty && (s.fields.size > 1 || s.groupTimeSec.isDefined))
         throw InfluxQLParseException(
-          "TOP/BOTTOM/DISTINCT must be the only field and take no GROUP BY time (tags only)")
+          "TOP/BOTTOM/DISTINCT/ELAPSED/SAMPLE must be the only field and take no " +
+            "GROUP BY time (tags only)")
+      // HOLT_WINTERS changes cardinality (one row per forecast step per
+      // series) — it cannot share a SELECT with per-bucket fields
+      if (s.fields.exists {
+        case t: TransformField => t.fn == "holt_winters"
+        case _ => false
+      } && s.fields.size > 1)
+        throw InfluxQLParseException("HOLT_WINTERS must be the only field")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       // time bounds inside an OR/parenthesized group would make the scan
@@ -818,7 +842,7 @@ object InfluxQLParser {
     */
   def outName(f: Field): String = f match {
     case FnField(fn, _, _, alias)        => alias.getOrElse(fn)
-    case TransformField(fn, _, _, alias) => alias.getOrElse(fn)
+    case TransformField(fn, _, _, alias, _) => alias.getOrElse(fn)
     case RawField(name, alias)           => alias.getOrElse(name)
     // validated non-empty for ExprField; placeholder keeps outName total
     case ExprField(_, alias)             => alias.getOrElse("expr")

@@ -141,7 +141,8 @@ object InfluxQLPlanner {
         "outer query over a subquery supports plain aggregates [GROUP BY tags] only" +
           " — filter/bucket/fill in the inner query")
     def checkSub(f: FnField): FnField =
-      if (Set("first", "last", "top", "bottom", "distinct", "integral").contains(f.fn))
+      if (Set("first", "last", "top", "bottom", "distinct", "integral",
+        "elapsed", "sample").contains(f.fn))
         throw InfluxQLParseException(
           s"${f.fn.toUpperCase} needs raw event order — unsupported over a subquery")
       else f
@@ -195,7 +196,8 @@ object InfluxQLPlanner {
     // format. Each belongs in a downstream batch query over the rollup.
     val fns = sel.fields.map {
       case f: FnField if !Set("percentile", "median", "top", "bottom",
-        "distinct", "count_distinct", "mode", "integral").contains(f.fn) => f
+        "distinct", "count_distinct", "mode", "integral",
+        "elapsed", "sample").contains(f.fn) => f
       case f => throw InfluxQLParseException(
         s"continuous queries support plain streaming aggregates, got $f")
     }
@@ -494,12 +496,137 @@ object InfluxQLPlanner {
     limited(out.orderBy(q.groupTags.map(col) :+ col(n): _*), q)
   }
 
+  /** Epoch-aligned bucket start, computed with integer arithmetic on the
+    * raw nanos column — exact (epoch ns exceed Double's 2^53 range, so no
+    * float math here), equivalent to window(ts, n).start / time_bucket.
+    * time(n, offset) shifts the grid; tz('zone') buckets (and renders) in
+    * that zone's wall-clock time, InfluxQL's tz() semantics.
+    */
+  private def bucketCol(q: Select, sec: Long): Column = {
+    val off = q.groupTimeOffSec
+    q.tz match {
+      case None =>
+        if (off == 0L)
+          expr(s"timestamp_seconds((ts_ns div ${sec}000000000L) * $sec)")
+        else
+          expr(s"timestamp_seconds(((ts_ns - ${off}000000000L) div ${sec}000000000L)" +
+            s" * $sec + $off)")
+      case Some(zone) =>
+        // local wall-clock micros (ts is micro-precision; buckets are
+        // >= 1s so no precision is lost)
+        val usPer = sec * 1000000L
+        val offUs = off * 1000000L
+        expr(s"timestamp_micros(((unix_micros(from_utc_timestamp(ts, '$zone'))" +
+          s" - ${offUs}L) div ${usPer}L) * ${usPer}L + ${offUs}L)")
+    }
+  }
+
+  /** ELAPSED(field[, unit]) — nanoseconds (in `unit` steps, default 1ns)
+    * between consecutive points per series. One window pass, shuffle on
+    * the tag partition; integer division keeps it engine-portable.
+    */
+  private def planElapsed(filtered: DataFrame, q: Select, f: FnField): DataFrame = {
+    val unitNs = f.param.map(s => (s * 1e9).toLong).getOrElse(1L)
+    val n = InfluxQLParser.outName(f)
+    val w = Window.partitionBy(q.groupTags.map(col): _*)
+      .orderBy(col("ts_ns"), col("event_id"))
+    val out = filtered
+      .withColumn("__d", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .filter(col("__d").isNotNull)
+      .withColumn(n, expr(s"__d div ${unitNs}L"))
+      .orderBy(q.groupTags.map(col) :+ col("ts_ns") :+ col("event_id"): _*)
+      .select(timeStr(col("ts"), q).as("time") +: q.groupTags.map(col) :+ col(n): _*)
+    limited(out, q)
+  }
+
+  /** SAMPLE(field, n) — n points per series. InfluxQL reservoir-samples;
+    * the deterministic, oracle-checkable equivalent is an LCG-hash rank
+    * over the unique event id (q_sample convention) — same uniformity,
+    * and the rank filter pushes map-side as a WindowGroupLimit.
+    */
+  private def planSample(filtered: DataFrame, q: Select, f: FnField): DataFrame = {
+    val n = f.param.get.toInt
+    val name = InfluxQLParser.outName(f)
+    val w = Window.partitionBy(q.groupTags.map(col): _*)
+      .orderBy((col("event_id") * 1103515245L + 12345L) % 2147483647L, col("event_id"))
+    val out = seriesLimited(filtered, q, q.groupTags)
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n)
+      .select((timeStr(col("ts"), q).as("time") +: q.groupTags.map(col)) :+
+        col(f.arg).as(name) :+ col("__rk"): _*)
+    limited(out.orderBy(q.groupTags.map(col) :+ col("__rk"): _*).drop("__rk"), q)
+  }
+
+  /** HOLT_WINTERS(agg(field), N, 0) — Holt linear (double exponential)
+    * smoothing over the bucketed aggregate, emitting N forecast rows per
+    * series with future bucket timestamps. Fixed smoothing (alpha 0.5,
+    * gamma 0.3 — InfluxDB fits them; a fixed pair keeps the fold
+    * deterministic and oracle-checkable, q_holt_forecast convention).
+    *
+    * Scale note: the fold runs over the BUCKET array, not raw points —
+    * bounded by the required WHERE time range / interval (a dashboard
+    * grid), so the per-series state is output-proportional. Raw-point
+    * Holt at unbounded history is the q_holt_forecast streaming fold.
+    */
+  private def planHoltWinters(spark: SparkSession, filtered: DataFrame, q: Select,
+      t: TransformField): DataFrame = {
+    val sec = q.groupTimeSec.getOrElse(
+      throw InfluxQLParseException("HOLT_WINTERS requires GROUP BY time(...)"))
+    val (loOpt, hiOpt) = timeBounds(q.where)
+    if (loOpt.isEmpty || hiOpt.isEmpty)
+      throw InfluxQLParseException(
+        "HOLT_WINTERS requires a bounded time range in WHERE (the fold state is " +
+          "bounded by the bucket grid)")
+    val steps = t.param.get.toInt
+    val name = InfluxQLParser.outName(t)
+    val tags = q.groupTags
+    val inner = aggCol(t.inner).as("__v")
+    val agg = filtered.withColumn("__t", bucketCol(q, sec))
+      .groupBy(("__t" +: tags).map(col): _*).agg(inner)
+    val series = agg.groupBy(tags.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+    // Holt fold: init l=v2, b=v2-v1, then fold elements 3..n. The lambda
+    // reads only the OLD accumulator (Spark named_struct semantics), the
+    // same op order as the recursive-CTE oracle — bit-identical doubles.
+    val folded = series
+      .withColumn("__n", size(col("s")))
+      .withColumn("__acc", expr(
+        """aggregate(
+          |  slice(s, 3, greatest(size(s) - 2, 0)),
+          |  named_struct(
+          |    'l', CAST(element_at(s, least(size(s), 2)).__v AS DOUBLE),
+          |    'b', CAST(element_at(s, least(size(s), 2)).__v
+          |           - element_at(s, 1).__v AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    'l', 0.5 * x.__v + 0.5 * (acc.l + acc.b),
+          |    'b', 0.3 * ((0.5 * x.__v + 0.5 * (acc.l + acc.b)) - acc.l)
+          |           + 0.7 * acc.b))""".stripMargin))
+      .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
+    val out = folded.select(
+      tags.map(col) :+ col("s") :+ col("__n") :+ col("__acc") :+ col("__lastT") :+
+        explode(expr(s"sequence(1, $steps)")).as("__h"): _*)
+      .withColumn(name,
+        when(col("__n") === 1, element_at(col("s"), 1).getField("__v"))
+          .otherwise(expr(s"floor((__acc.l + __h * __acc.b) * 10000) / 10000")))
+      .withColumn("time", date_format(
+        expr(s"timestamp_seconds(unix_seconds(__lastT) + __h * $sec)"),
+        "yyyy-MM-dd HH:mm:ss"))
+      .select(col("time") +: tags.map(col) :+ col(name): _*)
+    limited(out.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
+      tags.map(col): _*), q)
+  }
+
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
     q.fields match {
       case Seq(f: FnField) if f.fn == "top" || f.fn == "bottom" =>
         return planTopBottom(filtered, q, f)
       case Seq(f: FnField) if f.fn == "distinct" =>
         return planDistinct(filtered, q, f)
+      case Seq(f: FnField) if f.fn == "elapsed" =>
+        return planElapsed(filtered, q, f)
+      case Seq(f: FnField) if f.fn == "sample" =>
+        return planSample(filtered, q, f)
+      case Seq(t: TransformField) if t.fn == "holt_winters" =>
+        return planHoltWinters(spark, filtered, q, t)
       case _ => ()
     }
     // Transforms compute their INNER aggregate per bucket here, then get
@@ -510,31 +637,9 @@ object InfluxQLPlanner {
     val fns: Seq[Field] = q.fields
     val aggNames = fns.map(InfluxQLParser.outName)
     val tagCols = q.groupTags
-    // Epoch-aligned bucket start, computed with integer arithmetic on the
-    // raw nanos column — exact (epoch ns exceed Double's 2^53 range, so no
-    // float math here), equivalent to window(ts, n).start / time_bucket.
-    // time(n, offset) shifts the grid; tz('zone') buckets (and renders) in
-    // that zone's wall-clock time, InfluxQL's tz() semantics.
     val bucketed = q.groupTimeSec match {
-      case Some(sec) =>
-        val off = q.groupTimeOffSec
-        val bucketExpr = q.tz match {
-          case None =>
-            if (off == 0L)
-              expr(s"timestamp_seconds((ts_ns div ${sec}000000000L) * $sec)")
-            else
-              expr(s"timestamp_seconds(((ts_ns - ${off}000000000L) div ${sec}000000000L)" +
-                s" * $sec + $off)")
-          case Some(zone) =>
-            // local wall-clock micros (ts is micro-precision; buckets are
-            // >= 1s so no precision is lost)
-            val usPer = sec * 1000000L
-            val offUs = off * 1000000L
-            expr(s"timestamp_micros(((unix_micros(from_utc_timestamp(ts, '$zone'))" +
-              s" - ${offUs}L) div ${usPer}L) * ${usPer}L + ${offUs}L)")
-        }
-        filtered.withColumn("__t", bucketExpr)
-      case None => filtered
+      case Some(sec) => filtered.withColumn("__t", bucketCol(q, sec))
+      case None      => filtered
     }
     val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
 

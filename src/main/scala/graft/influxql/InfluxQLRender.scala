@@ -65,9 +65,10 @@ object InfluxQLRender {
     val base = f match {
       case RawField(name, _) => name
       case FnField(fn, arg, param, _) => fnCall(fn, arg, param)
-      case TransformField(fn, inner, param, _) =>
+      case TransformField(fn, inner, param, _, param2) =>
         val in = fnCall(inner.fn, inner.arg, inner.param)
-        s"${fn.toUpperCase}($in${param.fold("")(p => s", ${num(p)}")})"
+        s"${fn.toUpperCase}($in${param.fold("")(p => s", ${num(p)}")}" +
+          s"${param2.fold("")(p => s", ${num(p)}")})"
       case ExprField(e, _) => expr(e)
     }
     f.alias.fold(base)(a => s"$base AS $a")

@@ -362,6 +362,68 @@ object QInfluxQL {
         |GROUP BY time(1d), event_type tz('America/New_York')""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_elapsed",
+      "IQL25: ELAPSED(value, 1m) per tag — whole minutes between consecutive points",
+      """WITH d AS (
+        |  SELECT ts, user_id, event_id,
+        |         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS dns
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03')
+        |SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       dns // 60000000000 AS elapsed
+        |FROM d WHERE dns IS NOT NULL ORDER BY user_id, ts, event_id""".stripMargin)(influx(
+      """SELECT ELAPSED(value, 1m) AS elapsed FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_sample",
+      "IQL26: SAMPLE(value, 2) per tag — deterministic LCG-rank pick (q_sample convention)",
+      """WITH d AS (
+        |  SELECT ts, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY (event_id * 1103515245 + 12345) % 2147483647, event_id) AS rk
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03')
+        |SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       value AS sample
+        |FROM d WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin)(influx(
+      """SELECT SAMPLE(value, 2) AS sample FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_holt",
+      "IQL27: HOLT_WINTERS(MEAN(value), 2, 0) — 2-step Holt-linear forecast over hourly buckets",
+      """WITH RECURSIVE a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, list(m ORDER BY t) AS vals, count(*) AS n, max(t) AS lastt
+        |  FROM a GROUP BY event_type),
+        |s(event_type, n, vals, lastt, i, l, b) AS (
+        |  SELECT event_type, n, vals, lastt, CAST(3 AS BIGINT),
+        |         vals[2]::DOUBLE, (vals[2] - vals[1])::DOUBLE
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT event_type, n, vals, lastt, i + 1,
+        |         0.5 * vals[i] + 0.5 * (l + b),
+        |         0.3 * ((0.5 * vals[i] + 0.5 * (l + b)) - l) + 0.7 * b
+        |  FROM s WHERE i <= n),
+        |f AS (SELECT event_type, lastt, l, b FROM s WHERE i = n + 1),
+        |h AS (SELECT unnest(generate_series(1, 2)) AS h)
+        |SELECT strftime(f.lastt + h.h * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS time,
+        |       f.event_type, floor((f.l + h.h * f.b) * 10000) / 10000 AS hw
+        |FROM f CROSS JOIN h ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT HOLT_WINTERS(MEAN(value), 2, 0) AS hw FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_series",
       "IQL24: SHOW SERIES — distinct series keys in InfluxDB's measurement,tag=v format",
       """SELECT DISTINCT concat('events,event_type=', event_type,

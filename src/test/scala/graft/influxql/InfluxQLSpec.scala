@@ -250,6 +250,53 @@ class InfluxQLSpec extends SparkTestBase {
     assert(series.toSeq == all.slice(1, 4).toSeq)
   }
 
+  test("ELAPSED/SAMPLE/HOLT_WINTERS parse; their restrictions are enforced") {
+    assert(InfluxQLParser.parseSelect(
+      "SELECT ELAPSED(value, 1m) AS e FROM events GROUP BY user_id")
+      .fields == Seq(FnField("elapsed", "value", Some(60.0), Some("e"))))
+    assert(InfluxQLParser.parseSelect(
+      "SELECT SAMPLE(value, 3) FROM events GROUP BY user_id")
+      .fields == Seq(FnField("sample", "value", Some(3.0), None)))
+    assert(InfluxQLParser.parseSelect(
+      "SELECT HOLT_WINTERS(MEAN(value), 2, 0) AS hw FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08' GROUP BY time(1h)")
+      .fields == Seq(TransformField("holt_winters",
+        FnField("mean", "value", None, None), Some(2.0), Some("hw"), Some(0.0))))
+    // SAMPLE needs n; HOLT_WINTERS needs (N, S) with S = 0; selectors are
+    // single-field, no time bucket; HOLT_WINTERS needs a bounded range
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect("SELECT SAMPLE(value) FROM events"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT HOLT_WINTERS(MEAN(value), 2) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT HOLT_WINTERS(MEAN(value), 2, 4) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT ELAPSED(value), COUNT(value) FROM events GROUP BY user_id"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(
+        "SELECT SAMPLE(value, 2) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT HOLT_WINTERS(MEAN(value), 2, 0) FROM events GROUP BY time(1h)"))
+    // N forecast rows per series with future bucket timestamps
+    val hw = InfluxQLPlanner.sql(spark, dir,
+      "SELECT HOLT_WINTERS(MEAN(value), 3, 0) AS hw FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), event_type")
+      .collect()
+    val perSeries = hw.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getString(0)).sorted).toMap
+    assert(perSeries.nonEmpty && perSeries.values.forall(_.length == 3))
+    // 3 consecutive future buckets, 1h apart, per series
+    perSeries.values.foreach { ts =>
+      assert(ts.distinct.length == 3)
+      val parsed = ts.map(java.time.LocalDateTime.parse(_,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+      assert(parsed(1) == parsed(0).plusHours(1) && parsed(2) == parsed(1).plusHours(1))
+    }
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
