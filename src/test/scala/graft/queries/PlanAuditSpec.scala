@@ -99,6 +99,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(planOf("q_influxql_raw").contains("TakeOrderedAndProject"))
   }
 
+  test("InfluxQL INTEGRAL's window pre-pass shares its shuffle with the groupBy") {
+    // window partitions on (bucket, tags); the following hash aggregate
+    // groups on the SAME keys — one hashpartitioning Exchange total (plus
+    // the final presentation sort's rangepartitioning)
+    val plan = planOf("q_influxql_integral")
+    assert(plan.contains("Window") && plan.contains("HashAggregate"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected the groupBy to reuse the window's shuffle, found $hashExchanges:\n$plan")
+  }
+
+  test("InfluxQL tz()/time-offset buckets keep the ts_ns scan pushdown") {
+    Seq("q_influxql_tz", "q_influxql_time_offset").foreach { k =>
+      val plan = planOf(k)
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+        s"$k: time bounds must still reach the parquet scan:\n$plan")
+    }
+  }
+
+  test("InfluxQL SLIMIT pages series via a broadcast semi-join (no extra shuffle)") {
+    val plan = planOf("q_influxql_slimit")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"series pagination must broadcast the tiny series list:\n$plan")
+  }
+
+  test("InfluxQL HOLT_WINTERS folds over buckets, not raw points (agg before collect)") {
+    // collect_list is legitimate here ONLY over the bucketed aggregate —
+    // assert the plan aggregates (buckets) below the list collection
+    val plan = planOf("q_influxql_holt")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && plan.contains("collect_list"))
+    assert(plan.indexOf("avg(") > 0, s"bucket mean must precede the fold:\n$plan")
+  }
+
   test("q_holt_forecast folds with O(1) state (no collect_list buffer in the plan)") {
     val plan = planOf("q_holt_forecast")
     assert(!plan.contains("collect_list"),
