@@ -418,7 +418,13 @@ object InfluxQLParser {
           val inner = select()
           eatOp(")")
           (inner.measurement, Some(inner))
-        } else (measurement(), None)
+        } else peek match {
+          // FROM /re/ — regex over the measurement catalog (a Grafana
+          // templated-dashboard shape); encoded with an "re:" prefix, the
+          // planner resolves it against the catalog
+          case Some(TRegex(re)) => next(); (s"re:$re", None)
+          case _                => (measurement(), None)
+        }
       var where = Seq.empty[Cond]
       var gbTime: Option[Long] = None
       var gbOff = 0L
@@ -470,6 +476,9 @@ object InfluxQLParser {
     }
 
     private def fieldList(): Seq[Field] = {
+      // SELECT * — every tag and field (Grafana's explore shape); must be
+      // the whole projection
+      if (peek.contains(TOp("*"))) { next(); return Seq(RawField("*", None)) }
       val fs = Seq.newBuilder[Field]
       var more = true
       while (more) {

@@ -96,7 +96,15 @@ object InfluxQLPlanner {
 
   def plan(spark: SparkSession, dir: String, q0: Select,
       nowNs: Option[Long] = None): DataFrame = {
-    if (q0.measurement != "events")
+    // catalog resolution; FROM /re/ matches against the measurement list
+    // (single-measurement build: 'events')
+    val catalog = Seq("events")
+    if (q0.measurement.startsWith("re:")) {
+      val re = q0.measurement.drop(3).r
+      if (!catalog.exists(m => re.findFirstIn(m).isDefined))
+        throw InfluxQLParseException(
+          s"FROM /${q0.measurement.drop(3)}/ matches no measurement (catalog: ${catalog.mkString(", ")})")
+    } else if (!catalog.contains(q0.measurement))
       throw InfluxQLParseException(
         s"unknown measurement: ${q0.measurement} (this build maps measurement 'events')")
     // Resolve now()-relative bounds to absolute epoch ns ONCE, up front —
@@ -721,10 +729,27 @@ object InfluxQLPlanner {
         // under tz() __t is already local-naive — no further conversion
         Seq(date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time"))
       else Nil
-    val out = seriesLimited(transformed, q, tagCols).select(
-      timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
-    val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
-    limited(ordered, q)
+    val paged = seriesLimited(transformed, q, tagCols)
+    // InfluxDB semantics: on a grouped series-of-points result, LIMIT and
+    // OFFSET paginate points PER SERIES (SLIMIT pages the series) — a
+    // per-partition rank, cut map-side as a WindowGroupLimit. Ungrouped
+    // results keep the global limit.
+    val perSeries = q.groupTimeSec.isDefined && tagCols.nonEmpty &&
+      (q.limit.isDefined || q.offset.isDefined)
+    if (perSeries) {
+      val ord = if (q.orderDesc) col("__t").desc else col("__t").asc
+      val w = Window.partitionBy(tagCols.map(col): _*).orderBy(ord)
+      val off = q.offset.getOrElse(0)
+      val hi = q.limit.map(off + _).getOrElse(Int.MaxValue)
+      val cut = paged.withColumn("__pn", row_number().over(w))
+        .filter(col("__pn") > off && col("__pn") <= hi)
+      val out = cut.select(timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
+      ordering(out, q, hasTime = true, tagCols)
+    } else {
+      val out = paged.select(timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
+      val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
+      limited(ordered, q)
+    }
   }
 
   /** Join the aggregate onto the full bucket grid over the WHERE range and
@@ -803,11 +828,13 @@ object InfluxQLPlanner {
   // ---- raw path -----------------------------------------------------------
 
   private def planRaw(filtered: DataFrame, q: Select): DataFrame = {
-    val fieldCols = q.fields.map {
-      case RawField(name, alias) => col(name).as(alias.getOrElse(name))
+    val fieldCols = q.fields.flatMap {
+      // SELECT * — the measurement's tags then fields (InfluxDB order)
+      case RawField("*", _) => Seq(col("event_type"), col("user_id"), col("value"))
+      case RawField(name, alias) => Seq(col(name).as(alias.getOrElse(name)))
       // raw-select scalar math, e.g. ABS(value) AS av — per-row, codegen'd
-      case ExprField(e, alias) => exprOut(e, f => throw InfluxQLParseException(
-        s"aggregate ${f.fn.toUpperCase} in a raw select")).as(alias.get)
+      case ExprField(e, alias) => Seq(exprOut(e, f => throw InfluxQLParseException(
+        s"aggregate ${f.fn.toUpperCase} in a raw select")).as(alias.get))
       case f => throw InfluxQLParseException(s"unexpected field in raw select: $f")
     }
     // (ts_ns, event_id) ordering: deterministic under rendered-second ties.

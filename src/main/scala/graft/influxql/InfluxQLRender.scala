@@ -39,6 +39,8 @@ object InfluxQLRender {
     s.into.foreach(t => sb ++= s" INTO $t")
     s.fromSub match {
       case Some(sub) => sb ++= s" FROM (${renderSelect(sub)})"
+      case None if s.measurement.startsWith("re:") =>
+        sb ++= s" FROM /${s.measurement.drop(3)}/"
       case None      => sb ++= s" FROM ${s.measurement}"
     }
     if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")

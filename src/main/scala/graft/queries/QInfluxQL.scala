@@ -424,6 +424,41 @@ object QInfluxQL {
         |GROUP BY time(1h), event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_star",
+      "IQL28: SELECT * raw explore — all tags and fields with times",
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type, user_id, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-10 06:00:00'
+        |ORDER BY ts, event_id LIMIT 200""".stripMargin)(influx(
+      """SELECT * FROM events
+        |WHERE time >= '2024-01-10' AND time < '2024-01-10 06:00:00'
+        |LIMIT 200""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_from_regex",
+      "IQL29: FROM /re/ — regex measurement selection against the catalog",
+      """SELECT event_type, count(value) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)(influx(
+      "SELECT COUNT(value) AS n FROM /^ev/ GROUP BY event_type")),
+
+    GraftQuery(
+      "q_influxql_limit_series",
+      "IQL30: LIMIT/OFFSET on a grouped result paginate points PER SERIES (InfluxDB semantics)",
+      """WITH a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn FROM a)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type, m
+        |FROM r WHERE rn > 2 AND rn <= 7 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-04'
+        |GROUP BY time(1h), event_type LIMIT 5 OFFSET 2""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_series",
       "IQL24: SHOW SERIES — distinct series keys in InfluxDB's measurement,tag=v format",
       """SELECT DISTINCT concat('events,event_type=', event_type,

@@ -297,6 +297,27 @@ class InfluxQLSpec extends SparkTestBase {
     }
   }
 
+  test("SELECT *, FROM /re/, and per-series LIMIT semantics") {
+    assert(InfluxQLParser.parseSelect("SELECT * FROM events LIMIT 5")
+      .fields == Seq(RawField("*", None)))
+    assert(InfluxQLParser.parseSelect("SELECT COUNT(value) FROM /^ev/ GROUP BY event_type")
+      .measurement == "re:^ev")
+    // a regex matching nothing in the catalog is rejected at planning
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sql(spark, dir, "SELECT COUNT(value) FROM /^nope/"))
+    // SELECT * expands to (time, tags, field)
+    val star = InfluxQLPlanner.sql(spark, dir,
+      "SELECT * FROM events WHERE time >= '2024-01-10' AND time < '2024-01-10 01:00:00'")
+    assert(star.columns.toSeq == Seq("time", "event_type", "user_id", "value"))
+    // grouped LIMIT pages points per series, not globally
+    val paged = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1h), event_type LIMIT 4""".stripMargin).collect()
+    val bySeries = paged.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySeries.nonEmpty && bySeries.values.forall(_ == 4))
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
