@@ -318,6 +318,26 @@ class InfluxQLSpec extends SparkTestBase {
     assert(bySeries.nonEmpty && bySeries.values.forall(_ == 4))
   }
 
+  test("subqueries nest beyond one level (max of daily maxes of hourly means)") {
+    val two = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MAX(dm) AS peak FROM
+        |  (SELECT MAX(m) AS dm FROM
+        |    (SELECT MEAN(value) AS m FROM events
+        |     WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |     GROUP BY time(1h), event_type)
+        |   GROUP BY event_type)
+        |GROUP BY event_type""".stripMargin).collect()
+    val one = InfluxQLPlanner.sql(spark, dir,
+      """SELECT MAX(m) AS peak FROM
+        |  (SELECT MEAN(value) AS m FROM events
+        |   WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |   GROUP BY time(1h), event_type)
+        |GROUP BY event_type""".stripMargin).collect()
+    // max of per-series maxes == max over the whole series
+    assert(two.nonEmpty && two.map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      one.map(r => (r.getString(0), r.getDouble(1))).toSet)
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
