@@ -1,0 +1,125 @@
+package graft.influxql
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import InfluxQLAst._
+
+/** Renders a planned InfluxQL result in InfluxDB 1.x's HTTP response shape —
+  * the JSON Grafana's InfluxDB datasource consumes:
+  *
+  * {{{
+  * {"results":[{"statement_id":0,"series":[
+  *   {"name":"events","tags":{"event_type":"click"},
+  *    "columns":["time","mean_value"],"values":[["2024-01-01T00:00:00Z",0.5],…]}]}]}
+  * }}}
+  *
+  * One series object per tag set (InfluxDB's series identity); GROUP BY tags
+  * move from row columns into the series' `tags` object; times render
+  * RFC3339 UTC (the engine's "yyyy-MM-dd HH:mm:ss" rendering re-shaped).
+  *
+  * This is the PRESENTATION layer — the body of one HTTP query response for
+  * a dashboard panel, inherently driver-side and bounded by the panel's
+  * LIMIT/SLIMIT. The heavy lifting stays distributed in [[InfluxQLPlanner]];
+  * collect() here materializes only the already-paginated result.
+  */
+object InfluxQLResult {
+
+  def render(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
+      nowNs: Option[Long] = None): String = {
+    val st = InfluxQLParser.parse(query)
+    val df = InfluxQLPlanner.sql(spark, dir, query, nowNs)
+    st match {
+      case s: Select => renderSelect(df, s)
+      case Show(what, _) =>
+        val name = what match {
+          case "measurements" => "measurements"
+          case "databases"    => "databases"
+          case other          => other
+        }
+        series(name, Map.empty, df.columns.toSeq, df.collect().toSeq)
+      case ShowTagValues(from, _) =>
+        series(from.getOrElse("events"), Map.empty, df.columns.toSeq, df.collect().toSeq)
+      case other => throw InfluxQLParseException(s"not a renderable result: $other")
+    }
+  }
+
+  private def renderSelect(df: DataFrame, s: Select): String = {
+    val measurement =
+      if (s.measurement.startsWith("re:")) "events" else s.measurement
+    val tags = s.groupTags match {
+      case Seq("*") => Seq("event_type", "user_id")
+      case t        => t
+    }
+    val cols = df.columns.toSeq
+    val tagIdx = tags.flatMap(t => cols.zipWithIndex.find(_._1 == t).map(_._2))
+    val valueIdx = cols.indices.filterNot(tagIdx.contains)
+    val rows = df.collect().toSeq
+    if (tagIdx.isEmpty)
+      series(measurement, Map.empty, valueIdx.map(cols), rows.map(pick(_, valueIdx)))
+    else {
+      // one series per tag set, preserving first-appearance order (the
+      // planner already orders by tags)
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], scala.collection.mutable.ArrayBuffer[Row]]
+      rows.foreach { r =>
+        val key = tagIdx.map(i => String.valueOf(r.get(i)))
+        grouped.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r
+      }
+      val ss = grouped.map { case (key, rs) =>
+        seriesObj(measurement, tags.zip(key).toMap, valueIdx.map(cols),
+          rs.toSeq.map(pick(_, valueIdx)))
+      }
+      wrap(ss.mkString(","))
+    }
+  }
+
+  private def pick(r: Row, idx: Seq[Int]): Row =
+    Row.fromSeq(idx.map(r.get))
+
+  private def series(name: String, tags: Map[String, String], columns: Seq[String],
+      rows: Seq[Row]): String =
+    wrap(seriesObj(name, tags, columns, rows))
+
+  private def wrap(seriesJson: String): String =
+    s"""{"results":[{"statement_id":0,"series":[$seriesJson]}]}"""
+
+  private def seriesObj(name: String, tags: Map[String, String],
+      columns: Seq[String], rows: Seq[Row]): String = {
+    val tagsJson =
+      if (tags.isEmpty) ""
+      else tags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${str(k)}:${str(v)}" }
+        .mkString(""""tags":{""", ",", "},")
+    val colsJson = columns.map(str).mkString("[", ",", "]")
+    val valuesJson = rows.map { r =>
+      columns.indices.map(i => jsonValue(columns(i), r.get(i))).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"name":${str(name)},$tagsJson"columns":$colsJson,"values":$valuesJson}"""
+  }
+
+  /** The engine renders times as 'yyyy-MM-dd HH:mm:ss' (UTC, or zone-local
+    * under tz()); the wire format is RFC3339.
+    */
+  private def jsonValue(col: String, v: Any): String = v match {
+    case null => "null"
+    case s: String if col == "time" && s.length == 19 && s.charAt(10) == ' ' =>
+      str(s.substring(0, 10) + "T" + s.substring(11) + "Z")
+    case s: String => str(s)
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case n @ (_: Double | _: Float | _: Long | _: Int | _: Short | _: Byte) => n.toString
+    case b: Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => str(String.valueOf(other))
+  }
+
+  private def str(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb ++= "\\\""
+      case '\\'          => sb ++= "\\\\"
+      case c if c < ' '  => sb ++= f"\\u${c.toInt}%04x"
+      case c             => sb += c
+    }
+    (sb += '"').result()
+  }
+}

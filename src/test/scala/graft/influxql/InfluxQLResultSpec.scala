@@ -1,0 +1,61 @@
+package graft.influxql
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkTestBase
+
+/** The InfluxDB 1.x HTTP response shape (what Grafana's datasource parses):
+  * well-formed JSON, one series per tag set, tags lifted out of columns,
+  * RFC3339 times.
+  */
+class InfluxQLResultSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val mapper = new ObjectMapper()
+
+  test("grouped SELECT renders one series per tag set with RFC3339 times") {
+    val json = InfluxQLResult.render(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(1d), event_type""".stripMargin)
+    val root = mapper.readTree(json)
+    val series = root.at("/results/0/series")
+    assert(series.isArray && series.size() > 1, json.take(300))
+    val s0 = series.get(0)
+    assert(s0.at("/name").asText() == "events")
+    assert(s0.at("/tags/event_type").asText().nonEmpty)
+    // tags are NOT repeated in columns; time is RFC3339
+    val cols = (0 until s0.at("/columns").size()).map(i => s0.at(s"/columns/$i").asText())
+    assert(cols == Seq("time", "m"))
+    val t0 = s0.at("/values/0/0").asText()
+    assert(t0.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""), t0)
+    assert(s0.at("/values/0/1").isNumber)
+    // every tag set appears exactly once
+    val tagVals = (0 until series.size()).map(i => series.get(i).at("/tags/event_type").asText())
+    assert(tagVals.distinct == tagVals)
+  }
+
+  test("ungrouped SELECT renders a single series; SHOW renders its catalog shape") {
+    val json = InfluxQLResult.render(spark, dir,
+      "SELECT COUNT(value) AS n FROM events")
+    val root = mapper.readTree(json)
+    assert(root.at("/results/0/series").size() == 1)
+    assert(root.at("/results/0/series/0/columns/0").asText() == "n")
+    assert(root.at("/results/0/series/0/values/0/0").asLong() > 0)
+
+    val show = mapper.readTree(InfluxQLResult.render(spark, dir, "SHOW MEASUREMENTS"))
+    assert(show.at("/results/0/series/0/name").asText() == "measurements")
+    assert(show.at("/results/0/series/0/values/0/0").asText() == "events")
+  }
+
+  test("raw select with LIMIT renders bounded values (panel-sized collect)") {
+    val json = InfluxQLResult.render(spark, dir,
+      """SELECT value, user_id FROM events
+        |WHERE time >= '2024-01-10' AND time < '2024-01-11'
+        |ORDER BY time DESC LIMIT 7""".stripMargin)
+    val root = mapper.readTree(json)
+    assert(root.at("/results/0/series/0/values").size() == 7)
+    assert((0 until 3).forall(i =>
+      root.at(s"/results/0/series/0/values/$i/0").asText().endsWith("Z")))
+  }
+}
