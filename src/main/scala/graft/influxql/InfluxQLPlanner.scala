@@ -34,24 +34,64 @@ import InfluxQLAst._
   */
 object InfluxQLPlanner {
 
+  /** Measurement catalog: which measurements exist, their tag keys, the
+    * value field, and how to load one measurement's frame. A loaded frame
+    * must carry `ts` (timestamp), `ts_ns` (raw epoch nanos — parquet
+    * row-group pushdown + exact integer bucketing), `event_id` (unique
+    * per-row tie-break), the tag columns, and the field column.
+    */
+  final case class Catalog(
+      measurements: Seq[String],
+      tags: Seq[String],
+      field: String,
+      load: (SparkSession, String, String) => DataFrame) {
+    def requireMeasurement(m: String): Unit =
+      if (!measurements.contains(m))
+        throw InfluxQLParseException(
+          s"unknown measurement: $m (catalog: ${measurements.mkString(", ")})")
+  }
+
+  object Catalog {
+    /** Driver testdata catalog: single measurement `events`. */
+    val events: Catalog = Catalog(Seq("events"), Seq("event_type", "user_id"),
+      "value", (s, dir, _) => Tables.events(s, dir))
+
+    /** A measurement+date-partitioned point store (PointStore layout —
+      * what the ingest pipeline writes): one measurement per
+      * `measurement=` partition, tag `alias`. The tie-break id is a row
+      * hash — deterministic given the data; ties occur only between
+      * bit-identical rows, which every selector is insensitive to.
+      */
+    def store(storeDir: String): Catalog = {
+      val ms = Option(new java.io.File(storeDir).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+        .map(_.getName.stripPrefix("measurement=")).sorted
+      Catalog(ms, Seq("alias"), "value",
+        (s, _, m) => s.read.parquet(s"$storeDir/measurement=$m")
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .withColumn("event_id", xxhash64(col("alias"), col("ts"), col("value"))))
+    }
+  }
+
   /** Parse + plan: the engine's user-facing `influxql(...)` entry point.
     * `nowNs` pins `now()`-relative time bounds (`WHERE time > now() - 1h`,
     * the default Grafana shape) to a fixed instant; it defaults to the
     * wall clock, so pass it explicitly wherever determinism matters.
     */
   def sql(spark: SparkSession, dir: String, query: String,
-      nowNs: Option[Long] = None): DataFrame =
+      nowNs: Option[Long] = None, catalog: Catalog = Catalog.events): DataFrame =
     InfluxQLParser.parse(query) match {
-      case s: Select            => plan(spark, dir, s, nowNs)
-      case Show(what, from)     => planShow(spark, dir, what, from)
+      case s: Select            => plan(spark, dir, s, nowNs, catalog)
+      case Show(what, from)     => planShow(spark, dir, what, from, catalog)
       case ShowTagValues(from, key) =>
-        from.filter(_ != "events").foreach(m => throw InfluxQLParseException(
-          s"unknown measurement: $m (this build maps measurement 'events')"))
-        if (!Set("event_type", "user_id")(key))
+        from.foreach(catalog.requireMeasurement)
+        if (!catalog.tags.contains(key))
           throw InfluxQLParseException(s"unknown tag key: $key")
         // Grafana template-variable shape: (key, value) rows. Distinct of
         // one low-cardinality tag — partial+final hash agg, tiny shuffle.
-        Tables.events(spark, dir)
+        val m = from.getOrElse(catalog.measurements.head)
+        catalog.load(spark, dir, m)
           .select(lit(key).as("key"), col(key).cast("string").as("value"))
           .distinct().orderBy("value")
       case _: DropMeasurement   => throw InfluxQLParseException(
@@ -63,50 +103,64 @@ object InfluxQLPlanner {
       case other => throw InfluxQLParseException(s"cannot run $other against a data dir")
     }
 
-  /** The metadata surface Grafana's query builder polls (SHOW …). The
-    * catalog is the planner's measurement mapping itself — one
-    * measurement (`events`), its tag set, and its one field — rendered in
-    * InfluxDB 1.7's result shapes.
+  /** Query a measurement+date-partitioned point store (PointStore layout)
+    * with InfluxQL — the ingest pipeline's output queried back: `FROM
+    * <plc>` maps to the `measurement=<plc>` partition (the reference's
+    * db-per-PLC isolation, SURVEY §2.1 S4), tag `alias`, field `value`.
+    */
+  def sqlStore(spark: SparkSession, storeDir: String, query: String,
+      nowNs: Option[Long] = None): DataFrame =
+    sql(spark, storeDir, query, nowNs, Catalog.store(storeDir))
+
+  /** The metadata surface Grafana's query builder polls (SHOW …),
+    * rendered in InfluxDB 1.7's result shapes from the active catalog.
     */
   private def planShow(spark: SparkSession, dir: String, what: String,
-      from: Option[String]): DataFrame = {
+      from: Option[String], catalog: Catalog): DataFrame = {
     import spark.implicits._
-    from.filter(_ != "events").foreach(m =>
-      throw InfluxQLParseException(s"unknown measurement: $m (this build maps measurement 'events')"))
+    from.foreach(catalog.requireMeasurement)
     what match {
-      case "measurements" => Seq("events").toDF("name")
+      case "measurements" => catalog.measurements.toDF("name")
       case "databases"    => Seq("plc").toDF("name")
       case "tag_keys"     =>
-        Seq(("events", "event_type"), ("events", "user_id")).toDF("measurement", "tag_key")
+        (for { m <- from.map(Seq(_)).getOrElse(catalog.measurements); t <- catalog.tags }
+          yield (m, t)).toDF("measurement", "tag_key")
       case "field_keys"   =>
-        Seq(("events", "value", "float")).toDF("measurement", "field_key", "field_type")
+        from.map(Seq(_)).getOrElse(catalog.measurements)
+          .map(m => (m, catalog.field, "float"))
+          .toDF("measurement", "field_key", "field_type")
       case "retention_policies" =>
         // fresh-InfluxDB default: the infinite autogen policy
         Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replican", "default")
       case "series" =>
         // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
         // sorted by key — distinct over the tag set, one small shuffle
-        Tables.events(spark, dir)
-          .select(concat(lit("events,event_type="), col("event_type"),
-            lit(",user_id="), col("user_id").cast("string")).as("key"))
-          .distinct().orderBy("key")
+        from.map(Seq(_)).getOrElse(catalog.measurements)
+          .map { m =>
+            val parts = lit(m) +: catalog.tags.sorted.flatMap(t =>
+              Seq(lit(s",$t="), col(t).cast("string")))
+            catalog.load(spark, dir, m).select(concat(parts: _*).as("key")).distinct()
+          }
+          .reduce(_.unionByName(_)).orderBy("key")
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }
   }
 
   def plan(spark: SparkSession, dir: String, q0: Select,
-      nowNs: Option[Long] = None): DataFrame = {
-    // catalog resolution; FROM /re/ matches against the measurement list
-    // (single-measurement build: 'events')
-    val catalog = Seq("events")
-    if (q0.measurement.startsWith("re:")) {
-      val re = q0.measurement.drop(3).r
-      if (!catalog.exists(m => re.findFirstIn(m).isDefined))
-        throw InfluxQLParseException(
-          s"FROM /${q0.measurement.drop(3)}/ matches no measurement (catalog: ${catalog.mkString(", ")})")
-    } else if (!catalog.contains(q0.measurement))
-      throw InfluxQLParseException(
-        s"unknown measurement: ${q0.measurement} (this build maps measurement 'events')")
+      nowNs: Option[Long] = None, catalog: Catalog = Catalog.events): DataFrame = {
+    // catalog resolution; FROM /re/ unions every matching measurement
+    val matched: Seq[String] =
+      if (q0.measurement.startsWith("re:")) {
+        val re = q0.measurement.drop(3).r
+        val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
+        if (ms.isEmpty) throw InfluxQLParseException(
+          s"FROM /${q0.measurement.drop(3)}/ matches no measurement " +
+            s"(catalog: ${catalog.measurements.mkString(", ")})")
+        ms
+      } else {
+        catalog.requireMeasurement(q0.measurement)
+        Seq(q0.measurement)
+      }
     // Resolve now()-relative bounds to absolute epoch ns ONCE, up front —
     // everything downstream (pushdown, fill grids) sees plain TimeConds.
     // GROUP BY * expands against the measurement catalog here too.
@@ -116,20 +170,19 @@ object InfluxQLPlanner {
         TimeCond(op, base + off)
       case c => c
     })
-    val q = if (q1.groupTags == Seq("*"))
-      q1.copy(groupTags = Seq("event_type", "user_id")) else q1
+    val q = if (q1.groupTags == Seq("*")) q1.copy(groupTags = catalog.tags) else q1
     q.fromSub match {
-      case Some(sub) => return planSub(spark, dir, q, sub, nowNs)
+      case Some(sub) => return planSub(spark, dir, q, sub, nowNs, catalog)
       case None      => ()
     }
-    val base = Tables.events(spark, dir)
+    val base = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
     val isAgg = q.fields.exists {
       case _: FnField | _: TransformField => true
       case ExprField(e, _)                => InfluxQLParser.exprAggLeaves(e).nonEmpty
       case _                              => false
     }
-    if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q)
+    if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q, catalog)
   }
 
   /** Outer aggregate over a one-level subquery — the InfluxQL
@@ -143,7 +196,7 @@ object InfluxQLPlanner {
     * inner output has no event identity to order by.
     */
   private def planSub(spark: SparkSession, dir: String, q: Select, sub: Select,
-      nowNs: Option[Long]): DataFrame = {
+      nowNs: Option[Long], catalog: Catalog): DataFrame = {
     if (q.where.nonEmpty || q.groupTimeSec.isDefined || q.fill != FillMissing)
       throw InfluxQLParseException(
         "outer query over a subquery supports plain aggregates [GROUP BY tags] only" +
@@ -154,7 +207,7 @@ object InfluxQLPlanner {
         throw InfluxQLParseException(
           s"${f.fn.toUpperCase} needs raw event order — unsupported over a subquery")
       else f
-    val inner = plan(spark, dir, sub, nowNs)
+    val inner = plan(spark, dir, sub, nowNs, catalog)
     val aggExprs = q.fields.map {
       case f: FnField => aggExpr(checkSub(f))
       case ExprField(e, alias) =>
@@ -827,10 +880,10 @@ object InfluxQLPlanner {
 
   // ---- raw path -----------------------------------------------------------
 
-  private def planRaw(filtered: DataFrame, q: Select): DataFrame = {
+  private def planRaw(filtered: DataFrame, q: Select, catalog: Catalog): DataFrame = {
     val fieldCols = q.fields.flatMap {
       // SELECT * — the measurement's tags then fields (InfluxDB order)
-      case RawField("*", _) => Seq(col("event_type"), col("user_id"), col("value"))
+      case RawField("*", _) => (catalog.tags :+ catalog.field).map(col)
       case RawField(name, alias) => Seq(col(name).as(alias.getOrElse(name)))
       // raw-select scalar math, e.g. ABS(value) AS av — per-row, codegen'd
       case ExprField(e, alias) => Seq(exprOut(e, f => throw InfluxQLParseException(

@@ -338,6 +338,50 @@ class InfluxQLSpec extends SparkTestBase {
       one.map(r => (r.getString(0), r.getDouble(1))).toSet)
   }
 
+  test("sqlStore queries the PointStore layout back (ingest -> store -> InfluxQL)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-store-q").toFile
+    val ev = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    graft.sinks.PointStore.writePartitioned(
+      ev.select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value")), root.toString)
+    graft.sinks.PointStore.writePartitioned(
+      ev.filter(col("user_id") < 10).select(col("ts"), lit("plc2").as("measurement"),
+        col("event_type").as("alias"), col("value")), root.toString)
+
+    // SHOW MEASUREMENTS discovers the store partitions
+    assert(InfluxQLPlanner.sqlStore(spark, root.toString, "SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("plc1", "plc2"))
+    // grouped aggregate per alias matches a direct DataFrame computation
+    val viaIql = InfluxQLPlanner.sqlStore(spark, root.toString,
+      """SELECT MEAN(value) AS m, COUNT(value) AS n FROM plc1
+        |WHERE time >= '2024-01-01' AND time < '2024-01-02'
+        |GROUP BY alias""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = spark.read.parquet(s"$root/measurement=plc1")
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-02").cast("timestamp"))
+      .groupBy("alias").agg(round(avg("value"), 4).as("m"), count("value").as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaIql == direct && viaIql.nonEmpty)
+    // regex FROM unions matching measurements
+    val both = InfluxQLPlanner.sqlStore(spark, root.toString,
+      "SELECT COUNT(value) AS n FROM /^plc/").collect().head.getLong(0)
+    val one = InfluxQLPlanner.sqlStore(spark, root.toString,
+      "SELECT COUNT(value) AS n FROM plc1").collect().head.getLong(0)
+    assert(both > one)
+    // SELECT * expands to the store's (alias, value); SHOW SERIES uses alias
+    assert(InfluxQLPlanner.sqlStore(spark, root.toString,
+      "SELECT * FROM plc2 LIMIT 5").columns.toSeq == Seq("time", "alias", "value"))
+    val series = InfluxQLPlanner.sqlStore(spark, root.toString, "SHOW SERIES FROM plc2")
+      .collect().map(_.getString(0))
+    assert(series.nonEmpty && series.forall(_.startsWith("plc2,alias=")))
+    // unknown measurement rejected against the store catalog
+    intercept[InfluxQLParseException](
+      InfluxQLPlanner.sqlStore(spark, root.toString, "SELECT COUNT(value) FROM nope"))
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
