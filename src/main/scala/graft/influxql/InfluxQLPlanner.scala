@@ -68,9 +68,19 @@ object InfluxQLPlanner {
         .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
         .map(_.getName.stripPrefix("measurement=")).sorted
       Catalog(ms, Seq("alias"), "value",
-        (s, _, m) => s.read.parquet(s"$storeDir/measurement=$m")
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
-          .withColumn("event_id", xxhash64(col("alias"), col("ts"), col("value"))))
+        (s, _, m) => {
+          // a measurement whose partitions all expired (retention/DELETE)
+          // is still a valid, empty measurement — not a schema error
+          val df = try s.read.parquet(s"$storeDir/measurement=$m")
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "ts TIMESTAMP, alias STRING, value DOUBLE, date STRING"))
+          }
+          df.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+            .withColumn("event_id", xxhash64(col("alias"), col("ts"), col("value")))
+        })
     }
   }
 

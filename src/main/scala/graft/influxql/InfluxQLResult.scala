@@ -25,11 +25,12 @@ import InfluxQLAst._
 object InfluxQLResult {
 
   def render(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
-      nowNs: Option[Long] = None): String = {
+      nowNs: Option[Long] = None,
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events): String = {
     val st = InfluxQLParser.parse(query)
-    val df = InfluxQLPlanner.sql(spark, dir, query, nowNs)
+    val df = InfluxQLPlanner.sql(spark, dir, query, nowNs, catalog)
     st match {
-      case s: Select => renderSelect(df, s)
+      case s: Select => renderSelect(df, s, catalog)
       case Show(what, _) =>
         val name = what match {
           case "measurements" => "measurements"
@@ -43,11 +44,16 @@ object InfluxQLResult {
     }
   }
 
-  private def renderSelect(df: DataFrame, s: Select): String = {
+  private def renderSelect(df: DataFrame, s: Select,
+      catalog: InfluxQLPlanner.Catalog): String = {
     val measurement =
-      if (s.measurement.startsWith("re:")) "events" else s.measurement
+      if (s.measurement.startsWith("re:")) {
+        val re = s.measurement.drop(3).r
+        catalog.measurements.find(m => re.findFirstIn(m).isDefined)
+          .getOrElse(s.measurement)
+      } else s.measurement
     val tags = s.groupTags match {
-      case Seq("*") => Seq("event_type", "user_id")
+      case Seq("*") => catalog.tags
       case t        => t
     }
     val cols = df.columns.toSeq

@@ -171,7 +171,44 @@ object Pipelines {
     */
   def ingest(spark: SparkSession, configXml: String, outDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
-      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery =
+    LineProtocol.formatPoints(enrichedPoints(spark, configXml, sourceOptions))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, id: Long) => LineProtocol.append(outDir)(batch, id))
+      .queryName("graft-ingest")
+      .start()
+
+  /** The same assembly sunk into the queryable point store
+    * (PointStore.writePartitioned layout — measurement + date partitions),
+    * which [[graft.influxql.InfluxQLPlanner.sqlStore]] then queries back:
+    * the reference's full loop (poll → decode → store → InfluxQL →
+    * Grafana) in one library. NOTE the store append is at-least-once
+    * across batch REPLAYS (a restarted failed batch re-appends);
+    * production would suffix files with the batch id and prune on read,
+    * or sink to a transactional table format — the line-protocol sink
+    * shows the batchId-idempotent pattern.
+    */
+  def ingestToStore(spark: SparkSession, configXml: String, storeDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery =
+    enrichedPoints(spark, configXml, sourceOptions)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        graft.sinks.PointStore.writePartitioned(batch, storeDir))
+      .queryName("graft-ingest-store")
+      .start()
+
+  /** The decoded + config-enriched point stream shared by both ingest
+    * sinks: S1 config scan → S2 device source → D3 native decode → J1
+    * broadcast config enrichment (P1 active filter + alias mapping) → P2
+    * point projection (ts, measurement, alias, value).
+    */
+  def enrichedPoints(spark: SparkSession, configXml: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val tags = graft.sources.ConfigXml.parseString(configXml)
     require(tags.nonEmpty,
@@ -188,19 +225,11 @@ object Pipelines {
       sourceOptions = sourceOptions)
       .withColumn("tag_idx",
         regexp_extract(col("alias"), "_tag([0-9]+)$", 1).cast("int"))
-    val points = decoded
+    decoded
       .join(broadcast(catalog),
         col("measurement") === col("cfg_plc") && col("tag_idx") === col("cfg_idx"))
       .filter(col("active"))                                  // P1
       .select(col("ts"), col("measurement"), col("cfg_alias").as("alias"), col("value"))
-
-    LineProtocol.formatPoints(points)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch((batch: DataFrame, id: Long) => LineProtocol.append(outDir)(batch, id))
-      .queryName("graft-ingest")
-      .start()
   }
 
   /** T2: per-interval query fan-out. Groups active tags by interval (ref
