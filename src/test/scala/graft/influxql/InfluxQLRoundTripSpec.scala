@@ -153,12 +153,23 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
   private val genSelect: Gen[Select] =
     Gen.frequency(6 -> genAggSelect, 3 -> genRawSelect, 1 -> genTop)
 
+  private val genDelete: Gen[Statement] = for {
+    m <- Gen.oneOf("events", "plc1")
+    where <- Gen.oneOf(
+      Gen.const(Seq.empty[Cond]),
+      genTimeBounds,
+      genTimeBounds.map(_ :+ TagCond("alias", "=", "plc1_temp")))
+  } yield Delete(m, where)
+
   private val genStatement: Gen[Statement] = Gen.frequency(
     8 -> genSelect,
     1 -> (for {
-      what <- Gen.oneOf("measurements", "tag_keys", "field_keys")
-      from <- Gen.option(Gen.const("events"))
+      what <- Gen.oneOf("measurements", "tag_keys", "field_keys",
+        "databases", "series")
+      from <- if (Set("databases").contains(what)) Gen.const(None)
+              else Gen.option(Gen.const("events"))
     } yield Show(what, from)),
+    1 -> genDelete,
     1 -> genSelect.suchThat(s =>
         s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&
         s.fill == FillMissing && !s.orderDesc)
