@@ -258,8 +258,27 @@ object InfluxQLParser {
   private val RowSelectors = Set("top", "bottom", "distinct", "elapsed", "sample")
 
   /** Parse an InfluxQL statement (SELECT or SHOW …) into its AST. */
-  def parse(q: String): Statement = {
-    val p = new P(lex(q))
+  def parse(q: String): Statement = parseToks(lex(q))
+
+  /** Parse a `;`-separated statement batch — the InfluxDB HTTP API takes
+    * several statements per `q=` parameter (Grafana batches panels).
+    */
+  def parseAll(q: String): Seq[Statement] = {
+    val toks = lex(q)
+    val segments = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach {
+      case TOp(";") => segments += cur.result(); cur = Vector.newBuilder[Tok]
+      case t        => cur += t
+    }
+    segments += cur.result()
+    val parts = segments.result().filter(_.nonEmpty)
+    if (parts.isEmpty) throw InfluxQLParseException("empty statement batch")
+    parts.map(parseToks)
+  }
+
+  private def parseToks(toks: Vector[Tok]): Statement = {
+    val p = new P(toks)
     if (p.atShow) p.show()
     else if (p.atCreate) p.create()
     else if (p.atDrop) p.dropMeasurement()

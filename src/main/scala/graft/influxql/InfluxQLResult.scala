@@ -26,9 +26,29 @@ object InfluxQLResult {
 
   def render(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events): String =
+    renderAll(spark, dir, query, nowNs, catalog)
+
+  /** A `;`-separated statement batch → one results entry per statement
+    * with its `statement_id` — the full InfluxDB 1.x HTTP response.
+    */
+  def renderAll(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
+      nowNs: Option[Long] = None,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events): String = {
-    val st = InfluxQLParser.parse(query)
-    val df = InfluxQLPlanner.sql(spark, dir, query, nowNs, catalog)
+    val sts = InfluxQLParser.parseAll(query)
+    val results = sts.zipWithIndex.map { case (st, i) =>
+      s"""{"statement_id":$i,"series":[${statementSeries(spark, dir, st, nowNs, catalog)}]}"""
+    }
+    s"""{"results":[${results.mkString(",")}]}"""
+  }
+
+  /** The series-array content for ONE statement. */
+  private def statementSeries(spark: org.apache.spark.sql.SparkSession, dir: String,
+      st: Statement, nowNs: Option[Long], catalog: InfluxQLPlanner.Catalog): String = {
+    val df = st match {
+      case s: Select => InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
+      case _ => InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
+    }
     st match {
       case s: Select => renderSelect(df, s, catalog)
       case Show(what, _) =>
@@ -37,9 +57,10 @@ object InfluxQLResult {
           case "databases"    => "databases"
           case other          => other
         }
-        series(name, Map.empty, df.columns.toSeq, df.collect().toSeq)
+        seriesObj(name, Map.empty, df.columns.toSeq, df.collect().toSeq)
       case ShowTagValues(from, _) =>
-        series(from.getOrElse("events"), Map.empty, df.columns.toSeq, df.collect().toSeq)
+        seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
+          df.columns.toSeq, df.collect().toSeq)
       case other => throw InfluxQLParseException(s"not a renderable result: $other")
     }
   }
@@ -61,7 +82,7 @@ object InfluxQLResult {
     val valueIdx = cols.indices.filterNot(tagIdx.contains)
     val rows = df.collect().toSeq
     if (tagIdx.isEmpty)
-      series(measurement, Map.empty, valueIdx.map(cols), rows.map(pick(_, valueIdx)))
+      seriesObj(measurement, Map.empty, valueIdx.map(cols), rows.map(pick(_, valueIdx)))
     else {
       // one series per tag set, preserving first-appearance order (the
       // planner already orders by tags)
@@ -71,23 +92,15 @@ object InfluxQLResult {
         val key = tagIdx.map(i => String.valueOf(r.get(i)))
         grouped.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r
       }
-      val ss = grouped.map { case (key, rs) =>
+      grouped.map { case (key, rs) =>
         seriesObj(measurement, tags.zip(key).toMap, valueIdx.map(cols),
           rs.toSeq.map(pick(_, valueIdx)))
-      }
-      wrap(ss.mkString(","))
+      }.mkString(",")
     }
   }
 
   private def pick(r: Row, idx: Seq[Int]): Row =
     Row.fromSeq(idx.map(r.get))
-
-  private def series(name: String, tags: Map[String, String], columns: Seq[String],
-      rows: Seq[Row]): String =
-    wrap(seriesObj(name, tags, columns, rows))
-
-  private def wrap(seriesJson: String): String =
-    s"""{"results":[{"statement_id":0,"series":[$seriesJson]}]}"""
 
   private def seriesObj(name: String, tags: Map[String, String],
       columns: Seq[String], rows: Seq[Row]): String = {

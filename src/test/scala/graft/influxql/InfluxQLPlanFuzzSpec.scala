@@ -1,0 +1,44 @@
+package graft.influxql
+
+import org.scalacheck.{Prop, Test => SCTest}
+
+import graft.SparkTestBase
+import InfluxQLAst._
+
+/** Planner totality fuzz: every generated SELECT the parser accepts (and
+  * that satisfies the planner's documented preconditions — fill/forecast
+  * need a bounded range) must PLAN and EXECUTE without throwing. Catches
+  * crash-combinations the hand-written cases don't reach: transforms over
+  * integral inside fill grids, tz + offset + SLIMIT stacks, expression
+  * fields over every aggregate, per-series limits on top of all of it.
+  */
+class InfluxQLPlanFuzzSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  // pinned now(): relative bounds resolve inside the testdata's range
+  private val nowNs = 1704844800000000000L // 2024-01-10T00:00Z
+
+  private def hasLo(w: Seq[Cond]): Boolean = w.exists {
+    case TimeCond(">" | ">=", _) | NowCond(">" | ">=", _) => true
+    case _ => false
+  }
+  private def hasHi(w: Seq[Cond]): Boolean = w.exists {
+    case TimeCond("<" | "<=", _) | NowCond("<" | "<=", _) => true
+    case _ => false
+  }
+
+  test("60 generated SELECTs plan and execute without throwing") {
+    val gen = InfluxQLGen.genSelect.suchThat { s =>
+      // fill() grids require a bounded WHERE range (documented refusal)
+      s.fill == FillMissing || s.fill == FillNone ||
+        (hasLo(s.where) && hasHi(s.where))
+    }
+    val prop = Prop.forAll(gen) { s =>
+      val df = InfluxQLPlanner.plan(spark, dir, s, nowNs = Some(nowNs))
+      df.limit(5).collect()
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

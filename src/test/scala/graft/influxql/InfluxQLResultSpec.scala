@@ -48,6 +48,19 @@ class InfluxQLResultSpec extends SparkTestBase {
     assert(show.at("/results/0/series/0/values/0/0").asText() == "events")
   }
 
+  test("a ;-separated statement batch renders one result per statement_id") {
+    val json = InfluxQLResult.renderAll(spark, dir,
+      """SELECT COUNT(value) AS n FROM events;
+        |SHOW MEASUREMENTS;
+        |SELECT MEAN(value) AS m FROM events GROUP BY event_type""".stripMargin)
+    val root = mapper.readTree(json)
+    val results = root.at("/results")
+    assert(results.size() == 3)
+    assert((0 until 3).forall(i => results.get(i).at("/statement_id").asInt() == i))
+    assert(results.get(1).at("/series/0/name").asText() == "measurements")
+    assert(results.get(2).at("/series").size() > 1)
+  }
+
   test("raw select with LIMIT renders bounded values (panel-sized collect)") {
     val json = InfluxQLResult.render(spark, dir,
       """SELECT value, user_id FROM events

@@ -12,176 +12,13 @@ import InfluxQLAst._
   */
 class InfluxQLRoundTripSpec extends AnyFunSuite {
 
-  private val genAggFn: Gen[String] = Gen.oneOf(
-    "count", "mean", "sum", "min", "max", "first", "last", "spread", "stddev",
-    "median", "mode")
-
-  private def genAgg(alias: Option[String]): Gen[FnField] =
-    Gen.frequency(
-      7 -> genAggFn.map(fn => FnField(fn, "value", None, alias)),
-      2 -> Gen.choose(1, 99).map(p => FnField("percentile", "value", Some(p.toDouble), alias)),
-      1 -> Gen.oneOf(None, Some(60.0), Some(3600.0))
-        .map(u => FnField("integral", "value", u, alias)),
-      1 -> Gen.const(FnField("count_distinct", "user_id", None, alias)))
-
-  /** Arithmetic over aggregate leaves — binary ops, scalar fns, literals.
-    * Always aliased (the parser requires it). Leaves avoid row selectors
-    * and keep FAgg/FNum only so the expression stays all-aggregate.
-    */
-  private def genFExpr(depth: Int): Gen[FExpr] =
-    if (depth <= 0)
-      Gen.frequency(
-        3 -> genAgg(None).suchThat(f => !Set("top", "bottom", "distinct")(f.fn)).map(FAgg.apply),
-        1 -> Gen.choose(-50, 100).map(n => FNum(n.toDouble)))
-    else Gen.frequency(
-      4 -> Gen.lzy(for {
-        op <- Gen.oneOf("+", "-", "*", "/")
-        l <- genFExpr(depth - 1)
-        r <- genFExpr(depth - 1)
-      } yield FBin(op, l, r)),
-      2 -> Gen.lzy(for {
-        fn <- Gen.oneOf("abs", "floor", "ceil", "sqrt", "log10")
-        a <- genFExpr(depth - 1)
-      } yield FCall(fn, a, None)),
-      1 -> Gen.lzy(genFExpr(depth - 1).map(a => FCall("pow", a, Some(2.0)))),
-      2 -> genFExpr(0))
-
-  private def genExprField(alias: Option[String]): Gen[ExprField] =
-    Gen.choose(1, 3).flatMap(genFExpr).suchThat { e =>
-      val isLeaf = e match {
-        // a bare leaf collapses to FnField/RawField on reparse
-        case _: FAgg | _: FRef | _: FNum => true
-        case _                           => false
-      }
-      // all-literal expressions don't count as aggregate fields (rejected
-      // when mixed with aggregates / GROUP BY)
-      !isLeaf && InfluxQLParser.exprAggLeaves(e).nonEmpty
-    }.map(e => ExprField(e, alias))
-
-  private def genTransform(alias: Option[String]): Gen[TransformField] = for {
-    fn <- Gen.oneOf("derivative", "non_negative_derivative", "difference",
-      "non_negative_difference", "moving_average", "cumulative_sum")
-    inner <- genAgg(None)
-    param <- Gen.option(Gen.choose(2, 100).map(_.toDouble))
-  } yield TransformField(fn, inner, param, alias)
-
-  private val genTimeBounds: Gen[Seq[Cond]] = for {
-    lo <- Gen.choose(1704067200000000000L, 1705000000000000000L)
-    span <- Gen.choose(1000000000L, 604800000000000L)
-    loOp <- Gen.oneOf(">=", ">")
-    hiOp <- Gen.oneOf("<", "<=")
-  } yield Seq(TimeCond(loOp, lo), TimeCond(hiOp, lo + span))
-
-  private val genTagCond: Gen[Cond] = Gen.oneOf(
-    Gen.oneOf("click", "view", "purchase").map(v => TagCond("event_type", "=", v)),
-    Gen.choose(1, 99).map(v => TagCond("user_id", "=", v.toDouble)),
-    Gen.const(TagCond("event_type", "=~", "^(cl|pu)")),
-    Gen.const(TagCond("event_type", "!~", "^er")))
-
-  /** Tag-only boolean groups (time bounds inside OR are rejected). The
-    * root is always OR: a top-level AND group canonicalizes to the flat
-    * AND list on reparse, so it would not round-trip structurally.
-    */
-  private val genBoolCond: Gen[Cond] = for {
-    l <- genTagCond
-    r <- Gen.oneOf(genTagCond, Gen.lzy(for {
-      l2 <- genTagCond; r2 <- genTagCond; op2 <- Gen.oneOf("or", "and")
-    } yield BoolCond(op2, l2, r2)))
-  } yield BoolCond("or", l, r)
-
-  private val genNowBounds: Gen[Seq[Cond]] = for {
-    backSec <- Gen.choose(60L, 604800L)
-    hi <- Gen.oneOf(Seq.empty[Cond], Seq(NowCond("<", 0L)))
-  } yield NowCond(">=", -backSec * 1000000000L) +: hi
-
-  private val genWhere: Gen[Seq[Cond]] = for {
-    t <- Gen.oneOf(Gen.const(Seq.empty[Cond]), genTimeBounds, genNowBounds)
-    tag <- Gen.option(Gen.frequency(3 -> genTagCond, 1 -> genBoolCond))
-  } yield t ++ tag.toSeq
-
-  private val genTags: Gen[Seq[String]] =
-    Gen.oneOf(Seq.empty, Seq("user_id"), Seq("event_type"), Seq("event_type", "user_id"))
-
-  private val genFill: Gen[Fill] = Gen.oneOf(
-    FillMissing, FillNone, FillNull, FillPrevious, FillLinear, FillValue(0), FillValue(1.5))
-
-  private val genTail: Gen[(Boolean, Option[Int], Option[Int])] = for {
-    desc <- Gen.oneOf(true, false)
-    limit <- Gen.option(Gen.choose(1, 1000))
-    offset <- if (limit.isDefined) Gen.option(Gen.choose(1, 100)) else Gen.const(None)
-  } yield (desc, limit, offset)
-
-  private def aliased[F <: Field](i: Int, g: Option[String] => Gen[F]): Gen[F] =
-    g(Some(s"f$i"))
-
-  private val genAggSelect: Gen[Select] = for {
-    gbTime <- Gen.option(Gen.oneOf(60L, 300L, 3600L, 86400L))
-    gbOff <- if (gbTime.isDefined) Gen.oneOf(0L, 0L, 0L, 1800L, -900L) else Gen.const(0L)
-    n <- Gen.choose(1, 3)
-    fields <- Gen.sequence[Seq[Field], Field]((0 until n).map(i =>
-      if (gbTime.isDefined) Gen.frequency[Field](
-        6 -> aliased(i, genAgg), 2 -> aliased(i, genTransform),
-        2 -> aliased(i, genExprField))
-      else Gen.frequency[Field](
-        8 -> aliased(i, genAgg), 2 -> aliased(i, genExprField))))
-    where <- genWhere
-    tags <- Gen.frequency(5 -> genTags, 1 -> Gen.const(Seq("*")))
-    fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)
-    (desc, limit, offset) <- genTail
-    slimit <- if (tags.nonEmpty) Gen.option(Gen.choose(1, 20)) else Gen.const(None)
-    soffset <- if (slimit.isDefined) Gen.option(Gen.choose(1, 5)) else Gen.const(None)
-    tzOpt <- Gen.option(Gen.oneOf("America/New_York", "Europe/Warsaw"))
-    into <- Gen.option(Gen.const("rollup_1h"))
-  } yield Select(fields, "events", where, gbTime, tags, fill, desc, limit, offset,
-    into, None, gbOff, slimit, soffset, tzOpt)
-
-  private val genRawSelect: Gen[Select] = for {
-    fields <- Gen.someOf(Seq("value", "user_id", "event_type")).suchThat(_.nonEmpty)
-    where <- genWhere
-    (desc, limit, offset) <- genTail
-  } yield Select(fields.map(f => RawField(f, None)).toSeq, "events", where,
-    None, Nil, FillMissing, desc, limit, offset)
-
-  private val genTop: Gen[Select] = for {
-    fn <- Gen.oneOf("top", "bottom")
-    k <- Gen.choose(1, 20)
-    tags <- genTags
-    where <- genWhere
-  } yield Select(Seq(FnField(fn, "value", Some(k.toDouble), Some("t0"))),
-    "events", where, None, tags, FillMissing, orderDesc = false, None, None)
-
-  private val genSelect: Gen[Select] =
-    Gen.frequency(6 -> genAggSelect, 3 -> genRawSelect, 1 -> genTop)
-
-  private val genDelete: Gen[Statement] = for {
-    m <- Gen.oneOf("events", "plc1")
-    where <- Gen.oneOf(
-      Gen.const(Seq.empty[Cond]),
-      genTimeBounds,
-      genTimeBounds.map(_ :+ TagCond("alias", "=", "plc1_temp")))
-  } yield Delete(m, where)
-
-  private val genStatement: Gen[Statement] = Gen.frequency(
-    8 -> genSelect,
-    1 -> (for {
-      what <- Gen.oneOf("measurements", "tag_keys", "field_keys",
-        "databases", "series")
-      from <- if (Set("databases").contains(what)) Gen.const(None)
-              else Gen.option(Gen.const("events"))
-    } yield Show(what, from)),
-    1 -> genDelete,
-    1 -> genSelect.suchThat(s =>
-        s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&
-        s.fill == FillMissing && !s.orderDesc)
-      .map(s => CreateCq("cq1", "plc", s)))
-
   private def check(p: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
     assert(res.passed, res.status.toString)
   }
 
   test("parse(render(statement)) == statement for 300 generated statements") {
-    check(Prop.forAll(genStatement) { st =>
+    check(Prop.forAll(InfluxQLGen.genStatement) { st =>
       val rendered = InfluxQLRender.render(st)
       val reparsed =
         try InfluxQLParser.parse(rendered)
