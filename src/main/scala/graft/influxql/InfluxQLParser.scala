@@ -66,7 +66,13 @@ object InfluxQLAst {
     * queries"); planned onto a watermarked Structured Streaming aggregate
     * by [[InfluxQLPlanner.continuous]].
     */
-  final case class CreateCq(name: String, db: String, select: Select) extends Statement
+  /** `everySec`/`forSec` carry the optional `RESAMPLE EVERY <d> FOR <d>`
+    * clause: EVERY is the execution cadence (→ the streaming trigger
+    * interval), FOR is how far back each run recomputes (→ the watermark
+    * horizon: a window stays open — accepts late data — for that long).
+    */
+  final case class CreateCq(name: String, db: String, select: Select,
+      everySec: Option[Long] = None, forSec: Option[Long] = None) extends Statement
 
   /** CREATE RETENTION POLICY name ON db DURATION <dur> REPLICATION n
     * [DEFAULT] — InfluxDB's TTL declaration (the reference relies on the
@@ -384,12 +390,35 @@ object InfluxQLParser {
       val name = ident()
       eatKw("on")
       val db = ident()
+      // RESAMPLE [EVERY <d>] [FOR <d>] — execution cadence + recompute
+      // horizon (InfluxDB 1.x CQ scheduling)
+      var everySec: Option[Long] = None
+      var forSec: Option[Long] = None
+      if (kwPeek.contains("resample")) {
+        next()
+        if (kwPeek.contains("every")) {
+          next()
+          everySec = Some(next() match {
+            case TDur(s) if s > 0 => s
+            case t => throw InfluxQLParseException(s"RESAMPLE EVERY needs a duration, got $t")
+          })
+        }
+        if (kwPeek.contains("for")) {
+          next()
+          forSec = Some(next() match {
+            case TDur(s) if s > 0 => s
+            case t => throw InfluxQLParseException(s"RESAMPLE FOR needs a duration, got $t")
+          })
+        }
+        if (everySec.isEmpty && forSec.isEmpty)
+          throw InfluxQLParseException("RESAMPLE requires EVERY and/or FOR")
+      }
       eatKw("begin")
       val sel = select()          // stops (without consuming) at END
       eatKw("end")
       if (peek.isDefined)
         throw InfluxQLParseException(s"unexpected token after END: ${peek.get}")
-      CreateCq(name, db, sel)
+      CreateCq(name, db, sel, everySec, forSec)
     }
 
     def show(): Statement = {

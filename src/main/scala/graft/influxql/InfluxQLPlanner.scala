@@ -248,9 +248,12 @@ object InfluxQLPlanner {
     */
   def continuous(frame: DataFrame, query: String,
       watermark: String = "2 minutes"): DataFrame = {
-    val sel = InfluxQLParser.parse(query) match {
-      case CreateCq(_, _, s) => s
-      case s: Select         => s
+    // RESAMPLE FOR <d> = how long a window keeps accepting late data
+    // before finalizing — exactly the watermark horizon
+    val (sel, wm) = InfluxQLParser.parse(query) match {
+      case CreateCq(_, _, s, _, forSec) =>
+        (s, forSec.map(sec => s"$sec seconds").getOrElse(watermark))
+      case s: Select => (s, watermark)
       case other => throw InfluxQLParseException(s"not a continuous query: $other")
     }
     val sec = sel.groupTimeSec.getOrElse(
@@ -279,13 +282,25 @@ object InfluxQLPlanner {
     // of a quiet series finalizes only when that series produces newer
     // data (or the query is stopped/flushed), not when unrelated series
     // do. Same behavior as hand-written watermarked aggregations.
-    val wm0 = if (frame.isStreaming) frame.withWatermark("ts", watermark) else frame
+    val wm0 = if (frame.isStreaming) frame.withWatermark("ts", wm) else frame
     val filtered = sel.where.foldLeft(wm0)((df, c) => df.filter(condCol(c)))
     filtered.groupBy(window(col("ts"), s"$sec seconds") +: sel.groupTags.map(col): _*)
       .agg(aggExpr(fns.head), fns.tail.map(aggExpr): _*)
       .select(col("window.start").as("time") +:
         (sel.groupTags.map(col) ++ fns.map(f => col(InfluxQLParser.outName(f)))): _*)
   }
+
+  /** The CQ's `RESAMPLE EVERY <d>` cadence as a Structured Streaming
+    * trigger — how often InfluxDB would re-run the CQ becomes how often
+    * the micro-batch fires. None when the statement declares no cadence
+    * (caller picks a default trigger).
+    */
+  def cqTrigger(query: String): Option[org.apache.spark.sql.streaming.Trigger] =
+    InfluxQLParser.parse(query) match {
+      case CreateCq(_, _, _, everySec, _) =>
+        everySec.map(s => org.apache.spark.sql.streaming.Trigger.ProcessingTime(s * 1000L))
+      case _ => None
+    }
 
   /** Execute a `SELECT … INTO target FROM …` — the manual rollup
     * materialization statement (and the body of a real InfluxDB CQ):

@@ -22,8 +22,12 @@ object InfluxQLRender {
     case Delete(m, where) =>
       s"DELETE FROM $m" +
         (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND "))
-    case CreateCq(name, db, sel) =>
-      s"CREATE CONTINUOUS QUERY $name ON $db BEGIN ${render(sel)} END"
+    case CreateCq(name, db, sel, every, forS) =>
+      val resample =
+        if (every.isEmpty && forS.isEmpty) ""
+        else " RESAMPLE" + every.fold("")(s => s" EVERY ${s}s") +
+          forS.fold("")(s => s" FOR ${s}s")
+      s"CREATE CONTINUOUS QUERY $name ON $db$resample BEGIN ${render(sel)} END"
     case CreateRetention(name, db, durSec, repl, isDefault) =>
       s"CREATE RETENTION POLICY $name ON $db DURATION ${durSec}s REPLICATION $repl" +
         (if (isDefault) " DEFAULT" else "")

@@ -168,9 +168,12 @@ object InfluxQLGen {
               else Gen.option(Gen.const("events"))
     } yield Show(what, from)),
     1 -> genDelete,
-    1 -> genSelect.suchThat(s =>
+    1 -> (for {
+      s <- genSelect.suchThat(s =>
         s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&
         s.fill == FillMissing && !s.orderDesc)
-      .map(s => CreateCq("cq1", "plc", s)))
+      every <- Gen.option(Gen.oneOf(30L, 60L, 300L))
+      forS <- Gen.option(Gen.oneOf(120L, 600L))
+    } yield CreateCq("cq1", "plc", s, every, forS)))
 
 }

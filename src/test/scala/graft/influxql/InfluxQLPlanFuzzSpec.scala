@@ -28,15 +28,23 @@ class InfluxQLPlanFuzzSpec extends SparkTestBase {
   }
 
   test("60 generated SELECTs plan and execute without throwing") {
-    val gen = InfluxQLGen.genSelect.suchThat { s =>
+    // map, don't filter: a suchThat here exhausts the generator on some
+    // seeds (the grammar generators already discard internally)
+    val gen = InfluxQLGen.genSelect.map { s =>
       // fill() grids require a bounded WHERE range (documented refusal)
-      s.fill == FillMissing || s.fill == FillNone ||
-        (hasLo(s.where) && hasHi(s.where))
+      if (s.fill != FillMissing && s.fill != FillNone &&
+        !(hasLo(s.where) && hasHi(s.where))) s.copy(fill = FillMissing)
+      else s
     }
     val prop = Prop.forAll(gen) { s =>
-      val df = InfluxQLPlanner.plan(spark, dir, s, nowNs = Some(nowNs))
-      df.limit(5).collect()
-      true
+      val q = InfluxQLRender.render(s)
+      try {
+        InfluxQLPlanner.plan(spark, dir, s, nowNs = Some(nowNs)).limit(5).collect()
+        true
+      } catch { case e: Throwable =>
+        println(s"FUZZ FAILURE on: $q\n  ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+      }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)

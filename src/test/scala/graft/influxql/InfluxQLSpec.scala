@@ -382,6 +382,34 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLPlanner.sqlStore(spark, root.toString, "SELECT COUNT(value) FROM nope"))
   }
 
+  test("CQ RESAMPLE EVERY/FOR maps onto trigger cadence + watermark horizon") {
+    val cq = """CREATE CONTINUOUS QUERY cq5 ON plc RESAMPLE EVERY 30s FOR 5m
+               |BEGIN SELECT MEAN(value) AS m FROM events GROUP BY time(1m), event_type END"""
+      .stripMargin.replace('\n', ' ')
+    val st = InfluxQLParser.parse(cq).asInstanceOf[CreateCq]
+    assert(st.everySec.contains(30L) && st.forSec.contains(300L))
+    // render round-trips the clause
+    assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+    // EVERY -> ProcessingTime trigger
+    assert(InfluxQLPlanner.cqTrigger(cq).contains(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(30000L)))
+    assert(InfluxQLPlanner.cqTrigger(
+      "CREATE CONTINUOUS QUERY c ON p BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END").isEmpty)
+    // FOR -> the watermark delay on the streaming aggregate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val frame = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = InfluxQLPlanner.continuous(frame, cq)
+    assert(agg.queryExecution.analyzed.toString.contains("5 minutes") ||
+      agg.queryExecution.analyzed.toString.contains("300 seconds"),
+      agg.queryExecution.analyzed.toString.take(500))
+    // bare RESAMPLE is rejected
+    intercept[InfluxQLParseException](InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY c ON p RESAMPLE BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END"))
+  }
+
   test("invalid queries are rejected with parse errors") {
     // mixing raw and aggregate fields
     intercept[InfluxQLParseException](
