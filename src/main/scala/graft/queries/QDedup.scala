@@ -381,5 +381,54 @@ object QDedup {
           round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
+
+    GraftQuery(
+      "q_dedup_edit",
+      "Extension: edit-distance near-dup — levenshtein over rare-shingle candidates; 200-char cap bounds per-pair cost",
+      s"""WITH $duckBase,
+        |sh AS (SELECT doc_id, unnest(hs) AS shingle FROM base),
+        |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |         WHERE df BETWEEN 2 AND 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN rare r ON a.shingle = r.shingle
+        |         JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+        |d AS (SELECT c.doc_a, c.doc_b,
+        |             levenshtein(substr(lower(x.text), 1, 200),
+        |                         substr(lower(y.text), 1, 200)) AS edit
+        |      FROM cand c JOIN documents x ON x.doc_id = c.doc_a
+        |      JOIN documents y ON y.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, edit FROM d WHERE edit <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Typo-level near-dup: the SAME bounded candidate set as
+      // q_ngram_jaccard (rare-shingle inverted index — never all-pairs),
+      // scored by edit distance on a fixed 200-char prefix so the O(n*m)
+      // DP per pair is capped regardless of document length. At 100 TB the
+      // candidate join is the bucketed equi-join; levenshtein is per-pair
+      // codegen'd work after it.
+      val sh = shingled(documents(s, dir))
+        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("shingle")
+      val shA = sh.toDF("doc_a", "sh_a")
+      val shB = sh.toDF("doc_b", "sh_b")
+      val cand = shA.join(rare, col("sh_a") === col("shingle"))
+        .join(shB, col("sh_b") === col("sh_a") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val docsA = documents(s, dir)
+        .select(col("doc_id").as("da"), substring(lower(col("text")), 1, 200).as("ta"))
+      val docsB = documents(s, dir)
+        .select(col("doc_id").as("db"), substring(lower(col("text")), 1, 200).as("tb"))
+      cand.join(docsA, col("doc_a") === col("da"))
+        .join(docsB, col("doc_b") === col("db"))
+        // length-difference lower bound prunes the DP entirely for most
+        // pairs; the thresholded levenshtein runs a banded O(k*n) DP and
+        // returns -1 above the threshold (same kept rows as the oracle's
+        // full distance + WHERE)
+        .filter(abs(length(col("ta")) - length(col("tb"))) <= 40)
+        .withColumn("edit", levenshtein(col("ta"), col("tb"), 40))
+        .filter(col("edit") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("edit"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }
