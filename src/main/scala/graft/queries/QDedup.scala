@@ -297,6 +297,71 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_pipeline_trainset",
+      "Extension: the SHIPPED training-set pipeline — quality gate ∧ exact-dedup ∧ near-dup keep-list → stratified sample, one composed query",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH RECURSIVE $duckBase, $duckSig,
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |scored AS (SELECT p.doc_a, p.doc_b
+           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
+           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+           |          UNION ALL SELECT doc_b, doc_a FROM scored),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |       FROM reach GROUP BY src),
+           |near_v AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+           |exact_v AS (SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM documents) WHERE rn > 1),
+           |kept AS (SELECT d.doc_id, d.source FROM documents d
+           |         WHERE len(string_split(d.text, ' ')) >= 40
+           |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_v)
+           |           AND d.doc_id NOT IN (SELECT doc_id FROM near_v))
+           |SELECT doc_id, source, rk FROM (
+           |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rk
+           |  FROM kept) WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // The pipeline a training run actually ships, composed from the
+      // proven stages: quality gate (>= 40 tokens), exact dedup
+      // (lowest-doc_id keeper per identical text), near-dup keep-list
+      // (LSH clusters, canonical kept), then the stratified per-source
+      // quota. Victim sets are identified over the FULL corpus (global
+      // dedup), intersected as anti-joins — each stage is a bounded
+      // candidate computation, never all-pairs, and the final sample cut
+      // is map-side (WindowGroupLimit).
+      val docs = documents(s, dir)
+      val exactVictims = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") > 1).select("doc_id")
+      val nearVictims = clusterGroups(s, dir)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val kept = docs
+        .filter(size(split(col("text"), " ")) >= 40)
+        .join(exactVictims, Seq("doc_id"), "left_anti")
+        .join(nearVictims, Seq("doc_id"), "left_anti")
+      val rk = Window.partitionBy("source")
+        .orderBy((col("doc_id") * 1103515245L + 12345L) % 2147483647L, col("doc_id"))
+      kept.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    },
+
+    GraftQuery(
       "q_dedup_simhash",
       "Extension: 16-bit SimHash fingerprint per document + bucket size (exact-match candidates)",
       {
