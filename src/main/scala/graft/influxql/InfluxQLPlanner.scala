@@ -511,7 +511,9 @@ object InfluxQLPlanner {
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b
-        case "/" => a / b
+        // InfluxQL yields null for x/0 (e.g. MAX/SPREAD on a single-point
+        // bucket); plain `/` throws under ANSI mode
+        case "/" => try_divide(a, b)
         case o   => throw InfluxQLParseException(s"unknown operator: $o")
       }
     case FCall(fn, a, p) => scalarCol(fn, exprCol(a, leaf), p)
