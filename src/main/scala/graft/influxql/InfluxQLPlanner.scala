@@ -141,7 +141,8 @@ object InfluxQLPlanner {
           .toDF("measurement", "field_key", "field_type")
       case "retention_policies" =>
         // fresh-InfluxDB default: the infinite autogen policy
-        Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replican", "default")
+        // exact InfluxDB 1.x wire column names — clients key on replicaN
+        Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replicaN", "default")
       case "series" =>
         // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
         // sorted by key — distinct over the tag set, one small shuffle
@@ -367,6 +368,26 @@ object InfluxQLPlanner {
           case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
           case _ => ()
         }
+        // DELETE WHERE validation (Select gets this in the parser's
+        // validate(); DELETE is destructive, so it must be at least as
+        // strict): time bounds inside OR/parenthesized groups make the
+        // partition-drop range ambiguous, and `time != ts` inverts to
+        // "everything but one instant" — both reject rather than guess.
+        // `time = ts` is legal: timeBounds turns it into [ts, ts+1ns).
+        def containsTime(c: Cond): Boolean = c match {
+          case BoolCond(_, l, r)        => containsTime(l) || containsTime(r)
+          case _: TimeCond | _: NowCond => true
+          case _                        => false
+        }
+        where.foreach {
+          case b: BoolCond if containsTime(b) =>
+            throw InfluxQLParseException(
+              "DELETE: time bounds cannot appear inside OR/parenthesized groups")
+          case TimeCond("!=", _) =>
+            throw InfluxQLParseException(
+              "DELETE: time != is not supported (would delete all but one instant)")
+          case _ => ()
+        }
         val tagConds = where.filterNot(c =>
           c.isInstanceOf[TimeCond] || c.isInstanceOf[NowCond])
         tagConds.foreach(checkKeys)
@@ -450,7 +471,11 @@ object InfluxQLPlanner {
     case other => throw InfluxQLParseException(s"unsupported operator: $other")
   }
 
-  /** Normalized [lo, hi) time bounds in epoch ns from the WHERE conds. */
+  /** Normalized [lo, hi) time bounds in epoch ns from the WHERE conds.
+    * `time = ts` is the point range [ts, ts+1ns); `time != ts` constrains
+    * no range (it excludes one instant — handled by the row predicate, not
+    * the scan bounds).
+    */
   private def timeBounds(where: Seq[Cond]): (Option[Long], Option[Long]) = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
@@ -459,6 +484,9 @@ object InfluxQLPlanner {
       case TimeCond(">", ns)  => lo = Some(lo.fold(ns + 1)(math.max(_, ns + 1)))
       case TimeCond("<", ns)  => hi = Some(hi.fold(ns)(math.min(_, ns)))
       case TimeCond("<=", ns) => hi = Some(hi.fold(ns + 1)(math.min(_, ns + 1)))
+      case TimeCond("=", ns)  =>
+        lo = Some(lo.fold(ns)(math.max(_, ns)))
+        hi = Some(hi.fold(ns + 1)(math.min(_, ns + 1)))
       case _                  => ()
     }
     (lo, hi)
@@ -618,7 +646,7 @@ object InfluxQLPlanner {
     val n = InfluxQLParser.outName(f)
     val w = Window.partitionBy(q.groupTags.map(col): _*)
       .orderBy(col("ts_ns"), col("event_id"))
-    val out = filtered
+    val out = seriesLimited(filtered, q, q.groupTags)
       .withColumn("__d", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
       .filter(col("__d").isNotNull)
       .withColumn(n, expr(s"__d div ${unitNs}L"))

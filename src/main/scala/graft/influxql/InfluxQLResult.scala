@@ -20,59 +20,90 @@ import InfluxQLAst._
   * This is the PRESENTATION layer — the body of one HTTP query response for
   * a dashboard panel, inherently driver-side and bounded by the panel's
   * LIMIT/SLIMIT. The heavy lifting stays distributed in [[InfluxQLPlanner]];
-  * collect() here materializes only the already-paginated result.
+  * collect() here materializes only the already-paginated result — and is
+  * CAPPED at `maxRows` per statement (InfluxDB 1.x's 10k chunk size): an
+  * uncapped raw `SELECT *` would otherwise pull the whole measurement onto
+  * the driver. A truncated statement carries `"partial":true`, InfluxDB's
+  * own marker for an incomplete chunk.
   */
 object InfluxQLResult {
 
+  /** InfluxDB 1.x chunks query responses at 10,000 rows; the renderer
+    * returns the first chunk and marks the statement partial.
+    */
+  val DefaultMaxRows = 10000
+
   def render(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
-      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events): String =
-    renderAll(spark, dir, query, nowNs, catalog)
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
+      maxRows: Int = DefaultMaxRows): String =
+    renderAll(spark, dir, query, nowNs, catalog, maxRows)
 
   /** A `;`-separated statement batch → one results entry per statement
     * with its `statement_id` — the full InfluxDB 1.x HTTP response.
     */
   def renderAll(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
-      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events): String = {
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
+      maxRows: Int = DefaultMaxRows): String = {
     val sts = InfluxQLParser.parseAll(query)
     val results = sts.zipWithIndex.map { case (st, i) =>
-      s"""{"statement_id":$i,"series":[${statementSeries(spark, dir, st, nowNs, catalog)}]}"""
+      val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog, maxRows)
+      val partialJson = if (partial) ""","partial":true""" else ""
+      s"""{"statement_id":$i,"series":[$series]$partialJson}"""
     }
     s"""{"results":[${results.mkString(",")}]}"""
   }
 
-  /** The series-array content for ONE statement. */
-  private def statementSeries(spark: org.apache.spark.sql.SparkSession, dir: String,
-      st: Statement, nowNs: Option[Long], catalog: InfluxQLPlanner.Catalog): String = {
-    val df = st match {
-      case s: Select => InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
-      case _ => InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
-    }
-    st match {
-      case s: Select => renderSelect(df, s, catalog)
-      case Show(what, _) =>
-        val name = what match {
-          case "measurements" => "measurements"
-          case "databases"    => "databases"
-          case other          => other
-        }
-        seriesObj(name, Map.empty, df.columns.toSeq, df.collect().toSeq)
-      case ShowTagValues(from, _) =>
-        seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
-          df.columns.toSeq, df.collect().toSeq)
-      case other => throw InfluxQLParseException(s"not a renderable result: $other")
-    }
+  /** Bounded driver materialization: at most maxRows rows plus a "was
+    * there more" bit. limit() plans as CollectLimit — the scan stops
+    * after maxRows+1 rows regardless of input size.
+    */
+  private def collectCapped(df: DataFrame, maxRows: Int): (Seq[Row], Boolean) = {
+    val rs = df.limit(maxRows + 1).collect()
+    (rs.take(maxRows).toSeq, rs.length > maxRows)
   }
 
-  private def renderSelect(df: DataFrame, s: Select,
-      catalog: InfluxQLPlanner.Catalog): String = {
-    val measurement =
-      if (s.measurement.startsWith("re:")) {
+  /** The series-array content for ONE statement, plus its partial bit. */
+  private def statementSeries(spark: org.apache.spark.sql.SparkSession, dir: String,
+      st: Statement, nowNs: Option[Long], catalog: InfluxQLPlanner.Catalog,
+      maxRows: Int): (String, Boolean) =
+    st match {
+      case s: Select if s.measurement.startsWith("re:") && s.fromSub.isEmpty =>
+        // FROM /re/ — one series group PER MATCHED MEASUREMENT (InfluxDB's
+        // series identity includes the measurement): plan each match
+        // separately so rows can't merge under one mislabeled name.
+        // Measurements the regex matches but the WHERE empties are omitted,
+        // as InfluxDB does.
         val re = s.measurement.drop(3).r
-        catalog.measurements.find(m => re.findFirstIn(m).isDefined)
-          .getOrElse(s.measurement)
-      } else s.measurement
+        val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
+        if (ms.isEmpty) throw InfluxQLParseException(
+          s"FROM /${s.measurement.drop(3)}/ matches no measurement " +
+            s"(catalog: ${catalog.measurements.mkString(", ")})")
+        val parts = ms.map { m =>
+          val q = s.copy(measurement = m)
+          renderSelect(InfluxQLPlanner.plan(spark, dir, q, nowNs, catalog),
+            q, catalog, maxRows)
+        }
+        (parts.map(_._1).filter(_.nonEmpty).mkString(","), parts.exists(_._2))
+      case s: Select =>
+        val df = InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
+        renderSelect(df, s, catalog, maxRows)
+      case Show(what, _) =>
+        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
+        val (rows, partial) = collectCapped(df, maxRows)
+        (seriesObj(what, Map.empty, df.columns.toSeq, rows), partial)
+      case ShowTagValues(from, _) =>
+        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
+        val (rows, partial) = collectCapped(df, maxRows)
+        (seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
+          df.columns.toSeq, rows), partial)
+      case other => throw InfluxQLParseException(s"not a renderable result: $other")
+    }
+
+  private def renderSelect(df: DataFrame, s: Select,
+      catalog: InfluxQLPlanner.Catalog, maxRows: Int): (String, Boolean) = {
+    val measurement = s.measurement
     val tags = s.groupTags match {
       case Seq("*") => catalog.tags
       case t        => t
@@ -80,10 +111,12 @@ object InfluxQLResult {
     val cols = df.columns.toSeq
     val tagIdx = tags.flatMap(t => cols.zipWithIndex.find(_._1 == t).map(_._2))
     val valueIdx = cols.indices.filterNot(tagIdx.contains)
-    val rows = df.collect().toSeq
-    if (tagIdx.isEmpty)
-      seriesObj(measurement, Map.empty, valueIdx.map(cols), rows.map(pick(_, valueIdx)))
-    else {
+    val (rows, partial) = collectCapped(df, maxRows)
+    if (tagIdx.isEmpty) {
+      if (rows.isEmpty) ("", partial)
+      else (seriesObj(measurement, Map.empty, valueIdx.map(cols),
+        rows.map(pick(_, valueIdx))), partial)
+    } else {
       // one series per tag set, preserving first-appearance order (the
       // planner already orders by tags)
       val grouped = scala.collection.mutable.LinkedHashMap
@@ -92,10 +125,10 @@ object InfluxQLResult {
         val key = tagIdx.map(i => String.valueOf(r.get(i)))
         grouped.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r
       }
-      grouped.map { case (key, rs) =>
+      (grouped.map { case (key, rs) =>
         seriesObj(measurement, tags.zip(key).toMap, valueIdx.map(cols),
           rs.toSeq.map(pick(_, valueIdx)))
-      }.mkString(",")
+      }.mkString(","), partial)
     }
   }
 

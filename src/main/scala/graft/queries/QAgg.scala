@@ -85,12 +85,20 @@ object QAgg {
         .orderBy("event_type")
     },
 
-    GraftQuery.rowsOnly(
+    GraftQuery(
       "q_agg_approx_distinct",
-      "A5 scale path: approx_count_distinct (HLL++) — what replaces exact distinct at 100 TB; rows-only (approximate, no exact oracle)") { (s, dir) =>
+      "A5 scale path: approx_count_distinct (HLL++) — what replaces exact distinct at 100 TB. " +
+        "The sketch value is engine-private, so the oracled output is the exact count plus a " +
+        "relative-error CHECK: |approx - exact| <= 5% of exact (HLL++ default rsd 0.05), a " +
+        "boolean both engines hash identically",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_rsd"))
         .orderBy("event_type")
     },
 

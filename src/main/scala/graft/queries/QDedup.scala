@@ -109,6 +109,15 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
+  /** Driver union-find cutoff for connected components: below this many
+    * candidate pairs the exact in-memory pass wins; above it, distributed
+    * min-label propagation. Injectable (system property) so the 100 TB
+    * code path is exercisable under a spec — DistributedCcSpec pins both
+    * branches to identical output at threshold 0.
+    */
+  def driverCcMaxPairs: Long =
+    sys.props.get("graft.dedup.driverCcMaxPairs").map(_.toLong).getOrElse(1000000L)
+
   /** Shared by q_dedup_groups / q_dedup_keep: (doc_id, cluster) for every
     * doc in a near-dup component (cluster = component min doc_id).
     */
@@ -147,7 +156,7 @@ object QDedup {
       val spark = s
       val pairsC = pairs.localCheckpoint(true)
       val nPairs = pairsC.count()
-      if (nPairs <= 1000000L) {
+      if (nPairs <= driverCcMaxPairs) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

@@ -71,4 +71,47 @@ class InfluxQLResultSpec extends SparkTestBase {
     assert((0 until 3).forall(i =>
       root.at(s"/results/0/series/0/values/$i/0").asText().endsWith("Z")))
   }
+
+  test("an over-cap raw select truncates at maxRows and marks the statement partial") {
+    // no LIMIT in the query — before the cap this collected the whole
+    // measurement onto the driver; now it renders the first chunk only
+    val json = InfluxQLResult.render(spark, dir,
+      "SELECT value, user_id FROM events", maxRows = 5)
+    val root = mapper.readTree(json)
+    assert(root.at("/results/0/series/0/values").size() == 5, json.take(300))
+    assert(root.at("/results/0/partial").asBoolean(), json.take(300))
+    // an under-cap statement carries no partial marker
+    val ok = mapper.readTree(InfluxQLResult.render(spark, dir,
+      "SELECT COUNT(value) AS n FROM events", maxRows = 5))
+    assert(ok.at("/results/0/partial").isMissingNode)
+  }
+
+  test("FROM /re/ renders one correctly-named series per matched measurement") {
+    import org.apache.spark.sql.functions._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-render-re").toFile
+    val base = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    // two measurements with different row counts so mislabeled merging
+    // would be visible in the counts
+    graft.sinks.PointStore.writePartitioned(
+      base.select(col("ts"), lit("plc_a").as("measurement"),
+        col("event_type").as("alias"), col("value")), root0.toString)
+    graft.sinks.PointStore.writePartitioned(
+      base.filter(col("event_type") === "click")
+        .select(col("ts"), lit("plc_b").as("measurement"),
+          col("event_type").as("alias"), col("value")), root0.toString)
+    val cat = InfluxQLPlanner.Catalog.store(root0.toString)
+    val json = InfluxQLResult.render(spark, root0.toString,
+      "SELECT COUNT(value) AS n FROM /plc_/", catalog = cat)
+    val root = mapper.readTree(json)
+    val series = root.at("/results/0/series")
+    assert(series.size() == 2, json.take(400))
+    val byName = (0 until 2).map(i =>
+      series.get(i).at("/name").asText() -> series.get(i).at("/values/0/0").asLong()).toMap
+    assert(byName.keySet == Set("plc_a", "plc_b"), json.take(400))
+    // counts are PER measurement, not the union mislabeled under one name
+    val na = spark.read.parquet(s"$root0/measurement=plc_a").count()
+    val nb = spark.read.parquet(s"$root0/measurement=plc_b").count()
+    assert(na != nb && byName("plc_a") == na && byName("plc_b") == nb)
+  }
 }

@@ -250,6 +250,27 @@ class InfluxQLSpec extends SparkTestBase {
     assert(series.toSeq == all.slice(1, 4).toSeq)
   }
 
+  test("SLIMIT applies to ELAPSED queries too (r6 fix: it was silently ignored)") {
+    val df = InfluxQLPlanner.sql(spark, dir,
+      """SELECT ELAPSED(value, 1m) AS e FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY user_id SLIMIT 2""".stripMargin)
+    val series = df.select("user_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(series.length == 2)
+    // same first-2 series as the unlimited run's ordered series list
+    val all = InfluxQLPlanner.sql(spark, dir,
+      """SELECT ELAPSED(value, 1m) AS e FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY user_id""".stripMargin)
+      .select("user_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(series.toSeq == all.take(2).toSeq)
+  }
+
+  test("SHOW RETENTION POLICIES uses InfluxDB's exact wire column names") {
+    val df = InfluxQLPlanner.sql(spark, dir, "SHOW RETENTION POLICIES")
+    assert(df.columns.toSeq == Seq("name", "duration", "replicaN", "default"))
+  }
+
   test("ELAPSED/SAMPLE/HOLT_WINTERS parse; their restrictions are enforced") {
     assert(InfluxQLParser.parseSelect(
       "SELECT ELAPSED(value, 1m) AS e FROM events GROUP BY user_id")
@@ -644,6 +665,49 @@ class InfluxQLSpec extends SparkTestBase {
     // parse + render round-trip
     assert(InfluxQLParser.parse("DELETE FROM plc1 WHERE alias = 'click'") ==
       Delete("plc1", Seq(TagCond("alias", "=", "click"))))
+  }
+
+  test("DELETE WHERE time = ts removes at most that instant's rows (r5 data-loss fix)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-delete-eq").toFile
+    val points = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      .select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value"))
+    graft.sinks.PointStore.writePartitioned(points, root.toString)
+    def all() = spark.read.parquet(root.toString)
+    val total = all().count()
+    // pick one stored point's exact timestamp; delete exactly it
+    val target = all().orderBy("ts").limit(1).collect().head
+      .getTimestamp(0)
+    val targetNs = target.getTime * 1000000L + (target.getNanos % 1000000L)
+    val hitRows = all().filter(col("ts") === lit(target)).count()
+    assert(hitRows > 0)
+    val (dropped, rewritten) = InfluxQLPlanner.delete(spark,
+      s"DELETE FROM plc1 WHERE time = $targetNs", root.toString)
+    // before the fix this rmTree'd EVERY date partition (bounds (None,None),
+    // covered=true, no tag conds); now it's a one-day rewrite
+    assert(dropped.isEmpty, s"whole-partition drop on a point delete: $dropped")
+    assert(rewritten.size == 1)
+    assert(all().count() == total - hitRows)
+    assert(all().filter(col("ts") === lit(target)).count() == 0)
+  }
+
+  test("DELETE rejects time != and time bounds inside OR groups at parse time") {
+    val root = java.nio.file.Files.createTempDirectory("graft-delete-val").toFile
+    new java.io.File(root, "measurement=plc1/date=2024-01-01").mkdirs()
+    // time != would invert to "all but one instant" — reject, don't guess
+    val e1 = intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE time != 1704067200000000000", root.toString))
+    assert(e1.getMessage.contains("time !="))
+    // a TimeCond inside an OR group used to land in tagConds and blow up
+    // mid-rewrite with an unresolved ts_ns AnalysisException; now it's a
+    // parse-time rejection like Select's validate()
+    val e2 = intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE (time < '2024-01-02' OR alias = 'click')", root.toString))
+    assert(e2.getMessage.contains("OR"))
+    // nothing was touched by the rejected statements
+    assert(new java.io.File(root, "measurement=plc1/date=2024-01-01").exists())
   }
 
   // ---- planner ------------------------------------------------------------
