@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through UNPREFIXED: the round driver parses the
+// graft.Bench summary JSON from raw stdout, and sbt's default logger wraps
+// every forked line as "[info] {...}" — which is exactly why BENCH_r02..r06
+// recorded "parsed": null despite the line being present in the tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
