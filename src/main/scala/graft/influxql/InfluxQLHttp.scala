@@ -1,0 +1,115 @@
+package graft.influxql
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import InfluxQLAst.InfluxQLParseException
+
+/** The InfluxDB 1.x HTTP query surface — what the reference's consumers
+  * actually talk to: its data lands in InfluxDB 1.7 and Grafana reads it
+  * back over the `/query` endpoint (ref README.md:13-14 InfluxDB 1.7.x
+  * setup, README.md:98-100 Grafana visualization). Serving the same wire
+  * protocol means a Grafana InfluxDB datasource pointed at this engine
+  * works unchanged.
+  *
+  * Endpoints (the subset Grafana's datasource uses):
+  *  - `GET/POST /query?q=<influxql>[&db=...][&epoch=ns|u|ms|s|m|h]` —
+  *    parses/plans/renders via [[InfluxQLResult.renderAll]]; `db` is
+  *    accepted and ignored (the engine scopes by catalog, the db-per-PLC
+  *    layout maps to `measurement=` partitions); `epoch` switches time
+  *    rendering from RFC3339 to integer epoch. Errors return InfluxDB's
+  *    `{"error":"..."}` shape with status 400.
+  *  - `GET /ping` — 204 with `X-Influxdb-Version` (Grafana's health check).
+  *
+  * Scale/threading: query execution happens on the HTTP worker thread via
+  * the shared SparkSession (thread-safe — Spark schedules concurrent jobs
+  * from concurrent callers); the response body is bounded by the
+  * renderer's `maxRows` cap, so a misbehaving panel cannot pull a full
+  * measurement onto the driver. This is a driver-process front door for
+  * dashboards, not a data-plane API.
+  */
+object InfluxQLHttp {
+
+  final class Handle private[InfluxQLHttp] (server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Start serving on `port` (0 = ephemeral, returned via `Handle.port`).
+    * `nowNs` pins now()-relative bounds for deterministic tests.
+    */
+  def start(spark: SparkSession, dir: String,
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
+      port: Int = 0, nowNs: Option[Long] = None,
+      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex, spark, dir, catalog, nowNs, maxRows))
+    server.createContext("/ping", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+    })
+    server.start()
+    new Handle(server)
+  }
+
+  private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
+      catalog: InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int): Unit = {
+    try {
+      // Grafana sends GET with URI params or POST with a form body —
+      // accept both, URI params winning on duplicates.
+      val body =
+        if (ex.getRequestMethod == "POST")
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        else ""
+      val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      params.get("q") match {
+        case None | Some("") =>
+          respond(ex, 400, """{"error":"missing required parameter \"q\""}""")
+        case Some(q) =>
+          val json = InfluxQLResult.renderAll(spark, dir, q, nowNs, catalog,
+            maxRows, params.get("epoch").filter(_.nonEmpty))
+          respond(ex, 200, json)
+      }
+    } catch {
+      case e: InfluxQLParseException => respond(ex, 400, errJson(e.getMessage))
+      case e: Throwable              => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
+    }
+  }
+
+  private def errJson(msg: String): String =
+    s"""{"error":${quote(msg)}}"""
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'          => sb ++= "\\\""
+      case '\\'         => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c            => sb += c
+    }
+    (sb += '"').result()
+  }
+
+  private def parseParams(raw: String): Map[String, String] =
+    raw.split('&').toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8"))
+        case Array(k)    => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case _           => None
+      }
+    }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+    ex.close()
+  }
+}

@@ -36,19 +36,21 @@ object InfluxQLResult {
   def render(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
-      maxRows: Int = DefaultMaxRows): String =
-    renderAll(spark, dir, query, nowNs, catalog, maxRows)
+      maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String =
+    renderAll(spark, dir, query, nowNs, catalog, maxRows, epoch)
 
   /** A `;`-separated statement batch → one results entry per statement
     * with its `statement_id` — the full InfluxDB 1.x HTTP response.
+    * `epoch` is the HTTP API's `epoch=` param: when set (ns/u/ms/s/m/h),
+    * times render as integer epoch values in that unit instead of RFC3339.
     */
   def renderAll(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
-      maxRows: Int = DefaultMaxRows): String = {
+      maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String = {
     val sts = InfluxQLParser.parseAll(query)
     val results = sts.zipWithIndex.map { case (st, i) =>
-      val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog, maxRows)
+      val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog, maxRows, epoch)
       val partialJson = if (partial) ""","partial":true""" else ""
       s"""{"statement_id":$i,"series":[$series]$partialJson}"""
     }
@@ -67,7 +69,7 @@ object InfluxQLResult {
   /** The series-array content for ONE statement, plus its partial bit. */
   private def statementSeries(spark: org.apache.spark.sql.SparkSession, dir: String,
       st: Statement, nowNs: Option[Long], catalog: InfluxQLPlanner.Catalog,
-      maxRows: Int): (String, Boolean) =
+      maxRows: Int, epoch: Option[String]): (String, Boolean) =
     st match {
       case s: Select if s.measurement.startsWith("re:") && s.fromSub.isEmpty =>
         // FROM /re/ — one series group PER MATCHED MEASUREMENT (InfluxDB's
@@ -83,26 +85,27 @@ object InfluxQLResult {
         val parts = ms.map { m =>
           val q = s.copy(measurement = m)
           renderSelect(InfluxQLPlanner.plan(spark, dir, q, nowNs, catalog),
-            q, catalog, maxRows)
+            q, catalog, maxRows, epoch)
         }
         (parts.map(_._1).filter(_.nonEmpty).mkString(","), parts.exists(_._2))
       case s: Select =>
         val df = InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
-        renderSelect(df, s, catalog, maxRows)
+        renderSelect(df, s, catalog, maxRows, epoch)
       case Show(what, _) =>
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
-        (seriesObj(what, Map.empty, df.columns.toSeq, rows), partial)
+        (seriesObj(what, Map.empty, df.columns.toSeq, rows, epoch), partial)
       case ShowTagValues(from, _) =>
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
         (seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
-          df.columns.toSeq, rows), partial)
+          df.columns.toSeq, rows, epoch), partial)
       case other => throw InfluxQLParseException(s"not a renderable result: $other")
     }
 
   private def renderSelect(df: DataFrame, s: Select,
-      catalog: InfluxQLPlanner.Catalog, maxRows: Int): (String, Boolean) = {
+      catalog: InfluxQLPlanner.Catalog, maxRows: Int,
+      epoch: Option[String]): (String, Boolean) = {
     val measurement = s.measurement
     val tags = s.groupTags match {
       case Seq("*") => catalog.tags
@@ -115,7 +118,7 @@ object InfluxQLResult {
     if (tagIdx.isEmpty) {
       if (rows.isEmpty) ("", partial)
       else (seriesObj(measurement, Map.empty, valueIdx.map(cols),
-        rows.map(pick(_, valueIdx))), partial)
+        rows.map(pick(_, valueIdx)), epoch), partial)
     } else {
       // one series per tag set, preserving first-appearance order (the
       // planner already orders by tags)
@@ -127,7 +130,7 @@ object InfluxQLResult {
       }
       (grouped.map { case (key, rs) =>
         seriesObj(measurement, tags.zip(key).toMap, valueIdx.map(cols),
-          rs.toSeq.map(pick(_, valueIdx)))
+          rs.toSeq.map(pick(_, valueIdx)), epoch)
       }.mkString(","), partial)
     }
   }
@@ -136,7 +139,8 @@ object InfluxQLResult {
     Row.fromSeq(idx.map(r.get))
 
   private def seriesObj(name: String, tags: Map[String, String],
-      columns: Seq[String], rows: Seq[Row]): String = {
+      columns: Seq[String], rows: Seq[Row],
+      epoch: Option[String] = None): String = {
     val tagsJson =
       if (tags.isEmpty) ""
       else tags.toSeq.sortBy(_._1)
@@ -144,18 +148,40 @@ object InfluxQLResult {
         .mkString(""""tags":{""", ",", "},")
     val colsJson = columns.map(str).mkString("[", ",", "]")
     val valuesJson = rows.map { r =>
-      columns.indices.map(i => jsonValue(columns(i), r.get(i))).mkString("[", ",", "]")
+      columns.indices.map(i => jsonValue(columns(i), r.get(i), epoch)).mkString("[", ",", "]")
     }.mkString("[", ",", "]")
     s"""{"name":${str(name)},$tagsJson"columns":$colsJson,"values":$valuesJson}"""
   }
 
+  /** epoch= divisor from nanoseconds, InfluxDB's accepted units. */
+  private def epochDiv(unit: String): Long = unit match {
+    case "ns" => 1L
+    case "u"  => 1000L
+    case "ms" => 1000000L
+    case "s"  => 1000000000L
+    case "m"  => 60L * 1000000000L
+    case "h"  => 3600L * 1000000000L
+    case other => throw InfluxQLParseException(s"unknown epoch unit: $other")
+  }
+
   /** The engine renders times as 'yyyy-MM-dd HH:mm:ss' (UTC, or zone-local
-    * under tz()); the wire format is RFC3339.
+    * under tz()); the wire format is RFC3339, or integer epoch when the
+    * request carries `epoch=` (times are interpreted as UTC — tz() queries
+    * should not combine with epoch rendering).
     */
-  private def jsonValue(col: String, v: Any): String = v match {
+  private def jsonValue(col: String, v: Any, epoch: Option[String]): String = v match {
     case null => "null"
     case s: String if col == "time" && s.length == 19 && s.charAt(10) == ' ' =>
-      str(s.substring(0, 10) + "T" + s.substring(11) + "Z")
+      epoch match {
+        case Some(unit) =>
+          val inst = java.time.LocalDateTime
+            .parse(s.substring(0, 10) + "T" + s.substring(11))
+            .toInstant(java.time.ZoneOffset.UTC)
+          val ns = inst.getEpochSecond * 1000000000L + inst.getNano
+          (ns / epochDiv(unit)).toString
+        case None =>
+          str(s.substring(0, 10) + "T" + s.substring(11) + "Z")
+      }
     case s: String => str(s)
     case d: Double if d.isNaN || d.isInfinite => "null"
     case n @ (_: Double | _: Float | _: Long | _: Int | _: Short | _: Byte) => n.toString

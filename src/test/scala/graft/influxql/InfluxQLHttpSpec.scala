@@ -1,0 +1,92 @@
+package graft.influxql
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkTestBase
+
+/** Real HTTP round-trips against the /query endpoint — the wire surface a
+  * Grafana InfluxDB 1.x datasource would hit (ref README.md:13-14,98-100).
+  */
+class InfluxQLHttpSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val mapper = new ObjectMapper()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  test("GET /query plans, executes, and renders the InfluxDB response shape") {
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      val q = enc("SELECT MEAN(value) AS m FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1d), event_type")
+      val (code, body) = get(h.port, s"/query?db=plc&q=$q")
+      assert(code == 200)
+      val root = mapper.readTree(body)
+      val series = root.at("/results/0/series")
+      assert(series.size() > 1, body.take(300))
+      assert(series.get(0).at("/name").asText() == "events")
+      assert(series.get(0).at("/values/0/0").asText().endsWith("Z"))
+
+      // epoch=ms renders integer epoch times instead of RFC3339
+      val (c2, b2) = get(h.port, s"/query?q=$q&epoch=ms")
+      assert(c2 == 200)
+      val t0 = mapper.readTree(b2).at("/results/0/series/0/values/0/0")
+      assert(t0.isNumber && t0.asLong() == 1704067200000L, b2.take(200))
+
+      // statement batches keep their statement ids over the wire
+      val batch = enc("SHOW MEASUREMENTS; SELECT COUNT(value) AS n FROM events")
+      val (c3, b3) = get(h.port, s"/query?q=$batch")
+      assert(c3 == 200)
+      assert(mapper.readTree(b3).at("/results/1/statement_id").asInt() == 1)
+    } finally h.stop()
+  }
+
+  test("/query error shapes and /ping health check match InfluxDB 1.x") {
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      val (c1, b1) = get(h.port, "/query")
+      assert(c1 == 400 && mapper.readTree(b1).has("error"))
+      val (c2, b2) = get(h.port, s"/query?q=${enc("SELECT BOGUS(value) FROM events")}")
+      assert(c2 == 400)
+      assert(mapper.readTree(b2).at("/error").asText().nonEmpty)
+      val (c3, b3) = get(h.port, s"/query?q=${enc("SELECT MEAN(value) FROM nope")}")
+      assert(c3 == 400 && mapper.readTree(b3).at("/error").asText().contains("nope"))
+
+      val conn = new URI(s"http://127.0.0.1:${h.port}/ping").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 204)
+      assert(conn.getHeaderField("X-Influxdb-Version") != null)
+      conn.disconnect()
+    } finally h.stop()
+  }
+
+  test("POST /query with a form body works (Grafana POSTs long queries)") {
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      val conn = new URI(s"http://127.0.0.1:${h.port}/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      val body = s"q=${enc("SELECT COUNT(value) AS n FROM events")}&db=plc"
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      val json = mapper.readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+      assert(json.at("/results/0/series/0/values/0/0").asLong() > 0)
+      conn.disconnect()
+    } finally h.stop()
+  }
+}
