@@ -44,9 +44,31 @@ object InfluxQLHttp {
   def start(spark: SparkSession, dir: String,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
       port: Int = 0, nowNs: Option[Long] = None,
-      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle = {
+      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle =
+    serve(spark, dir, () => catalog, None, port, nowNs, maxRows)
+
+  /** Serve a measurement+date-partitioned POINT STORE: `/query` resolves
+    * the catalog PER REQUEST (a measurement created by a write appears in
+    * the next query), and `/write` accepts InfluxDB 1.x line protocol —
+    * the exact payload the reference's daemons POST
+    * (Linux/InfluxConnector2.py:175-176) — appending to the store. The
+    * full reference loop (PLC daemon → line protocol → db → Grafana)
+    * runs against this one handle.
+    */
+  def startStore(spark: SparkSession, storeDir: String,
+      port: Int = 0, nowNs: Option[Long] = None,
+      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle =
+    serve(spark, storeDir, () => InfluxQLPlanner.Catalog.store(storeDir),
+      Some(storeDir), port, nowNs, maxRows)
+
+  private def serve(spark: SparkSession, dir: String,
+      catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
+      port: Int, nowNs: Option[Long], maxRows: Int): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex, spark, dir, catalog, nowNs, maxRows))
+    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex, spark, dir, catalog(), nowNs, maxRows))
+    writeStore.foreach { store =>
+      server.createContext("/write", (ex: HttpExchange) => handleWrite(ex, spark, store, nowNs))
+    }
     server.createContext("/ping", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
       ex.sendResponseHeaders(204, -1)
@@ -54,6 +76,59 @@ object InfluxQLHttp {
     })
     server.start()
     new Handle(server)
+  }
+
+  /** POST /write — InfluxDB 1.x line-protocol ingest: parse the body with
+    * the engine's codegen'd parser (graft.sinks.LineProtocol.parseLines)
+    * and append to the point store's measurement+date layout. Store
+    * convention: tag `alias`, field `value`; lines without a timestamp get
+    * the server clock (InfluxDB's behavior), pinned by `nowNs` in tests.
+    * Any unparseable line rejects the whole batch with 400 — InfluxDB's
+    * all-or-nothing write contract. 204 on success.
+    *
+    * An HTTP write batch is one POST body (bounded), so parsing it
+    * driver-side is inherently panel-sized; bulk 100 TB ingest goes
+    * through the streaming pipeline, not this endpoint.
+    */
+  private def handleWrite(ex: HttpExchange, spark: SparkSession,
+      storeDir: String, nowNs: Option[Long]): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, errJson("/write accepts POST only")); return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty) {
+        respond(ex, 400, errJson("empty write body")); return
+      }
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val parsed = graft.sinks.LineProtocol.parseLines(lines.toDF("line"))
+        .select(col("line"), col("measurement"),
+          element_at(col("tags"), "alias").as("alias"),
+          element_at(col("fields"), "value").as("value"),
+          col("ts"))
+        .collect()
+      val bad = parsed.find(r => r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
+      bad match {
+        case Some(r) =>
+          respond(ex, 400, errJson(s"unable to parse line: '${r.getString(0)}'" +
+            " (expected measurement,alias=<tag> value=<float> [tsNs])"))
+        case None =>
+          val serverTs = new java.sql.Timestamp(
+            nowNs.map(_ / 1000000L).getOrElse(System.currentTimeMillis()))
+          val points = parsed.toSeq.map { r =>
+            (Option(r.getTimestamp(4)).getOrElse(serverTs),
+              r.getString(1), r.getString(2), r.getDouble(3))
+          }.toDF("ts", "measurement", "alias", "value")
+          graft.sinks.PointStore.writePartitioned(points, storeDir)
+          ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+          ex.sendResponseHeaders(204, -1)
+          ex.close()
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
+    }
   }
 
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,

@@ -39,10 +39,13 @@ object InfluxQLAst {
   sealed trait Statement
 
   /** SHOW MEASUREMENTS / SHOW TAG KEYS [FROM m] / SHOW FIELD KEYS [FROM m]
-    * — the metadata surface InfluxDB 1.7 clients (Grafana's query builder)
-    * poll for autocompletion.
+    * / SHOW SERIES [CARDINALITY] — the metadata surface InfluxDB 1.7
+    * clients (Grafana's query builder) poll for autocompletion.
+    * LIMIT/OFFSET paginate the listing (InfluxDB 1.x supports them on the
+    * SHOW statements that return row lists).
     */
-  final case class Show(what: String, from: Option[String]) extends Statement
+  final case class Show(what: String, from: Option[String],
+      limit: Option[Int] = None, offset: Option[Int] = None) extends Statement
 
   /** SHOW TAG VALUES [FROM m] WITH KEY = <tag> — the statement behind
     * Grafana template-variable dropdowns (distinct values of one tag).
@@ -53,6 +56,13 @@ object InfluxQLAst {
     * point store (InfluxDB's measurement deletion).
     */
   final case class DropMeasurement(name: String) extends Statement
+
+  /** DROP SERIES [FROM m] [WHERE tag …] — deletes ALL points of the
+    * matching series (InfluxDB 1.x; time bounds are not allowed — that is
+    * DELETE's job). Executed against the point store by
+    * [[InfluxQLPlanner.dropSeries]].
+    */
+  final case class DropSeries(from: Option[String], where: Seq[Cond]) extends Statement
 
   /** DELETE FROM m [WHERE time …/tag …] — point deletion. Planned against
     * the date-partitioned point store: fully-covered date partitions drop
@@ -287,7 +297,7 @@ object InfluxQLParser {
     val p = new P(toks)
     if (p.atShow) p.show()
     else if (p.atCreate) p.create()
-    else if (p.atDrop) p.dropMeasurement()
+    else if (p.atDrop) p.drop()
     else if (p.atDelete) p.delete()
     else p.select()
   }
@@ -338,12 +348,35 @@ object InfluxQLParser {
     def atShow: Boolean = kwPeek.contains("show")
     def atDrop: Boolean = kwPeek.contains("drop")
 
-    def dropMeasurement(): DropMeasurement = {
-      eatKw("drop"); eatKw("measurement")
-      val m = measurement()
-      if (peek.isDefined)
-        throw InfluxQLParseException(s"unexpected token after DROP MEASUREMENT: ${peek.get}")
-      DropMeasurement(m)
+    def drop(): Statement = {
+      eatKw("drop")
+      kwPeek match {
+        case Some("measurement") =>
+          next()
+          val m = measurement()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP MEASUREMENT: ${peek.get}")
+          DropMeasurement(m)
+        case Some("series") =>
+          next()
+          val from = if (kwPeek.contains("from")) { next(); Some(measurement()) } else None
+          val where = if (kwPeek.contains("where")) { next(); condList() } else Nil
+          if (from.isEmpty && where.isEmpty)
+            throw InfluxQLParseException(
+              "DROP SERIES requires FROM and/or WHERE (a bare drop-everything is DROP MEASUREMENT)")
+          def hasTime(c: Cond): Boolean = c match {
+            case BoolCond(_, l, r)        => hasTime(l) || hasTime(r)
+            case _: TimeCond | _: NowCond => true
+            case _                        => false
+          }
+          if (where.exists(hasTime))
+            throw InfluxQLParseException(
+              "DROP SERIES does not support time intervals — use DELETE for time-bounded deletes")
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP SERIES: ${peek.get}")
+          DropSeries(from, where)
+        case other => throw InfluxQLParseException(s"unsupported DROP: $other")
+      }
     }
     def atDelete: Boolean = kwPeek.contains("delete")
 
@@ -426,7 +459,12 @@ object InfluxQLParser {
       val what = ident().toLowerCase match {
         case "measurements" => "measurements"
         case "databases"    => "databases"
-        case "series"       => "series"
+        case "series" =>
+          // SHOW SERIES [EXACT] CARDINALITY — both variants plan the exact
+          // count (the estimate is an InfluxDB-internals shortcut)
+          if (kwPeek.contains("exact")) { next(); eatKw("cardinality"); "series_cardinality" }
+          else if (kwPeek.contains("cardinality")) { next(); "series_cardinality" }
+          else "series"
         case "retention" =>
           eatKw("policies")
           // optional ON <db> — accepted and dropped (single-store engine)
@@ -445,7 +483,18 @@ object InfluxQLParser {
         if (what == "tag_values") {
           eatKw("with"); eatKw("key"); eatOp("=")
           ShowTagValues(from, ident())
-        } else Show(what, from)
+        } else {
+          // LIMIT/OFFSET paginate list-returning SHOWs (InfluxDB 1.x)
+          var limit: Option[Int] = None
+          var offset: Option[Int] = None
+          var more = true
+          while (more) kwPeek match {
+            case Some("limit")  => next(); limit = Some(intLit())
+            case Some("offset") => next(); offset = Some(intLit())
+            case _              => more = false
+          }
+          Show(what, from, limit, offset)
+        }
       if (peek.isDefined)
         throw InfluxQLParseException(s"unexpected token after SHOW: ${peek.get}")
       st

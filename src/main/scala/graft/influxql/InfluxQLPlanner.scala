@@ -93,7 +93,7 @@ object InfluxQLPlanner {
       nowNs: Option[Long] = None, catalog: Catalog = Catalog.events): DataFrame =
     InfluxQLParser.parse(query) match {
       case s: Select            => plan(spark, dir, s, nowNs, catalog)
-      case Show(what, from)     => planShow(spark, dir, what, from, catalog)
+      case sh: Show             => planShow(spark, dir, sh, catalog)
       case ShowTagValues(from, key) =>
         from.foreach(catalog.requireMeasurement)
         if (!catalog.tags.contains(key))
@@ -108,6 +108,8 @@ object InfluxQLPlanner {
         "DROP MEASUREMENT mutates the store — use InfluxQLPlanner.dropMeasurement(query, storeDir)")
       case _: Delete            => throw InfluxQLParseException(
         "DELETE mutates the store — use InfluxQLPlanner.delete(spark, query, storeDir)")
+      case _: DropSeries        => throw InfluxQLParseException(
+        "DROP SERIES mutates the store — use InfluxQLPlanner.dropSeries(spark, query, storeDir)")
       case _: CreateCq          => throw InfluxQLParseException(
         "CREATE CONTINUOUS QUERY plans onto a stream — use InfluxQLPlanner.continuous(frame, query)")
       case other => throw InfluxQLParseException(s"cannot run $other against a data dir")
@@ -124,12 +126,15 @@ object InfluxQLPlanner {
 
   /** The metadata surface Grafana's query builder polls (SHOW …),
     * rendered in InfluxDB 1.7's result shapes from the active catalog.
+    * LIMIT/OFFSET page the listing AFTER its canonical ordering (the
+    * offset/limit plan is a CollectLimit — no full materialization).
     */
-  private def planShow(spark: SparkSession, dir: String, what: String,
-      from: Option[String], catalog: Catalog): DataFrame = {
+  private def planShow(spark: SparkSession, dir: String, sh: Show,
+      catalog: Catalog): DataFrame = {
     import spark.implicits._
+    val Show(what, from, limit, offset) = sh
     from.foreach(catalog.requireMeasurement)
-    what match {
+    val base: DataFrame = what match {
       case "measurements" => catalog.measurements.toDF("name")
       case "databases"    => Seq("plc").toDF("name")
       case "tag_keys"     =>
@@ -153,8 +158,22 @@ object InfluxQLPlanner {
             catalog.load(spark, dir, m).select(concat(parts: _*).as("key")).distinct()
           }
           .reduce(_.unionByName(_)).orderBy("key")
+      case "series_cardinality" =>
+        // SHOW SERIES [EXACT] CARDINALITY — per-measurement distinct series
+        // count: a partial+final count_distinct over the tag tuple, one tiny
+        // shuffle per measurement (swap in approx_count_distinct past ~1e9
+        // series; the engine computes exact like SHOW SERIES EXACT …)
+        from.map(Seq(_)).getOrElse(catalog.measurements)
+          .map { m =>
+            catalog.load(spark, dir, m)
+              .agg(count_distinct(struct(catalog.tags.sorted.map(col): _*)).as("count"))
+              .select(lit(m).as("measurement"), col("count"))
+          }
+          .reduce(_.unionByName(_)).orderBy("measurement")
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }
+    val paged = offset.fold(base)(base.offset)
+    limit.fold(paged)(paged.limit)
   }
 
   def plan(spark: SparkSession, dir: String, q0: Select,
@@ -339,6 +358,60 @@ object InfluxQLPlanner {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit
   }
+
+  /** Execute DROP SERIES [FROM m] [WHERE tag …] against a
+    * measurement+date-partitioned point store: removes EVERY point of the
+    * matching series across all time (InfluxDB 1.x semantics — time bounds
+    * are rejected at parse time; that's DELETE's job). With no WHERE the
+    * named measurement's partitions drop whole; with tag predicates every
+    * date partition of the scoped measurements rewrites with the predicate
+    * inverted. Returns (droppedPartitionPaths, rewrittenPartitionPaths).
+    */
+  def dropSeries(spark: SparkSession, query: String, storeDir: String)
+      : (Seq[String], Seq[String]) =
+    InfluxQLParser.parse(query) match {
+      case DropSeries(from, where) =>
+        def checkKeys(c: Cond): Unit = c match {
+          case TagCond(k, _, _) if k != "alias" =>
+            throw InfluxQLParseException(s"unknown tag in DROP SERIES: $k (store tags: alias)")
+          case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
+          case _ => ()
+        }
+        where.foreach(checkKeys)
+        val root = new java.io.File(storeDir)
+        val mdirs = from match {
+          case Some(m) =>
+            val d = new java.io.File(root, s"measurement=$m")
+            if (!d.isDirectory)
+              throw InfluxQLParseException(s"unknown measurement: $m (no store partition)")
+            Seq(d)
+          case None =>
+            Option(root.listFiles()).getOrElse(Array.empty).toSeq
+              .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+              .sortBy(_.getName)
+        }
+        val dropped = Seq.newBuilder[String]
+        val rewritten = Seq.newBuilder[String]
+        mdirs.foreach { mdir =>
+          if (where.isEmpty) { rmTree(mdir); dropped += mdir.getPath }
+          else Option(mdir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("date="))
+            .sortBy(_.getName)
+            .foreach { dd =>
+              val df = spark.read.parquet(dd.getPath)
+              val pred = where.map(condCol).reduce(_ && _)
+              val keep = df.filter(!pred)
+              val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
+              keep.write.mode("overwrite").parquet(tmp.getPath)
+              rmTree(dd)
+              if (!tmp.renameTo(dd))
+                throw new java.io.IOException(s"rename failed: $tmp -> $dd")
+              rewritten += dd.getPath
+            }
+        }
+        (dropped.result(), rewritten.result())
+      case other => throw InfluxQLParseException(s"not a DROP SERIES: $other")
+    }
 
   /** Execute DELETE FROM m [WHERE time …/tag …] against a
     * measurement+date-partitioned point store (PointStore.writePartitioned

@@ -10,15 +10,23 @@ import InfluxQLAst._
 object InfluxQLRender {
 
   def render(st: Statement): String = st match {
-    case Show("measurements", from) => s"SHOW MEASUREMENTS${fromClause(from)}"
-    case Show("tag_keys", from)     => s"SHOW TAG KEYS${fromClause(from)}"
-    case Show("field_keys", from)   => s"SHOW FIELD KEYS${fromClause(from)}"
-    case Show("databases", _)       => "SHOW DATABASES"
-    case Show("series", from)       => s"SHOW SERIES${fromClause(from)}"
-    case Show("retention_policies", _) => "SHOW RETENTION POLICIES"
-    case Show(other, _) => throw InfluxQLParseException(s"unrenderable SHOW: $other")
+    case sh: Show =>
+      val head = sh.what match {
+        case "measurements"       => s"SHOW MEASUREMENTS${fromClause(sh.from)}"
+        case "tag_keys"           => s"SHOW TAG KEYS${fromClause(sh.from)}"
+        case "field_keys"         => s"SHOW FIELD KEYS${fromClause(sh.from)}"
+        case "databases"          => "SHOW DATABASES"
+        case "series"             => s"SHOW SERIES${fromClause(sh.from)}"
+        case "series_cardinality" => s"SHOW SERIES CARDINALITY${fromClause(sh.from)}"
+        case "retention_policies" => "SHOW RETENTION POLICIES"
+        case other => throw InfluxQLParseException(s"unrenderable SHOW: $other")
+      }
+      head + sh.limit.fold("")(n => s" LIMIT $n") + sh.offset.fold("")(n => s" OFFSET $n")
     case ShowTagValues(from, key) => s"SHOW TAG VALUES${fromClause(from)} WITH KEY = $key"
     case DropMeasurement(name)    => s"DROP MEASUREMENT $name"
+    case DropSeries(from, where) =>
+      s"DROP SERIES${fromClause(from)}" +
+        (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND "))
     case Delete(m, where) =>
       s"DELETE FROM $m" +
         (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND "))

@@ -91,10 +91,10 @@ object InfluxQLResult {
       case s: Select =>
         val df = InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
         renderSelect(df, s, catalog, maxRows, epoch)
-      case Show(what, _) =>
+      case sh: Show =>
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
-        (seriesObj(what, Map.empty, df.columns.toSeq, rows, epoch), partial)
+        (seriesObj(sh.what, Map.empty, df.columns.toSeq, rows, epoch), partial)
       case ShowTagValues(from, _) =>
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)

@@ -475,5 +475,22 @@ object QInfluxQL {
       """SELECT COUNT(value) AS n, MEAN(value) AS mean_value FROM events
         |WHERE event_type =~ /^(cl|pu)/
         |GROUP BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_cardinality",
+      "IQL39 (r7): SHOW SERIES CARDINALITY — distinct-series count per measurement (partial+final count_distinct, one tiny shuffle)",
+      """SELECT 'events' AS measurement,
+        |       count(DISTINCT (event_type, user_id)) AS count
+        |FROM events""".stripMargin)(influx(
+      "SHOW SERIES CARDINALITY FROM events")),
+
+    GraftQuery(
+      "q_influxql_show_page",
+      "IQL40 (r7): LIMIT/OFFSET on SHOW SERIES — paginated metadata listing (CollectLimit, no full materialization)",
+      """SELECT key FROM (
+        |  SELECT DISTINCT concat('events,event_type=', event_type,
+        |                         ',user_id=', CAST(user_id AS VARCHAR)) AS key
+        |  FROM events ORDER BY key LIMIT 7 OFFSET 3) t ORDER BY key""".stripMargin)(influx(
+      "SHOW SERIES FROM events LIMIT 7 OFFSET 3")),
   )
 }

@@ -163,11 +163,19 @@ object InfluxQLGen {
     8 -> genSelect,
     1 -> (for {
       what <- Gen.oneOf("measurements", "tag_keys", "field_keys",
-        "databases", "series")
+        "databases", "series", "series_cardinality")
       from <- if (Set("databases").contains(what)) Gen.const(None)
               else Gen.option(Gen.const("events"))
-    } yield Show(what, from)),
+      limit <- Gen.option(Gen.choose(1, 20))
+      offset <- Gen.option(Gen.choose(1, 5))
+    } yield Show(what, from, limit, offset)),
     1 -> genDelete,
+    1 -> (for {
+      from <- Gen.option(Gen.const("plc1"))
+      where <- Gen.oneOf(
+        Gen.const(Seq[Cond](TagCond("alias", "=", "plc1_temp"))),
+        Gen.const(Seq[Cond](TagCond("alias", "!=", "x"))))
+    } yield DropSeries(from, where)),
     1 -> (for {
       s <- genSelect.suchThat(s =>
         s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&

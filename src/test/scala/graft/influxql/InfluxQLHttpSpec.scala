@@ -73,6 +73,45 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("POST /write ingests line protocol; /query reads it back (full wire loop)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-write").toFile
+    // pin now() so a timestampless line gets a deterministic server time
+    val nowNs = 1704153600000000000L // 2024-01-02T00:00:00Z
+    val h = InfluxQLHttp.startStore(spark, store.toString, nowNs = Some(nowNs))
+    try {
+      def post(body: String): Int = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        conn.disconnect()
+        code
+      }
+      // the reference daemon's exact payload shape: measurement,alias=<t> value=<v> [tsNs]
+      assert(post(
+        """plc9,alias=temp value=21.5 1704067200000000000
+          |plc9,alias=temp value=22.0 1704070800000000000
+          |plc9,alias=rpm value=900.0""".stripMargin) == 204)
+      // malformed line rejects the whole batch (InfluxDB all-or-nothing)
+      assert(post("plc9,alias=temp nonsense") == 400)
+      // the new measurement appears in the next /query (catalog re-resolved)
+      val q = enc("SELECT value FROM plc9 WHERE alias = 'temp' ORDER BY time")
+      val (code, body) = get(h.port, s"/query?db=plc&q=$q")
+      assert(code == 200, body.take(200))
+      val vals = mapper.readTree(body).at("/results/0/series/0/values")
+      assert(vals.size() == 2, body.take(300))
+      assert(vals.get(0).get(1).asDouble() == 21.5 && vals.get(1).get(1).asDouble() == 22.0)
+      // the timestampless point got the pinned server clock
+      val q2 = enc("SELECT value FROM plc9 WHERE alias = 'rpm'")
+      val (c2, b2) = get(h.port, s"/query?q=$q2")
+      assert(c2 == 200)
+      val t = mapper.readTree(b2).at("/results/0/series/0/values/0/0").asText()
+      assert(t == "2024-01-02T00:00:00Z", b2.take(300))
+    } finally h.stop()
+  }
+
   test("POST /query with a form body works (Grafana POSTs long queries)") {
     val h = InfluxQLHttp.start(spark, dir)
     try {

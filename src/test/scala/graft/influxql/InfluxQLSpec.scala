@@ -667,6 +667,65 @@ class InfluxQLSpec extends SparkTestBase {
       Delete("plc1", Seq(TagCond("alias", "=", "click"))))
   }
 
+  test("SHOW SERIES CARDINALITY counts distinct series per measurement") {
+    assert(InfluxQLParser.parse("SHOW SERIES CARDINALITY FROM events") ==
+      Show("series_cardinality", Some("events")))
+    // EXACT variant parses to the same plan (the engine always counts exact)
+    assert(InfluxQLParser.parse("SHOW SERIES EXACT CARDINALITY") ==
+      Show("series_cardinality", None))
+    val rows = InfluxQLPlanner.sql(spark, dir, "SHOW SERIES CARDINALITY FROM events").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "events")
+    val expected = graft.tables.Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct().count()
+    assert(rows.head.getLong(1) == expected)
+  }
+
+  test("LIMIT/OFFSET paginate SHOW statements") {
+    assert(InfluxQLParser.parse("SHOW SERIES FROM events LIMIT 5 OFFSET 2") ==
+      Show("series", Some("events"), Some(5), Some(2)))
+    val all = InfluxQLPlanner.sql(spark, dir, "SHOW SERIES FROM events")
+      .collect().map(_.getString(0)).toSeq
+    val page = InfluxQLPlanner.sql(spark, dir, "SHOW SERIES FROM events LIMIT 5 OFFSET 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(page == all.slice(2, 7))
+    // LIMIT alone; render round-trips the clauses
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW SERIES FROM events LIMIT 3").count() == 3)
+    val st = InfluxQLParser.parse("SHOW SERIES FROM events LIMIT 5 OFFSET 2")
+    assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+  }
+
+  test("DROP SERIES removes matching series across all time; time bounds rejected") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-dropseries").toFile
+    val points = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value"))
+    graft.sinks.PointStore.writePartitioned(points, root.toString)
+    def all() = spark.read.parquet(root.toString)
+    val clicks = all().filter(col("alias") === "click").count()
+    val others = all().filter(col("alias") =!= "click").count()
+    assert(clicks > 0 && others > 0)
+    // tag-scoped: every date partition rewrites, only the series vanishes
+    val (d1, r1) = InfluxQLPlanner.dropSeries(spark,
+      "DROP SERIES FROM plc1 WHERE alias = 'click'", root.toString)
+    assert(d1.isEmpty && r1.size == 3)
+    assert(all().filter(col("alias") === "click").count() == 0)
+    assert(all().count() == others)
+    // parse-time rejections: time bounds belong to DELETE; bare DROP SERIES
+    intercept[InfluxQLParseException](InfluxQLParser.parse(
+      "DROP SERIES FROM plc1 WHERE time < '2024-01-02'"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("DROP SERIES"))
+    // FROM with no WHERE drops the measurement's partitions whole
+    val (d2, r2) = InfluxQLPlanner.dropSeries(spark,
+      "DROP SERIES FROM plc1", root.toString)
+    assert(d2.size == 1 && r2.isEmpty)
+    assert(!new java.io.File(root, "measurement=plc1").exists())
+    // render round-trip
+    val st = InfluxQLParser.parse("DROP SERIES FROM plc1 WHERE alias = 'click'")
+    assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+  }
+
   test("DELETE WHERE time = ts removes at most that instant's rows (r5 data-loss fix)") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-delete-eq").toFile
