@@ -208,7 +208,8 @@ object InfluxQLParser {
   private val StrRe = """'([^']*)'""".r
   private val DQIdentRe = """"([^"]*)"""".r
   private val RegexRe = """/([^/]*)/""".r
-  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.|\+|-|/""".r
+  // ':' appears only in INTO :MEASUREMENT backreferences
+  private val OpRe = """<=|>=|!=|=~|!~|<|>|=|\(|\)|,|\*|;|\.|\+|-|/|:""".r
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -334,6 +335,29 @@ object InfluxQLParser {
       var m = ident()
       while (peek.contains(TOp("."))) { next(); m = ident() }
       m
+    }
+
+    /** INTO target: a measurement name, possibly db.rp-qualified, or the
+      * `:MEASUREMENT` backreference (InfluxDB 1.x: each source measurement
+      * of a regex FROM writes into a same-named destination).
+      */
+    private def intoTarget(): String = {
+      def backref(): String = {
+        val k = ident()
+        if (!k.equalsIgnoreCase("measurement"))
+          throw InfluxQLParseException(s"expected :MEASUREMENT backreference, got :$k")
+        ":MEASUREMENT"
+      }
+      if (peek.contains(TOp(":"))) { next(); backref() }
+      else {
+        var m = ident()
+        while (peek.contains(TOp("."))) {
+          next()
+          if (peek.contains(TOp(":"))) { next(); return backref() }
+          m = ident()
+        }
+        m
+      }
     }
 
     private def ident(): String = next() match {
@@ -505,7 +529,7 @@ object InfluxQLParser {
       val fields = fieldList()
       // SELECT … INTO target FROM … — manual rollup materialization (and
       // the body of a real InfluxDB CQ); target may be db.rp.m qualified.
-      val into = if (kwPeek.contains("into")) { next(); Some(measurement()) } else None
+      val into = if (kwPeek.contains("into")) { next(); Some(intoTarget()) } else None
       eatKw("from")
       // one level of subquery: FROM ( SELECT … ) — the InfluxQL
       // aggregate-of-aggregate shape (max of hourly means).

@@ -327,17 +327,38 @@ object InfluxQLPlanner {
     * plans the SELECT as usual and writes the result as parquet under
     * `outRoot/<target>`, overwriting (InfluxDB INTO upserts by time+tags;
     * a full overwrite of the target measurement is the batch equivalent).
-    * Returns the written row count.
+    * `INTO :MEASUREMENT` (InfluxDB's backreference) expands against the
+    * FROM clause: each source measurement — one, or every regex match —
+    * plans separately and writes to a same-named target, so per-source
+    * series never merge. Returns the written row count.
     */
   def into(spark: SparkSession, dir: String, query: String, outRoot: String,
-      nowNs: Option[Long] = None): Long = {
+      nowNs: Option[Long] = None,
+      catalog: Catalog = Catalog.events): Long = {
     val sel = InfluxQLParser.parse(query) match {
       case s: Select if s.into.isDefined => s
       case other => throw InfluxQLParseException(s"not a SELECT INTO: $other")
     }
-    val df = plan(spark, dir, sel, nowNs)
-    df.write.mode("overwrite").parquet(s"$outRoot/${sel.into.get}")
-    spark.read.parquet(s"$outRoot/${sel.into.get}").count()
+    val targets: Seq[(Select, String)] =
+      if (sel.into.get == ":MEASUREMENT") {
+        if (sel.fromSub.isDefined)
+          throw InfluxQLParseException(
+            "INTO :MEASUREMENT needs a measurement FROM, not a subquery")
+        val ms =
+          if (sel.measurement.startsWith("re:")) {
+            val re = sel.measurement.drop(3).r
+            catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
+          } else Seq(sel.measurement)
+        if (ms.isEmpty) throw InfluxQLParseException(
+          s"INTO :MEASUREMENT: FROM matches no measurement " +
+            s"(catalog: ${catalog.measurements.mkString(", ")})")
+        ms.map(m => (sel.copy(measurement = m), m))
+      } else Seq((sel, sel.into.get))
+    targets.map { case (q, target) =>
+      val df = plan(spark, dir, q, nowNs, catalog)
+      df.write.mode("overwrite").parquet(s"$outRoot/$target")
+      spark.read.parquet(s"$outRoot/$target").count()
+    }.sum
   }
 
   /** Execute DROP MEASUREMENT against a measurement-partitioned point

@@ -533,6 +533,40 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLPlanner.into(spark, dir, "SELECT MEAN(value) FROM events", out))
   }
 
+  test("INTO :MEASUREMENT backreference writes each regex-FROM match to its own target") {
+    import org.apache.spark.sql.functions._
+    // store with two measurements of different sizes
+    val root = java.nio.file.Files.createTempDirectory("graft-into-backref").toFile
+    val base = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    graft.sinks.PointStore.writePartitioned(
+      base.select(col("ts"), lit("plc_a").as("measurement"),
+        col("event_type").as("alias"), col("value")), root.toString)
+    graft.sinks.PointStore.writePartitioned(
+      base.filter(col("event_type") === "click")
+        .select(col("ts"), lit("plc_b").as("measurement"),
+          col("event_type").as("alias"), col("value")), root.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft-into-backref-out").toString
+    val cat = InfluxQLPlanner.Catalog.store(root.toString)
+    val q = "SELECT COUNT(value) AS n INTO :MEASUREMENT FROM /plc_/ GROUP BY alias"
+    // parses with the colon token and round-trips through the renderer
+    val st = InfluxQLParser.parse(q)
+    assert(st.asInstanceOf[Select].into.contains(":MEASUREMENT"))
+    assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+    val n = InfluxQLPlanner.into(spark, root.toString, q, out, catalog = cat)
+    assert(n > 0)
+    // one target per matched source, counts scoped per measurement
+    val a = spark.read.parquet(s"$out/plc_a")
+    val b = spark.read.parquet(s"$out/plc_b")
+    assert(a.count() > b.count() && b.count() == 1) // plc_b has only 'click'
+    // qualified backreference also parses; bogus :KEYWORD rejected
+    assert(InfluxQLParser.parse(
+      "SELECT COUNT(value) AS n INTO plc.autogen.:MEASUREMENT FROM /plc_/ GROUP BY alias")
+      .asInstanceOf[Select].into.contains(":MEASUREMENT"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse(
+      "SELECT COUNT(value) AS n INTO :BOGUS FROM /plc_/ GROUP BY alias"))
+  }
+
   test("CREATE RETENTION POLICY parses and enforces against a date-partitioned store") {
     val st = InfluxQLParser.parse(
       "CREATE RETENTION POLICY weekly ON plc DURATION 7d REPLICATION 1 DEFAULT")
