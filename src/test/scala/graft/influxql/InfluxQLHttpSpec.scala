@@ -112,6 +112,33 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("concurrent /query requests share one SparkSession safely (a dashboard refresh)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val h = InfluxQLHttp.start(spark, dir)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // a Grafana dashboard fires all panel queries at once; Spark
+      // schedules the concurrent jobs from the HTTP worker threads
+      val queries = Seq(
+        "SELECT COUNT(value) AS n FROM events",
+        "SELECT MEAN(value) AS m FROM events GROUP BY event_type",
+        "SHOW MEASUREMENTS",
+        "SELECT MAX(value) AS mx FROM events GROUP BY user_id")
+      val futures = (1 to 3).flatMap(_ => queries).map { q =>
+        Future(get(h.port, s"/query?q=${enc(q)}"))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.forall(_._1 == 200))
+      // identical queries return identical bodies under concurrency
+      val counts = results.zip((1 to 3).flatMap(_ => queries))
+        .filter(_._2 == queries.head).map(_._1._2).distinct
+      assert(counts.size == 1)
+    } finally { h.stop(); pool.shutdown() }
+  }
+
   test("POST /query with a form body works (Grafana POSTs long queries)") {
     val h = InfluxQLHttp.start(spark, dir)
     try {
