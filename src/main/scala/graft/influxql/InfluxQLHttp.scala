@@ -141,12 +141,29 @@ object InfluxQLHttp {
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val epoch = params.get("epoch").filter(_.nonEmpty)
       params.get("q") match {
         case None | Some("") =>
           respond(ex, 400, """{"error":"missing required parameter \"q\""}""")
+        case Some(q) if params.get("chunked").contains("true") =>
+          // InfluxDB 1.x chunked transfer: newline-delimited result docs,
+          // driver memory bounded by chunk_size regardless of result size.
+          val size = params.get("chunk_size").flatMap(_.toIntOption)
+            .filter(_ > 0).getOrElse(InfluxQLResult.DefaultMaxRows)
+          val chunks = InfluxQLResult.renderChunks(spark, dir, q, nowNs, catalog, size, epoch)
+          // force the first statement's plan before headers go out: parse
+          // and analysis errors still return a clean 400 (later statements
+          // can only fail mid-stream — InfluxDB's chunked mode has the
+          // same property)
+          val _ = chunks.hasNext
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+          ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
+          val os = ex.getResponseBody
+          try chunks.foreach { d => os.write((d + "\n").getBytes(StandardCharsets.UTF_8)); os.flush() }
+          finally { os.close(); ex.close() }
         case Some(q) =>
-          val json = InfluxQLResult.renderAll(spark, dir, q, nowNs, catalog,
-            maxRows, params.get("epoch").filter(_.nonEmpty))
+          val json = InfluxQLResult.renderAll(spark, dir, q, nowNs, catalog, maxRows, epoch)
           respond(ex, 200, json)
       }
     } catch {

@@ -106,32 +106,93 @@ object InfluxQLResult {
   private def renderSelect(df: DataFrame, s: Select,
       catalog: InfluxQLPlanner.Catalog, maxRows: Int,
       epoch: Option[String]): (String, Boolean) = {
+    val (rows, partial) = collectCapped(df, maxRows)
+    (selectSeries(s, catalog, df.columns.toSeq, rows, epoch), partial)
+  }
+
+  /** One SELECT's rows → the series-array content (one series object per
+    * tag set, first-appearance order — the planner already orders by tags).
+    * Shared by the capped single-response path and each chunk of a chunked
+    * response.
+    */
+  private def selectSeries(s: Select, catalog: InfluxQLPlanner.Catalog,
+      cols: Seq[String], rows: Seq[Row], epoch: Option[String]): String = {
     val measurement = s.measurement
     val tags = s.groupTags match {
       case Seq("*") => catalog.tags
       case t        => t
     }
-    val cols = df.columns.toSeq
     val tagIdx = tags.flatMap(t => cols.zipWithIndex.find(_._1 == t).map(_._2))
     val valueIdx = cols.indices.filterNot(tagIdx.contains)
-    val (rows, partial) = collectCapped(df, maxRows)
     if (tagIdx.isEmpty) {
-      if (rows.isEmpty) ("", partial)
-      else (seriesObj(measurement, Map.empty, valueIdx.map(cols),
-        rows.map(pick(_, valueIdx)), epoch), partial)
+      if (rows.isEmpty) ""
+      else seriesObj(measurement, Map.empty, valueIdx.map(cols),
+        rows.map(pick(_, valueIdx)), epoch)
     } else {
-      // one series per tag set, preserving first-appearance order (the
-      // planner already orders by tags)
       val grouped = scala.collection.mutable.LinkedHashMap
         .empty[Seq[String], scala.collection.mutable.ArrayBuffer[Row]]
       rows.foreach { r =>
         val key = tagIdx.map(i => String.valueOf(r.get(i)))
         grouped.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r
       }
-      (grouped.map { case (key, rs) =>
+      grouped.map { case (key, rs) =>
         seriesObj(measurement, tags.zip(key).toMap, valueIdx.map(cols),
           rs.toSeq.map(pick(_, valueIdx)), epoch)
-      }.mkString(","), partial)
+      }.mkString(",")
+    }
+  }
+
+  /** Chunked rendering — InfluxDB 1.x's `chunked=true&chunk_size=N`: one
+    * `{"results":[…]}` document per chunk, every chunk but a statement's
+    * last marked `"partial":true`. Rows stream through
+    * `Dataset.toLocalIterator`, so the driver holds ~one partition plus at
+    * most two chunk buffers AT ANY SIZE — this is the wire path for raw
+    * exports that outgrow the single-response cap; the plan's ordering is
+    * preserved (toLocalIterator walks partitions in order).
+    */
+  def renderChunks(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
+      nowNs: Option[Long] = None,
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
+      chunkSize: Int = DefaultMaxRows, epoch: Option[String] = None): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val sts = InfluxQLParser.parseAll(query)
+    def doc(i: Int, series: String, partial: Boolean): String = {
+      val p = if (partial) ""","partial":true""" else ""
+      s"""{"results":[{"statement_id":$i,"series":[$series]$p}]}"""
+    }
+    sts.iterator.zipWithIndex.flatMap {
+      case (s: Select, i) =>
+        // regex-FROM plans per measurement (series identity), sequentially
+        val plans: Seq[Select] =
+          if (s.measurement.startsWith("re:") && s.fromSub.isEmpty) {
+            val re = s.measurement.drop(3).r
+            val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
+            if (ms.isEmpty) throw InfluxQLParseException(
+              s"FROM /${s.measurement.drop(3)}/ matches no measurement " +
+                s"(catalog: ${catalog.measurements.mkString(", ")})")
+            ms.map(m => s.copy(measurement = m))
+          } else Seq(s)
+        // plan eagerly (analysis errors surface before any chunk is sent),
+        // execute lazily (toLocalIterator pulls partitions on demand)
+        val perPlan = plans.map { q =>
+          (q, InfluxQLPlanner.plan(spark, dir, q, nowNs, catalog))
+        }
+        val chunks: Iterator[(Select, Seq[String], Seq[Row])] =
+          perPlan.iterator.flatMap { case (q, df) =>
+            val cols = df.columns.toSeq
+            df.toLocalIterator().asScala.grouped(chunkSize).map(rows => (q, cols, rows))
+          }
+        if (!chunks.hasNext) Iterator.single(doc(i, "", partial = false))
+        else chunks.map { case (q, cols, rows) =>
+          // hasNext peeks ONE chunk ahead (at most two buffered), which is
+          // exactly how InfluxDB knows to mark all-but-last partial
+          doc(i, selectSeries(q, catalog, cols, rows, epoch), partial = chunks.hasNext)
+        }
+      case (st, i) =>
+        // metadata statements are small — one doc via the standard path
+        val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog,
+          Int.MaxValue - 1, epoch)
+        Iterator.single(doc(i, series, partial))
     }
   }
 

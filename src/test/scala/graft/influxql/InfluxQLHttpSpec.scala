@@ -112,6 +112,35 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("chunked=true streams newline-delimited result docs with partial markers") {
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      val q = enc("SELECT value, user_id FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' ORDER BY time")
+      // unchunked reference (big cap so nothing truncates)
+      val (_, whole) = get(h.port, s"/query?q=$q")
+      val wholeVals = mapper.readTree(whole).at("/results/0/series/0/values")
+      assert(wholeVals.size() > 20)
+      // chunked: multiple docs, all-but-last partial, concatenation == whole
+      val (code, body) = get(h.port, s"/query?q=$q&chunked=true&chunk_size=10")
+      assert(code == 200)
+      val docs = body.split('\n').toSeq.filter(_.nonEmpty).map(mapper.readTree)
+      assert(docs.size == (wholeVals.size() + 9) / 10, s"${docs.size} docs")
+      assert(docs.init.forall(_.at("/results/0/partial").asBoolean()))
+      assert(docs.last.at("/results/0/partial").isMissingNode)
+      val streamed = docs.flatMap { d =>
+        val vs = d.at("/results/0/series/0/values")
+        (0 until vs.size()).map(j => (vs.get(j).get(0).asText(), vs.get(j).get(1).asDouble()))
+      }
+      val expected = (0 until wholeVals.size()).map(j =>
+        (wholeVals.get(j).get(0).asText(), wholeVals.get(j).get(1).asDouble()))
+      assert(streamed == expected)
+      // a bad query in chunked mode still returns a clean 400
+      val (c2, b2) = get(h.port, s"/query?q=${enc("SELECT MEAN(value) FROM nope")}&chunked=true")
+      assert(c2 == 400 && mapper.readTree(b2).has("error"))
+    } finally h.stop()
+  }
+
   test("concurrent /query requests share one SparkSession safely (a dashboard refresh)") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
