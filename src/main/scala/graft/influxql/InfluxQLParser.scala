@@ -480,26 +480,43 @@ object InfluxQLParser {
 
     def show(): Statement = {
       eatKw("show")
+      // [EXACT] CARDINALITY suffix — both variants plan the exact count
+      // (the estimate is an InfluxDB-internals shortcut)
+      def cardinality(): Boolean =
+        if (kwPeek.contains("exact")) { next(); eatKw("cardinality"); true }
+        else if (kwPeek.contains("cardinality")) { next(); true }
+        else false
       val what = ident().toLowerCase match {
         case "measurements" => "measurements"
+        case "measurement" =>
+          if (!cardinality())
+            throw InfluxQLParseException("expected SHOW MEASUREMENT [EXACT] CARDINALITY")
+          "measurement_cardinality"
         case "databases"    => "databases"
         case "series" =>
-          // SHOW SERIES [EXACT] CARDINALITY — both variants plan the exact
-          // count (the estimate is an InfluxDB-internals shortcut)
-          if (kwPeek.contains("exact")) { next(); eatKw("cardinality"); "series_cardinality" }
-          else if (kwPeek.contains("cardinality")) { next(); "series_cardinality" }
-          else "series"
+          if (cardinality()) "series_cardinality" else "series"
         case "retention" =>
           eatKw("policies")
           // optional ON <db> — accepted and dropped (single-store engine)
           if (kwPeek.contains("on")) { next(); ident(): Unit }
           "retention_policies"
         case "tag" => ident().toLowerCase match {
-          case "keys"   => "tag_keys"
+          case "keys"   => if (cardinality()) "tag_key_cardinality" else "tag_keys"
+          case "key" =>
+            if (!cardinality())
+              throw InfluxQLParseException("expected SHOW TAG KEY [EXACT] CARDINALITY")
+            "tag_key_cardinality"
           case "values" => "tag_values"
           case other => throw InfluxQLParseException(s"unsupported SHOW TAG: $other")
         }
-        case "field" => eatKw("keys"); "field_keys"
+        case "field" => ident().toLowerCase match {
+          case "keys" => if (cardinality()) "field_key_cardinality" else "field_keys"
+          case "key" =>
+            if (!cardinality())
+              throw InfluxQLParseException("expected SHOW FIELD KEY [EXACT] CARDINALITY")
+            "field_key_cardinality"
+          case other => throw InfluxQLParseException(s"unsupported SHOW FIELD: $other")
+        }
         case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
       }
       val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None

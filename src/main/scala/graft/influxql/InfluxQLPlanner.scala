@@ -170,6 +170,16 @@ object InfluxQLPlanner {
               .select(lit(m).as("measurement"), col("count"))
           }
           .reduce(_.unionByName(_)).orderBy("measurement")
+      // the remaining cardinalities are catalog-derived constants — no scan
+      case "measurement_cardinality" =>
+        Seq(catalog.measurements.size.toLong).toDF("count")
+      case "tag_key_cardinality" =>
+        from.map(Seq(_)).getOrElse(catalog.measurements)
+          .map(m => (m, catalog.tags.size.toLong))
+          .toDF("measurement", "count")
+      case "field_key_cardinality" =>
+        from.map(Seq(_)).getOrElse(catalog.measurements)
+          .map(m => (m, 1L)).toDF("measurement", "count")
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }
     val paged = offset.fold(base)(base.offset)

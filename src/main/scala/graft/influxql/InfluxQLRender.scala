@@ -18,6 +18,9 @@ object InfluxQLRender {
         case "databases"          => "SHOW DATABASES"
         case "series"             => s"SHOW SERIES${fromClause(sh.from)}"
         case "series_cardinality" => s"SHOW SERIES CARDINALITY${fromClause(sh.from)}"
+        case "measurement_cardinality" => "SHOW MEASUREMENT CARDINALITY"
+        case "tag_key_cardinality"   => s"SHOW TAG KEY CARDINALITY${fromClause(sh.from)}"
+        case "field_key_cardinality" => s"SHOW FIELD KEY CARDINALITY${fromClause(sh.from)}"
         case "retention_policies" => "SHOW RETENTION POLICIES"
         case other => throw InfluxQLParseException(s"unrenderable SHOW: $other")
       }

@@ -714,6 +714,29 @@ class InfluxQLSpec extends SparkTestBase {
     assert(rows.head.getLong(1) == expected)
   }
 
+  test("MEASUREMENT/TAG KEY/FIELD KEY CARDINALITY variants parse and plan") {
+    assert(InfluxQLParser.parse("SHOW MEASUREMENT CARDINALITY") ==
+      Show("measurement_cardinality", None))
+    assert(InfluxQLParser.parse("SHOW TAG KEY EXACT CARDINALITY FROM events") ==
+      Show("tag_key_cardinality", Some("events")))
+    assert(InfluxQLParser.parse("SHOW FIELD KEY CARDINALITY") ==
+      Show("field_key_cardinality", None))
+    val m = InfluxQLPlanner.sql(spark, dir, "SHOW MEASUREMENT CARDINALITY").collect()
+    assert(m.length == 1 && m.head.getLong(0) == 1L) // events catalog: 1 measurement
+    val t = InfluxQLPlanner.sql(spark, dir, "SHOW TAG KEY CARDINALITY FROM events").collect()
+    assert(t.length == 1 && t.head.getString(0) == "events" && t.head.getLong(1) == 2L)
+    val f = InfluxQLPlanner.sql(spark, dir, "SHOW FIELD KEY CARDINALITY").collect()
+    assert(f.length == 1 && f.head.getLong(1) == 1L)
+    // render round-trip for each
+    Seq("SHOW MEASUREMENT CARDINALITY", "SHOW TAG KEY CARDINALITY FROM events",
+      "SHOW FIELD KEY CARDINALITY").foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+    }
+    // a bare SHOW MEASUREMENT (no CARDINALITY) is rejected
+    intercept[InfluxQLParseException](InfluxQLParser.parse("SHOW MEASUREMENT"))
+  }
+
   test("LIMIT/OFFSET paginate SHOW statements") {
     assert(InfluxQLParser.parse("SHOW SERIES FROM events LIMIT 5 OFFSET 2") ==
       Show("series", Some("events"), Some(5), Some(2)))
