@@ -99,6 +99,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(planOf("q_influxql_raw").contains("TakeOrderedAndProject"))
   }
 
+  test("SHOW SERIES CARDINALITY is a partial+final distinct over a pruned 2-column scan") {
+    val plan = planOf("q_influxql_cardinality")
+    assert(plan.contains("partial_count(distinct"),
+      s"distinct count must combine map-side before the single-partition final:\n$plan")
+    assert(plan.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      s"the scan must read only the tag columns:\n$plan")
+  }
+
+  test("SHOW ... LIMIT/OFFSET plans TakeOrderedAndProject with offset (no full sort)") {
+    val plan = planOf("q_influxql_show_page")
+    assert(plan.contains("TakeOrderedAndProject") && plan.contains("offset=3"),
+      s"paged SHOW must be a bounded top-k, not sort+collect:\n$plan")
+  }
+
   test("InfluxQL INTEGRAL's window pre-pass shares its shuffle with the groupBy") {
     // window partitions on (bucket, tags); the following hash aggregate
     // groups on the SAME keys — one hashpartitioning Exchange total (plus
