@@ -96,6 +96,16 @@ object InfluxQLHttp {
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, errJson("/write accepts POST only")); return
       }
+      // precision= scales bare line timestamps (InfluxDB 1.x: n[s]/u/ms/s)
+      val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val mult = params.getOrElse("precision", "ns") match {
+        case "ns" | "n" => 1L
+        case "u" | "us" => 1000L
+        case "ms"       => 1000000L
+        case "s"        => 1000000000L
+        case other =>
+          respond(ex, 400, errJson(s"invalid precision: $other (ns|u|ms|s)")); return
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       if (lines.isEmpty) {
@@ -107,18 +117,23 @@ object InfluxQLHttp {
         .select(col("line"), col("measurement"),
           element_at(col("tags"), "alias").as("alias"),
           element_at(col("fields"), "value").as("value"),
-          col("ts"))
+          col("ts_ns"))
         .collect()
       val bad = parsed.find(r => r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
       bad match {
         case Some(r) =>
           respond(ex, 400, errJson(s"unable to parse line: '${r.getString(0)}'" +
-            " (expected measurement,alias=<tag> value=<float> [tsNs])"))
+            " (expected measurement,alias=<tag> value=<float> [ts])"))
         case None =>
+          def tsOfNs(ns: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(Math.floorDiv(ns, 1000000000L) * 1000L)
+            t.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+            t
+          }
           val serverTs = new java.sql.Timestamp(
             nowNs.map(_ / 1000000L).getOrElse(System.currentTimeMillis()))
           val points = parsed.toSeq.map { r =>
-            (Option(r.getTimestamp(4)).getOrElse(serverTs),
+            (if (r.isNullAt(4)) serverTs else tsOfNs(r.getLong(4) * mult),
               r.getString(1), r.getString(2), r.getDouble(3))
           }.toDF("ts", "measurement", "alias", "value")
           graft.sinks.PointStore.writePartitioned(points, storeDir)

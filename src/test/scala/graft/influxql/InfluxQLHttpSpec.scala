@@ -112,6 +112,32 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("/write precision= scales bare timestamps (s/ms/u/ns)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-prec").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      def post(path: String, body: String): Int = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        conn.disconnect()
+        code
+      }
+      // the same instant in three precisions lands on the same stored time
+      assert(post("/write?precision=s", "plcp,alias=a value=1.0 1704067200") == 204)
+      assert(post("/write?precision=ms", "plcp,alias=b value=2.0 1704067200000") == 204)
+      assert(post("/write", "plcp,alias=c value=3.0 1704067200000000000") == 204)
+      assert(post("/write?precision=parsecs", "plcp,alias=d value=4.0 1") == 400)
+      val (code, body) = get(h.port,
+        s"/query?q=${enc("SELECT COUNT(value) AS n FROM plcp WHERE time = '2024-01-01'")}")
+      assert(code == 200)
+      assert(mapper.readTree(body).at("/results/0/series/0/values/0/0").asLong() == 3, body.take(300))
+    } finally h.stop()
+  }
+
   test("chunked=true streams newline-delimited result docs with partial markers") {
     val h = InfluxQLHttp.start(spark, dir)
     try {
