@@ -481,6 +481,7 @@ object QDedup {
       // codegen'd work after it.
       val sh = shingled(documents(s, dir))
         .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
+        .localCheckpoint(true)   // referenced 3× below; shingle once
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
       val shA = sh.toDF("doc_a", "sh_a")

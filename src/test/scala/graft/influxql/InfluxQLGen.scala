@@ -163,8 +163,9 @@ object InfluxQLGen {
     8 -> genSelect,
     1 -> (for {
       what <- Gen.oneOf("measurements", "tag_keys", "field_keys",
-        "databases", "series", "series_cardinality")
-      from <- if (Set("databases").contains(what)) Gen.const(None)
+        "databases", "series", "series_cardinality",
+        "measurement_cardinality", "tag_key_cardinality", "field_key_cardinality")
+      from <- if (Set("databases", "measurement_cardinality").contains(what)) Gen.const(None)
               else Gen.option(Gen.const("events"))
       limit <- Gen.option(Gen.choose(1, 20))
       offset <- Gen.option(Gen.choose(1, 5))
