@@ -809,6 +809,27 @@ class InfluxQLSpec extends SparkTestBase {
     assert(all().filter(col("ts") === lit(target)).count() == 0)
   }
 
+  test("DELETE WHERE time = now() - d resolves through the injectable clock") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-delete-now").toFile
+    val points = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      .select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value"))
+    graft.sinks.PointStore.writePartitioned(points, root.toString)
+    def all() = spark.read.parquet(root.toString)
+    val total = all().count()
+    val target = all().orderBy("ts").limit(1).collect().head.getTimestamp(0)
+    val targetNs = target.getTime * 1000000L + (target.getNanos % 1000000L)
+    val hits = all().filter(col("ts") === lit(target)).count()
+    // now() pinned one hour after the point; `time = now() - 1h` → exactly it
+    val (dropped, rewritten) = InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE time = now() - 1h", root.toString,
+      nowNs = Some(targetNs + 3600L * 1000000000L))
+    assert(dropped.isEmpty && rewritten.size == 1)
+    assert(all().count() == total - hits)
+  }
+
   test("DELETE rejects time != and time bounds inside OR groups at parse time") {
     val root = java.nio.file.Files.createTempDirectory("graft-delete-val").toFile
     new java.io.File(root, "measurement=plc1/date=2024-01-01").mkdirs()
