@@ -58,6 +58,22 @@ class FullLoopSpec extends SparkTestBase {
     assert(series.get(0).at("/name").asText() == "10.0.0.1")
     assert(series.get(0).at("/tags/alias").asText().startsWith("plc1_"))
 
+    // the same panel query over the REAL wire: a served /query against the
+    // ingested store returns the identical series (what a Grafana
+    // datasource pointed at this process would receive)
+    val h = graft.influxql.InfluxQLHttp.startStore(spark, store)
+    try {
+      val conn = new java.net.URI(s"http://127.0.0.1:${h.port}/query?db=plc&q=" +
+        java.net.URLEncoder.encode(
+          """SELECT MEAN(value) AS m FROM "10.0.0.1" GROUP BY alias""", "UTF-8"))
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val served = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      assert(new ObjectMapper().readTree(served) == root,
+        "served JSON must equal the in-process render")
+    } finally h.stop()
+
     // retention against the same store (sim data is dated 2024-01-01;
     // `today` pinned for determinism): a 30d policy keeps it, then a 1d
     // policy a month later expires the whole date partition — no rewrite
