@@ -113,17 +113,27 @@ object InfluxQLHttp {
       }
       import spark.implicits._
       import org.apache.spark.sql.functions._
+      // Two accepted line shapes, both landing on the store's (alias,
+      // value) point: the store-tag form `m,alias=<t> value=<v>`, and the
+      // reference daemons' field-keyed form `m <alias>=<v>` (one field per
+      // line, the field KEY is the tag — LineProtocol.formatPoints's
+      // output and InfluxConnector2.py:175-176's write shape).
       val parsed = graft.sinks.LineProtocol.parseLines(lines.toDF("line"))
         .select(col("line"), col("measurement"),
-          element_at(col("tags"), "alias").as("alias"),
-          element_at(col("fields"), "value").as("value"),
+          coalesce(element_at(col("tags"), "alias"),
+            when(size(col("fields")) === 1, element_at(map_keys(col("fields")), 1)))
+            .as("alias"),
+          coalesce(element_at(col("fields"), "value"),
+            when(size(col("fields")) === 1, element_at(map_values(col("fields")), 1)))
+            .as("value"),
           col("ts_ns"))
         .collect()
       val bad = parsed.find(r => r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
       bad match {
         case Some(r) =>
           respond(ex, 400, errJson(s"unable to parse line: '${r.getString(0)}'" +
-            " (expected measurement,alias=<tag> value=<float> [ts])"))
+            " (expected measurement,alias=<tag> value=<float> [ts]" +
+            " or measurement <alias>=<float> [ts])"))
         case None =>
           def tsOfNs(ns: Long): java.sql.Timestamp = {
             val t = new java.sql.Timestamp(Math.floorDiv(ns, 1000000000L) * 1000L)

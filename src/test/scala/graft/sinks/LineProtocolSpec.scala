@@ -1,6 +1,7 @@
 package graft.sinks
 
 import graft.SparkTestBase
+import graft.influxql.InfluxQLPlanner
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
@@ -106,6 +107,36 @@ class LineProtocolSpec extends SparkTestBase {
     LineProtocol.append(dir)(batch.repartition(3).toDF(), 8L)
     assert(lpFiles.count(_.getFileName.toString.startsWith("part-7-")) === 2)
     assert(lpFiles.count(_.getFileName.toString.startsWith("part-8-")) === 3)
+  }
+
+  test("HttpLineConnectionFactory streams line protocol to a live /write endpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the engine's own InfluxDB-1.x-compatible server is the receiving end:
+    // the exact wire call the reference daemons make, no simulation layer
+    val store = Files.createTempDirectory("lp_http_store").toString
+    val h = graft.influxql.InfluxQLHttp.startStore(spark, store)
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(String, Double, Long)]
+      ms.addData((1 to 20).map(i => ("temp", 20.0 + i, 1704067200000000L + i * 1000000L)): _*)
+      val pts = ms.toDF().toDF("alias", "value", "us")
+        .select(lit("plc7").as("measurement"), col("alias"), col("value"),
+          timestamp_micros(col("us")).as("ts"))
+      val q = LineProtocol.formatPoints(pts)
+        .coalesce(1)
+        .writeStream
+        .foreach(LineProtocol.writer(
+          LineProtocol.HttpLineConnectionFactory(s"http://127.0.0.1:${h.port}")))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // every streamed point is queryable back through the same server
+      val rows = InfluxQLPlanner.sqlStore(spark, store,
+        "SELECT COUNT(value) AS n, MEAN(value) AS m FROM plc7").collect()
+      assert(rows.head.getLong(0) == 20L)
+      assert(rows.head.getDouble(1) == 30.5) // mean of 21..40
+    } finally h.stop()
   }
 
   test("writer: one connection per partition per epoch, payloads batched, flush+close on finish") {
