@@ -167,5 +167,50 @@ object QText {
         .select(col("doc_id"), col("norm_text"), length(col("norm_text")).as("norm_len"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_text_repetition",
+      "Extension: repetition quality signals (Gopher-style) — top-unigram and top-bigram " +
+        "fraction per document, flagging degenerate repeated text before training. Two " +
+        "word-count aggregations (partial agg collapses the explode map-side) + a tiny join",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+        |uc AS (SELECT doc_id, n, max(c) AS mx
+        |       FROM (SELECT doc_id, n, tok, count(*) AS c FROM u GROUP BY 1, 2, 3)
+        |       GROUP BY doc_id, n),
+        |b AS (SELECT doc_id, len(toks) - 1 AS nb,
+        |             unnest(list_transform(range(len(toks) - 1),
+        |                                   i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+        |      FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, nb, max(c) AS mxb
+        |       FROM (SELECT doc_id, nb, bg, count(*) AS c FROM b GROUP BY 1, 2, 3)
+        |       GROUP BY doc_id, nb)
+        |SELECT uc.doc_id,
+        |       round(uc.mx::DOUBLE / uc.n, 4) AS top_unigram_frac,
+        |       round(bc.mxb::DOUBLE / bc.nb, 4) AS top_bigram_frac,
+        |       (uc.mx::DOUBLE / uc.n > 0.1 OR bc.mxb::DOUBLE / bc.nb > 0.05) AS repetitive
+        |FROM uc JOIN bc ON uc.doc_id = bc.doc_id
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val uni = base
+        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("mx"))
+      val big = base.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), (size(col("toks")) - 1).as("nb"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+          )).as("bg"))
+        .groupBy("doc_id", "nb", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "nb").agg(max("c").as("mxb"))
+      uni.join(big, "doc_id")
+        .select(col("doc_id"),
+          round(col("mx").cast("double") / col("n"), 4).as("top_unigram_frac"),
+          round(col("mxb").cast("double") / col("nb"), 4).as("top_bigram_frac"),
+          (col("mx").cast("double") / col("n") > 0.1 ||
+            col("mxb").cast("double") / col("nb") > 0.05).as("repetitive"))
+        .orderBy("doc_id")
+    },
   )
 }
