@@ -212,5 +212,43 @@ object QText {
             col("mxb").cast("double") / col("nb") > 0.05).as("repetitive"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_decontaminate",
+      "Extension: benchmark decontamination — flag training docs sharing any 5-gram with " +
+        "the held-out set (docs 0-9 stand in for the benchmark). The benchmark gram set is " +
+        "tiny → broadcast to the corpus-side join; at 100 TB this is the canonical " +
+        "broadcast-semi-join decontamination pass",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(len(toks) - 4),
+        |                                   i -> array_to_string(toks[i+1:i+5], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+        |scored AS (SELECT g.doc_id, count(DISTINCT g.gram) AS shared
+        |           FROM g JOIN bench b ON g.gram = b.gram
+        |           WHERE g.doc_id >= 10 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.shared, 0) AS shared_5grams,
+        |       coalesce(s.shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id >= 10 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val grams = documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"
+        )).as("gram"))
+      val bench = grams.filter(col("doc_id") < 10).select("gram").distinct()
+      val scored = grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count_distinct(col("gram")).as("shared"))
+      documents(s, dir).filter(col("doc_id") >= 10)
+        .select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0L)).as("shared_5grams"),
+          (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
   )
 }
