@@ -191,20 +191,27 @@ object QText {
         |       (uc.mx::DOUBLE / uc.n > 0.1 OR bc.mxb::DOUBLE / bc.nb > 0.05) AS repetitive
         |FROM uc JOIN bc ON uc.doc_id = bc.doc_id
         |ORDER BY 1""".stripMargin) { (s, dir) =>
-      val base = documents(s, dir)
+      // Per-DOCUMENT signals need no corpus shuffle: sort the token (or
+      // bigram) array per row and fold for the longest equal run — the
+      // mode count of a sorted multiset. Zero Exchanges; embarrassingly
+      // parallel at any corpus size (vs the explode→groupBy word-count
+      // shape, which shuffles every token twice for a per-row answer).
+      def maxRun(arr: String): org.apache.spark.sql.Column = expr(
+        s"""aggregate(sort_array($arr),
+           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+           |  (a, t) -> named_struct(
+           |    'prev', t,
+           |    'run', IF(a.prev <=> t, a.run + 1, 1L),
+           |    'best', greatest(a.best, IF(a.prev <=> t, a.run + 1, 1L))),
+           |  a -> a.best)""".stripMargin)
+      documents(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      val uni = base
-        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n").agg(max("c").as("mx"))
-      val big = base.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), (size(col("toks")) - 1).as("nb"),
-          explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-          )).as("bg"))
-        .groupBy("doc_id", "nb", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "nb").agg(max("c").as("mxb"))
-      uni.join(big, "doc_id")
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bgs", expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n"), maxRun("toks").as("mx"),
+          size(col("bgs")).as("nb"), maxRun("bgs").as("mxb"))
         .select(col("doc_id"),
           round(col("mx").cast("double") / col("n"), 4).as("top_unigram_frac"),
           round(col("mxb").cast("double") / col("nb"), 4).as("top_bigram_frac"),
