@@ -33,9 +33,10 @@ import InfluxQLAst.InfluxQLParseException
   */
 object InfluxQLHttp {
 
-  final class Handle private[InfluxQLHttp] (server: HttpServer) {
+  final class Handle private[InfluxQLHttp] (server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   /** Start serving on `port` (0 = ephemeral, returned via `Handle.port`).
@@ -74,8 +75,14 @@ object InfluxQLHttp {
       ex.sendResponseHeaders(204, -1)
       ex.close()
     })
+    // without an executor the JDK server dispatches every request on ONE
+    // thread — a slow panel query would queue all other panels and /ping
+    // behind it; a cached pool makes callers genuinely concurrent (Spark
+    // schedules their jobs fairly)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
-    new Handle(server)
+    new Handle(server, pool)
   }
 
   /** POST /write — InfluxDB 1.x line-protocol ingest: parse the body with
@@ -103,8 +110,10 @@ object InfluxQLHttp {
         case "u" | "us" => 1000L
         case "ms"       => 1000000L
         case "s"        => 1000000000L
+        case "m"        => 60L * 1000000000L
+        case "h"        => 3600L * 1000000000L
         case other =>
-          respond(ex, 400, errJson(s"invalid precision: $other (ns|u|ms|s)")); return
+          respond(ex, 400, errJson(s"invalid precision: $other (ns|u|ms|s|m|h)")); return
       }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -167,6 +176,9 @@ object InfluxQLHttp {
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val epoch = params.get("epoch").filter(_.nonEmpty)
+      // validate the unit BEFORE any chunked 200 header commits the
+      // exchange — a lazy render-time failure could not 400 anymore
+      epoch.foreach(InfluxQLResult.epochDiv)
       params.get("q") match {
         case None | Some("") =>
           respond(ex, 400, """{"error":"missing required parameter \"q\""}""")

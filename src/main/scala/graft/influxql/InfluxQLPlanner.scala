@@ -49,6 +49,22 @@ object InfluxQLPlanner {
       if (!measurements.contains(m))
         throw InfluxQLParseException(
           s"unknown measurement: $m (catalog: ${measurements.mkString(", ")})")
+
+    /** Resolve a FROM target against the catalog: a plain name validates
+      * to itself; the parser's `re:<regex>` encoding expands to every
+      * matching measurement (error when none match). The ONE place regex
+      * FROM resolution lives — the planner, INTO, the renderer, and the
+      * chunked renderer all call it.
+      */
+    def matchMeasurements(measurement: String): Seq[String] =
+      if (measurement.startsWith("re:")) {
+        val re = measurement.drop(3).r
+        val ms = measurements.filter(m => re.findFirstIn(m).isDefined)
+        if (ms.isEmpty) throw InfluxQLParseException(
+          s"FROM /${measurement.drop(3)}/ matches no measurement " +
+            s"(catalog: ${measurements.mkString(", ")})")
+        ms
+      } else { requireMeasurement(measurement); Seq(measurement) }
   }
 
   object Catalog {
@@ -150,14 +166,17 @@ object InfluxQLPlanner {
         Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replicaN", "default")
       case "series" =>
         // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
-        // sorted by key — distinct over the tag set, one small shuffle
+        // sorted by key — distinct over the tag set, one small shuffle.
+        // An empty catalog (a served store before its first write) is an
+        // empty listing, not a crash.
         from.map(Seq(_)).getOrElse(catalog.measurements)
           .map { m =>
             val parts = lit(m) +: catalog.tags.sorted.flatMap(t =>
               Seq(lit(s",$t="), col(t).cast("string")))
             catalog.load(spark, dir, m).select(concat(parts: _*).as("key")).distinct()
           }
-          .reduce(_.unionByName(_)).orderBy("key")
+          .reduceOption(_.unionByName(_))
+          .getOrElse(Seq.empty[String].toDF("key")).orderBy("key")
       case "series_cardinality" =>
         // SHOW SERIES [EXACT] CARDINALITY — per-measurement distinct series
         // count: a partial+final count_distinct over the tag tuple, one tiny
@@ -169,7 +188,9 @@ object InfluxQLPlanner {
               .agg(count_distinct(struct(catalog.tags.sorted.map(col): _*)).as("count"))
               .select(lit(m).as("measurement"), col("count"))
           }
-          .reduce(_.unionByName(_)).orderBy("measurement")
+          .reduceOption(_.unionByName(_))
+          .getOrElse(Seq.empty[(String, Long)].toDF("measurement", "count"))
+          .orderBy("measurement")
       // the remaining cardinalities are catalog-derived constants — no scan
       case "measurement_cardinality" =>
         Seq(catalog.measurements.size.toLong).toDF("count")
@@ -189,18 +210,7 @@ object InfluxQLPlanner {
   def plan(spark: SparkSession, dir: String, q0: Select,
       nowNs: Option[Long] = None, catalog: Catalog = Catalog.events): DataFrame = {
     // catalog resolution; FROM /re/ unions every matching measurement
-    val matched: Seq[String] =
-      if (q0.measurement.startsWith("re:")) {
-        val re = q0.measurement.drop(3).r
-        val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
-        if (ms.isEmpty) throw InfluxQLParseException(
-          s"FROM /${q0.measurement.drop(3)}/ matches no measurement " +
-            s"(catalog: ${catalog.measurements.mkString(", ")})")
-        ms
-      } else {
-        catalog.requireMeasurement(q0.measurement)
-        Seq(q0.measurement)
-      }
+    val matched: Seq[String] = catalog.matchMeasurements(q0.measurement)
     // Resolve now()-relative bounds to absolute epoch ns ONCE, up front —
     // everything downstream (pushdown, fill grids) sees plain TimeConds.
     // GROUP BY * expands against the measurement catalog here too.
@@ -354,15 +364,8 @@ object InfluxQLPlanner {
         if (sel.fromSub.isDefined)
           throw InfluxQLParseException(
             "INTO :MEASUREMENT needs a measurement FROM, not a subquery")
-        val ms =
-          if (sel.measurement.startsWith("re:")) {
-            val re = sel.measurement.drop(3).r
-            catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
-          } else Seq(sel.measurement)
-        if (ms.isEmpty) throw InfluxQLParseException(
-          s"INTO :MEASUREMENT: FROM matches no measurement " +
-            s"(catalog: ${catalog.measurements.mkString(", ")})")
-        ms.map(m => (sel.copy(measurement = m), m))
+        catalog.matchMeasurements(sel.measurement)
+          .map(m => (sel.copy(measurement = m), m))
       } else Seq((sel, sel.into.get))
     targets.map { case (q, target) =>
       val df = plan(spark, dir, q, nowNs, catalog)

@@ -76,18 +76,24 @@ object InfluxQLResult {
         // series identity includes the measurement): plan each match
         // separately so rows can't merge under one mislabeled name.
         // Measurements the regex matches but the WHERE empties are omitted,
-        // as InfluxDB does.
-        val re = s.measurement.drop(3).r
-        val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
-        if (ms.isEmpty) throw InfluxQLParseException(
-          s"FROM /${s.measurement.drop(3)}/ matches no measurement " +
-            s"(catalog: ${catalog.measurements.mkString(", ")})")
-        val parts = ms.map { m =>
-          val q = s.copy(measurement = m)
-          renderSelect(InfluxQLPlanner.plan(spark, dir, q, nowNs, catalog),
-            q, catalog, maxRows, epoch)
+        // as InfluxDB does. maxRows is the STATEMENT budget: each
+        // measurement collects at most what the previous ones left, so a
+        // wide regex cannot multiply the driver-side cap.
+        var remaining = maxRows
+        var partial = false
+        val parts = catalog.matchMeasurements(s.measurement).map { m =>
+          if (remaining <= 0) { partial = true; "" }
+          else {
+            val q = s.copy(measurement = m)
+            val (json, p, n) = renderSelectCounted(
+              InfluxQLPlanner.plan(spark, dir, q, nowNs, catalog),
+              q, catalog, remaining, epoch)
+            remaining -= n
+            if (p) partial = true
+            json
+          }
         }
-        (parts.map(_._1).filter(_.nonEmpty).mkString(","), parts.exists(_._2))
+        (parts.filter(_.nonEmpty).mkString(","), partial)
       case s: Select =>
         val df = InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog)
         renderSelect(df, s, catalog, maxRows, epoch)
@@ -106,8 +112,15 @@ object InfluxQLResult {
   private def renderSelect(df: DataFrame, s: Select,
       catalog: InfluxQLPlanner.Catalog, maxRows: Int,
       epoch: Option[String]): (String, Boolean) = {
+    val (json, partial, _) = renderSelectCounted(df, s, catalog, maxRows, epoch)
+    (json, partial)
+  }
+
+  private def renderSelectCounted(df: DataFrame, s: Select,
+      catalog: InfluxQLPlanner.Catalog, maxRows: Int,
+      epoch: Option[String]): (String, Boolean, Int) = {
     val (rows, partial) = collectCapped(df, maxRows)
-    (selectSeries(s, catalog, df.columns.toSeq, rows, epoch), partial)
+    (selectSeries(s, catalog, df.columns.toSeq, rows, epoch), partial, rows.size)
   }
 
   /** One SELECT's rows → the series-array content (one series object per
@@ -117,7 +130,16 @@ object InfluxQLResult {
     */
   private def selectSeries(s: Select, catalog: InfluxQLPlanner.Catalog,
       cols: Seq[String], rows: Seq[Row], epoch: Option[String]): String = {
-    val measurement = s.measurement
+    // the per-measurement regex branch rewrites s.measurement to a plain
+    // name; the one remaining "re:" path is an aggregate over a regex-FROM
+    // SUBQUERY, whose rows span measurements — name it after the first
+    // match rather than leaking the internal "re:" encoding
+    val measurement =
+      if (s.measurement.startsWith("re:")) {
+        val re = s.measurement.drop(3).r
+        catalog.measurements.find(m => re.findFirstIn(m).isDefined)
+          .getOrElse(s.measurement.drop(3))
+      } else s.measurement
     val tags = s.groupTags match {
       case Seq("*") => catalog.tags
       case t        => t
@@ -164,14 +186,9 @@ object InfluxQLResult {
       case (s: Select, i) =>
         // regex-FROM plans per measurement (series identity), sequentially
         val plans: Seq[Select] =
-          if (s.measurement.startsWith("re:") && s.fromSub.isEmpty) {
-            val re = s.measurement.drop(3).r
-            val ms = catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
-            if (ms.isEmpty) throw InfluxQLParseException(
-              s"FROM /${s.measurement.drop(3)}/ matches no measurement " +
-                s"(catalog: ${catalog.measurements.mkString(", ")})")
-            ms.map(m => s.copy(measurement = m))
-          } else Seq(s)
+          if (s.measurement.startsWith("re:") && s.fromSub.isEmpty)
+            catalog.matchMeasurements(s.measurement).map(m => s.copy(measurement = m))
+          else Seq(s)
         // plan eagerly (analysis errors surface before any chunk is sent),
         // execute lazily (toLocalIterator pulls partitions on demand)
         val perPlan = plans.map { q =>
@@ -189,9 +206,12 @@ object InfluxQLResult {
           doc(i, selectSeries(q, catalog, cols, rows, epoch), partial = chunks.hasNext)
         }
       case (st, i) =>
-        // metadata statements are small — one doc via the standard path
+        // metadata statements take chunkSize as their cap too — SHOW SERIES
+        // is proportional to data cardinality, so "metadata" is NOT a
+        // license for an unbounded collect; an over-cap listing is one doc
+        // marked partial, same memory bound as the row path
         val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog,
-          Int.MaxValue - 1, epoch)
+          chunkSize, epoch)
         Iterator.single(doc(i, series, partial))
     }
   }
@@ -214,8 +234,11 @@ object InfluxQLResult {
     s"""{"name":${str(name)},$tagsJson"columns":$colsJson,"values":$valuesJson}"""
   }
 
-  /** epoch= divisor from nanoseconds, InfluxDB's accepted units. */
-  private def epochDiv(unit: String): Long = unit match {
+  /** epoch= divisor from nanoseconds, InfluxDB's accepted units. Visible
+    * to the HTTP layer so an invalid unit 400s BEFORE a chunked response
+    * commits its 200 header.
+    */
+  private[influxql] def epochDiv(unit: String): Long = unit match {
     case "ns" => 1L
     case "u"  => 1000L
     case "ms" => 1000000L

@@ -164,6 +164,28 @@ class InfluxQLHttpSpec extends SparkTestBase {
       // a bad query in chunked mode still returns a clean 400
       val (c2, b2) = get(h.port, s"/query?q=${enc("SELECT MEAN(value) FROM nope")}&chunked=true")
       assert(c2 == 400 && mapper.readTree(b2).has("error"))
+      // an invalid epoch unit 400s BEFORE the chunked 200 header commits
+      val (c3, b3) = get(h.port, s"/query?q=$q&chunked=true&epoch=bogus")
+      assert(c3 == 400 && mapper.readTree(b3).has("error"), s"$c3 ${b3.take(200)}")
+      // chunked SHOW statements honor chunk_size as their cap (partial doc)
+      val (c4, b4) = get(h.port, s"/query?q=${enc("SHOW SERIES FROM events")}&chunked=true&chunk_size=3")
+      assert(c4 == 200)
+      val showDoc = mapper.readTree(b4.split('\n').head)
+      assert(showDoc.at("/results/0/series/0/values").size() == 3)
+      assert(showDoc.at("/results/0/partial").asBoolean())
+    } finally h.stop()
+  }
+
+  test("a served empty store answers SHOW statements instead of crashing") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-empty").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      val (c1, b1) = get(h.port, s"/query?q=${enc("SHOW SERIES")}")
+      assert(c1 == 200, s"$c1 ${b1.take(200)}")
+      val (c2, b2) = get(h.port, s"/query?q=${enc("SHOW SERIES CARDINALITY")}")
+      assert(c2 == 200, s"$c2 ${b2.take(200)}")
+      val (c3, _) = get(h.port, s"/query?q=${enc("SHOW MEASUREMENTS")}")
+      assert(c3 == 200)
     } finally h.stop()
   }
 

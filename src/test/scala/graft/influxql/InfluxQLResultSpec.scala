@@ -113,5 +113,21 @@ class InfluxQLResultSpec extends SparkTestBase {
     val na = spark.read.parquet(s"$root0/measurement=plc_a").count()
     val nb = spark.read.parquet(s"$root0/measurement=plc_b").count()
     assert(na != nb && byName("plc_a") == na && byName("plc_b") == nb)
+
+    // maxRows is the STATEMENT budget across all matched measurements —
+    // a wide regex cannot multiply the driver-side collect
+    val capped = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SELECT value FROM /plc_/", catalog = cat, maxRows = 5))
+    val cs = capped.at("/results/0/series")
+    val totalVals = (0 until cs.size()).map(i => cs.get(i).at("/values").size()).sum
+    assert(totalVals <= 5, capped.toString.take(300))
+    assert(capped.at("/results/0/partial").asBoolean())
+
+    // an aggregate over a regex-FROM SUBQUERY names the series after the
+    // first catalog match, never the internal "re:" encoding
+    val sub = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SELECT MAX(n) AS mx FROM (SELECT COUNT(value) AS n FROM /plc_/ GROUP BY alias)",
+      catalog = cat))
+    assert(sub.at("/results/0/series/0/name").asText() == "plc_a", sub.toString.take(300))
   }
 }
