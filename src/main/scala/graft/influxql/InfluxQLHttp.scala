@@ -66,7 +66,8 @@ object InfluxQLHttp {
       catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
       port: Int, nowNs: Option[Long], maxRows: Int): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex, spark, dir, catalog(), nowNs, maxRows))
+    server.createContext("/query", (ex: HttpExchange) =>
+      handleQuery(ex, spark, dir, catalog(), nowNs, maxRows, writeStore))
     writeStore.foreach { store =>
       server.createContext("/write", (ex: HttpExchange) => handleWrite(ex, spark, store, nowNs))
     }
@@ -165,8 +166,18 @@ object InfluxQLHttp {
     }
   }
 
+  /** Is this statement a store mutation (InfluxDB runs these through
+    * POST /query, not a separate endpoint)?
+    */
+  private def isMutating(st: InfluxQLAst.Statement): Boolean = st match {
+    case _: InfluxQLAst.Delete | _: InfluxQLAst.DropSeries |
+         _: InfluxQLAst.DropMeasurement => true
+    case _ => false
+  }
+
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
-      catalog: InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int): Unit = {
+      catalog: InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
+      writeStore: Option[String] = None): Unit = {
     try {
       // Grafana sends GET with URI params or POST with a form body —
       // accept both, URI params winning on duplicates.
@@ -182,6 +193,37 @@ object InfluxQLHttp {
       params.get("q") match {
         case None | Some("") =>
           respond(ex, 400, """{"error":"missing required parameter \"q\""}""")
+        case Some(q) if InfluxQLParser.parseAll(q).exists(isMutating) =>
+          // DELETE / DROP arrive through POST /query in InfluxDB 1.x (the
+          // shape chronograf/admin tools send). Only a store-backed handle
+          // can mutate, and only via POST — a GET must never delete data.
+          val sts = InfluxQLParser.parseAll(q)
+          writeStore match {
+            case None =>
+              respond(ex, 400, errJson(
+                "mutating statements need a store-backed server (startStore)"))
+            case Some(_) if ex.getRequestMethod != "POST" =>
+              respond(ex, 400, errJson("mutating statements require POST"))
+            case Some(store) =>
+              val results = sts.zipWithIndex.map {
+                case (st, i) if isMutating(st) =>
+                  val text = InfluxQLRender.render(st)
+                  st match {
+                    case _: InfluxQLAst.Delete =>
+                      InfluxQLPlanner.delete(spark, text, store, nowNs)
+                    case _: InfluxQLAst.DropSeries =>
+                      InfluxQLPlanner.dropSeries(spark, text, store)
+                    case _: InfluxQLAst.DropMeasurement =>
+                      InfluxQLPlanner.dropMeasurement(text, store)
+                    case other => throw InfluxQLParseException(s"unreachable: $other")
+                  }
+                  s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
+                case (st, i) =>
+                  InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
+                    catalog, maxRows, epoch)
+              }
+              respond(ex, 200, s"""{"results":[${results.mkString(",")}]}""")
+          }
         case Some(q) if params.get("chunked").contains("true") =>
           // InfluxDB 1.x chunked transfer: newline-delimited result docs,
           // driver memory bounded by chunk_size regardless of result size.

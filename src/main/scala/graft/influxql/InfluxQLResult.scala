@@ -57,6 +57,19 @@ object InfluxQLResult {
     s"""{"results":[${results.mkString(",")}]}"""
   }
 
+  /** One statement → its `{"statement_id":i,...}` results entry — the
+    * building block the HTTP layer uses for batches that mix renderable
+    * and mutating statements.
+    */
+  def renderStatement(spark: org.apache.spark.sql.SparkSession, dir: String,
+      st: Statement, statementId: Int, nowNs: Option[Long] = None,
+      catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
+      maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String = {
+    val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog, maxRows, epoch)
+    val partialJson = if (partial) ""","partial":true""" else ""
+    s"""{"statement_id":$statementId,"series":[$series]$partialJson}"""
+  }
+
   /** Bounded driver materialization: at most maxRows rows plus a "was
     * there more" bit. limit() plans as CollectLimit — the scan stops
     * after maxRows+1 rows regardless of input size.

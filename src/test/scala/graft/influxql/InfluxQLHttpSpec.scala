@@ -176,6 +176,63 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("DELETE/DROP execute through POST /query on a store-backed handle (InfluxDB shape)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-mut").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      def postQuery(q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/query").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, body)
+      }
+      // seed points over /write
+      val wc = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.getOutputStream.write(
+        """plcm,alias=a value=1.0 1704067200000000000
+          |plcm,alias=b value=2.0 1704067201000000000""".stripMargin.getBytes("UTF-8"))
+      assert(wc.getResponseCode == 204); wc.disconnect()
+      // a mutating statement over GET must never delete data
+      val (gc, _) = get(h.port, s"/query?q=${enc("DROP SERIES FROM plcm WHERE alias = 'a'")}")
+      assert(gc == 400)
+      assert(mapper.readTree(get(h.port, s"/query?q=${enc("SELECT COUNT(value) AS n FROM plcm")}")._2)
+        .at("/results/0/series/0/values/0/0").asLong() == 2)
+      // mixed batch over POST: the drop executes, the select renders
+      val (code, body) = postQuery(
+        "DROP SERIES FROM plcm WHERE alias = 'a'; SELECT COUNT(value) AS n FROM plcm")
+      assert(code == 200, body.take(200))
+      val root = mapper.readTree(body)
+      assert(root.at("/results/0/statement_id").asInt() == 0)
+      assert(root.at("/results/0/series").isMissingNode) // empty mutation result
+      assert(root.at("/results/1/series/0/values/0/0").asLong() == 1, body.take(300))
+      // DELETE through POST /query too
+      val (c2, _) = postQuery("DELETE FROM plcm WHERE time < '2030-01-01'")
+      assert(c2 == 200)
+      assert(mapper.readTree(get(h.port, s"/query?q=${enc("SELECT COUNT(value) AS n FROM plcm")}")._2)
+        .at("/results/0/series/0/values/0/0").asLong() == 0)
+    } finally h.stop()
+
+    // a non-store (read-only) handle refuses mutations outright
+    val ro = InfluxQLHttp.start(spark, dir)
+    try {
+      val conn = new URI(s"http://127.0.0.1:${ro.port}/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(s"q=${enc("DROP MEASUREMENT events")}".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 400)
+      conn.disconnect()
+    } finally ro.stop()
+  }
+
   test("a served empty store answers SHOW statements instead of crashing") {
     val store = java.nio.file.Files.createTempDirectory("graft-http-empty").toFile
     val h = InfluxQLHttp.startStore(spark, store.toString)
