@@ -89,12 +89,13 @@ object QAgg {
       "q_agg_approx_distinct",
       "A5 scale path: approx_count_distinct (HLL++) — what replaces exact distinct at 100 TB. " +
         "The sketch value is engine-private, so the oracled output is the exact count plus a " +
-        "relative-error CHECK: |approx - exact| <= 5% of exact (HLL++ default rsd 0.05), a " +
-        "boolean both engines hash identically",
+        "relative-error CHECK: |approx - exact| <= 5% of exact with the sketch built at " +
+        "rsd 0.01 (a 5-sigma band — the default 0.05 rsd exceeded 5% at sf0.1 cardinalities), " +
+        "a boolean both engines hash identically",
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_rsd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=

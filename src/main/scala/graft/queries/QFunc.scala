@@ -136,10 +136,13 @@ object QFunc {
     GraftQuery(
       "q_math",
       "F12: math surface — abs/round/floor/ceil/sqrt/ln/log10, engineering-unit scaling (InfluxQL, README.md:3)",
+      // logs take value+1: the domain includes exact zeros (seen at sf0.1),
+      // where DuckDB's ln(0) ERRORS while Spark yields null — log1p keeps
+      // both engines total and identical on value >= 0
       """SELECT event_id, round(abs(value - 100), 2) AS a, round(value, 1) AS r,
         |       CAST(floor(value) AS BIGINT) AS f, CAST(ceil(value) AS BIGINT) AS c,
         |       round(sqrt(value), 6) AS sq, round(value * value, 4) AS p2,
-        |       round(ln(value), 6) AS lnv, round(log10(value), 6) AS lgv
+        |       round(ln(value + 1), 6) AS lnv, round(log10(value + 1), 6) AS lgv
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -149,8 +152,8 @@ object QFunc {
         ceil(col("value")).cast("bigint").as("c"),
         round(sqrt(col("value")), 6).as("sq"),
         round(col("value") * col("value"), 4).as("p2"),
-        round(log(col("value")), 6).as("lnv"),
-        round(log10(col("value")), 6).as("lgv"))
+        round(log(col("value") + 1), 6).as("lnv"),
+        round(log10(col("value") + 1), 6).as("lgv"))
         .orderBy("event_id")
     },
   )

@@ -356,12 +356,15 @@ object QInflux {
     GraftQuery(
       "q_pivot",
       "A17: one column per series (Grafana multi-series table, README.md:98-100) — pivot on the series tag",
+      // truncation (not round) on the cell means: round-on-double at an
+      // exact half-point differs between engines (seen at sf0.1), floor
+      // never does — q_fill_linear convention
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |       round(avg(value) FILTER (event_type = 'click'), 4) AS click,
-        |       round(avg(value) FILTER (event_type = 'error'), 4) AS error,
-        |       round(avg(value) FILTER (event_type = 'purchase'), 4) AS purchase,
-        |       round(avg(value) FILTER (event_type = 'signup'), 4) AS signup,
-        |       round(avg(value) FILTER (event_type = 'view'), 4) AS view
+        |       floor(avg(value) FILTER (event_type = 'click') * 10000) / 10000 AS click,
+        |       floor(avg(value) FILTER (event_type = 'error') * 10000) / 10000 AS error,
+        |       floor(avg(value) FILTER (event_type = 'purchase') * 10000) / 10000 AS purchase,
+        |       floor(avg(value) FILTER (event_type = 'signup') * 10000) / 10000 AS signup,
+        |       floor(avg(value) FILTER (event_type = 'view') * 10000) / 10000 AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       // Explicit pivot values: no extra distinct-scan job, stable schema
       // (the open-ended form collects distinct keys to the driver — an
@@ -369,7 +372,7 @@ object QInflux {
       events(s, dir)
         .groupBy(tsS(date_trunc("hour", col("ts"))).as("bucket"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(avg(col("value")), 4))
+        .agg(floor(avg(col("value")) * 10000) / 10000)
         .orderBy("bucket")
     },
 

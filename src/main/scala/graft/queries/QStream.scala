@@ -15,10 +15,16 @@ import Q._
   */
 object QStream {
 
-  /** T4: tumbling 10-minute count/avg per event_type (InfluxQL GROUP BY time). */
+  /** T4: tumbling 10-minute count/avg per event_type (InfluxQL GROUP BY
+    * time). The mean truncates via floor(x*1e4)/1e4 rather than round():
+    * round-on-double at an exact half-point boundary differs between
+    * engines (seen at sf0.1 — 3 of 8016 buckets), truncation never does
+    * (q_fill_linear convention).
+    */
   def tumbling(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg("value") * 10000) / 10000).as("mean_value"))
       .select(tsS(col("window.start")).as("ws"), col("event_type"), col("n"), col("mean_value"))
 
   /** T5: sliding 10-minute window every 5 minutes. */
@@ -67,7 +73,7 @@ object QStream {
       "q_stream_tumbling",
       "T4: tumbling-window agg, batch twin (streaming parity asserted in StreamingParitySpec)",
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
-        |       event_type, count(*) AS n, round(avg(value), 4) AS mean_value
+        |       event_type, count(*) AS n, floor(avg(value) * 10000) / 10000 AS mean_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       tumbling(events(s, dir)).orderBy("ws", "event_type")
     },
