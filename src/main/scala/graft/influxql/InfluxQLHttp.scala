@@ -205,22 +205,43 @@ object InfluxQLHttp {
             case Some(_) if ex.getRequestMethod != "POST" =>
               respond(ex, 400, errJson("mutating statements require POST"))
             case Some(store) =>
+              // Validate the whole batch BEFORE the first mutation runs —
+              // a shape error in statement N must not leave statements
+              // 1..N-1 half-applied. Shape errors 400 the batch (InfluxDB
+              // parses the full query string before executing anything);
+              // store-state failures at execution time (e.g. unknown
+              // measurement) embed per statement and the batch continues.
+              sts.foreach {
+                case d: InfluxQLAst.Delete      => InfluxQLPlanner.validateDelete(d)
+                case s: InfluxQLAst.DropSeries  => InfluxQLPlanner.validateDropSeries(s)
+                case _                          => ()
+              }
               val results = sts.zipWithIndex.map {
                 case (st, i) if isMutating(st) =>
-                  val text = InfluxQLRender.render(st)
-                  st match {
-                    case _: InfluxQLAst.Delete =>
-                      InfluxQLPlanner.delete(spark, text, store, nowNs)
-                    case _: InfluxQLAst.DropSeries =>
-                      InfluxQLPlanner.dropSeries(spark, text, store)
-                    case _: InfluxQLAst.DropMeasurement =>
-                      InfluxQLPlanner.dropMeasurement(text, store)
-                    case other => throw InfluxQLParseException(s"unreachable: $other")
+                  try {
+                    val text = InfluxQLRender.render(st)
+                    st match {
+                      case _: InfluxQLAst.Delete =>
+                        InfluxQLPlanner.delete(spark, text, store, nowNs)
+                      case _: InfluxQLAst.DropSeries =>
+                        InfluxQLPlanner.dropSeries(spark, text, store)
+                      case _: InfluxQLAst.DropMeasurement =>
+                        InfluxQLPlanner.dropMeasurement(text, store)
+                      case other => throw InfluxQLParseException(s"unreachable: $other")
+                    }
+                    s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
+                  } catch {
+                    case scala.util.control.NonFatal(e) =>
+                      InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
                   }
-                  s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
                 case (st, i) =>
-                  InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
+                  try InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
                     catalog, maxRows, epoch)
+                  catch {
+                    case e: InfluxQLParseException => throw e
+                    case scala.util.control.NonFatal(e) =>
+                      InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
+                  }
               }
               respond(ex, 200, s"""{"results":[${results.mkString(",")}]}""")
           }

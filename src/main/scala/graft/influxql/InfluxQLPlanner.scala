@@ -404,14 +404,8 @@ object InfluxQLPlanner {
   def dropSeries(spark: SparkSession, query: String, storeDir: String)
       : (Seq[String], Seq[String]) =
     InfluxQLParser.parse(query) match {
-      case DropSeries(from, where) =>
-        def checkKeys(c: Cond): Unit = c match {
-          case TagCond(k, _, _) if k != "alias" =>
-            throw InfluxQLParseException(s"unknown tag in DROP SERIES: $k (store tags: alias)")
-          case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
-          case _ => ()
-        }
-        where.foreach(checkKeys)
+      case ds @ DropSeries(from, where) =>
+        validateDropSeries(ds)
         val root = new java.io.File(storeDir)
         val mdirs = from match {
           case Some(m) =>
@@ -460,44 +454,63 @@ object InfluxQLPlanner {
     * Store rows carry tag `alias`; predicates on other keys are rejected.
     * Returns (droppedPartitionPaths, rewrittenPartitionPaths).
     */
+  /** Shape-only validation of DELETE's WHERE, callable on the parsed AST
+    * before any partition is touched — so an HTTP statement batch can be
+    * validated in full before its first mutation executes. (Select gets
+    * this in the parser's validate(); DELETE is destructive, so it must
+    * be at least as strict): time bounds inside OR/parenthesized groups
+    * make the partition-drop range ambiguous, and `time != ts` inverts to
+    * "everything but one instant" — both reject rather than guess.
+    * `time = ts` is legal: timeBounds turns it into [ts, ts+1ns).
+    */
+  private[influxql] def validateDelete(d: Delete): Unit = {
+    def checkKeys(c: Cond): Unit = c match {
+      case TagCond(k, _, _) if k != "alias" =>
+        throw InfluxQLParseException(s"unknown tag in DELETE: $k (store tags: alias)")
+      case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
+      case _ => ()
+    }
+    def containsTime(c: Cond): Boolean = c match {
+      case BoolCond(_, l, r)        => containsTime(l) || containsTime(r)
+      case _: TimeCond | _: NowCond => true
+      case _                        => false
+    }
+    d.where.foreach {
+      case b: BoolCond if containsTime(b) =>
+        throw InfluxQLParseException(
+          "DELETE: time bounds cannot appear inside OR/parenthesized groups")
+      case TimeCond("!=", _) | NowCond("!=", _) =>
+        throw InfluxQLParseException(
+          "DELETE: time != is not supported (would delete all but one instant)")
+      case c => checkKeys(c)
+    }
+  }
+
+  /** Shape-only validation of DROP SERIES' WHERE (store tags: alias) —
+    * same pre-execution role as [[validateDelete]].
+    */
+  private[influxql] def validateDropSeries(ds: DropSeries): Unit = {
+    def checkKeys(c: Cond): Unit = c match {
+      case TagCond(k, _, _) if k != "alias" =>
+        throw InfluxQLParseException(s"unknown tag in DROP SERIES: $k (store tags: alias)")
+      case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
+      case _ => ()
+    }
+    ds.where.foreach(checkKeys)
+  }
+
   def delete(spark: SparkSession, query: String, storeDir: String,
       nowNs: Option[Long] = None): (Seq[String], Seq[String]) =
     InfluxQLParser.parse(query) match {
-      case Delete(m, where0) =>
+      case d @ Delete(m, where0) =>
+        validateDelete(d)
         val where = where0.map {
           case NowCond(op, off) =>
             TimeCond(op, nowNs.getOrElse(System.currentTimeMillis() * 1000000L) + off)
           case c => c
         }
-        def checkKeys(c: Cond): Unit = c match {
-          case TagCond(k, _, _) if k != "alias" =>
-            throw InfluxQLParseException(s"unknown tag in DELETE: $k (store tags: alias)")
-          case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
-          case _ => ()
-        }
-        // DELETE WHERE validation (Select gets this in the parser's
-        // validate(); DELETE is destructive, so it must be at least as
-        // strict): time bounds inside OR/parenthesized groups make the
-        // partition-drop range ambiguous, and `time != ts` inverts to
-        // "everything but one instant" — both reject rather than guess.
-        // `time = ts` is legal: timeBounds turns it into [ts, ts+1ns).
-        def containsTime(c: Cond): Boolean = c match {
-          case BoolCond(_, l, r)        => containsTime(l) || containsTime(r)
-          case _: TimeCond | _: NowCond => true
-          case _                        => false
-        }
-        where.foreach {
-          case b: BoolCond if containsTime(b) =>
-            throw InfluxQLParseException(
-              "DELETE: time bounds cannot appear inside OR/parenthesized groups")
-          case TimeCond("!=", _) =>
-            throw InfluxQLParseException(
-              "DELETE: time != is not supported (would delete all but one instant)")
-          case _ => ()
-        }
         val tagConds = where.filterNot(c =>
           c.isInstanceOf[TimeCond] || c.isInstanceOf[NowCond])
-        tagConds.foreach(checkKeys)
         val (lo, hi) = timeBounds(where)
         val mdir = new java.io.File(storeDir, s"measurement=$m")
         if (!mdir.isDirectory)

@@ -50,12 +50,25 @@ object InfluxQLResult {
       maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String = {
     val sts = InfluxQLParser.parseAll(query)
     val results = sts.zipWithIndex.map { case (st, i) =>
-      val (series, partial) = statementSeries(spark, dir, st, nowNs, catalog, maxRows, epoch)
-      val partialJson = if (partial) ""","partial":true""" else ""
-      s"""{"statement_id":$i,"series":[$series]$partialJson}"""
+      // InfluxDB 1.x embeds EXECUTION errors per statement (HTTP 200 with
+      // {"statement_id":i,"error":…}) and keeps going; parse/validate
+      // errors (InfluxQLParseException) still propagate — InfluxDB 400s
+      // those for the whole query string before anything runs.
+      try renderStatement(spark, dir, st, i, nowNs, catalog, maxRows, epoch)
+      catch {
+        case e: InfluxQLParseException => throw e
+        case scala.util.control.NonFatal(e) =>
+          statementErrorJson(i, String.valueOf(e.getMessage))
+      }
     }
     s"""{"results":[${results.mkString(",")}]}"""
   }
+
+  /** InfluxDB's per-statement error entry — a failed statement inside an
+    * otherwise-successful batch.
+    */
+  def statementErrorJson(statementId: Int, message: String): String =
+    s"""{"statement_id":$statementId,"error":${str(message)}}"""
 
   /** One statement → its `{"statement_id":i,...}` results entry — the
     * building block the HTTP layer uses for batches that mix renderable

@@ -233,6 +233,56 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally ro.stop()
   }
 
+  test("POST /query batches: execution errors embed per statement, shape errors abort pre-mutation") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-batcherr").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      def postQuery(q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/query").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, body)
+      }
+      def count(m: String): Long = {
+        val (_, b) = get(h.port, s"/query?q=${enc(s"SELECT COUNT(value) AS n FROM $m")}")
+        val n = mapper.readTree(b).at("/results/0/series/0/values/0/0")
+        if (n.isMissingNode) 0L else n.asLong()
+      }
+      val wc = new URI(s"http://127.0.0.1:${h.port}/write").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.getOutputStream.write(
+        """m1,alias=a value=1.0 1704067200000000000
+          |m2,alias=b value=2.0 1704067200000000000""".stripMargin.getBytes("UTF-8"))
+      assert(wc.getResponseCode == 204); wc.disconnect()
+      // a store-state failure (unknown measurement) embeds as
+      // {"statement_id":1,"error":…} with HTTP 200 and the batch keeps
+      // going — InfluxDB 1.x semantics for mid-batch execution errors
+      val (c1, b1) = postQuery(
+        "DELETE FROM m1 WHERE time < '2030-01-01'; DELETE FROM missing; " +
+          "SELECT COUNT(value) AS n FROM m2")
+      assert(c1 == 200, s"$c1 ${b1.take(300)}")
+      val r1 = mapper.readTree(b1)
+      assert(r1.at("/results/0/statement_id").asInt() == 0)
+      assert(r1.at("/results/0/error").isMissingNode, b1.take(300))
+      assert(r1.at("/results/1/error").asText().contains("missing"), b1.take(300))
+      assert(r1.at("/results/2/series/0/values/0/0").asLong() == 1, b1.take(300))
+      assert(count("m1") == 0) // statement 0 really executed
+      // a SHAPE error anywhere in the batch 400s the whole request and no
+      // statement mutates — even ones ordered before the invalid statement
+      val (c2, b2) = postQuery(
+        "DROP MEASUREMENT m2; DELETE FROM m2 WHERE time < '2030-01-01' OR alias = 'b'")
+      assert(c2 == 400 && mapper.readTree(b2).has("error"), s"$c2 ${b2.take(300)}")
+      assert(count("m2") == 1) // the DROP before the invalid DELETE never ran
+    } finally h.stop()
+  }
+
   test("a served empty store answers SHOW statements instead of crashing") {
     val store = java.nio.file.Files.createTempDirectory("graft-http-empty").toFile
     val h = InfluxQLHttp.startStore(spark, store.toString)

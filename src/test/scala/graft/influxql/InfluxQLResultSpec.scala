@@ -61,6 +61,26 @@ class InfluxQLResultSpec extends SparkTestBase {
     assert(results.get(2).at("/series").size() > 1)
   }
 
+  test("a mid-batch execution error embeds per statement; parse errors still fail the batch") {
+    // statement 1 references a field the measurement doesn't have — a
+    // store-state error only discoverable at execution. InfluxDB 1.x
+    // embeds {"statement_id":1,"error":…} and keeps executing.
+    val json = InfluxQLResult.renderAll(spark, dir,
+      "SELECT COUNT(value) AS n FROM events; SELECT bogus_field FROM events; SHOW MEASUREMENTS")
+    val root = mapper.readTree(json)
+    assert(root.at("/results").size() == 3, json.take(300))
+    assert(root.at("/results/0/series/0/values/0/0").asLong() > 0)
+    assert(root.at("/results/1/error").asText().nonEmpty, json.take(300))
+    assert(root.at("/results/1/series").isMissingNode)
+    assert(root.at("/results/2/series/0/name").asText() == "measurements")
+    // a parse/validate error anywhere still fails the whole batch —
+    // InfluxDB 400s the query string before executing anything
+    intercept[InfluxQLAst.InfluxQLParseException] {
+      InfluxQLResult.renderAll(spark, dir,
+        "SELECT COUNT(value) AS n FROM events; SELECT BOGUS(value) FROM events")
+    }
+  }
+
   test("raw select with LIMIT renders bounded values (panel-sized collect)") {
     val json = InfluxQLResult.render(spark, dir,
       """SELECT value, user_id FROM events
