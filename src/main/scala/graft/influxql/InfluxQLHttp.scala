@@ -66,10 +66,23 @@ object InfluxQLHttp {
       catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
       port: Int, nowNs: Option[Long], maxRows: Int): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // Store-level concurrency control (InfluxDB's storage engine does the
+    // equivalent with shard-level locks): DELETE/DROP rewrite or remove
+    // partition directories in place, and /write appends share one Hadoop
+    // `_temporary` staging dir per target, so ALL store writers take the
+    // write side; queries take the read side (a scan planned before an
+    // append simply doesn't list the new files). Without this, an acked
+    // /write landing between a DELETE's read and its rmTree/rename is
+    // silently destroyed, concurrent appends abort each other's task
+    // files, and a scan racing a DROP dies mid-flight on FileNotFound.
+    // Fair mode so a dashboard's refresh loop cannot starve a pending
+    // admin mutation.
+    val lock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
     server.createContext("/query", (ex: HttpExchange) =>
-      handleQuery(ex, spark, dir, catalog(), nowNs, maxRows, writeStore))
+      handleQuery(ex, spark, dir, catalog(), nowNs, maxRows, writeStore, lock))
     writeStore.foreach { store =>
-      server.createContext("/write", (ex: HttpExchange) => handleWrite(ex, spark, store, nowNs))
+      server.createContext("/write", (ex: HttpExchange) =>
+        handleWrite(ex, spark, store, nowNs, lock))
     }
     server.createContext("/ping", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
@@ -99,7 +112,16 @@ object InfluxQLHttp {
     * through the streaming pipeline, not this endpoint.
     */
   private def handleWrite(ex: HttpExchange, spark: SparkSession,
-      storeDir: String, nowNs: Option[Long]): Unit = {
+      storeDir: String, nowNs: Option[Long],
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
+    // WRITE side, not read: two concurrent append jobs into the same
+    // store directory share one Hadoop `_temporary` staging dir, and the
+    // first job's commit/cleanup deletes the second's in-flight task
+    // files (TASK_WRITE_FAILED) — appends do NOT commute at the
+    // committer level. Serializing /write is fine at this surface's
+    // scale (panel-sized admin batches; bulk ingest is the streaming
+    // pipeline, which writes per-query checkpointed sinks).
+    lock.writeLock.lock()
     try {
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, errJson("/write accepts POST only")); return
@@ -163,7 +185,7 @@ object InfluxQLHttp {
       }
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
-    }
+    } finally lock.writeLock.unlock()
   }
 
   /** Is this statement a store mutation (InfluxDB runs these through
@@ -175,9 +197,28 @@ object InfluxQLHttp {
     case _ => false
   }
 
+  /** Build (but do not execute) a renderable statement's plan, so a
+    * mutating batch can surface plan-time errors — unknown measurement,
+    * unsupported shapes — BEFORE its first destructive statement runs.
+    * Mirrors the renderer's own planning; the plans are discarded.
+    */
+  private def dryPlan(spark: SparkSession, dir: String,
+      st: InfluxQLAst.Statement, nowNs: Option[Long],
+      catalog: InfluxQLPlanner.Catalog): Unit = st match {
+    case s: InfluxQLAst.Select if s.measurement.startsWith("re:") && s.fromSub.isEmpty =>
+      catalog.matchMeasurements(s.measurement).foreach(m =>
+        InfluxQLPlanner.plan(spark, dir, s.copy(measurement = m), nowNs, catalog): Unit)
+    case s: InfluxQLAst.Select =>
+      InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog): Unit
+    case sh: InfluxQLAst.Show          => sh.from.foreach(catalog.requireMeasurement)
+    case tv: InfluxQLAst.ShowTagValues => tv.from.foreach(catalog.requireMeasurement)
+    case _ => () // non-plannable statements error at execution and embed
+  }
+
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
       catalog: InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
-      writeStore: Option[String] = None): Unit = {
+      writeStore: Option[String],
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
     try {
       // Grafana sends GET with URI params or POST with a form body —
       // accept both, URI params winning on duplicates.
@@ -193,78 +234,92 @@ object InfluxQLHttp {
       params.get("q") match {
         case None | Some("") =>
           respond(ex, 400, """{"error":"missing required parameter \"q\""}""")
-        case Some(q) if InfluxQLParser.parseAll(q).exists(isMutating) =>
-          // DELETE / DROP arrive through POST /query in InfluxDB 1.x (the
-          // shape chronograf/admin tools send). Only a store-backed handle
-          // can mutate, and only via POST — a GET must never delete data.
+        case Some(q) =>
+          // parse ONCE: route mutations, then hand the ASTs to whichever
+          // branch runs — no render→reparse round trips on any path
           val sts = InfluxQLParser.parseAll(q)
-          writeStore match {
+          if (sts.exists(isMutating)) writeStore match {
             case None =>
               respond(ex, 400, errJson(
                 "mutating statements need a store-backed server (startStore)"))
             case Some(_) if ex.getRequestMethod != "POST" =>
               respond(ex, 400, errJson("mutating statements require POST"))
             case Some(store) =>
-              // Validate the whole batch BEFORE the first mutation runs —
-              // a shape error in statement N must not leave statements
-              // 1..N-1 half-applied. Shape errors 400 the batch (InfluxDB
-              // parses the full query string before executing anything);
-              // store-state failures at execution time (e.g. unknown
-              // measurement) embed per statement and the batch continues.
+              // Validate mutation shapes AND dry-plan the renderable
+              // statements BEFORE the first mutation runs: any
+              // InfluxQLParseException here 400s the batch with NOTHING
+              // executed — a statement error must not leave statements
+              // 1..N-1 half-applied behind a response claiming the query
+              // string was rejected.
               sts.foreach {
-                case d: InfluxQLAst.Delete      => InfluxQLPlanner.validateDelete(d)
-                case s: InfluxQLAst.DropSeries  => InfluxQLPlanner.validateDropSeries(s)
-                case _                          => ()
+                case d: InfluxQLAst.Delete          => InfluxQLPlanner.validateDelete(d)
+                case s: InfluxQLAst.DropSeries      => InfluxQLPlanner.validateDropSeries(s)
+                case _: InfluxQLAst.DropMeasurement => ()
+                case st => dryPlan(spark, dir, st, nowNs, catalog)
               }
-              val results = sts.zipWithIndex.map {
-                case (st, i) if isMutating(st) =>
-                  try {
-                    val text = InfluxQLRender.render(st)
-                    st match {
-                      case _: InfluxQLAst.Delete =>
-                        InfluxQLPlanner.delete(spark, text, store, nowNs)
-                      case _: InfluxQLAst.DropSeries =>
-                        InfluxQLPlanner.dropSeries(spark, text, store)
-                      case _: InfluxQLAst.DropMeasurement =>
-                        InfluxQLPlanner.dropMeasurement(text, store)
-                      case other => throw InfluxQLParseException(s"unreachable: $other")
+              // Once execution starts, NOTHING may abort the batch — any
+              // failure (e.g. a SELECT on a measurement an earlier
+              // statement just dropped) embeds as InfluxDB's per-statement
+              // {"statement_id":i,"error":…} and the batch continues, so
+              // the 200 response reports exactly what ran.
+              lock.writeLock.lock()
+              try {
+                val results = sts.zipWithIndex.map {
+                  case (st, i) if isMutating(st) =>
+                    try {
+                      (st: @unchecked) match { // guarded by isMutating
+                        case d: InfluxQLAst.Delete =>
+                          InfluxQLPlanner.delete(spark, d, store, nowNs)
+                        case s: InfluxQLAst.DropSeries =>
+                          InfluxQLPlanner.dropSeries(spark, s, store)
+                        case m: InfluxQLAst.DropMeasurement =>
+                          InfluxQLPlanner.dropMeasurement(m, store)
+                      }
+                      s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
+                    } catch {
+                      case scala.util.control.NonFatal(e) =>
+                        InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
                     }
-                    s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
-                  } catch {
-                    case scala.util.control.NonFatal(e) =>
-                      InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
-                  }
-                case (st, i) =>
-                  try InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
-                    catalog, maxRows, epoch)
-                  catch {
-                    case e: InfluxQLParseException => throw e
-                    case scala.util.control.NonFatal(e) =>
-                      InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
-                  }
-              }
-              respond(ex, 200, s"""{"results":[${results.mkString(",")}]}""")
+                  case (st, i) =>
+                    try InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
+                      catalog, maxRows, epoch)
+                    catch {
+                      case scala.util.control.NonFatal(e) =>
+                        InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
+                    }
+                }
+                respond(ex, 200, s"""{"results":[${results.mkString(",")}]}""")
+              } finally lock.writeLock.unlock()
           }
-        case Some(q) if params.get("chunked").contains("true") =>
-          // InfluxDB 1.x chunked transfer: newline-delimited result docs,
-          // driver memory bounded by chunk_size regardless of result size.
-          val size = params.get("chunk_size").flatMap(_.toIntOption)
-            .filter(_ > 0).getOrElse(InfluxQLResult.DefaultMaxRows)
-          val chunks = InfluxQLResult.renderChunks(spark, dir, q, nowNs, catalog, size, epoch)
-          // force the first statement's plan before headers go out: parse
-          // and analysis errors still return a clean 400 (later statements
-          // can only fail mid-stream — InfluxDB's chunked mode has the
-          // same property)
-          val _ = chunks.hasNext
-          ex.getResponseHeaders.set("Content-Type", "application/json")
-          ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
-          ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
-          val os = ex.getResponseBody
-          try chunks.foreach { d => os.write((d + "\n").getBytes(StandardCharsets.UTF_8)); os.flush() }
-          finally { os.close(); ex.close() }
-        case Some(q) =>
-          val json = InfluxQLResult.renderAll(spark, dir, q, nowNs, catalog, maxRows, epoch)
-          respond(ex, 200, json)
+          else if (params.get("chunked").contains("true")) {
+            // InfluxDB 1.x chunked transfer: newline-delimited result docs,
+            // driver memory bounded by chunk_size regardless of result size.
+            val size = params.get("chunk_size").flatMap(_.toIntOption)
+              .filter(_ > 0).getOrElse(InfluxQLResult.DefaultMaxRows)
+            // read-locked for the whole stream: a DROP/DELETE must not pull
+            // partition directories out from under the lazy scan
+            lock.readLock.lock()
+            try {
+              val chunks = InfluxQLResult.renderChunks(spark, dir, sts, nowNs, catalog, size, epoch)
+              // force the first statement's plan before headers go out: parse
+              // and analysis errors still return a clean 400 (later statements
+              // can only fail mid-stream — InfluxDB's chunked mode has the
+              // same property)
+              val _ = chunks.hasNext
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+              ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
+              val os = ex.getResponseBody
+              try chunks.foreach { d => os.write((d + "\n").getBytes(StandardCharsets.UTF_8)); os.flush() }
+              finally { os.close(); ex.close() }
+            } finally lock.readLock.unlock()
+          } else {
+            lock.readLock.lock()
+            val json =
+              try InfluxQLResult.renderAll(spark, dir, sts, nowNs, catalog, maxRows, epoch)
+              finally lock.readLock.unlock()
+            respond(ex, 200, json)
+          }
       }
     } catch {
       case e: InfluxQLParseException => respond(ex, 400, errJson(e.getMessage))

@@ -380,13 +380,19 @@ object InfluxQLPlanner {
     */
   def dropMeasurement(query: String, storeDir: String): Boolean =
     InfluxQLParser.parse(query) match {
-      case DropMeasurement(name) =>
-        val part = new java.io.File(storeDir, s"measurement=$name")
-        val existed = part.exists()
-        if (existed) rmTree(part)
-        existed
+      case dm: DropMeasurement => dropMeasurement(dm, storeDir)
       case other => throw InfluxQLParseException(s"not a DROP MEASUREMENT: $other")
     }
+
+  /** AST entry point — lets callers that already hold a parsed statement
+    * (the HTTP batch executor) mutate without a render→reparse round trip.
+    */
+  def dropMeasurement(dm: DropMeasurement, storeDir: String): Boolean = {
+    val part = new java.io.File(storeDir, s"measurement=${dm.name}")
+    val existed = part.exists()
+    if (existed) rmTree(part)
+    existed
+  }
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -404,42 +410,48 @@ object InfluxQLPlanner {
   def dropSeries(spark: SparkSession, query: String, storeDir: String)
       : (Seq[String], Seq[String]) =
     InfluxQLParser.parse(query) match {
-      case ds @ DropSeries(from, where) =>
-        validateDropSeries(ds)
-        val root = new java.io.File(storeDir)
-        val mdirs = from match {
-          case Some(m) =>
-            val d = new java.io.File(root, s"measurement=$m")
-            if (!d.isDirectory)
-              throw InfluxQLParseException(s"unknown measurement: $m (no store partition)")
-            Seq(d)
-          case None =>
-            Option(root.listFiles()).getOrElse(Array.empty).toSeq
-              .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
-              .sortBy(_.getName)
-        }
-        val dropped = Seq.newBuilder[String]
-        val rewritten = Seq.newBuilder[String]
-        mdirs.foreach { mdir =>
-          if (where.isEmpty) { rmTree(mdir); dropped += mdir.getPath }
-          else Option(mdir.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("date="))
-            .sortBy(_.getName)
-            .foreach { dd =>
-              val df = spark.read.parquet(dd.getPath)
-              val pred = where.map(condCol).reduce(_ && _)
-              val keep = df.filter(!pred)
-              val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
-              keep.write.mode("overwrite").parquet(tmp.getPath)
-              rmTree(dd)
-              if (!tmp.renameTo(dd))
-                throw new java.io.IOException(s"rename failed: $tmp -> $dd")
-              rewritten += dd.getPath
-            }
-        }
-        (dropped.result(), rewritten.result())
+      case ds: DropSeries => dropSeries(spark, ds, storeDir)
       case other => throw InfluxQLParseException(s"not a DROP SERIES: $other")
     }
+
+  /** AST entry point — see [[dropMeasurement(dm:InfluxQLAst\.DropMeasurement*]]. */
+  def dropSeries(spark: SparkSession, ds: DropSeries, storeDir: String)
+      : (Seq[String], Seq[String]) = {
+    validateDropSeries(ds)
+    val DropSeries(from, where) = ds
+    val root = new java.io.File(storeDir)
+    val mdirs = from match {
+      case Some(m) =>
+        val d = new java.io.File(root, s"measurement=$m")
+        if (!d.isDirectory)
+          throw InfluxQLParseException(s"unknown measurement: $m (no store partition)")
+        Seq(d)
+      case None =>
+        Option(root.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+          .sortBy(_.getName)
+    }
+    val dropped = Seq.newBuilder[String]
+    val rewritten = Seq.newBuilder[String]
+    mdirs.foreach { mdir =>
+      if (where.isEmpty) { rmTree(mdir); dropped += mdir.getPath }
+      else Option(mdir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("date="))
+        .sortBy(_.getName)
+        .foreach { dd =>
+          val df = spark.read.parquet(dd.getPath)
+          val pred = where.map(condCol).reduce(_ && _)
+          val keep = df.filter(!pred)
+          val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
+          keep.write.mode("overwrite").parquet(tmp.getPath)
+          rmTree(dd)
+          if (!tmp.renameTo(dd))
+            throw new java.io.IOException(s"rename failed: $tmp -> $dd")
+          rewritten += dd.getPath
+        }
+    }
+    (dropped.result(), rewritten.result())
+  }
 
   /** Execute DELETE FROM m [WHERE time …/tag …] against a
     * measurement+date-partitioned point store (PointStore.writePartitioned
@@ -502,7 +514,15 @@ object InfluxQLPlanner {
   def delete(spark: SparkSession, query: String, storeDir: String,
       nowNs: Option[Long] = None): (Seq[String], Seq[String]) =
     InfluxQLParser.parse(query) match {
-      case d @ Delete(m, where0) =>
+      case d: Delete => delete(spark, d, storeDir, nowNs)
+      case other => throw InfluxQLParseException(s"not a DELETE: $other")
+    }
+
+  /** AST entry point — see [[dropMeasurement(dm:InfluxQLAst\.DropMeasurement*]]. */
+  def delete(spark: SparkSession, d: Delete, storeDir: String,
+      nowNs: Option[Long]): (Seq[String], Seq[String]) =
+    d match {
+      case Delete(m, where0) =>
         validateDelete(d)
         val where = where0.map {
           case NowCond(op, off) =>
@@ -547,7 +567,6 @@ object InfluxQLPlanner {
             }
           }
         (dropped.result(), rewritten.result())
-      case other => throw InfluxQLParseException(s"not a DELETE: $other")
     }
 
   /** Enforce a parsed CREATE RETENTION POLICY against a date-partitioned

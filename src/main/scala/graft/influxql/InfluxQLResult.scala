@@ -47,8 +47,16 @@ object InfluxQLResult {
   def renderAll(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
-      maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String = {
-    val sts = InfluxQLParser.parseAll(query)
+      maxRows: Int = DefaultMaxRows, epoch: Option[String] = None): String =
+    renderAll(spark, dir, InfluxQLParser.parseAll(query), nowNs, catalog, maxRows, epoch)
+
+  /** Pre-parsed batch — the HTTP layer parses once (to route mutations)
+    * and hands the ASTs straight down.
+    */
+  def renderAll(spark: org.apache.spark.sql.SparkSession, dir: String,
+      sts: Seq[Statement], nowNs: Option[Long],
+      catalog: InfluxQLPlanner.Catalog, maxRows: Int,
+      epoch: Option[String]): String = {
     val results = sts.zipWithIndex.map { case (st, i) =>
       // InfluxDB 1.x embeds EXECUTION errors per statement (HTTP 200 with
       // {"statement_id":i,"error":…}) and keeps going; parse/validate
@@ -201,9 +209,15 @@ object InfluxQLResult {
   def renderChunks(spark: org.apache.spark.sql.SparkSession, dir: String, query: String,
       nowNs: Option[Long] = None,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
-      chunkSize: Int = DefaultMaxRows, epoch: Option[String] = None): Iterator[String] = {
+      chunkSize: Int = DefaultMaxRows, epoch: Option[String] = None): Iterator[String] =
+    renderChunks(spark, dir, InfluxQLParser.parseAll(query), nowNs, catalog, chunkSize, epoch)
+
+  /** Pre-parsed batch — see [[renderAll]]'s AST overload. */
+  def renderChunks(spark: org.apache.spark.sql.SparkSession, dir: String,
+      sts: Seq[Statement], nowNs: Option[Long],
+      catalog: InfluxQLPlanner.Catalog, chunkSize: Int,
+      epoch: Option[String]): Iterator[String] = {
     import scala.jdk.CollectionConverters._
-    val sts = InfluxQLParser.parseAll(query)
     def doc(i: Int, series: String, partial: Boolean): String = {
       val p = if (partial) ""","partial":true""" else ""
       s"""{"results":[{"statement_id":$i,"series":[$series]$p}]}"""

@@ -280,7 +280,74 @@ class InfluxQLHttpSpec extends SparkTestBase {
         "DROP MEASUREMENT m2; DELETE FROM m2 WHERE time < '2030-01-01' OR alias = 'b'")
       assert(c2 == 400 && mapper.readTree(b2).has("error"), s"$c2 ${b2.take(300)}")
       assert(count("m2") == 1) // the DROP before the invalid DELETE never ran
+      // a PLAN-time error in a renderable statement (unknown measurement)
+      // also 400s BEFORE any mutation — the dry-plan pass catches what
+      // shape validation can't
+      val (c3, b3) = postQuery(
+        "DROP MEASUREMENT m2; SELECT COUNT(value) AS n FROM never_written")
+      assert(c3 == 400 && mapper.readTree(b3).at("/error").asText().contains("never_written"),
+        s"$c3 ${b3.take(300)}")
+      assert(count("m2") == 1) // still intact
     } finally h.stop()
+  }
+
+  test("concurrent /write appends and DELETE rewrites serialize (no torn store, no 500s)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val store = java.nio.file.Files.createTempDirectory("graft-http-race").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      def post(path: String, body: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val b = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, b)
+      }
+      assert(post("/write", "mr,alias=a value=0.0 1704067200000000000")._1 == 204)
+      // writers append distinct points while a deleter repeatedly wipes the
+      // measurement. Without store-level locking an acked append can land
+      // between the DELETE's scan and its partition rmTree/rename and be
+      // silently destroyed, or a query scan dies on FileNotFound → 500.
+      val writes = Future.traverse(1 to 16) { i =>
+        Future(post("/write", s"mr,alias=a value=$i.0 ${1704067200000000000L + i * 1000000000L}"))
+      }
+      val deletes = Future.traverse(1 to 6) { _ =>
+        Future(post("/query", s"q=${enc("DELETE FROM mr WHERE time < '2030-01-01'")}"))
+      }
+      val queries = Future.traverse(1 to 8) { _ =>
+        Future {
+          val conn = new URI(
+            s"http://127.0.0.1:${h.port}/query?q=${enc("SELECT COUNT(value) AS n FROM mr")}")
+            .toURL.openConnection().asInstanceOf[HttpURLConnection]
+          val code = conn.getResponseCode
+          conn.disconnect()
+          code
+        }
+      }
+      val wr = Await.result(writes, 120.seconds)
+      val dr = Await.result(deletes, 120.seconds)
+      val qr = Await.result(queries, 120.seconds)
+      assert(wr.forall(_._1 == 204), wr.map(_._1))
+      // DELETE either succeeds (200) or embeds a per-statement error when
+      // an interleaved wipe left no partition — never a torn-state 500
+      assert(dr.forall(_._1 == 200), dr.map { case (c, b) => s"$c ${b.take(120)}" })
+      assert(qr.forall(c => c == 200 || c == 400), qr)
+      // the store is still coherent: a final full read succeeds and holds
+      // at most the 17 acked points
+      val (fc, fb) = post("/query", s"q=${enc("SELECT COUNT(value) AS n FROM mr")}")
+      assert(fc == 200, s"$fc ${fb.take(200)}")
+      val n = mapper.readTree(fb).at("/results/0/series/0/values/0/0")
+      assert(n.isMissingNode || n.asLong() <= 17, fb.take(300))
+    } finally { h.stop(); pool.shutdown() }
   }
 
   test("a served empty store answers SHOW statements instead of crashing") {
