@@ -79,7 +79,7 @@ object InfluxQLHttp {
     // admin mutation.
     val lock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
     server.createContext("/query", (ex: HttpExchange) =>
-      handleQuery(ex, spark, dir, catalog(), nowNs, maxRows, writeStore, lock))
+      handleQuery(ex, spark, dir, catalog, nowNs, maxRows, writeStore, lock))
     writeStore.foreach { store =>
       server.createContext("/write", (ex: HttpExchange) =>
         handleWrite(ex, spark, store, nowNs, lock))
@@ -216,10 +216,11 @@ object InfluxQLHttp {
   }
 
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
-      catalog: InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
+      catalog0: () => InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
       writeStore: Option[String],
       lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
     try {
+      val catalog = catalog0() // one snapshot per request (render paths)
       // Grafana sends GET with URI params or POST with a form body —
       // accept both, URI params winning on duplicates.
       val body =
@@ -281,8 +282,10 @@ object InfluxQLHttp {
                         InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
                     }
                   case (st, i) =>
+                    // re-resolve the catalog: a SHOW/SELECT after a DROP
+                    // in the same batch must see the mutated store
                     try InfluxQLResult.renderStatement(spark, dir, st, i, nowNs,
-                      catalog, maxRows, epoch)
+                      catalog0(), maxRows, epoch)
                     catch {
                       case scala.util.control.NonFatal(e) =>
                         InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))

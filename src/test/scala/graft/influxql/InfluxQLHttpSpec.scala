@@ -288,6 +288,15 @@ class InfluxQLHttpSpec extends SparkTestBase {
       assert(c3 == 400 && mapper.readTree(b3).at("/error").asText().contains("never_written"),
         s"$c3 ${b3.take(300)}")
       assert(count("m2") == 1) // still intact
+      // a SHOW after a DROP in the SAME batch sees the mutated store —
+      // the catalog re-resolves per renderable statement
+      val (c4, b4) = postQuery("DROP MEASUREMENT m1; SHOW MEASUREMENTS")
+      assert(c4 == 200, s"$c4 ${b4.take(300)}")
+      val names = {
+        val vs = mapper.readTree(b4).at("/results/1/series/0/values")
+        (0 until vs.size()).map(j => vs.get(j).get(0).asText())
+      }
+      assert(!names.contains("m1") && names.contains("m2"), b4.take(300))
     } finally h.stop()
   }
 
