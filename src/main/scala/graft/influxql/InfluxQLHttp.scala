@@ -228,10 +228,16 @@ object InfluxQLHttp {
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val epoch = params.get("epoch").filter(_.nonEmpty)
+      val epoch0 = params.get("epoch").filter(_.nonEmpty)
+      val pretty = params.get("pretty").contains("true")
+      // InfluxDB keys CSV off the Accept header; CSV times default to
+      // epoch ns (RFC3339 is a JSON-only rendering)
+      val wantCsv = Option(ex.getRequestHeaders.getFirst("Accept"))
+        .exists(_.contains("application/csv"))
       // validate the unit BEFORE any chunked 200 header commits the
       // exchange — a lazy render-time failure could not 400 anymore
-      epoch.foreach(InfluxQLResult.epochDiv)
+      epoch0.foreach(InfluxQLResult.epochDiv)
+      val epoch = if (wantCsv && epoch0.isEmpty) Some("ns") else epoch0
       params.get("q") match {
         case None | Some("") =>
           respond(ex, 400, """{"error":"missing required parameter \"q\""}""")
@@ -291,7 +297,9 @@ object InfluxQLHttp {
                         InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
                     }
                 }
-                respond(ex, 200, s"""{"results":[${results.mkString(",")}]}""")
+                val body = s"""{"results":[${results.mkString(",")}]}"""
+                if (wantCsv) respondCsv(ex, jsonToCsv(body))
+                else respond(ex, 200, if (pretty) prettify(body) else body)
               } finally lock.writeLock.unlock()
           }
           else if (params.get("chunked").contains("true")) {
@@ -321,7 +329,8 @@ object InfluxQLHttp {
             val json =
               try InfluxQLResult.renderAll(spark, dir, sts, nowNs, catalog, maxRows, epoch)
               finally lock.readLock.unlock()
-            respond(ex, 200, json)
+            if (wantCsv) respondCsv(ex, jsonToCsv(json))
+            else respond(ex, 200, if (pretty) prettify(json) else json)
           }
       }
     } catch {
@@ -329,6 +338,59 @@ object InfluxQLHttp {
       case e: Throwable              => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
     }
   }
+
+  /** `Accept: application/csv` (InfluxDB 1.x — the influx CLI's
+    * `-format csv` and spreadsheet pulls): the response re-shaped as
+    *   name,tags,time,<cols…>
+    * one row per value, tags comma-joined `k=v` in one (quoted) field, a
+    * header line per statement whose columns differ from the previous
+    * one's. Times default to epoch-ns in CSV (InfluxDB's behavior) unless
+    * `epoch=` says otherwise. Built by walking the finished (capped) JSON
+    * doc — the renderer stays single-format. Statements that embedded an
+    * error contribute no CSV rows (like measurements a WHERE empties);
+    * top-level errors still return the JSON error shape. Chunked mode
+    * keeps its one-JSON-doc-per-line contract regardless of Accept.
+    */
+  private def jsonToCsv(json: String): String = {
+    import scala.jdk.CollectionConverters._
+    def field(v: String): String =
+      if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    val sb = new StringBuilder
+    var lastHeader: String = null
+    prettyMapper.readTree(json).path("results").elements().asScala.foreach { res =>
+      res.path("series").elements().asScala.foreach { ser =>
+        val name = ser.path("name").asText("")
+        val tags =
+          if (!ser.has("tags")) ""
+          else ser.get("tags").properties().asScala
+            .map(e => s"${e.getKey}=${e.getValue.asText()}").mkString(",")
+        val cols = ser.path("columns").elements().asScala.map(_.asText()).toSeq
+        val header = ("name" +: "tags" +: cols).map(field).mkString(",")
+        if (header != lastHeader) { sb.append(header).append('\n'); lastHeader = header }
+        ser.path("values").elements().asScala.foreach { row =>
+          val cells = row.elements().asScala.map { v =>
+            if (v.isNull) "" else if (v.isNumber || v.isBoolean) v.asText()
+            else field(v.asText())
+          }
+          sb.append((Iterator(field(name), field(tags)) ++ cells).mkString(","))
+          sb.append('\n')
+        }
+      }
+    }
+    sb.result()
+  }
+
+  /** `pretty=true` (InfluxDB 1.x): re-serialize the response JSON with
+    * indentation — a human-with-curl convenience, applied to unchunked
+    * 200 bodies only (chunked mode stays one doc per line by contract).
+    * ObjectMapper is thread-safe for read/write after configuration.
+    */
+  private val prettyMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def prettify(json: String): String =
+    prettyMapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(prettyMapper.readTree(json))
 
   private def errJson(msg: String): String =
     s"""{"error":${quote(msg)}}"""
@@ -352,6 +414,18 @@ object InfluxQLHttp {
         case _           => None
       }
     }.toMap
+
+  private def respondCsv(ex: HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/csv")
+    ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+    ex.sendResponseHeaders(200, if (bytes.length == 0) -1L else bytes.length.toLong)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    ex.close()
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -51,6 +51,33 @@ class InfluxQLHttpSpec extends SparkTestBase {
       val (c3, b3) = get(h.port, s"/query?q=$batch")
       assert(c3 == 200)
       assert(mapper.readTree(b3).at("/results/1/statement_id").asInt() == 1)
+
+      // pretty=true indents the same document (InfluxDB 1.x curl nicety)
+      val (c4, b4) = get(h.port, s"/query?q=$batch&pretty=true")
+      assert(c4 == 200)
+      assert(b4.linesIterator.size > 5, b4.take(200))
+      assert(mapper.readTree(b4) == mapper.readTree(b3))
+
+      // Accept: application/csv — the influx CLI shape: name,tags,<cols>
+      // headers per column change, tags as one k=v field, epoch-ns times
+      val conn5 = new URI(s"http://127.0.0.1:${h.port}/query?q=$q").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn5.setRequestProperty("Accept", "application/csv")
+      assert(conn5.getResponseCode == 200)
+      assert(conn5.getHeaderField("Content-Type") == "application/csv")
+      val csv = new String(conn5.getInputStream.readAllBytes(), "UTF-8")
+      conn5.disconnect()
+      val lines = csv.linesIterator.toSeq
+      assert(lines.head == "name,tags,time,m", lines.head)
+      val first = lines(1).split(",", -1)
+      assert(first(0) == "events", lines(1))
+      assert(first(1).contains("event_type="), lines(1)) // grouped tag set
+      assert(first(2) == "1704067200000000000", lines(1)) // epoch-ns default
+      // row count matches the JSON rendering's total across series
+      val jsonSeries = mapper.readTree(body).at("/results/0/series")
+      val jsonRows = (0 until jsonSeries.size()).map(i => jsonSeries.get(i).at("/values").size()).sum
+      val headerCount = lines.count(_ == "name,tags,time,m")
+      assert(lines.size - headerCount == jsonRows, s"${lines.size} vs $jsonRows")
     } finally h.stop()
   }
 
