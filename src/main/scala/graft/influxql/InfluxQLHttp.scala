@@ -114,14 +114,6 @@ object InfluxQLHttp {
   private def handleWrite(ex: HttpExchange, spark: SparkSession,
       storeDir: String, nowNs: Option[Long],
       lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
-    // WRITE side, not read: two concurrent append jobs into the same
-    // store directory share one Hadoop `_temporary` staging dir, and the
-    // first job's commit/cleanup deletes the second's in-flight task
-    // files (TASK_WRITE_FAILED) — appends do NOT commute at the
-    // committer level. Serializing /write is fine at this surface's
-    // scale (panel-sized admin batches; bulk ingest is the streaming
-    // pipeline, which writes per-query checkpointed sinks).
-    lock.writeLock.lock()
     try {
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, errJson("/write accepts POST only")); return
@@ -178,14 +170,23 @@ object InfluxQLHttp {
             (if (r.isNullAt(4)) serverTs else tsOfNs(r.getLong(4) * mult),
               r.getString(1), r.getString(2), r.getDouble(3))
           }.toDF("ts", "measurement", "alias", "value")
-          graft.sinks.PointStore.writePartitioned(points, storeDir)
+          // WRITE side of the store lock, and ONLY around the append: two
+          // concurrent append jobs into the same store directory share one
+          // Hadoop `_temporary` staging dir, and the first job's
+          // commit/cleanup deletes the second's in-flight task files
+          // (TASK_WRITE_FAILED) — appends do NOT commute at the committer
+          // level. Body read, parse, and validation all run unlocked so a
+          // slow-uploading client cannot stall the HTTP surface.
+          lock.writeLock.lock()
+          try graft.sinks.PointStore.writePartitioned(points, storeDir)
+          finally lock.writeLock.unlock()
           ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
           ex.sendResponseHeaders(204, -1)
           ex.close()
       }
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
-    } finally lock.writeLock.unlock()
+    }
   }
 
   /** Is this statement a store mutation (InfluxDB runs these through
@@ -210,9 +211,15 @@ object InfluxQLHttp {
         InfluxQLPlanner.plan(spark, dir, s.copy(measurement = m), nowNs, catalog): Unit)
     case s: InfluxQLAst.Select =>
       InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog): Unit
-    case sh: InfluxQLAst.Show          => sh.from.foreach(catalog.requireMeasurement)
-    case tv: InfluxQLAst.ShowTagValues => tv.from.foreach(catalog.requireMeasurement)
-    case _ => () // non-plannable statements error at execution and embed
+    case sh: InfluxQLAst.Show => sh.from.foreach(catalog.requireMeasurement)
+    case tv: InfluxQLAst.ShowTagValues =>
+      tv.from.foreach(catalog.requireMeasurement)
+      if (!catalog.tags.contains(tv.key)) // same check the planner runs
+        throw InfluxQLAst.InfluxQLParseException(s"unknown tag key: ${tv.key}")
+    // anything else would fail renderStatement as "not a renderable
+    // result" AFTER earlier mutations ran — reject it up front instead
+    case other =>
+      throw InfluxQLAst.InfluxQLParseException(s"not a renderable result: $other")
   }
 
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
@@ -237,6 +244,8 @@ object InfluxQLHttp {
       // validate the unit BEFORE any chunked 200 header commits the
       // exchange — a lazy render-time failure could not 400 anymore
       epoch0.foreach(InfluxQLResult.epochDiv)
+      // CSV defaults times to epoch-ns; chunked mode stays JSON whatever
+      // the Accept header says, so it keeps the caller's epoch0 untouched
       val epoch = if (wantCsv && epoch0.isEmpty) Some("ns") else epoch0
       params.get("q") match {
         case None | Some("") =>
@@ -252,25 +261,31 @@ object InfluxQLHttp {
             case Some(_) if ex.getRequestMethod != "POST" =>
               respond(ex, 400, errJson("mutating statements require POST"))
             case Some(store) =>
-              // Validate mutation shapes AND dry-plan the renderable
-              // statements BEFORE the first mutation runs: any
-              // InfluxQLParseException here 400s the batch with NOTHING
-              // executed — a statement error must not leave statements
-              // 1..N-1 half-applied behind a response claiming the query
-              // string was rejected.
-              sts.foreach {
-                case d: InfluxQLAst.Delete          => InfluxQLPlanner.validateDelete(d)
-                case s: InfluxQLAst.DropSeries      => InfluxQLPlanner.validateDropSeries(s)
-                case _: InfluxQLAst.DropMeasurement => ()
-                case st => dryPlan(spark, dir, st, nowNs, catalog)
-              }
-              // Once execution starts, NOTHING may abort the batch — any
-              // failure (e.g. a SELECT on a measurement an earlier
-              // statement just dropped) embeds as InfluxDB's per-statement
-              // {"statement_id":i,"error":…} and the batch continues, so
-              // the 200 response reports exactly what ran.
+              // The store's write lock covers validation AND execution:
+              // the dry-plan pass reads store partitions (schema
+              // inference), which must not race another request's
+              // in-flight DELETE rewrite. Validation first — shape-check
+              // mutations and dry-plan every other statement BEFORE the
+              // first mutation runs: any InfluxQLParseException here 400s
+              // the batch with NOTHING executed, so a statement error
+              // cannot leave statements 1..N-1 half-applied behind a
+              // response claiming the query string was rejected. (The
+              // dry plans are discarded and rebuilt by renderStatement —
+              // double planning is accepted on this rare admin path to
+              // keep the renderer's entry points simple.)
               lock.writeLock.lock()
-              try {
+              val respBody = try {
+                sts.foreach {
+                  case d: InfluxQLAst.Delete          => InfluxQLPlanner.validateDelete(d)
+                  case s: InfluxQLAst.DropSeries      => InfluxQLPlanner.validateDropSeries(s)
+                  case _: InfluxQLAst.DropMeasurement => ()
+                  case st => dryPlan(spark, dir, st, nowNs, catalog0())
+                }
+                // Once execution starts, NOTHING may abort the batch — any
+                // failure (e.g. a SELECT on a measurement an earlier
+                // statement just dropped) embeds as InfluxDB's per-statement
+                // {"statement_id":i,"error":…} and the batch continues, so
+                // the 200 response reports exactly what ran.
                 val results = sts.zipWithIndex.map {
                   case (st, i) if isMutating(st) =>
                     try {
@@ -297,10 +312,12 @@ object InfluxQLHttp {
                         InfluxQLResult.statementErrorJson(i, String.valueOf(e.getMessage))
                     }
                 }
-                val body = s"""{"results":[${results.mkString(",")}]}"""
-                if (wantCsv) respondCsv(ex, jsonToCsv(body))
-                else respond(ex, 200, if (pretty) prettify(body) else body)
+                s"""{"results":[${results.mkString(",")}]}"""
               } finally lock.writeLock.unlock()
+              // socket write OUTSIDE the lock — a slow-draining client
+              // must not hold the store exclusive
+              if (wantCsv) respondCsv(ex, jsonToCsv(respBody))
+              else respond(ex, 200, if (pretty) prettify(respBody) else respBody)
           }
           else if (params.get("chunked").contains("true")) {
             // InfluxDB 1.x chunked transfer: newline-delimited result docs,
@@ -308,10 +325,14 @@ object InfluxQLHttp {
             val size = params.get("chunk_size").flatMap(_.toIntOption)
               .filter(_ > 0).getOrElse(InfluxQLResult.DefaultMaxRows)
             // read-locked for the whole stream: a DROP/DELETE must not pull
-            // partition directories out from under the lazy scan
+            // partition directories out from under the lazy scan. Known
+            // fairness interaction: while a writer queues behind a slow
+            // export, NEW read requests queue too (fair lock) — acceptable
+            // for this admin surface; a snapshot/lease layout is the scale
+            // path if exports must never gate mutations
             lock.readLock.lock()
             try {
-              val chunks = InfluxQLResult.renderChunks(spark, dir, sts, nowNs, catalog, size, epoch)
+              val chunks = InfluxQLResult.renderChunks(spark, dir, sts, nowNs, catalog, size, epoch0)
               // force the first statement's plan before headers go out: parse
               // and analysis errors still return a clean 400 (later statements
               // can only fail mid-stream — InfluxDB's chunked mode has the

@@ -194,6 +194,17 @@ class InfluxQLHttpSpec extends SparkTestBase {
       // an invalid epoch unit 400s BEFORE the chunked 200 header commits
       val (c3, b3) = get(h.port, s"/query?q=$q&chunked=true&epoch=bogus")
       assert(c3 == 400 && mapper.readTree(b3).has("error"), s"$c3 ${b3.take(200)}")
+      // Accept: application/csv does NOT leak into chunked mode — docs
+      // stay JSON with RFC3339 times (CSV's epoch-ns default is unchunked-only)
+      val c5conn = new URI(
+        s"http://127.0.0.1:${h.port}/query?q=$q&chunked=true&chunk_size=10").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      c5conn.setRequestProperty("Accept", "application/csv")
+      assert(c5conn.getResponseCode == 200)
+      val c5body = new String(c5conn.getInputStream.readAllBytes(), "UTF-8")
+      c5conn.disconnect()
+      val c5doc = mapper.readTree(c5body.split('\n').head)
+      assert(c5doc.at("/results/0/series/0/values/0/0").asText().endsWith("Z"), c5body.take(200))
       // chunked SHOW statements honor chunk_size as their cap (partial doc)
       val (c4, b4) = get(h.port, s"/query?q=${enc("SHOW SERIES FROM events")}&chunked=true&chunk_size=3")
       assert(c4 == 200)
@@ -315,6 +326,14 @@ class InfluxQLHttpSpec extends SparkTestBase {
       assert(c3 == 400 && mapper.readTree(b3).at("/error").asText().contains("never_written"),
         s"$c3 ${b3.take(300)}")
       assert(count("m2") == 1) // still intact
+      // statically-invalid renderables (unknown tag key, non-renderable
+      // statement types) also 400 pre-mutation via the dry-plan pass
+      val (c3b, _) = postQuery("DROP MEASUREMENT m2; SHOW TAG VALUES WITH KEY = bogus")
+      assert(c3b == 400)
+      val (c3c, _) = postQuery(
+        "DROP MEASUREMENT m2; CREATE RETENTION POLICY keep ON plc DURATION 7d REPLICATION 1")
+      assert(c3c == 400)
+      assert(count("m2") == 1) // still intact after both
       // a SHOW after a DROP in the SAME batch sees the mutated store —
       // the catalog re-resolves per renderable statement
       val (c4, b4) = postQuery("DROP MEASUREMENT m1; SHOW MEASUREMENTS")
