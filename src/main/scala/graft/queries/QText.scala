@@ -258,5 +258,67 @@ object QText {
           (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_chunk_windows",
+      "Extension: context-window chunking — split each document's token stream into " +
+        "fixed 32-token windows (sequence/RAG packing prep; real pipelines use 2k-8k — " +
+        "the shape is identical). posexplode is the builtin Generator: output-proportional " +
+        "on executors, then ONE partial+final hash agg shuffled on (doc_id, chunk_id). " +
+        "Chunk identity columns are engine-portable integers + boundary tokens, not hashes",
+      """WITH ex AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |)
+        |SELECT doc_id, (i - 1) // 32 AS chunk_id, count(*) AS n_tokens,
+        |       CAST(sum(length(toks[i])) AS BIGINT) AS chunk_chars,
+        |       min(CASE WHEN (i - 1) % 32 = 0 THEN toks[i] END) AS first_tok
+        |FROM ex GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .groupBy(col("doc_id"), floor(col("pos") / 32).as("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("token"))).as("chunk_chars"),
+          min(when(col("pos") % 32 === 0, col("token"))).as("first_tok"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    GraftQuery(
+      "q_mixture_sample",
+      "Extension: balanced domain-mixture downsample — every source contributes at most " +
+        "the smallest source's token total (deterministic doc_id-ordered cumulative cut; " +
+        "swap the min() for externally-supplied per-domain weights for arbitrary mixtures). " +
+        "Two shuffles on source (total + running sum, co-partitioned) and a broadcast " +
+        "1-row budget — no driver loop, mixture math stays on executors",
+      """WITH tok AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |), budget AS (
+        |  SELECT min(total) AS b FROM (
+        |    SELECT sum(n_tokens) AS total FROM tok GROUP BY source)
+        |), ranked AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM ranked, budget WHERE cum_tokens <= b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      // the global budget rides the per-source totals table (a few rows
+      // post-agg, so the unpartitioned window is trivially cheap) and
+      // attaches back by SOURCE — a broadcast hash equi-join, never a
+      // cartesian/BNLJ (a 1-row crossJoin would plan one and fail the
+      // no-cartesian audit)
+      val budgeted = tok.groupBy("source").agg(sum("n_tokens").as("total"))
+        .withColumn("b", min("total").over(Window.partitionBy()))
+        .select("source", "b")
+      val ranked = tok.withColumn("cum_tokens",
+        sum("n_tokens").over(Window.partitionBy("source").orderBy("doc_id")))
+      ranked.join(broadcast(budgeted), "source")
+        .filter(col("cum_tokens") <= col("b"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
   )
 }
