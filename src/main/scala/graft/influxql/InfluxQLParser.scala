@@ -259,9 +259,18 @@ object InfluxQLParser {
     "last", "spread", "stddev", "median", "percentile", "top", "bottom",
     "mode", "integral", "distinct", "elapsed", "sample")
 
+  /** InfluxQL 1.7 technical-analysis transforms (the Kaufman/Wilder set the
+    * reference's Grafana panels can request). Each takes (aggregate, N) with
+    * an integer period N; RSI/CMO/KER drop warm-up rows, so — like
+    * HOLT_WINTERS — they must be the SELECT's only field.
+    */
+  private[influxql] val Technical = Set("relative_strength_index",
+    "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
+    "exponential_moving_average")
+
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
-    "holt_winters")
+    "holt_winters") ++ Technical
 
   /** InfluxQL 1.7 scalar math functions (field expressions). `round` and
     * `pow` take a second numeric argument.
@@ -665,6 +674,12 @@ object InfluxQLParser {
               throw InfluxQLParseException("HOLT_WINTERS needs N >= 1 forecast steps")
           } else if (param2.isDefined)
             throw InfluxQLParseException(s"$name takes at most one parameter")
+          if (Technical(fn)) {
+            val n = param.getOrElse(throw InfluxQLParseException(
+              s"$name takes (aggregate, N): an integer period is required"))
+            if (n < 1 || n != n.floor)
+              throw InfluxQLParseException(s"$name needs an integer period N >= 1")
+          }
           val f = TransformField(fn, inner, param, None, param2)
           eatOp(")")
           f
@@ -935,10 +950,12 @@ object InfluxQLParser {
       // HOLT_WINTERS changes cardinality (one row per forecast step per
       // series) — it cannot share a SELECT with per-bucket fields
       if (s.fields.exists {
-        case t: TransformField => t.fn == "holt_winters"
+        case t: TransformField => t.fn == "holt_winters" || Technical(t.fn)
         case _ => false
       } && s.fields.size > 1)
-        throw InfluxQLParseException("HOLT_WINTERS must be the only field")
+        throw InfluxQLParseException(
+          "HOLT_WINTERS and technical-analysis transforms (RSI/CMO/KER/EMA) " +
+            "change row cardinality — must be the only field")
       if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       // time bounds inside an OR/parenthesized group would make the scan

@@ -870,6 +870,101 @@ object InfluxQLPlanner {
       tags.map(col): _*), q)
   }
 
+  /** Technical-analysis transforms over the bucketed aggregate:
+    * RELATIVE_STRENGTH_INDEX / CHANDE_MOMENTUM_OSCILLATOR /
+    * KAUFMANS_EFFICIENCY_RATIO are window-expressible and reuse the value
+    * conventions of the standalone W10–W12 operators (q_win_rsi/cmo/ker);
+    * EXPONENTIAL_MOVING_AVERAGE is recursive, so it folds the per-series
+    * bucket array exactly like planHoltWinters — state is bounded by the
+    * dashboard grid (a bounded WHERE time range is required), never raw
+    * points. One shuffle on the tag partition either way.
+    */
+  private def planTechnical(spark: SparkSession, filtered: DataFrame, q: Select,
+      t: TransformField): DataFrame = {
+    val sec = q.groupTimeSec.getOrElse(
+      throw InfluxQLParseException(s"${t.fn.toUpperCase} requires GROUP BY time(...)"))
+    val n = t.param.get.toInt
+    val name = InfluxQLParser.outName(t)
+    val tags = q.groupTags
+    if (t.fn == "exponential_moving_average") {
+      val (loOpt, hiOpt) = timeBounds(q.where)
+      if (loOpt.isEmpty || hiOpt.isEmpty)
+        throw InfluxQLParseException(
+          "EXPONENTIAL_MOVING_AVERAGE requires a bounded time range in WHERE " +
+            "(the per-series fold state is bounded by the bucket grid)")
+    }
+    val agg = filtered.withColumn("__t", bucketCol(q, sec))
+      .groupBy(("__t" +: tags).map(col): _*).agg(aggCol(t.inner).as("__v"))
+    val filled = q.fill match {
+      case FillMissing | FillNone => agg
+      case mode => gridFill(spark, agg, q, Seq("__v"), mode)
+    }
+    val w = Window.partitionBy(tags.map(col): _*).orderBy("__t")
+    val v = col("__v")
+    val series = t.fn match {
+      case "relative_strength_index" =>
+        // SMA variant (q_win_rsi convention): mean gain / mean loss over
+        // the last n diffs; the first (diff-less) bucket drops.
+        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
+        filled.withColumn("__df", v - lag(v, 1).over(w))
+          .filter(col("__df").isNotNull)
+          .withColumn("__ag", avg(when(col("__df") > 0, col("__df")).otherwise(0)).over(wf))
+          .withColumn("__al", avg(when(col("__df") < 0, -col("__df")).otherwise(0)).over(wf))
+          .withColumn(name, when(col("__al") === 0, 100.0)
+            .otherwise(round(lit(100) - lit(100) / (lit(1) + col("__ag") / col("__al")), 4)))
+      case "chande_momentum_oscillator" =>
+        // q_win_cmo convention: 100·(Σup − Σdown)/(Σup + Σdown); `+ 0`
+        // folds IEEE −0.0 so both engines hash alike.
+        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
+        filled.withColumn("__df", v - lag(v, 1).over(w))
+          .filter(col("__df").isNotNull)
+          .withColumn("__su", sum(when(col("__df") > 0, col("__df")).otherwise(0)).over(wf))
+          .withColumn("__sd", sum(when(col("__df") < 0, -col("__df")).otherwise(0)).over(wf))
+          .withColumn(name, when(col("__su") + col("__sd") === 0, 0.0)
+            .otherwise(round(lit(100) * (col("__su") - col("__sd"))
+              / (col("__su") + col("__sd")), 4) + lit(0.0)))
+      case "kaufmans_efficiency_ratio" =>
+        // q_win_ker convention: |net n-bucket change| / path length; the
+        // first n (path-less) buckets drop.
+        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
+        filled.withColumn("__adf", abs(v - lag(v, 1).over(w)))
+          .withColumn("__chg", abs(v - lag(v, n).over(w)))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__vol", sum(col("__adf")).over(wf))
+          .filter(col("__rn") > n)
+          .withColumn(name, when(col("__vol") === 0, 0.0)
+            .otherwise(round(col("__chg") / col("__vol"), 4) + lit(0.0)))
+      case "exponential_moving_average" =>
+        // ema_k = a·v_k + (1−a)·ema_{k−1}, a = 2/(N+1), seeded with the
+        // first bucket. The fold lambda reads only the OLD accumulator and
+        // spells a as the literal division 2/(N+1) — the same op order the
+        // recursive-CTE oracle uses, so the doubles are bit-identical.
+        val a = s"(CAST(2 AS DOUBLE) / ${n + 1})"
+        val grouped = filled.groupBy(tags.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+        grouped.select(
+          tags.map(col) :+ col("s") :+ posexplode(expr(
+            s"""aggregate(
+               |  slice(s, 2, greatest(size(s) - 1, 0)),
+               |  named_struct(
+               |    'e', CAST(element_at(s, 1).__v AS DOUBLE),
+               |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
+               |  (acc, x) -> named_struct(
+               |    'e', $a * x.__v + (1.0 - $a) * acc.e,
+               |    'out', array_append(acc.out, $a * x.__v + (1.0 - $a) * acc.e)),
+               |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
+          .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
+          .withColumn(name, floor(col("__ev") * 10000) / 10000)
+      case other => throw InfluxQLParseException(s"unknown technical transform: $other")
+    }
+    val out = series.select(
+      date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time") +:
+        tags.map(col) :+ col(name): _*)
+    val paged = seriesLimited(out, q, tags)
+    limited(paged.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
+      tags.map(col): _*), q)
+  }
+
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
     q.fields match {
       case Seq(f: FnField) if f.fn == "top" || f.fn == "bottom" =>
@@ -882,6 +977,8 @@ object InfluxQLPlanner {
         return planSample(filtered, q, f)
       case Seq(t: TransformField) if t.fn == "holt_winters" =>
         return planHoltWinters(spark, filtered, q, t)
+      case Seq(t: TransformField) if InfluxQLParser.Technical(t.fn) =>
+        return planTechnical(spark, filtered, q, t)
       case _ => ()
     }
     // Transforms compute their INNER aggregate per bucket here, then get

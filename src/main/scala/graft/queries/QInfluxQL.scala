@@ -492,5 +492,111 @@ object QInfluxQL {
         |                         ',user_id=', CAST(user_id AS VARCHAR)) AS key
         |  FROM events ORDER BY key LIMIT 7 OFFSET 3) t ORDER BY key""".stripMargin)(influx(
       "SHOW SERIES FROM events LIMIT 7 OFFSET 3")),
+
+    GraftQuery(
+      "q_influxql_rsi",
+      "IQL44 (r7): textual RELATIVE_STRENGTH_INDEX(MEAN(value), 14) GROUP BY time(1h), tag — W10 through the parser",
+      """WITH a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT user_id, t, m - lag(m) OVER (PARTITION BY user_id ORDER BY t) AS df
+        |  FROM a),
+        |g AS (
+        |  SELECT user_id, t,
+        |         avg(CASE WHEN df > 0 THEN df ELSE 0 END) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+        |         avg(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+        |  FROM d WHERE df IS NOT NULL)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       CASE WHEN al = 0 THEN 100 ELSE round(100 - 100 / (1 + ag / al), 4) END AS rsi
+        |FROM g ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) AS rsi FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_cmo",
+      "IQL45 (r7): textual CHANDE_MOMENTUM_OSCILLATOR(MEAN(value), 14) GROUP BY time(1h), tag — W11 through the parser",
+      """WITH a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, t, m - lag(m) OVER (PARTITION BY event_type ORDER BY t) AS df
+        |  FROM a),
+        |g AS (
+        |  SELECT event_type, t,
+        |         sum(CASE WHEN df > 0 THEN df ELSE 0 END) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS su,
+        |         sum(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sd
+        |  FROM d WHERE df IS NOT NULL)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type,
+        |       CASE WHEN su + sd = 0 THEN 0
+        |            ELSE round(100 * (su - sd) / (su + sd), 4) + 0 END AS cmo
+        |FROM g ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT CHANDE_MOMENTUM_OSCILLATOR(MEAN(value), 14) AS cmo FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_ker",
+      "IQL46 (r7): textual KAUFMANS_EFFICIENCY_RATIO(MEAN(value), 10) GROUP BY time(1h), tag — W12 through the parser",
+      """WITH a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, t,
+        |         abs(m - lag(m) OVER (PARTITION BY event_type ORDER BY t)) AS adf,
+        |         abs(m - lag(m, 10) OVER (PARTITION BY event_type ORDER BY t)) AS chg,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+        |  FROM a),
+        |g AS (
+        |  SELECT event_type, t, chg, rn,
+        |         sum(adf) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
+        |  FROM d)
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type,
+        |       CASE WHEN vol = 0 THEN 0 ELSE round(chg / vol, 4) + 0 END AS ker
+        |FROM g WHERE rn > 10 ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT KAUFMANS_EFFICIENCY_RATIO(MEAN(value), 10) AS ker FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_ema",
+      "IQL47 (r7): textual EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) GROUP BY time(1h), tag — recursive bucket fold (HOLT_WINTERS pattern)",
+      """WITH RECURSIVE a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, array_agg(m ORDER BY t) AS vals, array_agg(t ORDER BY t) AS ts_,
+        |         count(*) AS n
+        |  FROM a GROUP BY user_id),
+        |s(user_id, vals, ts_, n, k, e) AS (
+        |  SELECT user_id, vals, ts_, n, CAST(1 AS BIGINT), vals[1]::DOUBLE FROM o
+        |  UNION ALL
+        |  SELECT user_id, vals, ts_, n, k + 1,
+        |         (CAST(2 AS DOUBLE) / 10) * vals[k + 1] + (1.0 - CAST(2 AS DOUBLE) / 10) * e
+        |  FROM s WHERE k < n)
+        |SELECT strftime(ts_[k], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       floor(e * 10000) / 10000 AS ema
+        |FROM s ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS ema FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
   )
 }

@@ -318,6 +318,50 @@ class InfluxQLSpec extends SparkTestBase {
     }
   }
 
+  test("technical-analysis transforms (RSI/CMO/KER/EMA) parse and enforce restrictions") {
+    assert(InfluxQLParser.parseSelect(
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) AS r FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08' GROUP BY time(1h)")
+      .fields == Seq(TransformField("relative_strength_index",
+        FnField("mean", "value", None, None), Some(14.0), Some("r"), None)))
+    // an integer period N >= 1 is required
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT CHANDE_MOMENTUM_OSCILLATOR(MEAN(value)) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT KAUFMANS_EFFICIENCY_RATIO(MEAN(value), 2.5) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 0) FROM events GROUP BY time(1h)"))
+    // cardinality-changing: must be the SELECT's only field
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14), COUNT(value) " +
+        "FROM events GROUP BY time(1h)"))
+    // GROUP BY time(...) is required; EMA additionally needs a bounded range
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08'"))
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) FROM events GROUP BY time(1h)"))
+    // RSI lands in [0, 100]; the warm-up (diff-less) bucket drops
+    val rsi = InfluxQLPlanner.sql(spark, dir,
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) AS r FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id")
+      .collect()
+    assert(rsi.nonEmpty)
+    assert(rsi.forall { row =>
+      val v = row.getDouble(row.fieldIndex("r")); v >= 0.0 && v <= 100.0
+    })
+    // EMA emits one row per bucket per series, same count as the plain MEAN
+    val meanRows = InfluxQLPlanner.sql(spark, dir,
+      "SELECT MEAN(value) FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id")
+      .count()
+    val emaRows = InfluxQLPlanner.sql(spark, dir,
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS e FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id")
+      .count()
+    assert(emaRows == meanRows)
+  }
+
   test("SELECT *, FROM /re/, and per-series LIMIT semantics") {
     assert(InfluxQLParser.parseSelect("SELECT * FROM events LIMIT 5")
       .fields == Seq(RawField("*", None)))
