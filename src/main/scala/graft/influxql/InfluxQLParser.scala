@@ -660,7 +660,14 @@ object InfluxQLParser {
           if (RowSelectors(inner.fn))
             throw InfluxQLParseException(s"$name cannot wrap ${inner.fn.toUpperCase}")
           val param =
-            if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
+            if (!peek.contains(TOp(","))) None
+            else {
+              next()
+              // technical transforms take a bucket COUNT — a duration here
+              // (the DERIVATIVE-unit habit) is rejected rather than being
+              // silently read as seconds
+              Some(if (Technical(fn)) numLit() else numOrDur())
+            }
           val param2 =
             if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
           if (fn == "holt_winters") {
@@ -677,8 +684,11 @@ object InfluxQLParser {
           if (Technical(fn)) {
             val n = param.getOrElse(throw InfluxQLParseException(
               s"$name takes (aggregate, N): an integer period is required"))
-            if (n < 1 || n != n.floor)
-              throw InfluxQLParseException(s"$name needs an integer period N >= 1")
+            // the cap keeps the planner's Int arithmetic exact (EMA's
+            // alpha divides by N+1) and bounds the window frame
+            if (n < 1 || n != n.floor || n > 100000)
+              throw InfluxQLParseException(
+                s"$name needs an integer period 1 <= N <= 100000")
           }
           val f = TransformField(fn, inner, param, None, param2)
           eatOp(")")

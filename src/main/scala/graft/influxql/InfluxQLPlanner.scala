@@ -895,19 +895,29 @@ object InfluxQLPlanner {
     }
     val agg = filtered.withColumn("__t", bucketCol(q, sec))
       .groupBy(("__t" +: tags).map(col): _*).agg(aggCol(t.inner).as("__v"))
-    val filled = q.fill match {
+    // TA transforms consume OBSERVED buckets: fill-inserted null rows are
+    // dropped before the diff/fold (a null would poison the recursive EMA
+    // state forever and shrink KER's path-length denominator below its
+    // span), so fill(null) degenerates to fill(none) here while the
+    // value-producing fills (previous/linear/<number>) flow through.
+    val filled = (q.fill match {
       case FillMissing | FillNone => agg
       case mode => gridFill(spark, agg, q, Seq("__v"), mode)
-    }
+    }).filter(col("__v").isNotNull)
+    // SLIMIT cuts the series set BEFORE the window/fold pass — same result
+    // set, none of the discarded series' work (planElapsed convention).
+    val kept = seriesLimited(filled, q, tags)
     val w = Window.partitionBy(tags.map(col): _*).orderBy("__t")
     val v = col("__v")
+    val wf = w.rowsBetween(-(n - 1), Window.currentRow)
+    // RSI/CMO share the lag-diff prefix; the first (diff-less) bucket drops.
+    lazy val diffed = kept.withColumn("__df", v - lag(v, 1).over(w))
+      .filter(col("__df").isNotNull)
     val series = t.fn match {
       case "relative_strength_index" =>
         // SMA variant (q_win_rsi convention): mean gain / mean loss over
-        // the last n diffs; the first (diff-less) bucket drops.
-        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
-        filled.withColumn("__df", v - lag(v, 1).over(w))
-          .filter(col("__df").isNotNull)
+        // the last n diffs.
+        diffed
           .withColumn("__ag", avg(when(col("__df") > 0, col("__df")).otherwise(0)).over(wf))
           .withColumn("__al", avg(when(col("__df") < 0, -col("__df")).otherwise(0)).over(wf))
           .withColumn(name, when(col("__al") === 0, 100.0)
@@ -915,9 +925,7 @@ object InfluxQLPlanner {
       case "chande_momentum_oscillator" =>
         // q_win_cmo convention: 100·(Σup − Σdown)/(Σup + Σdown); `+ 0`
         // folds IEEE −0.0 so both engines hash alike.
-        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
-        filled.withColumn("__df", v - lag(v, 1).over(w))
-          .filter(col("__df").isNotNull)
+        diffed
           .withColumn("__su", sum(when(col("__df") > 0, col("__df")).otherwise(0)).over(wf))
           .withColumn("__sd", sum(when(col("__df") < 0, -col("__df")).otherwise(0)).over(wf))
           .withColumn(name, when(col("__su") + col("__sd") === 0, 0.0)
@@ -926,8 +934,7 @@ object InfluxQLPlanner {
       case "kaufmans_efficiency_ratio" =>
         // q_win_ker convention: |net n-bucket change| / path length; the
         // first n (path-less) buckets drop.
-        val wf = w.rowsBetween(-(n - 1), Window.currentRow)
-        filled.withColumn("__adf", abs(v - lag(v, 1).over(w)))
+        kept.withColumn("__adf", abs(v - lag(v, 1).over(w)))
           .withColumn("__chg", abs(v - lag(v, n).over(w)))
           .withColumn("__rn", row_number().over(w))
           .withColumn("__vol", sum(col("__adf")).over(wf))
@@ -940,7 +947,7 @@ object InfluxQLPlanner {
         // spells a as the literal division 2/(N+1) — the same op order the
         // recursive-CTE oracle uses, so the doubles are bit-identical.
         val a = s"(CAST(2 AS DOUBLE) / ${n + 1})"
-        val grouped = filled.groupBy(tags.map(col): _*)
+        val grouped = kept.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
         grouped.select(
           tags.map(col) :+ col("s") :+ posexplode(expr(
@@ -960,9 +967,19 @@ object InfluxQLPlanner {
     val out = series.select(
       date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time") +:
         tags.map(col) :+ col(name): _*)
-    val paged = seriesLimited(out, q, tags)
-    limited(paged.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
-      tags.map(col): _*), q)
+    // InfluxDB semantics: grouped series-of-points results paginate points
+    // PER SERIES (LIMIT/OFFSET page each series' rows; SLIMIT pages the
+    // series) — the generic transform path's convention, cut map-side as a
+    // WindowGroupLimit.
+    val ord = if (q.orderDesc) col("time").desc else col("time").asc
+    if (tags.nonEmpty && (q.limit.isDefined || q.offset.isDefined)) {
+      val pw = Window.partitionBy(tags.map(col): _*).orderBy(ord)
+      val off = q.offset.getOrElse(0)
+      val hi = q.limit.map(off + _).getOrElse(Int.MaxValue)
+      out.withColumn("__pn", row_number().over(pw))
+        .filter(col("__pn") > off && col("__pn") <= hi).drop("__pn")
+        .orderBy(ord +: tags.map(col): _*)
+    } else limited(out.orderBy(ord +: tags.map(col): _*), q)
   }
 
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {

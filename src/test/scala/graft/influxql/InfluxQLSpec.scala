@@ -362,6 +362,40 @@ class InfluxQLSpec extends SparkTestBase {
     assert(emaRows == meanRows)
   }
 
+  test("technical transforms: duration/huge periods, per-series LIMIT, fill(null) hardening") {
+    // the period is a bucket COUNT — a duration or an out-of-range N is a
+    // parse error, never a silent seconds/Int.MaxValue reinterpretation
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 1h) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 2147483647) FROM events GROUP BY time(1h)"))
+    // LIMIT paginates per series on grouped results, like the generic
+    // transform path (MOVING_AVERAGE) — not a global row cut
+    val rsiAll = InfluxQLPlanner.sql(spark, dir,
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) AS r FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id")
+    val perSeries = rsiAll.groupBy("user_id").count().collect()
+      .map(r => math.min(4L, r.getLong(1)))
+    val rsiLim = InfluxQLPlanner.sql(spark, dir,
+      "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 14) AS r FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id LIMIT 4")
+    assert(rsiLim.count() == perSeries.sum)
+    assert(perSeries.sum > 4, "per-series cut must exceed a global LIMIT 4")
+    assert(rsiLim.select("user_id").distinct().count() == perSeries.length)
+    // fill(null)'s inserted rows don't reach the fold: EMA stays non-null
+    // and matches the fill(none) result exactly
+    val emaNone = InfluxQLPlanner.sql(spark, dir,
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS e FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' " +
+        "GROUP BY time(1h), user_id fill(none)").collect()
+    val emaNull = InfluxQLPlanner.sql(spark, dir,
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS e FROM events " +
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' " +
+        "GROUP BY time(1h), user_id fill(null)").collect()
+    assert(emaNull.forall(!_.isNullAt(2)))
+    assert(emaNone.map(_.toString).sorted.sameElements(emaNull.map(_.toString).sorted))
+  }
+
   test("SELECT *, FROM /re/, and per-series LIMIT semantics") {
     assert(InfluxQLParser.parseSelect("SELECT * FROM events LIMIT 5")
       .fields == Seq(RawField("*", None)))
