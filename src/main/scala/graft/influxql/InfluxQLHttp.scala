@@ -216,6 +216,7 @@ object InfluxQLHttp {
       tv.from.foreach(catalog.requireMeasurement)
       if (!catalog.tags.contains(tv.key)) // same check the planner runs
         throw InfluxQLAst.InfluxQLParseException(s"unknown tag key: ${tv.key}")
+    case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
     // anything else would fail renderStatement as "not a renderable
     // result" AFTER earlier mutations ran — reject it up front instead
     case other =>
@@ -254,7 +255,26 @@ object InfluxQLHttp {
           // parse ONCE: route mutations, then hand the ASTs to whichever
           // branch runs — no render→reparse round trips on any path
           val sts = InfluxQLParser.parseAll(q)
-          if (sts.exists(isMutating)) writeStore match {
+          // per-request clock for the query registry: pinned in tests,
+          // monotonic in production (durations, not wall timestamps)
+          val clock: () => Long = () => nowNs.getOrElse(System.nanoTime())
+          val db = params.getOrElse("db", "")
+          if (sts.exists(_.isInstanceOf[InfluxQLAst.KillQuery])) {
+            // KILL deliberately takes NO store lock and no job group: the
+            // victim may be holding the read side, and a kill queued
+            // behind it could never fire. Sole-statement + POST only —
+            // InfluxDB's admin tools send exactly that shape.
+            if (sts.size > 1)
+              respond(ex, 400, errJson("KILL QUERY must be the only statement in a batch"))
+            else if (ex.getRequestMethod != "POST")
+              respond(ex, 400, errJson("KILL QUERY requires POST"))
+            else {
+              InfluxQLQueries.kill(spark,
+                sts.head.asInstanceOf[InfluxQLAst.KillQuery].qid)
+              respond(ex, 200, """{"results":[{"statement_id":0}]}""")
+            }
+          }
+          else if (sts.exists(isMutating)) writeStore match {
             case None =>
               respond(ex, 400, errJson(
                 "mutating statements need a store-backed server (startStore)"))
@@ -330,8 +350,12 @@ object InfluxQLHttp {
             // export, NEW read requests queue too (fair lock) — acceptable
             // for this admin surface; a snapshot/lease layout is the scale
             // path if exports must never gate mutations
+            // tracked for SHOW QUERIES / KILL QUERY: the whole streamed
+            // request runs under one qid's job group (InfluxDB assigns a
+            // qid per statement; one per request is the same kill
+            // granularity for the one-statement queries dashboards send)
             lock.readLock.lock()
-            try {
+            try InfluxQLQueries.track(spark, q, db, clock) {
               val chunks = InfluxQLResult.renderChunks(spark, dir, sts, nowNs, catalog, size, epoch0)
               // force the first statement's plan before headers go out: parse
               // and analysis errors still return a clean 400 (later statements
@@ -348,8 +372,9 @@ object InfluxQLHttp {
           } else {
             lock.readLock.lock()
             val json =
-              try InfluxQLResult.renderAll(spark, dir, sts, nowNs, catalog, maxRows, epoch)
-              finally lock.readLock.unlock()
+              try InfluxQLQueries.track(spark, q, db, clock) {
+                InfluxQLResult.renderAll(spark, dir, sts, nowNs, catalog, maxRows, epoch)
+              } finally lock.readLock.unlock()
             if (wantCsv) respondCsv(ex, jsonToCsv(json))
             else respond(ex, 200, if (pretty) prettify(json) else json)
           }

@@ -71,6 +71,15 @@ object InfluxQLAst {
     */
   final case class Delete(measurement: String, where: Seq[Cond]) extends Statement
 
+  /** SHOW QUERIES / KILL QUERY <qid> — InfluxDB 1.x's task-manager surface
+    * (what `influx`'s admin session uses to find and stop a runaway
+    * dashboard query). Backed by [[InfluxQLQueries]]: tracked queries run
+    * under their own interruptible Spark job group, so KILL maps to
+    * `SparkContext.cancelJobGroupAndFutureJobs`.
+    */
+  case object ShowQueries extends Statement
+  final case class KillQuery(qid: Long) extends Statement
+
   /** CREATE CONTINUOUS QUERY name ON db BEGIN SELECT … END — InfluxDB's
     * standing `GROUP BY time(n)` rollup (ref README.md:3 "continuous
     * queries"); planned onto a watermarked Structured Streaming aggregate
@@ -309,6 +318,7 @@ object InfluxQLParser {
     else if (p.atCreate) p.create()
     else if (p.atDrop) p.drop()
     else if (p.atDelete) p.delete()
+    else if (p.atKill) p.kill()
     else p.select()
   }
 
@@ -422,6 +432,19 @@ object InfluxQLParser {
       Delete(m, where)
     }
 
+    def atKill: Boolean = kwPeek.contains("kill")
+
+    def kill(): Statement = {
+      eatKw("kill"); eatKw("query")
+      val id = next() match {
+        case n: TNum if n.v >= 0 && n.v == n.v.toLong => n.v.toLong
+        case t => throw InfluxQLParseException(s"KILL QUERY needs a numeric qid, got $t")
+      }
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after KILL QUERY: ${peek.get}")
+      KillQuery(id)
+    }
+
     def atCreate: Boolean = kwPeek.contains("create")
 
     def create(): Statement = {
@@ -496,6 +519,10 @@ object InfluxQLParser {
         else if (kwPeek.contains("cardinality")) { next(); true }
         else false
       val what = ident().toLowerCase match {
+        case "queries" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW QUERIES: ${peek.get}")
+          return ShowQueries
         case "measurements" => "measurements"
         case "measurement" =>
           if (!cardinality())

@@ -26,6 +26,8 @@ object InfluxQLRender {
       }
       head + sh.limit.fold("")(n => s" LIMIT $n") + sh.offset.fold("")(n => s" OFFSET $n")
     case ShowTagValues(from, key) => s"SHOW TAG VALUES${fromClause(from)} WITH KEY = $key"
+    case ShowQueries              => "SHOW QUERIES"
+    case KillQuery(qid)           => s"KILL QUERY $qid"
     case DropMeasurement(name)    => s"DROP MEASUREMENT $name"
     case DropSeries(from, where) =>
       s"DROP SERIES${fromClause(from)}" +

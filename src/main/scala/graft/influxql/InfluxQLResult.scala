@@ -140,6 +140,14 @@ object InfluxQLResult {
         val (rows, partial) = collectCapped(df, maxRows)
         (seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
           df.columns.toSeq, rows, epoch), partial)
+      case ShowQueries =>
+        // registry-only — no Spark job; duration uses the same clock
+        // convention as InfluxQLQueries.track (pinned nowNs in tests)
+        val now = nowNs.getOrElse(System.nanoTime())
+        val rows = InfluxQLQueries.list().map(r => Row(r.qid, r.query, r.db,
+          InfluxQLQueries.durationStr(math.max(0L, now - r.startNs))))
+        (seriesObj("queries", Map.empty,
+          Seq("qid", "query", "database", "duration"), rows, epoch), false)
       case other => throw InfluxQLParseException(s"not a renderable result: $other")
     }
 

@@ -461,4 +461,72 @@ class InfluxQLHttpSpec extends SparkTestBase {
       conn.disconnect()
     } finally h.stop()
   }
+
+  test("SHOW QUERIES lists running queries; KILL QUERY cancels their Spark jobs") {
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      def postQuery(q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/query").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, body)
+      }
+      def listQueries(): Seq[(Long, String)] = {
+        val (code, b) = get(h.port, s"/query?q=${enc("SHOW QUERIES")}")
+        assert(code == 200, b.take(200))
+        val vals = mapper.readTree(b).at("/results/0/series/0/values")
+        (0 until vals.size()).map(i =>
+          (vals.get(i).get(0).asLong(), vals.get(i).get(1).asText()))
+      }
+      // the HTTP path tracks every query — SHOW QUERIES lists itself, with
+      // the InfluxDB column set
+      val (c0, b0) = get(h.port, s"/query?q=${enc("SHOW QUERIES")}")
+      assert(c0 == 200)
+      val cols = mapper.readTree(b0).at("/results/0/series/0/columns")
+      assert((0 until cols.size()).map(cols.get(_).asText()) ==
+        Seq("qid", "query", "database", "duration"), b0.take(300))
+      assert(listQueries().exists(_._2 == "SHOW QUERIES"))
+
+      // a genuinely running query: tracked like the HTTP path tracks, its
+      // distributed job sleeping under the registered job group
+      @volatile var outcome: Option[Throwable] = None
+      val t = new Thread(() => {
+        try {
+          InfluxQLQueries.track(spark, "SELECT * FROM slow", "plc",
+            () => System.nanoTime()) {
+            spark.range(0, 8, 1, 8).rdd.foreach(_ => Thread.sleep(60000))
+          }
+        } catch { case e: Throwable => outcome = Some(e) }
+      })
+      t.start()
+      var waited = 0
+      while (!listQueries().exists(_._2 == "SELECT * FROM slow") && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+      val qid = listQueries().find(_._2 == "SELECT * FROM slow").map(_._1)
+      assert(qid.isDefined, "slow query never appeared in SHOW QUERIES")
+
+      // KILL is POST-only and validates the qid
+      val (cGet, _) = get(h.port, s"/query?q=${enc(s"KILL QUERY ${qid.get}")}")
+      assert(cGet == 400)
+      val (cBad, bBad) = postQuery("KILL QUERY 999999")
+      assert(cBad == 400 && bBad.contains("no such query id"), bBad)
+
+      // the kill interrupts the running tasks (interruptOnCancel), the
+      // tracked body unwinds with Spark's cancellation error, and the
+      // registry entry leaves the listing
+      val (cKill, bKill) = postQuery(s"KILL QUERY ${qid.get}")
+      assert(cKill == 200, bKill)
+      t.join(60000)
+      assert(!t.isAlive, "killed query did not stop")
+      assert(outcome.isDefined, "cancelled job did not raise")
+      assert(!listQueries().exists(_._2 == "SELECT * FROM slow"))
+    } finally h.stop()
+  }
 }

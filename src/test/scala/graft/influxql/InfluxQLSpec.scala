@@ -362,6 +362,16 @@ class InfluxQLSpec extends SparkTestBase {
     assert(emaRows == meanRows)
   }
 
+  test("SHOW QUERIES / KILL QUERY parse and render") {
+    assert(InfluxQLParser.parse("SHOW QUERIES") == ShowQueries)
+    assert(InfluxQLParser.parse("KILL QUERY 42") == KillQuery(42))
+    assert(InfluxQLRender.render(ShowQueries) == "SHOW QUERIES")
+    assert(InfluxQLRender.render(KillQuery(7)) == "KILL QUERY 7")
+    intercept[InfluxQLParseException](InfluxQLParser.parse("KILL QUERY abc"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("KILL QUERY 1.5"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("SHOW QUERIES LIMIT 3"))
+  }
+
   test("technical transforms: duration/huge periods, per-series LIMIT, fill(null) hardening") {
     // the period is a bucket COUNT — a duration or an out-of-range N is a
     // parse error, never a silent seconds/Int.MaxValue reinterpretation
