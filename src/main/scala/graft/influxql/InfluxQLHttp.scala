@@ -214,8 +214,8 @@ object InfluxQLHttp {
     case sh: InfluxQLAst.Show => sh.from.foreach(catalog.requireMeasurement)
     case tv: InfluxQLAst.ShowTagValues =>
       tv.from.foreach(catalog.requireMeasurement)
-      if (!catalog.tags.contains(tv.key)) // same check the planner runs
-        throw InfluxQLAst.InfluxQLParseException(s"unknown tag key: ${tv.key}")
+      // the same selector + WHERE validation the planner runs
+      InfluxQLPlanner.tagValueKeys(catalog, tv): Unit
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
     // anything else would fail renderStatement as "not a renderable
     // result" AFTER earlier mutations ran — reject it up front instead

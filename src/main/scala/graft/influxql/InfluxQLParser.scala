@@ -47,10 +47,20 @@ object InfluxQLAst {
   final case class Show(what: String, from: Option[String],
       limit: Option[Int] = None, offset: Option[Int] = None) extends Statement
 
-  /** SHOW TAG VALUES [FROM m] WITH KEY = <tag> — the statement behind
-    * Grafana template-variable dropdowns (distinct values of one tag).
+  /** SHOW TAG VALUES [FROM m] WITH KEY <sel> [WHERE …] [LIMIT n] [OFFSET m]
+    * — the statement behind Grafana template-variable dropdowns. `sel`
+    * covers InfluxDB 1.x's four key selectors (`= k`, `IN (k1, k2)`,
+    * `=~ /re/`, `!~ /re/`); WHERE narrows with tag conditions and/or time
+    * bounds — the CHAINED-variable shape Grafana emits (values of one tag
+    * restricted by another variable's selection and `$timeFilter`).
     */
-  final case class ShowTagValues(from: Option[String], key: String) extends Statement
+  sealed trait TagKeySel
+  final case class KeyEq(key: String) extends TagKeySel
+  final case class KeyIn(keys: Seq[String]) extends TagKeySel
+  final case class KeyRe(re: String, negate: Boolean) extends TagKeySel
+  final case class ShowTagValues(from: Option[String], sel: TagKeySel,
+      where: Seq[Cond] = Nil, limit: Option[Int] = None,
+      offset: Option[Int] = None) extends Statement
 
   /** DROP MEASUREMENT m — removes the measurement's partition from the
     * point store (InfluxDB's measurement deletion).
@@ -558,8 +568,35 @@ object InfluxQLParser {
       val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None
       val st: Statement =
         if (what == "tag_values") {
-          eatKw("with"); eatKw("key"); eatOp("=")
-          ShowTagValues(from, ident())
+          eatKw("with"); eatKw("key")
+          val sel: TagKeySel = peek match {
+            case Some(TOp("=~")) | Some(TOp("!~")) =>
+              val neg = next() == TOp("!~")
+              next() match {
+                case TRegex(r) => KeyRe(r, neg)
+                case t => throw InfluxQLParseException(
+                  s"expected /regex/ after WITH KEY ${if (neg) "!~" else "=~"}, got $t")
+              }
+            case Some(TOp("=")) => next(); KeyEq(ident())
+            case _ if kwPeek.contains("in") =>
+              next(); eatOp("(")
+              val ks = scala.collection.mutable.ArrayBuffer(ident())
+              while (peek.contains(TOp(","))) { next(); ks += ident() }
+              eatOp(")")
+              KeyIn(ks.toSeq)
+            case t => throw InfluxQLParseException(
+              s"expected =, =~, !~ or IN after WITH KEY, got $t")
+          }
+          val tvWhere = if (kwPeek.contains("where")) { next(); condList() } else Nil
+          var limit: Option[Int] = None
+          var offset: Option[Int] = None
+          var more = true
+          while (more) kwPeek match {
+            case Some("limit")  => next(); limit = Some(intLit())
+            case Some("offset") => next(); offset = Some(intLit())
+            case _              => more = false
+          }
+          ShowTagValues(from, sel, tvWhere, limit, offset)
         } else {
           // LIMIT/OFFSET paginate list-returning SHOWs (InfluxDB 1.x)
           var limit: Option[Int] = None

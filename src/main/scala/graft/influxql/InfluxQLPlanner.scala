@@ -110,16 +110,19 @@ object InfluxQLPlanner {
     InfluxQLParser.parse(query) match {
       case s: Select            => plan(spark, dir, s, nowNs, catalog)
       case sh: Show             => planShow(spark, dir, sh, catalog)
-      case ShowTagValues(from, key) =>
-        from.foreach(catalog.requireMeasurement)
-        if (!catalog.tags.contains(key))
-          throw InfluxQLParseException(s"unknown tag key: $key")
-        // Grafana template-variable shape: (key, value) rows. Distinct of
-        // one low-cardinality tag — partial+final hash agg, tiny shuffle.
-        val m = from.getOrElse(catalog.measurements.head)
-        catalog.load(spark, dir, m)
-          .select(lit(key).as("key"), col(key).cast("string").as("value"))
-          .distinct().orderBy("value")
+      case tv: ShowTagValues =>
+        tv.from.foreach(catalog.requireMeasurement)
+        val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
+        val df = ms.map(planTagValues(spark, dir, _, tv, nowNs, catalog)) match {
+          case Seq()    => emptyTagValues(spark)
+          case Seq(one) => one
+          // values can repeat across measurements — flatten to one
+          // distinct listing (the HTTP renderer keeps them apart as one
+          // series per measurement instead)
+          case many => many.reduce(_.unionByName(_)).distinct().orderBy("key", "value")
+        }
+        val paged = tv.offset.fold(df)(df.offset)
+        tv.limit.fold(paged)(paged.limit)
       case _: DropMeasurement   => throw InfluxQLParseException(
         "DROP MEASUREMENT mutates the store — use InfluxQLPlanner.dropMeasurement(query, storeDir)")
       case _: Delete            => throw InfluxQLParseException(
@@ -205,6 +208,69 @@ object InfluxQLPlanner {
     }
     val paged = offset.fold(base)(base.offset)
     limit.fold(paged)(paged.limit)
+  }
+
+  /** Resolve + validate a SHOW TAG VALUES statement against the catalog:
+    * `=`/`IN` selectors must name known tag keys (a typo'd dropdown is an
+    * error, not an empty menu), a regex selector keeps whatever matches —
+    * possibly nothing, which is InfluxDB's empty listing; WHERE may only
+    * reference known tags (time bounds are fine — every catalog load
+    * carries `ts_ns`). Returns the concrete key list. The ONE place these
+    * checks live — the planner and the HTTP dry-planner both call it.
+    */
+  def tagValueKeys(catalog: Catalog, tv: ShowTagValues): Seq[String] = {
+    def walk(c: Cond): Unit = c match {
+      case TagCond(k, _, _) =>
+        if (!catalog.tags.contains(k))
+          throw InfluxQLParseException(s"unknown tag key in WHERE: $k")
+      case BoolCond(_, l, r) => walk(l); walk(r)
+      case _                 => ()
+    }
+    tv.where.foreach(walk)
+    tv.sel match {
+      case KeyEq(k) =>
+        if (!catalog.tags.contains(k))
+          throw InfluxQLParseException(s"unknown tag key: $k")
+        Seq(k)
+      case KeyIn(ks) =>
+        ks.foreach(k => if (!catalog.tags.contains(k))
+          throw InfluxQLParseException(s"unknown tag key: $k"))
+        ks.distinct
+      case KeyRe(re, neg) =>
+        val r = re.r
+        catalog.tags.filter(t => r.findFirstIn(t).isDefined != neg)
+    }
+  }
+
+  /** (key, value) listing for ONE measurement — the renderer's series
+    * granularity (InfluxDB's series identity includes the measurement).
+    * Distinct over a few low-cardinality tags: the WHERE pushes into the
+    * scan, then one partial+final hash agg per key — tiny shuffles; the
+    * k-key union is k independent aggs over the SAME filtered scan, which
+    * AQE reuses (ReusedExchange) rather than re-reading.
+    */
+  def planTagValues(spark: SparkSession, dir: String, m: String,
+      tv: ShowTagValues, nowNs: Option[Long], catalog: Catalog): DataFrame = {
+    val keys = tagValueKeys(catalog, tv)
+    val conds = tv.where.map {
+      case NowCond(op, off) =>
+        val base = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
+        TimeCond(op, base + off)
+      case c => c
+    }
+    val filtered = conds.foldLeft(catalog.load(spark, dir, m))(
+      (df, c) => df.filter(condCol(c)))
+    keys.map(k => filtered
+        .select(lit(k).as("key"), col(k).cast("string").as("value"))
+        .filter(col("value").isNotNull).distinct())
+      .reduceOption(_.unionByName(_))
+      .getOrElse(emptyTagValues(spark))
+      .orderBy("key", "value")
+  }
+
+  private def emptyTagValues(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("key", "value")
   }
 
   def plan(spark: SparkSession, dir: String, q0: Select,

@@ -25,7 +25,16 @@ object InfluxQLRender {
         case other => throw InfluxQLParseException(s"unrenderable SHOW: $other")
       }
       head + sh.limit.fold("")(n => s" LIMIT $n") + sh.offset.fold("")(n => s" OFFSET $n")
-    case ShowTagValues(from, key) => s"SHOW TAG VALUES${fromClause(from)} WITH KEY = $key"
+    case ShowTagValues(from, sel, where, limit, offset) =>
+      val key = sel match {
+        case KeyEq(k)        => s"= $k"
+        case KeyIn(ks)       => s"IN (${ks.mkString(", ")})"
+        case KeyRe(r, false) => s"=~ /$r/"
+        case KeyRe(r, true)  => s"!~ /$r/"
+      }
+      s"SHOW TAG VALUES${fromClause(from)} WITH KEY $key" +
+        (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND ")) +
+        limit.fold("")(n => s" LIMIT $n") + offset.fold("")(n => s" OFFSET $n")
     case ShowQueries              => "SHOW QUERIES"
     case KillQuery(qid)           => s"KILL QUERY $qid"
     case DropMeasurement(name)    => s"DROP MEASUREMENT $name"

@@ -135,11 +135,29 @@ object InfluxQLResult {
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
         (seriesObj(sh.what, Map.empty, df.columns.toSeq, rows, epoch), partial)
-      case ShowTagValues(from, _) =>
-        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
-        val (rows, partial) = collectCapped(df, maxRows)
-        (seriesObj(from.getOrElse(catalog.measurements.head), Map.empty,
-          df.columns.toSeq, rows, epoch), partial)
+      case tv: ShowTagValues =>
+        // one series per measurement (InfluxDB's series identity), the
+        // statement's maxRows budget shared across them like regex-FROM;
+        // LIMIT/OFFSET page PER SERIES (InfluxDB 1.x semantics). Empty
+        // measurements are omitted, as InfluxDB does.
+        tv.from.foreach(catalog.requireMeasurement)
+        val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
+        var remaining = maxRows
+        var partial = false
+        val parts = ms.map { m =>
+          if (remaining <= 0) { partial = true; "" }
+          else {
+            val df0 = InfluxQLPlanner.planTagValues(spark, dir, m, tv, nowNs, catalog)
+            val paged = tv.offset.fold(df0)(df0.offset)
+            val df = tv.limit.fold(paged)(paged.limit)
+            val (rows, p) = collectCapped(df, remaining)
+            remaining -= rows.size
+            if (p) partial = true
+            if (rows.isEmpty) ""
+            else seriesObj(m, Map.empty, df.columns.toSeq, rows, epoch)
+          }
+        }
+        (parts.filter(_.nonEmpty).mkString(","), partial)
       case ShowQueries =>
         // registry-only — no Spark job; duration uses the same clock
         // convention as InfluxQLQueries.track (pinned nowNs in tests)

@@ -212,6 +212,23 @@ object QInfluxQL {
       "SHOW TAG VALUES FROM events WITH KEY = event_type")),
 
     GraftQuery(
+      "q_influxql_tag_values_chain",
+      "IQL12: SHOW TAG VALUES WITH KEY IN (…) WHERE tag + time — the Grafana CHAINED template variable",
+      """SELECT * FROM (
+        |  SELECT 'event_type' AS key, event_type AS value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        |  GROUP BY 2)
+        |ORDER BY key, value""".stripMargin)(influx(
+      """SHOW TAG VALUES FROM events WITH KEY IN (event_type, user_id)
+        |WHERE event_type = 'click' AND time >= '2024-01-01' AND time < '2024-01-04'""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_show",
       "IQL10: SHOW TAG KEYS — the metadata statement Grafana's query builder polls",
       """SELECT * FROM (VALUES ('events', 'event_type'), ('events', 'user_id'))

@@ -159,8 +159,27 @@ object InfluxQLGen {
       genTimeBounds.map(_ :+ TagCond("alias", "=", "plc1_temp")))
   } yield Delete(m, where)
 
+  /** SHOW TAG VALUES over the full r7 shape: all four key selectors,
+    * optional WHERE (the chained-template-variable form), LIMIT/OFFSET.
+    */
+  val genShowTagValues: Gen[Statement] = for {
+    from <- Gen.option(Gen.const("events"))
+    sel <- Gen.frequency[TagKeySel](
+      3 -> Gen.oneOf("event_type", "user_id").map(KeyEq.apply),
+      2 -> Gen.someOf(Seq("event_type", "user_id")).suchThat(_.nonEmpty)
+        .map(ks => KeyIn(ks.toSeq)),
+      2 -> (for {
+        re <- Gen.oneOf("type", "^ev", "id$")
+        neg <- Gen.oneOf(true, false)
+      } yield KeyRe(re, neg)))
+    where <- genWhere
+    limit <- Gen.option(Gen.choose(1, 20))
+    offset <- Gen.option(Gen.choose(1, 5))
+  } yield ShowTagValues(from, sel, where, limit, offset)
+
   val genStatement: Gen[Statement] = Gen.frequency(
     8 -> genSelect,
+    1 -> genShowTagValues,
     1 -> (for {
       what <- Gen.oneOf("measurements", "tag_keys", "field_keys",
         "databases", "series", "series_cardinality",

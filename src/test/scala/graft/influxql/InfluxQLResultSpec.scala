@@ -150,4 +150,51 @@ class InfluxQLResultSpec extends SparkTestBase {
       catalog = cat))
     assert(sub.at("/results/0/series/0/name").asText() == "plc_a", sub.toString.take(300))
   }
+
+  test("SHOW TAG VALUES renders one series per measurement; WHERE/LIMIT apply") {
+    import org.apache.spark.sql.functions._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-render-tv").toFile
+    val base = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    graft.sinks.PointStore.writePartitioned(
+      base.select(col("ts"), lit("plc_a").as("measurement"),
+        col("event_type").as("alias"), col("value")), root0.toString)
+    graft.sinks.PointStore.writePartitioned(
+      base.filter(col("event_type") === "click")
+        .select(col("ts"), lit("plc_b").as("measurement"),
+          col("event_type").as("alias"), col("value")), root0.toString)
+    val cat = InfluxQLPlanner.Catalog.store(root0.toString)
+
+    // no FROM → every measurement, one series per measurement (InfluxDB's
+    // series identity), each named after its measurement
+    val json = InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES WITH KEY = alias", catalog = cat)
+    val series = mapper.readTree(json).at("/results/0/series")
+    assert(series.size() == 2, json.take(400))
+    val byName = (0 until 2).map(i => series.get(i).at("/name").asText() ->
+      (0 until series.get(i).at("/values").size())
+        .map(j => series.get(i).at(s"/values/$j/1").asText()).toSet).toMap
+    assert(byName.keySet == Set("plc_a", "plc_b"), json.take(400))
+    assert(byName("plc_b") == Set("click"), json.take(400))
+    assert(byName("plc_a").contains("click") && byName("plc_a").size > 1)
+
+    // a WHERE that empties one measurement omits its series entirely
+    val narrowed = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES WITH KEY = alias WHERE alias != 'click'", catalog = cat))
+    val ns = narrowed.at("/results/0/series")
+    assert(ns.size() == 1 && ns.get(0).at("/name").asText() == "plc_a",
+      narrowed.toString.take(400))
+
+    // LIMIT pages PER SERIES (InfluxDB 1.x), so both series shrink to 1 row
+    val limited = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES WITH KEY = alias LIMIT 1", catalog = cat))
+    val ls = limited.at("/results/0/series")
+    assert(ls.size() == 2 && (0 until 2).forall(i =>
+      ls.get(i).at("/values").size() == 1), limited.toString.take(400))
+
+    // maxRows is still the statement budget across the series
+    val capped = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES WITH KEY = alias", catalog = cat, maxRows = 1))
+    assert(capped.at("/results/0/partial").asBoolean(), capped.toString.take(300))
+  }
 }

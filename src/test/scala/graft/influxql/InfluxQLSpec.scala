@@ -694,7 +694,7 @@ class InfluxQLSpec extends SparkTestBase {
 
   test("SHOW TAG VALUES and DROP MEASUREMENT") {
     assert(InfluxQLParser.parse("SHOW TAG VALUES FROM events WITH KEY = event_type") ==
-      ShowTagValues(Some("events"), "event_type"))
+      ShowTagValues(Some("events"), KeyEq("event_type")))
     val vals = InfluxQLPlanner.sql(spark, dir,
       "SHOW TAG VALUES WITH KEY = event_type").collect().map(_.getString(1))
     assert(vals.nonEmpty && vals.sorted.sameElements(vals))
@@ -711,6 +711,67 @@ class InfluxQLSpec extends SparkTestBase {
     assert(InfluxQLPlanner.dropMeasurement("""DROP MEASUREMENT "plc-7"""", root.toString))
     assert(!new java.io.File(root, "measurement=plc-7").exists())
     assert(!InfluxQLPlanner.dropMeasurement("""DROP MEASUREMENT "plc-7"""", root.toString))
+  }
+
+  test("SHOW TAG VALUES selectors, WHERE, and pagination (chained template variables)") {
+    // the four InfluxDB 1.x key selectors parse and render round-trip
+    assert(InfluxQLParser.parse("SHOW TAG VALUES WITH KEY IN (event_type, user_id)") ==
+      ShowTagValues(None, KeyIn(Seq("event_type", "user_id"))))
+    assert(InfluxQLParser.parse("SHOW TAG VALUES WITH KEY =~ /type/") ==
+      ShowTagValues(None, KeyRe("type", negate = false)))
+    assert(InfluxQLParser.parse("SHOW TAG VALUES WITH KEY !~ /type/") ==
+      ShowTagValues(None, KeyRe("type", negate = true)))
+    val full = "SHOW TAG VALUES FROM events WITH KEY IN (event_type, user_id)" +
+      " WHERE event_type = 'click' LIMIT 3 OFFSET 1"
+    assert(InfluxQLRender.render(InfluxQLParser.parse(full)) == full)
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("SHOW TAG VALUES WITH KEY > x"))
+
+    // IN unions both keys' value sets (one series of (key, value) rows)
+    val both = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY IN (event_type, user_id)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(both.map(_._1).distinct.sorted.toSeq == Seq("event_type", "user_id"))
+    // a regex selector keeps matching keys; matching nothing is an empty
+    // listing (InfluxDB), not an error — unlike a typo'd = / IN key
+    val re = InfluxQLPlanner.sql(spark, dir, "SHOW TAG VALUES WITH KEY =~ /type/")
+      .collect().map(_.getString(0))
+    assert(re.nonEmpty && re.forall(_ == "event_type"))
+    val neg = InfluxQLPlanner.sql(spark, dir, "SHOW TAG VALUES WITH KEY !~ /type/")
+      .collect().map(_.getString(0))
+    assert(neg.nonEmpty && neg.forall(_ == "user_id"))
+    assert(InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY =~ /nothing_matches/").count() == 0)
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY IN (event_type, nope)"))
+
+    // WHERE narrows by ANOTHER tag (the Grafana chained-variable shape)
+    // and by time; unknown WHERE tags are a parse-time error
+    val all = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = user_id").collect().map(_.getString(1)).toSet
+    val clicks = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = user_id WHERE event_type = 'click'")
+      .collect().map(_.getString(1)).toSet
+    assert(clicks.nonEmpty && clicks.subsetOf(all))
+    assert(InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = user_id WHERE event_type = 'no_such_type'").count() == 0)
+    assert(InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = event_type WHERE time >= '2024-01-01' AND time < '2024-01-02'")
+      .count() > 0)
+    // now()-relative bounds resolve against the pinned clock
+    val pinned = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = event_type WHERE time > now() - 365d",
+      nowNs = Some(java.time.Instant.parse("2024-01-05T00:00:00Z")
+        .getEpochSecond * 1000000000L))
+    assert(pinned.count() > 0)
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = user_id WHERE nope = 'x'"))
+
+    // LIMIT/OFFSET page the listing
+    val paged = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES WITH KEY = user_id LIMIT 2 OFFSET 1")
+      .collect().map(_.getString(1)).toSeq
+    assert(paged == all.toSeq.sorted.slice(1, 3))
   }
 
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
