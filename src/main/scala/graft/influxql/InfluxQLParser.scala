@@ -58,9 +58,13 @@ object InfluxQLAst {
   final case class KeyEq(key: String) extends TagKeySel
   final case class KeyIn(keys: Seq[String]) extends TagKeySel
   final case class KeyRe(re: String, negate: Boolean) extends TagKeySel
+  /** `cardinality` = the `SHOW TAG VALUES [EXACT] CARDINALITY` variant:
+    * per-measurement count of distinct matching (key, value) pairs
+    * instead of the listing (both variants compute exact counts).
+    */
   final case class ShowTagValues(from: Option[String], sel: TagKeySel,
       where: Seq[Cond] = Nil, limit: Option[Int] = None,
-      offset: Option[Int] = None) extends Statement
+      offset: Option[Int] = None, cardinality: Boolean = false) extends Statement
 
   /** DROP MEASUREMENT m — removes the measurement's partition from the
     * point store (InfluxDB's measurement deletion).
@@ -552,7 +556,7 @@ object InfluxQLParser {
             if (!cardinality())
               throw InfluxQLParseException("expected SHOW TAG KEY [EXACT] CARDINALITY")
             "tag_key_cardinality"
-          case "values" => "tag_values"
+          case "values" => if (cardinality()) "tag_values_cardinality" else "tag_values"
           case other => throw InfluxQLParseException(s"unsupported SHOW TAG: $other")
         }
         case "field" => ident().toLowerCase match {
@@ -567,7 +571,7 @@ object InfluxQLParser {
       }
       val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None
       val st: Statement =
-        if (what == "tag_values") {
+        if (what == "tag_values" || what == "tag_values_cardinality") {
           eatKw("with"); eatKw("key")
           val sel: TagKeySel = peek match {
             case Some(TOp("=~")) | Some(TOp("!~")) =>
@@ -596,7 +600,8 @@ object InfluxQLParser {
             case Some("offset") => next(); offset = Some(intLit())
             case _              => more = false
           }
-          ShowTagValues(from, sel, tvWhere, limit, offset)
+          ShowTagValues(from, sel, tvWhere, limit, offset,
+            cardinality = what == "tag_values_cardinality")
         } else {
           // LIMIT/OFFSET paginate list-returning SHOWs (InfluxDB 1.x)
           var limit: Option[Int] = None

@@ -113,14 +113,29 @@ object InfluxQLPlanner {
       case tv: ShowTagValues =>
         tv.from.foreach(catalog.requireMeasurement)
         val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
-        val df = ms.map(planTagValues(spark, dir, _, tv, nowNs, catalog)) match {
-          case Seq()    => emptyTagValues(spark)
-          case Seq(one) => one
-          // values can repeat across measurements — flatten to one
-          // distinct listing (the HTTP renderer keeps them apart as one
-          // series per measurement instead)
-          case many => many.reduce(_.unionByName(_)).distinct().orderBy("key", "value")
-        }
+        val df =
+          if (tv.cardinality)
+            // CARDINALITY: per-measurement count of distinct matching
+            // (key, value) pairs — the same planShow (measurement, count)
+            // shape the other cardinality SHOWs use. The count collapses
+            // the distinct agg's output to one row per measurement.
+            ms.map(m => planTagValues(spark, dir, m, tv, nowNs, catalog)
+                .agg(count(lit(1)).as("count"))
+                .select(lit(m).as("measurement"), col("count")))
+              .reduceOption(_.unionByName(_))
+              .getOrElse {
+                import spark.implicits._
+                Seq.empty[(String, Long)].toDF("measurement", "count")
+              }
+              .orderBy("measurement")
+          else ms.map(planTagValues(spark, dir, _, tv, nowNs, catalog)) match {
+            case Seq()    => emptyTagValues(spark)
+            case Seq(one) => one
+            // values can repeat across measurements — flatten to one
+            // distinct listing (the HTTP renderer keeps them apart as one
+            // series per measurement instead)
+            case many => many.reduce(_.unionByName(_)).distinct().orderBy("key", "value")
+          }
         val paged = tv.offset.fold(df)(df.offset)
         tv.limit.fold(paged)(paged.limit)
       case _: DropMeasurement   => throw InfluxQLParseException(

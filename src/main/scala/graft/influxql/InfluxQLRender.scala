@@ -25,14 +25,15 @@ object InfluxQLRender {
         case other => throw InfluxQLParseException(s"unrenderable SHOW: $other")
       }
       head + sh.limit.fold("")(n => s" LIMIT $n") + sh.offset.fold("")(n => s" OFFSET $n")
-    case ShowTagValues(from, sel, where, limit, offset) =>
+    case ShowTagValues(from, sel, where, limit, offset, cardinality) =>
       val key = sel match {
         case KeyEq(k)        => s"= $k"
         case KeyIn(ks)       => s"IN (${ks.mkString(", ")})"
         case KeyRe(r, false) => s"=~ /$r/"
         case KeyRe(r, true)  => s"!~ /$r/"
       }
-      s"SHOW TAG VALUES${fromClause(from)} WITH KEY $key" +
+      val card = if (cardinality) " CARDINALITY" else ""
+      s"SHOW TAG VALUES$card${fromClause(from)} WITH KEY $key" +
         (if (where.isEmpty) "" else " WHERE " + where.map(cond).mkString(" AND ")) +
         limit.fold("")(n => s" LIMIT $n") + offset.fold("")(n => s" OFFSET $n")
     case ShowQueries              => "SHOW QUERIES"

@@ -142,6 +142,16 @@ object InfluxQLResult {
         // measurements are omitted, as InfluxDB does.
         tv.from.foreach(catalog.requireMeasurement)
         val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
+        if (tv.cardinality) {
+          // one count series per measurement; a measurement with no
+          // matching pairs is omitted like its empty listing would be
+          val parts = ms.map { m =>
+            val n = InfluxQLPlanner.planTagValues(spark, dir, m, tv, nowNs, catalog).count()
+            if (n == 0L) ""
+            else seriesObj(m, Map.empty, Seq("count"), Seq(Row(n)), epoch)
+          }
+          (parts.filter(_.nonEmpty).mkString(","), false)
+        } else {
         var remaining = maxRows
         var partial = false
         val parts = ms.map { m =>
@@ -158,6 +168,7 @@ object InfluxQLResult {
           }
         }
         (parts.filter(_.nonEmpty).mkString(","), partial)
+        }
       case ShowQueries =>
         // registry-only — no Spark job; duration uses the same clock
         // convention as InfluxQLQueries.track (pinned nowNs in tests)

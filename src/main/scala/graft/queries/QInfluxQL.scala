@@ -229,6 +229,13 @@ object QInfluxQL {
         |WHERE event_type = 'click' AND time >= '2024-01-01' AND time < '2024-01-04'""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_tag_values_card",
+      "IQL12: SHOW TAG VALUES CARDINALITY — per-measurement distinct-value count (exact)",
+      """SELECT 'events' AS measurement, count(DISTINCT user_id) AS count
+        |FROM events""".stripMargin)(influx(
+      "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = user_id")),
+
+    GraftQuery(
       "q_influxql_show",
       "IQL10: SHOW TAG KEYS — the metadata statement Grafana's query builder polls",
       """SELECT * FROM (VALUES ('events', 'event_type'), ('events', 'user_id'))

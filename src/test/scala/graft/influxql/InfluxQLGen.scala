@@ -175,7 +175,8 @@ object InfluxQLGen {
     where <- genWhere
     limit <- Gen.option(Gen.choose(1, 20))
     offset <- Gen.option(Gen.choose(1, 5))
-  } yield ShowTagValues(from, sel, where, limit, offset)
+    cardinality <- Gen.frequency(3 -> false, 1 -> true)
+  } yield ShowTagValues(from, sel, where, limit, offset, cardinality)
 
   val genStatement: Gen[Statement] = Gen.frequency(
     8 -> genSelect,

@@ -196,5 +196,16 @@ class InfluxQLResultSpec extends SparkTestBase {
     val capped = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
       "SHOW TAG VALUES WITH KEY = alias", catalog = cat, maxRows = 1))
     assert(capped.at("/results/0/partial").asBoolean(), capped.toString.take(300))
+
+    // CARDINALITY: one count series per measurement, column "count"
+    val card = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES CARDINALITY WITH KEY = alias", catalog = cat))
+    val cs2 = card.at("/results/0/series")
+    assert(cs2.size() == 2, card.toString.take(400))
+    val counts = (0 until 2).map(i => cs2.get(i).at("/name").asText() ->
+      cs2.get(i).at("/values/0/0").asLong()).toMap
+    assert(counts("plc_a") == byName("plc_a").size.toLong &&
+      counts("plc_b") == 1L, card.toString.take(400))
+    assert(cs2.get(0).at("/columns/0").asText() == "count")
   }
 }

@@ -772,6 +772,21 @@ class InfluxQLSpec extends SparkTestBase {
       "SHOW TAG VALUES WITH KEY = user_id LIMIT 2 OFFSET 1")
       .collect().map(_.getString(1)).toSeq
     assert(paged == all.toSeq.sorted.slice(1, 3))
+
+    // [EXACT] CARDINALITY counts the distinct matching (key, value) pairs
+    // per measurement instead of listing them (both variants are exact)
+    assert(InfluxQLParser.parse("SHOW TAG VALUES CARDINALITY WITH KEY = user_id") ==
+      ShowTagValues(None, KeyEq("user_id"), cardinality = true))
+    assert(InfluxQLParser.parse("SHOW TAG VALUES EXACT CARDINALITY WITH KEY = user_id") ==
+      ShowTagValues(None, KeyEq("user_id"), cardinality = true))
+    val cardRow = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = user_id").collect()
+    assert(cardRow.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("events", all.size.toLong)))
+    val cardChained = InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES CARDINALITY WITH KEY = user_id WHERE event_type = 'click'")
+      .collect()
+    assert(cardChained.map(_.getLong(1)).toSeq == Seq(clicks.size.toLong))
   }
 
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
