@@ -320,5 +320,25 @@ object QText {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_epoch_shuffle",
+      "Extension: deterministic global training-order shuffle — seed-keyed LCG permutation " +
+        "materialized by Spark's range-partitioned sort (sampled range bounds, no single " +
+        "reducer; re-seed the constant for the next epoch). The engine-portable integer " +
+        "hash makes the order reproducible across engines and runs — sample-based " +
+        "randomness would not be",
+      """SELECT doc_id, source,
+        |       (doc_id * 1103515245 + 42) % 2147483647 AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin) { (s, dir) =>
+      // ORDER BY plans a RangePartitioning exchange: Spark samples the key
+      // distribution and assigns contiguous key ranges to partitions, so a
+      // 100 TB corpus sorts with every executor writing its own ordered
+      // slice — the doc_id tiebreak keeps the permutation total (LCG
+      // collisions would otherwise leave nondeterministic islands)
+      documents(s, dir).select(col("doc_id"), col("source"),
+          ((col("doc_id") * 1103515245L + 42L) % 2147483647L).as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+    },
   )
 }
