@@ -49,4 +49,19 @@ class InfluxQLPlanFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("20 generated SHOW TAG VALUES statements plan and execute without throwing") {
+    val prop = Prop.forAll(InfluxQLGen.genShowTagValues) { st =>
+      val q = InfluxQLRender.render(st)
+      try {
+        InfluxQLPlanner.sql(spark, dir, q, nowNs = Some(nowNs)).limit(5).collect()
+        true
+      } catch { case e: Throwable =>
+        println(s"FUZZ FAILURE on: $q\n  ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

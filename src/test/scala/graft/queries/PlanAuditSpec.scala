@@ -32,6 +32,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(planOf("q_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q_epoch_shuffle sorts via range partitioning (parallel ordered slices, no global funnel)") {
+    val plan = planOf("q_epoch_shuffle")
+    assert(plan.contains("rangepartitioning"), plan.take(500))
+    // the sort itself must be distributed — a TakeOrdered/CollectLimit
+    // here would funnel the whole corpus through the driver
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("CollectLimit"), plan.take(500))
+  }
+
   test("q_time_range pushes the time predicate into the parquet scan (via raw ts_ns)") {
     val plan = planOf("q_time_range")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts,17048448"))
