@@ -260,9 +260,12 @@ object InfluxQLPlanner {
   /** (key, value) listing for ONE measurement — the renderer's series
     * granularity (InfluxDB's series identity includes the measurement).
     * Distinct over a few low-cardinality tags: the WHERE pushes into the
-    * scan, then one partial+final hash agg per key — tiny shuffles; the
-    * k-key union is k independent aggs over the SAME filtered scan, which
-    * AQE reuses (ReusedExchange) rather than re-reading.
+    * scan, then one partial+final hash agg per key — map-side combine
+    * collapses each branch to its distinct values before a tiny shuffle.
+    * The k-key union deliberately plans k INDEPENDENT scans, each pruned
+    * to just its key column (+ filter columns) with the WHERE pushed down
+    * — sharing one scan would widen every branch to the union of columns,
+    * which costs more at 100 TB than k narrow row-group-skipped reads.
     */
   def planTagValues(spark: SparkSession, dir: String, m: String,
       tv: ShowTagValues, nowNs: Option[Long], catalog: Catalog): DataFrame = {
