@@ -639,7 +639,19 @@ object InfluxQLParser {
           // templated-dashboard shape); encoded with an "re:" prefix, the
           // planner resolves it against the catalog
           case Some(TRegex(re)) => next(); (s"re:$re", None)
-          case _                => (measurement(), None)
+          case _ =>
+            val first = measurement()
+            if (peek.contains(TOp(","))) {
+              // FROM m1, m2, … — InfluxDB's multi-measurement union.
+              // Encoded as an anchored quoted-alternation regex so the
+              // whole regex-FROM machinery (catalog resolution, one series
+              // per measurement in the renderer, per-measurement chunking)
+              // applies unchanged; Pattern.quote keeps names with regex
+              // metacharacters literal.
+              val ms = scala.collection.mutable.ArrayBuffer(first)
+              while (peek.contains(TOp(","))) { next(); ms += measurement() }
+              (s"re:^(${ms.map(java.util.regex.Pattern.quote).mkString("|")})$$", None)
+            } else (first, None)
         }
       var where = Seq.empty[Cond]
       var gbTime: Option[Long] = None

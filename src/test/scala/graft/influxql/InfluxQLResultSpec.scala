@@ -143,6 +143,16 @@ class InfluxQLResultSpec extends SparkTestBase {
     assert(totalVals <= 5, capped.toString.take(300))
     assert(capped.at("/results/0/partial").asBoolean())
 
+    // FROM m1, m2 (comma union) rides the same per-measurement path:
+    // one correctly-named series per listed measurement
+    val listed = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SELECT COUNT(value) AS n FROM plc_a, plc_b", catalog = cat))
+    val lser = listed.at("/results/0/series")
+    assert(lser.size() == 2, listed.toString.take(400))
+    val lByName = (0 until 2).map(i =>
+      lser.get(i).at("/name").asText() -> lser.get(i).at("/values/0/0").asLong()).toMap
+    assert(lByName == Map("plc_a" -> na, "plc_b" -> nb), listed.toString.take(400))
+
     // an aggregate over a regex-FROM SUBQUERY names the series after the
     // first catalog match, never the internal "re:" encoding
     val sub = mapper.readTree(InfluxQLResult.render(spark, root0.toString,

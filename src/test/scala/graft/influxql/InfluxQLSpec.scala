@@ -789,6 +789,24 @@ class InfluxQLSpec extends SparkTestBase {
     assert(cardChained.map(_.getLong(1)).toSeq == Seq(clicks.size.toLong))
   }
 
+  test("FROM m1, m2 unions measurements through the regex-FROM machinery") {
+    // comma-FROM encodes as an anchored quoted alternation — the whole
+    // multi-measurement path (catalog resolution, per-measurement series)
+    // is shared with FROM /re/
+    val q = InfluxQLParser.parseSelect("SELECT COUNT(value) AS n FROM a, b")
+    assert(q.measurement == "re:^(\\Qa\\E|\\Qb\\E)$")
+    // against the single-measurement test catalog, a self-union matches
+    // once — same rows as the plain FROM
+    val one = InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n FROM events").collect().map(_.getAs[Long]("n"))
+    val listed = InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n FROM events, events").collect().map(_.getAs[Long]("n"))
+    assert(one.nonEmpty && listed.sameElements(one))
+    // no listed measurement known → same no-match error as a regex
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SELECT COUNT(value) AS n FROM nope1, nope2"))
+  }
+
   test("SHOW metadata statements parse and plan (Grafana autocomplete surface)") {
     assert(InfluxQLParser.parse("SHOW MEASUREMENTS") == Show("measurements", None))
     assert(InfluxQLParser.parse("SHOW TAG KEYS FROM events") == Show("tag_keys", Some("events")))
