@@ -211,9 +211,11 @@ object InfluxQLHttp {
         InfluxQLPlanner.plan(spark, dir, s.copy(measurement = m), nowNs, catalog): Unit)
     case s: InfluxQLAst.Select =>
       InfluxQLPlanner.plan(spark, dir, s, nowNs, catalog): Unit
-    case sh: InfluxQLAst.Show => sh.from.foreach(catalog.requireMeasurement)
+    // plain FROM validates, FROM /re/ expands (errors when nothing
+    // matches) — the same resolution the planner runs
+    case sh: InfluxQLAst.Show => sh.from.foreach(catalog.matchMeasurements(_): Unit)
     case tv: InfluxQLAst.ShowTagValues =>
-      tv.from.foreach(catalog.requireMeasurement)
+      tv.from.foreach(catalog.matchMeasurements(_): Unit)
       // the same selector + WHERE validation the planner runs
       InfluxQLPlanner.tagValueKeys(catalog, tv): Unit
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan

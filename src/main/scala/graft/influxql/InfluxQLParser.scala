@@ -569,7 +569,16 @@ object InfluxQLParser {
         }
         case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
       }
-      val from = if (kwPeek.contains("from")) { next(); Some(ident()) } else None
+      // FROM accepts a plain measurement or /re/ (the Grafana templated
+      // shape, e.g. SHOW TAG VALUES FROM /$m/ …) — same "re:" encoding
+      // and catalog resolution as a SELECT's regex FROM
+      val from = if (kwPeek.contains("from")) {
+        next()
+        peek match {
+          case Some(TRegex(r)) => next(); Some(s"re:$r")
+          case _               => Some(ident())
+        }
+      } else None
       val st: Statement =
         if (what == "tag_values" || what == "tag_values_cardinality") {
           eatKw("with"); eatKw("key")

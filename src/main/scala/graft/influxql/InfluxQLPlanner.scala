@@ -111,8 +111,8 @@ object InfluxQLPlanner {
       case s: Select            => plan(spark, dir, s, nowNs, catalog)
       case sh: Show             => planShow(spark, dir, sh, catalog)
       case tv: ShowTagValues =>
-        tv.from.foreach(catalog.requireMeasurement)
-        val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
+        val ms = tv.from.map(catalog.matchMeasurements)
+          .getOrElse(catalog.measurements)
         val df =
           if (tv.cardinality)
             // CARDINALITY: per-measurement count of distinct matching
@@ -167,15 +167,17 @@ object InfluxQLPlanner {
       catalog: Catalog): DataFrame = {
     import spark.implicits._
     val Show(what, from, limit, offset) = sh
-    from.foreach(catalog.requireMeasurement)
+    // plain names validate, /re/ expands against the catalog (errors when
+    // nothing matches, like a SELECT's regex FROM)
+    val fromMs = from.map(catalog.matchMeasurements)
     val base: DataFrame = what match {
       case "measurements" => catalog.measurements.toDF("name")
       case "databases"    => Seq("plc").toDF("name")
       case "tag_keys"     =>
-        (for { m <- from.map(Seq(_)).getOrElse(catalog.measurements); t <- catalog.tags }
+        (for { m <- fromMs.getOrElse(catalog.measurements); t <- catalog.tags }
           yield (m, t)).toDF("measurement", "tag_key")
       case "field_keys"   =>
-        from.map(Seq(_)).getOrElse(catalog.measurements)
+        fromMs.getOrElse(catalog.measurements)
           .map(m => (m, catalog.field, "float"))
           .toDF("measurement", "field_key", "field_type")
       case "retention_policies" =>
@@ -187,7 +189,7 @@ object InfluxQLPlanner {
         // sorted by key — distinct over the tag set, one small shuffle.
         // An empty catalog (a served store before its first write) is an
         // empty listing, not a crash.
-        from.map(Seq(_)).getOrElse(catalog.measurements)
+        fromMs.getOrElse(catalog.measurements)
           .map { m =>
             val parts = lit(m) +: catalog.tags.sorted.flatMap(t =>
               Seq(lit(s",$t="), col(t).cast("string")))
@@ -200,7 +202,7 @@ object InfluxQLPlanner {
         // count: a partial+final count_distinct over the tag tuple, one tiny
         // shuffle per measurement (swap in approx_count_distinct past ~1e9
         // series; the engine computes exact like SHOW SERIES EXACT …)
-        from.map(Seq(_)).getOrElse(catalog.measurements)
+        fromMs.getOrElse(catalog.measurements)
           .map { m =>
             catalog.load(spark, dir, m)
               .agg(count_distinct(struct(catalog.tags.sorted.map(col): _*)).as("count"))
@@ -213,11 +215,11 @@ object InfluxQLPlanner {
       case "measurement_cardinality" =>
         Seq(catalog.measurements.size.toLong).toDF("count")
       case "tag_key_cardinality" =>
-        from.map(Seq(_)).getOrElse(catalog.measurements)
+        fromMs.getOrElse(catalog.measurements)
           .map(m => (m, catalog.tags.size.toLong))
           .toDF("measurement", "count")
       case "field_key_cardinality" =>
-        from.map(Seq(_)).getOrElse(catalog.measurements)
+        fromMs.getOrElse(catalog.measurements)
           .map(m => (m, 1L)).toDF("measurement", "count")
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }

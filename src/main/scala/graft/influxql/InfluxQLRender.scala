@@ -58,7 +58,10 @@ object InfluxQLRender {
   }
 
   private def fromClause(from: Option[String]): String =
-    from.fold("")(m => s" FROM $m")
+    from.fold("") {
+      case m if m.startsWith("re:") => s" FROM /${m.drop(3)}/"
+      case m                        => s" FROM $m"
+    }
 
   private def renderSelect(s: Select): String = {
     val sb = new StringBuilder("SELECT ")

@@ -140,8 +140,8 @@ object InfluxQLResult {
         // statement's maxRows budget shared across them like regex-FROM;
         // LIMIT/OFFSET page PER SERIES (InfluxDB 1.x semantics). Empty
         // measurements are omitted, as InfluxDB does.
-        tv.from.foreach(catalog.requireMeasurement)
-        val ms = tv.from.map(Seq(_)).getOrElse(catalog.measurements)
+        val ms = tv.from.map(catalog.matchMeasurements)
+          .getOrElse(catalog.measurements)
         if (tv.cardinality) {
           // one count series per measurement; a measurement with no
           // matching pairs is omitted like its empty listing would be

@@ -163,7 +163,7 @@ object InfluxQLGen {
     * optional WHERE (the chained-template-variable form), LIMIT/OFFSET.
     */
   val genShowTagValues: Gen[Statement] = for {
-    from <- Gen.option(Gen.const("events"))
+    from <- Gen.option(Gen.oneOf("events", "re:^ev", "re:ents$"))
     sel <- Gen.frequency[TagKeySel](
       3 -> Gen.oneOf("event_type", "user_id").map(KeyEq.apply),
       2 -> Gen.someOf(Seq("event_type", "user_id")).suchThat(_.nonEmpty)
@@ -186,7 +186,7 @@ object InfluxQLGen {
         "databases", "series", "series_cardinality",
         "measurement_cardinality", "tag_key_cardinality", "field_key_cardinality")
       from <- if (Set("databases", "measurement_cardinality").contains(what)) Gen.const(None)
-              else Gen.option(Gen.const("events"))
+              else Gen.option(Gen.oneOf("events", "re:^ev"))
       limit <- Gen.option(Gen.choose(1, 20))
       offset <- Gen.option(Gen.choose(1, 5))
     } yield Show(what, from, limit, offset)),

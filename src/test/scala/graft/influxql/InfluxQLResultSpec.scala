@@ -207,6 +207,14 @@ class InfluxQLResultSpec extends SparkTestBase {
       "SHOW TAG VALUES WITH KEY = alias", catalog = cat, maxRows = 1))
     assert(capped.at("/results/0/partial").asBoolean(), capped.toString.take(300))
 
+    // FROM /re/ restricts the listing to matching measurements (the
+    // Grafana templated-dashboard shape for chained variables)
+    val reJson = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
+      "SHOW TAG VALUES FROM /_b$/ WITH KEY = alias", catalog = cat))
+    val rs = reJson.at("/results/0/series")
+    assert(rs.size() == 1 && rs.get(0).at("/name").asText() == "plc_b",
+      reJson.toString.take(400))
+
     // CARDINALITY: one count series per measurement, column "count"
     val card = mapper.readTree(InfluxQLResult.render(spark, root0.toString,
       "SHOW TAG VALUES CARDINALITY WITH KEY = alias", catalog = cat))

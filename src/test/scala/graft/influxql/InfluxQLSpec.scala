@@ -745,6 +745,18 @@ class InfluxQLSpec extends SparkTestBase {
     intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
       "SHOW TAG VALUES WITH KEY IN (event_type, nope)"))
 
+    // FROM /re/ resolves against the catalog on SHOW statements too
+    assert(InfluxQLParser.parse("SHOW TAG VALUES FROM /^ev/ WITH KEY = event_type") ==
+      ShowTagValues(Some("re:^ev"), KeyEq("event_type")))
+    assert(InfluxQLRender.render(InfluxQLParser.parse(
+      "SHOW TAG VALUES FROM /^ev/ WITH KEY = event_type")) ==
+      "SHOW TAG VALUES FROM /^ev/ WITH KEY = event_type")
+    assert(InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES FROM /^ev/ WITH KEY = event_type").count() > 0)
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW TAG KEYS FROM /^ev/").count() == 2)
+    intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      "SHOW TAG VALUES FROM /^nope/ WITH KEY = event_type"))
+
     // WHERE narrows by ANOTHER tag (the Grafana chained-variable shape)
     // and by time; unknown WHERE tags are a parse-time error
     val all = InfluxQLPlanner.sql(spark, dir,
