@@ -675,7 +675,7 @@ object InfluxQLPlanner {
   // ---- predicates ---------------------------------------------------------
 
   private def condCol(c: Cond): Column = c match {
-    case TimeCond(op, ns) => cmp(col("ts_ns"), op, lit(ns))
+    case TimeCond(op, ns) => cmp(col("ts_ns"), op, lit(ns)) && coarseTs(op, ns)
     case NowCond(_, _) => throw InfluxQLParseException(
       "internal: now() bound must be resolved before planning")
     case TagCond(key, "=~", re: String) => col(key).rlike(re)
@@ -684,6 +684,27 @@ object InfluxQLPlanner {
     case BoolCond("or", l, r)  => condCol(l) || condCol(r)
     case BoolCond("and", l, r) => condCol(l) && condCol(r)
     case BoolCond(op, _, _) => throw InfluxQLParseException(s"unknown bool op: $op")
+  }
+
+  /** A CONSERVATIVE (superset) twin of a `ts_ns` comparison, phrased on the
+    * TIMESTAMP column `ts` — the native, parquet-pushdown-able column in
+    * the current testdata vintage (see Tables.events).  `exact && coarse`
+    * equals `exact`, so semantics are unchanged (including inside OR
+    * trees), but the coarse conjunct reaches the scan's row-group stats
+    * where the derived-`ts_ns` one cannot.  Floor/ceil to micros keeps it
+    * a superset even for the legacy vintage whose `ts` is truncated from
+    * true nanos.
+    */
+  private def coarseTs(op: String, ns: Long): Column = {
+    def floorUs = Math.floorDiv(ns, 1000L)
+    def ceilUs  = -Math.floorDiv(-ns, 1000L)
+    op match {
+      case ">" | ">=" => col("ts") >= timestamp_micros(lit(floorUs))
+      case "<" | "<=" => col("ts") <= timestamp_micros(lit(ceilUs))
+      case "="        => col("ts") >= timestamp_micros(lit(floorUs)) &&
+                         col("ts") <= timestamp_micros(lit(ceilUs))
+      case _          => lit(true)
+    }
   }
 
   private def cmp(c: Column, op: String, v: Column): Column = op match {

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
+import graft.tables.Tables
 import Q._
 
 /** Scans, projections, filters, set ops, sorts — SURVEY.md §2.1/2.2/2.6/2.7.
@@ -135,10 +136,9 @@ object QCore {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      // Filter on the RAW nanos column so the predicate pushes down to the
-      // parquet row-group stats (see Tables.events). 2024-01-10/20 UTC.
-      events(s, dir)
-        .filter($("ts_ns") >= 1704844800000000000L && $("ts_ns") < 1705708800000000000L)
+      // eventsTimeBound puts the predicate on whichever of ts/ts_ns is the
+      // native parquet column, so it reaches row-group stats. 2024-01-10/20.
+      Tables.eventsTimeBound(events(s, dir), 1704844800000000000L, 1705708800000000000L)
         .select($("event_id"), tsS($("ts")).as("ts_s"), $("value"))
         .orderBy("event_id")
     },

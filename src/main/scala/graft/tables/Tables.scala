@@ -2,17 +2,16 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (see /root/repo/TESTDATA.md).
   *
   * All loaders are plain parquet scans so Catalyst predicate pushdown /
-  * column pruning apply unimpeded; the only special case is `events`:
-  * its `ts` column is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
-  * which Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  We read
-  * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild
-  * a microsecond TimestampType column.  Integer division only — epoch
-  * nanos (~1.7e18) exceed a Double's 2^53 exact-integer range, so any
-  * float math here would corrupt timestamps.
+  * column pruning apply unimpeded; the only special case is `events`,
+  * whose `ts` column the driver has shipped in two vintages (see
+  * [[events]]).  When rebuilding timestamps from raw nanos, integer
+  * division only — epoch nanos (~1.7e18) exceed a Double's 2^53
+  * exact-integer range, so any float math there would corrupt them.
   */
 object Tables {
 
@@ -32,17 +31,53 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` restored to a proper (microsecond) TimestampType.
+  /** `events` with both a TimestampType `ts` and its raw epoch-nanos twin
+    * `ts_ns` (LONG), whichever vintage the parquet file carries:
     *
-    * The raw nanosecond column survives as `ts_ns`: predicates on the
-    * DERIVED `ts` cannot reach the parquet scan, so time-range queries
-    * filter on `ts_ns` instead — that pushes down to row-group min/max
-    * stats, which is what makes a time-bounded scan cheap at 100 TB.
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it, so we read nanos as a
+    *    raw long (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a
+    *    microsecond `ts`.  Here `ts_ns` is the NATIVE column — filter on it
+    *    for parquet row-group pruning.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TimestampType,
+    *    not NTZ (`inferTimestampNTZ=false`) — the session timezone is
+    *    pinned UTC everywhere, so the epoch is identical, and a NATIVE
+    *    `ts` keeps time predicates pushing down to row-group stats.  Here
+    *    `ts_ns` is derived, so prefer filtering on `ts` (see
+    *    [[graft.tables.Tables.eventsTimeBound]] for the one helper that
+    *    pushes a nanos interval onto whichever column is native).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType => // belt-and-braces: identical epoch under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case _ =>
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
+  }
+
+  /** Filter `df` (an [[events]] frame, or anything carrying `ts` + `ts_ns`)
+    * to the half-open nanos interval [lo, hi).  Emits the predicate on the
+    * TIMESTAMP column — the native, pushdown-able one in the current
+    * testdata vintage — whenever the bounds are micro-representable, which
+    * `ts_ns` values always are (every stored nanos is micros*1000), plus
+    * the exact `ts_ns` bound for sub-microsecond `lo`/`hi` literals.
+    */
+  def eventsTimeBound(df: DataFrame, lo: Long, hi: Long): DataFrame = {
+    val loC =
+      if (lo == Long.MinValue) lit(true)
+      else if (lo % 1000 == 0) col("ts") >= timestamp_micros(lit(lo / 1000))
+      else col("ts_ns") >= lo
+    val hiC =
+      if (hi == Long.MaxValue) lit(true)
+      else if (hi % 1000 == 0) col("ts") < timestamp_micros(lit(hi / 1000))
+      else col("ts_ns") < hi
+    df.filter(loC && hiC)
   }
 }

@@ -1091,13 +1091,13 @@ class InfluxQLSpec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getLong(0) > 0)
   }
 
-  test("time predicates reach the parquet scan as ts_ns pushed filters") {
+  test("time predicates reach the parquet scan as native ts pushed filters") {
     val plan = InfluxQLPlanner.sql(spark, dir,
       """SELECT value FROM events
         |WHERE time >= '2024-01-10' AND time < '2024-01-11'""".stripMargin)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
-      plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"),
+      plan.contains("GreaterThanOrEqual(ts,2024-01-10 00:00:00"),
       s"time bound must push down to the scan:\n$plan")
   }
 }

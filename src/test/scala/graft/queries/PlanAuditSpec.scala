@@ -40,9 +40,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("CollectLimit"), plan.take(500))
   }
 
-  test("q_time_range pushes the time predicate into the parquet scan (via raw ts_ns)") {
+  test("q_time_range pushes the time predicate into the parquet scan (native ts)") {
     val plan = planOf("q_time_range")
-    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts,17048448"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,2024-01-10 00:00:00"),
+      s"time bound must reach the scan's row-group stats:\n$plan")
   }
 
   test("q_filter_active pushes the status predicate into the parquet scan") {
@@ -95,10 +97,10 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected partial window-group-limit before the shuffle:\n$plan")
   }
 
-  test("InfluxQL front-end inherits the scan pushdown (textual WHERE time → ts_ns row-group stats)") {
+  test("InfluxQL front-end inherits the scan pushdown (textual WHERE time → ts row-group stats)") {
     val plan = planOf("q_influxql_basic")
     assert(plan.contains("PushedFilters") &&
-      plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
+      plan.contains("GreaterThanOrEqual(ts,2024-01-01 00:00:00"),
       s"parsed time bounds must reach the parquet scan:\n$plan")
     assert(plan.contains("HashAggregate"), s"bucket agg must be a hash aggregate:\n$plan")
   }
