@@ -195,6 +195,12 @@ object InfluxQLHttp {
   private def isMutating(st: InfluxQLAst.Statement): Boolean = st match {
     case _: InfluxQLAst.Delete | _: InfluxQLAst.DropSeries |
          _: InfluxQLAst.DropMeasurement => true
+    // admin lifecycle: metadata mutations (CREATE DATABASE is what the
+    // reference's client issues at connect, Linux/InfluxConnector2.py:107)
+    case _: InfluxQLAst.CreateDatabase | _: InfluxQLAst.DropDatabase |
+         _: InfluxQLAst.CreateCq | _: InfluxQLAst.DropCq |
+         _: InfluxQLAst.CreateRetention | _: InfluxQLAst.AlterRetention |
+         _: InfluxQLAst.DropRetention => true
     case _ => false
   }
 
@@ -219,6 +225,7 @@ object InfluxQLHttp {
       // the same selector + WHERE validation the planner runs
       InfluxQLPlanner.tagValueKeys(catalog, tv): Unit
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
+    case InfluxQLAst.ShowCqs     => () // meta-only, nothing to plan
     // anything else would fail renderStatement as "not a renderable
     // result" AFTER earlier mutations ran — reject it up front instead
     case other =>
@@ -301,6 +308,13 @@ object InfluxQLHttp {
                   case d: InfluxQLAst.Delete          => InfluxQLPlanner.validateDelete(d)
                   case s: InfluxQLAst.DropSeries      => InfluxQLPlanner.validateDropSeries(s)
                   case _: InfluxQLAst.DropMeasurement => ()
+                  // admin metadata statements are shape-valid post-parse;
+                  // existence errors (duplicate CQ, missing RP) surface
+                  // per-statement like InfluxDB's
+                  case _: InfluxQLAst.CreateDatabase | _: InfluxQLAst.DropDatabase |
+                       _: InfluxQLAst.CreateCq | _: InfluxQLAst.DropCq |
+                       _: InfluxQLAst.CreateRetention | _: InfluxQLAst.AlterRetention |
+                       _: InfluxQLAst.DropRetention => ()
                   case st => dryPlan(spark, dir, st, nowNs, catalog0())
                 }
                 // Once execution starts, NOTHING may abort the batch — any
@@ -318,6 +332,20 @@ object InfluxQLHttp {
                           InfluxQLPlanner.dropSeries(spark, s, store)
                         case m: InfluxQLAst.DropMeasurement =>
                           InfluxQLPlanner.dropMeasurement(m, store)
+                        case c: InfluxQLAst.CreateDatabase =>
+                          StoreMeta.createDatabase(store, c)
+                        case d: InfluxQLAst.DropDatabase =>
+                          StoreMeta.dropDatabase(store, d.name)
+                        case c: InfluxQLAst.CreateCq =>
+                          StoreMeta.createCq(store, c)
+                        case d: InfluxQLAst.DropCq =>
+                          StoreMeta.dropCq(store, d.name, d.db)
+                        case r: InfluxQLAst.CreateRetention =>
+                          StoreMeta.createRp(store, r)
+                        case a: InfluxQLAst.AlterRetention =>
+                          StoreMeta.alterRp(store, a)
+                        case d: InfluxQLAst.DropRetention =>
+                          StoreMeta.dropRp(store, d.name, d.db)
                       }
                       s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
                     } catch {

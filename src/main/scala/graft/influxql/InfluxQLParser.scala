@@ -45,7 +45,8 @@ object InfluxQLAst {
     * SHOW statements that return row lists).
     */
   final case class Show(what: String, from: Option[String],
-      limit: Option[Int] = None, offset: Option[Int] = None) extends Statement
+      limit: Option[Int] = None, offset: Option[Int] = None,
+      on: Option[String] = None) extends Statement
 
   /** SHOW TAG VALUES [FROM m] WITH KEY <sel> [WHERE …] [LIMIT n] [OFFSET m]
     * — the statement behind Grafana template-variable dropdowns. `sel`
@@ -117,6 +118,41 @@ object InfluxQLAst {
     */
   final case class CreateRetention(name: String, db: String, durationSec: Long,
       replication: Int, isDefault: Boolean) extends Statement
+
+  /** CREATE DATABASE name [WITH [DURATION d] [REPLICATION n]
+    * [SHARD DURATION d] [NAME rp]] — what the reference's own client
+    * issues at connect (`create_database(plc_ip)`,
+    * Linux/InfluxConnector2.py:107-109 → POST /query). Idempotent, like
+    * InfluxDB's. A WITH clause folds into an initial retention policy
+    * (`withRp`, named `autogen` unless NAME is given); SHARD DURATION is
+    * accepted and dropped — shard sizing is InfluxDB storage internals,
+    * the engine's equivalent is the store's date partitioning.
+    */
+  final case class CreateDatabase(name: String,
+      withRp: Option[CreateRetention] = None) extends Statement
+
+  /** DROP DATABASE name — removes the database marker, its retention
+    * policies and continuous queries, and (db-per-PLC layout, SURVEY §2.1
+    * S4: database ↔ `measurement=` partition) the matching measurement
+    * partition's data.
+    */
+  final case class DropDatabase(name: String) extends Statement
+
+  /** SHOW CONTINUOUS QUERIES / DROP CONTINUOUS QUERY name ON db — the CQ
+    * lifecycle around [[CreateCq]] (InfluxDB 1.x admin flow: create →
+    * list → drop).
+    */
+  case object ShowCqs extends Statement
+  final case class DropCq(name: String, db: String) extends Statement
+
+  /** ALTER RETENTION POLICY name ON db [DURATION d] [REPLICATION n]
+    * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
+    * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
+    */
+  final case class AlterRetention(name: String, db: String,
+      durationSec: Option[Long], replication: Option[Int],
+      isDefault: Boolean) extends Statement
+  final case class DropRetention(name: String, db: String) extends Statement
 
   /** `where` is the top-level AND list (InfluxQL's implicit conjunction);
     * OR groups live inside a [[BoolCond]] element. `groupTags == Seq("*")`
@@ -330,6 +366,7 @@ object InfluxQLParser {
     val p = new P(toks)
     if (p.atShow) p.show()
     else if (p.atCreate) p.create()
+    else if (p.atAlter) p.alter()
     else if (p.atDrop) p.drop()
     else if (p.atDelete) p.delete()
     else if (p.atKill) p.kill()
@@ -432,6 +469,28 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after DROP SERIES: ${peek.get}")
           DropSeries(from, where)
+        case Some("database") =>
+          next()
+          val name = ident()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP DATABASE: ${peek.get}")
+          DropDatabase(name)
+        case Some("continuous") =>
+          next(); eatKw("query")
+          val name = ident()
+          eatKw("on")
+          val db = ident()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP CONTINUOUS QUERY: ${peek.get}")
+          DropCq(name, db)
+        case Some("retention") =>
+          next(); eatKw("policy")
+          val name = ident()
+          eatKw("on")
+          val db = ident()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP RETENTION POLICY: ${peek.get}")
+          DropRetention(name, db)
         case other => throw InfluxQLParseException(s"unsupported DROP: $other")
       }
     }
@@ -466,8 +525,71 @@ object InfluxQLParser {
       kwPeek match {
         case Some("continuous") => createCq()
         case Some("retention")  => createRetention()
+        case Some("database")   => createDatabase()
         case other => throw InfluxQLParseException(s"unsupported CREATE: $other")
       }
+    }
+
+    private def durSecLit(): Long = next() match {
+      case TDur(sec) => sec
+      case t => throw InfluxQLParseException(s"expected duration, got $t")
+    }
+
+    private def createDatabase(): CreateDatabase = {
+      eatKw("database")
+      val name = ident()
+      var withRp: Option[CreateRetention] = None
+      if (kwPeek.contains("with")) {
+        next()
+        var dur: Option[Long] = None
+        var repl: Option[Int] = None
+        var rpName: Option[String] = None
+        var sawShard = false
+        var more = true
+        while (more) kwPeek match {
+          case Some("duration")    => next(); dur = Some(durSecLit())
+          case Some("replication") => next(); repl = Some(intLit())
+          case Some("shard") => // accepted, dropped (storage-internals knob)
+            next(); eatKw("duration"); durSecLit(): Unit; sawShard = true
+          case Some("name")        => next(); rpName = Some(ident())
+          case _                   => more = false
+        }
+        if (dur.isEmpty && repl.isEmpty && rpName.isEmpty && !sawShard)
+          throw InfluxQLParseException(
+            "CREATE DATABASE WITH requires DURATION, REPLICATION, SHARD DURATION and/or NAME")
+        withRp = Some(CreateRetention(rpName.getOrElse("autogen"), name,
+          dur.getOrElse(0L), repl.getOrElse(1), isDefault = true))
+      }
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after CREATE DATABASE: ${peek.get}")
+      CreateDatabase(name, withRp)
+    }
+
+    def atAlter: Boolean = kwPeek.contains("alter")
+
+    def alter(): Statement = {
+      eatKw("alter"); eatKw("retention"); eatKw("policy")
+      val name = ident()
+      eatKw("on")
+      val db = ident()
+      var dur: Option[Long] = None
+      var repl: Option[Int] = None
+      var isDefault = false
+      var sawAny = false
+      var more = true
+      while (more) kwPeek match {
+        case Some("duration")    => next(); dur = Some(durSecLit()); sawAny = true
+        case Some("replication") => next(); repl = Some(intLit()); sawAny = true
+        case Some("shard")       => next(); eatKw("duration"); durSecLit(): Unit; sawAny = true
+        case Some("default")     => next(); isDefault = true; sawAny = true
+        case _                   => more = false
+      }
+      if (!sawAny)
+        throw InfluxQLParseException(
+          "ALTER RETENTION POLICY requires at least one of DURATION/REPLICATION/SHARD DURATION/DEFAULT")
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after ALTER RETENTION POLICY: ${peek.get}")
+      AlterRetention(name, db, dur, repl, isDefault)
     }
 
     private def createRetention(): CreateRetention = {
@@ -532,11 +654,18 @@ object InfluxQLParser {
         if (kwPeek.contains("exact")) { next(); eatKw("cardinality"); true }
         else if (kwPeek.contains("cardinality")) { next(); true }
         else false
+      var on: Option[String] = None
       val what = ident().toLowerCase match {
         case "queries" =>
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW QUERIES: ${peek.get}")
           return ShowQueries
+        case "continuous" =>
+          eatKw("queries")
+          if (peek.isDefined)
+            throw InfluxQLParseException(
+              s"unexpected token after SHOW CONTINUOUS QUERIES: ${peek.get}")
+          return ShowCqs
         case "measurements" => "measurements"
         case "measurement" =>
           if (!cardinality())
@@ -547,8 +676,8 @@ object InfluxQLParser {
           if (cardinality()) "series_cardinality" else "series"
         case "retention" =>
           eatKw("policies")
-          // optional ON <db> — accepted and dropped (single-store engine)
-          if (kwPeek.contains("on")) { next(); ident(): Unit }
+          // optional ON <db> — scopes the listing to that db's policies
+          if (kwPeek.contains("on")) { next(); on = Some(ident()) }
           "retention_policies"
         case "tag" => ident().toLowerCase match {
           case "keys"   => if (cardinality()) "tag_key_cardinality" else "tag_keys"
@@ -621,7 +750,7 @@ object InfluxQLParser {
             case Some("offset") => next(); offset = Some(intLit())
             case _              => more = false
           }
-          Show(what, from, limit, offset)
+          Show(what, from, limit, offset, on)
         }
       if (peek.isDefined)
         throw InfluxQLParseException(s"unexpected token after SHOW: ${peek.get}")

@@ -138,6 +138,16 @@ object InfluxQLPlanner {
           }
         val paged = tv.offset.fold(df)(df.offset)
         tv.limit.fold(paged)(paged.limit)
+      case ShowCqs =>
+        // flat (db, name, query) frame for programmatic callers; the HTTP
+        // renderer re-groups one series per database (InfluxDB's shape)
+        import spark.implicits._
+        StoreMeta.listCqs(dir).map(c => (c.db, c.name, c.text))
+          .toDF("db", "name", "query").orderBy("db", "name")
+      case st @ (_: CreateDatabase | _: DropDatabase | _: DropCq |
+                 _: CreateRetention | _: AlterRetention | _: DropRetention) =>
+        throw InfluxQLParseException(
+          s"${st.getClass.getSimpleName} mutates store metadata — use graft.influxql.StoreMeta")
       case _: DropMeasurement   => throw InfluxQLParseException(
         "DROP MEASUREMENT mutates the store — use InfluxQLPlanner.dropMeasurement(query, storeDir)")
       case _: Delete            => throw InfluxQLParseException(
@@ -166,13 +176,17 @@ object InfluxQLPlanner {
   private def planShow(spark: SparkSession, dir: String, sh: Show,
       catalog: Catalog): DataFrame = {
     import spark.implicits._
-    val Show(what, from, limit, offset) = sh
+    val Show(what, from, limit, offset, on) = sh
     // plain names validate, /re/ expands against the catalog (errors when
     // nothing matches, like a SELECT's regex FROM)
     val fromMs = from.map(catalog.matchMeasurements)
     val base: DataFrame = what match {
       case "measurements" => catalog.measurements.toDF("name")
-      case "databases"    => Seq("plc").toDF("name")
+      case "databases"    =>
+        // the engine's implicit namespace plus every CREATE DATABASE'd one
+        // (StoreMeta markers) — a dir-backed catalog has no _meta and
+        // lists just the implicit db, the pre-lifecycle behavior
+        ("plc" +: StoreMeta.listDatabases(dir)).distinct.toDF("name")
       case "tag_keys"     =>
         (for { m <- fromMs.getOrElse(catalog.measurements); t <- catalog.tags }
           yield (m, t)).toDF("measurement", "tag_key")
@@ -181,9 +195,17 @@ object InfluxQLPlanner {
           .map(m => (m, catalog.field, "float"))
           .toDF("measurement", "field_key", "field_type")
       case "retention_policies" =>
-        // fresh-InfluxDB default: the infinite autogen policy
+        // explicit policies from the store meta (ON db scopes; no ON lists
+        // every db's), TOPPED with the implicit infinite autogen default
+        // whenever no explicit policy has claimed DEFAULT — matching a
+        // fresh InfluxDB's one-autogen listing.
         // exact InfluxDB 1.x wire column names — clients key on replicaN
-        Seq(("autogen", "0s", 1, true)).toDF("name", "duration", "replicaN", "default")
+        val explicit = StoreMeta.listRps(dir, on)
+          .map(rp => (rp.name, s"${rp.durationSec}s", rp.replication, rp.isDefault))
+        val rows =
+          if (explicit.exists(_._4) && on.isDefined) explicit
+          else ("autogen", "0s", 1, !explicit.exists(_._4)) +: explicit
+        rows.toDF("name", "duration", "replicaN", "default")
       case "series" =>
         // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
         // sorted by key — distinct over the tag set, one small shuffle.

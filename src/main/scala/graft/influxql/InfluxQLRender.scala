@@ -21,7 +21,8 @@ object InfluxQLRender {
         case "measurement_cardinality" => "SHOW MEASUREMENT CARDINALITY"
         case "tag_key_cardinality"   => s"SHOW TAG KEY CARDINALITY${fromClause(sh.from)}"
         case "field_key_cardinality" => s"SHOW FIELD KEY CARDINALITY${fromClause(sh.from)}"
-        case "retention_policies" => "SHOW RETENTION POLICIES"
+        case "retention_policies" =>
+          "SHOW RETENTION POLICIES" + sh.on.fold("")(db => s" ON $db")
         case other => throw InfluxQLParseException(s"unrenderable SHOW: $other")
       }
       head + sh.limit.fold("")(n => s" LIMIT $n") + sh.offset.fold("")(n => s" OFFSET $n")
@@ -54,6 +55,18 @@ object InfluxQLRender {
     case CreateRetention(name, db, durSec, repl, isDefault) =>
       s"CREATE RETENTION POLICY $name ON $db DURATION ${durSec}s REPLICATION $repl" +
         (if (isDefault) " DEFAULT" else "")
+    case CreateDatabase(name, withRp) =>
+      s"CREATE DATABASE $name" + withRp.fold("")(rp =>
+        s" WITH DURATION ${rp.durationSec}s REPLICATION ${rp.replication} NAME ${rp.name}")
+    case DropDatabase(name) => s"DROP DATABASE $name"
+    case ShowCqs            => "SHOW CONTINUOUS QUERIES"
+    case DropCq(name, db)   => s"DROP CONTINUOUS QUERY $name ON $db"
+    case AlterRetention(name, db, dur, repl, isDefault) =>
+      s"ALTER RETENTION POLICY $name ON $db" +
+        dur.fold("")(d => s" DURATION ${d}s") +
+        repl.fold("")(r => s" REPLICATION $r") +
+        (if (isDefault) " DEFAULT" else "")
+    case DropRetention(name, db) => s"DROP RETENTION POLICY $name ON $db"
     case s: Select => renderSelect(s)
   }
 

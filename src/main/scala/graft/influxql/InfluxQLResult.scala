@@ -169,6 +169,17 @@ object InfluxQLResult {
         }
         (parts.filter(_.nonEmpty).mkString(","), partial)
         }
+      case ShowCqs =>
+        // meta-only — no Spark job. InfluxDB's shape: one series PER
+        // DATABASE (name = the db), empty dbs included, columns
+        // (name, query).
+        val dbs = ("plc" +: StoreMeta.listDatabases(dir)).distinct
+        val byDb = StoreMeta.listCqs(dir).groupBy(_.db)
+        val parts = dbs.map { db =>
+          val rows = byDb.getOrElse(db, Seq.empty).map(c => Row(c.name, c.text))
+          seriesObj(db, Map.empty, Seq("name", "query"), rows, epoch)
+        }
+        (parts.mkString(","), false)
       case ShowQueries =>
         // registry-only — no Spark job; duration uses the same clock
         // convention as InfluxQLQueries.track (pinned nowNs in tests)

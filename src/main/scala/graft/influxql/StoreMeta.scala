@@ -1,0 +1,191 @@
+package graft.influxql
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import InfluxQLAst._
+
+/** File-backed admin metadata for a point store — the database /
+  * retention-policy / continuous-query catalog behind InfluxDB 1.x's
+  * lifecycle statements (CREATE/DROP DATABASE, CREATE/ALTER/DROP
+  * RETENTION POLICY, CREATE/SHOW/DROP CONTINUOUS QUERY).
+  *
+  * Layout (all under `<storeDir>/_meta/` — a leading underscore keeps it
+  * invisible to Spark's partition discovery, like `_SUCCESS` markers):
+  *
+  * {{{
+  *   _meta/databases/<enc(name)>          (empty marker)
+  *   _meta/cq/<enc(db)>/<enc(name)>       (content: canonical CQ text)
+  *   _meta/rp/<enc(db)>/<enc(name)>       (content: "durSec replicaN default")
+  * }}}
+  *
+  * Scale note: this is CONTROL-PLANE state — dozens of entries, mutated
+  * by rare admin statements already serialized under the HTTP store
+  * lock — so plain driver-side files are the right tool; at cluster
+  * scale the same layout lands on the shared filesystem next to the
+  * data. The data plane (points) never touches it.
+  *
+  * The reference's client expects exactly this surface at startup:
+  * `create_database(plc_ip)` (Linux/InfluxConnector2.py:107-109) issues
+  * `CREATE DATABASE "<ip>"` via POST /query and must succeed — and be
+  * idempotent across daemon restarts — before the first /write.
+  */
+object StoreMeta {
+
+  final case class Rp(name: String, db: String, durationSec: Long,
+      replication: Int, isDefault: Boolean)
+  final case class Cq(name: String, db: String, text: String)
+
+  // filenames must survive arbitrary idents (PLC IPs with dots are fine,
+  // but a quoted ident can hold '/'); URL-encoding is bijective and keeps
+  // ASCII-sortable listings for the common case
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def metaDir(store: String, parts: String*): File =
+    new File((Seq(store, "_meta") ++ parts).mkString(File.separator))
+
+  private def list(d: File): Seq[String] =
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .map(f => dec(f.getName)).toSeq.sorted
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  // ---- databases ----------------------------------------------------------
+
+  /** Idempotent, like InfluxDB's CREATE DATABASE. A WITH clause creates
+    * the initial retention policy too (overwriting a same-named one —
+    * re-running the statement is a no-op, not an error).
+    */
+  def createDatabase(store: String, st: CreateDatabase): Unit = {
+    val marker = metaDir(store, "databases", enc(st.name))
+    marker.getParentFile.mkdirs()
+    marker.createNewFile(): Unit
+    st.withRp.foreach(rp => writeRp(store,
+      Rp(rp.name, rp.db, rp.durationSec, rp.replication, rp.isDefault)))
+  }
+
+  /** Removes the marker, the db's RPs and CQs, and — db-per-PLC layout
+    * (SURVEY §2.1 S4: database ↔ measurement partition) — the matching
+    * `measurement=<name>` data directory. Idempotent like InfluxDB's.
+    */
+  def dropDatabase(store: String, name: String): Unit = {
+    rmTree(metaDir(store, "databases", enc(name)))
+    rmTree(metaDir(store, "rp", enc(name)))
+    rmTree(metaDir(store, "cq", enc(name)))
+    val dataDir = new File(store, s"measurement=$name")
+    if (dataDir.isDirectory) rmTree(dataDir)
+  }
+
+  def listDatabases(store: String): Seq[String] =
+    list(metaDir(store, "databases"))
+
+  // ---- retention policies -------------------------------------------------
+
+  private def rpFile(store: String, db: String, name: String): File =
+    metaDir(store, "rp", enc(db), enc(name))
+
+  private def writeRp(store: String, rp: Rp): Unit = {
+    val f = rpFile(store, rp.db, rp.name)
+    f.getParentFile.mkdirs()
+    Files.writeString(Paths.get(f.getPath),
+      s"${rp.durationSec} ${rp.replication} ${rp.isDefault}"): Unit
+    // one default per db (InfluxDB's invariant): setting DEFAULT clears it
+    // on the db's other policies
+    if (rp.isDefault)
+      listRps(store, Some(rp.db)).filter(o => o.isDefault && o.name != rp.name)
+        .foreach(o => writeRp(store, o.copy(isDefault = false)))
+  }
+
+  private def readRp(store: String, db: String, name: String): Option[Rp] = {
+    val f = rpFile(store, db, name)
+    if (!f.isFile) None
+    else Files.readString(Paths.get(f.getPath)).split(' ') match {
+      case Array(d, r, dflt) => Some(Rp(name, db, d.toLong, r.toInt, dflt.toBoolean))
+      case _ => None
+    }
+  }
+
+  def createRp(store: String, st: CreateRetention): Unit = {
+    if (readRp(store, st.db, st.name).isDefined)
+      throw InfluxQLParseException("retention policy already exists")
+    writeRp(store, Rp(st.name, st.db, st.durationSec, st.replication, st.isDefault))
+  }
+
+  /** Updates only the clauses present. ALTERing the implicit `autogen`
+    * (present on every db without an explicit policy) materializes it
+    * first — InfluxDB lets you retarget the default policy's duration.
+    */
+  def alterRp(store: String, st: AlterRetention): Unit = {
+    val cur = readRp(store, st.db, st.name).getOrElse {
+      if (st.name == "autogen") Rp("autogen", st.db, 0L, 1, isDefault = true)
+      else throw InfluxQLParseException("retention policy not found")
+    }
+    writeRp(store, cur.copy(
+      durationSec = st.durationSec.getOrElse(cur.durationSec),
+      replication = st.replication.getOrElse(cur.replication),
+      isDefault = st.isDefault || cur.isDefault))
+  }
+
+  def dropRp(store: String, name: String, db: String): Unit = {
+    val f = rpFile(store, db, name)
+    if (!f.isFile) {
+      if (name == "autogen")
+        throw InfluxQLParseException(
+          "retention policy autogen is the implicit default — ALTER it instead of dropping")
+      throw InfluxQLParseException("retention policy not found")
+    }
+    f.delete(): Unit
+  }
+
+  /** All explicit policies, every db or one db's. The implicit autogen
+    * default is NOT materialized here — listings prepend it when the db
+    * has no explicit default (see InfluxQLPlanner's SHOW RETENTION
+    * POLICIES).
+    */
+  def listRps(store: String, db: Option[String] = None): Seq[Rp] = {
+    val dbs = db.map(Seq(_)).getOrElse(list(metaDir(store, "rp")))
+    dbs.flatMap(d => list(metaDir(store, "rp", enc(d))).flatMap(readRp(store, d, _)))
+  }
+
+  // ---- continuous queries -------------------------------------------------
+
+  private def cqFile(store: String, db: String, name: String): File =
+    metaDir(store, "cq", enc(db), enc(name))
+
+  /** Registers the CQ (canonical rendered text, so SHOW round-trips and a
+    * scheduler can re-parse). InfluxDB 1.x errors on a duplicate name.
+    */
+  def createCq(store: String, st: CreateCq): Unit = {
+    val f = cqFile(store, st.db, st.name)
+    if (f.isFile) throw InfluxQLParseException("continuous query already exists")
+    f.getParentFile.mkdirs()
+    Files.writeString(Paths.get(f.getPath), InfluxQLRender.render(st)): Unit
+  }
+
+  def dropCq(store: String, name: String, db: String): Unit = {
+    val f = cqFile(store, db, name)
+    if (!f.isFile) throw InfluxQLParseException("continuous query not found")
+    f.delete(): Unit
+  }
+
+  def listCqs(store: String, db: Option[String] = None): Seq[Cq] = {
+    val dbs = db.map(Seq(_)).getOrElse(list(metaDir(store, "cq")))
+    dbs.flatMap(d => list(metaDir(store, "cq", enc(d))).map { n =>
+      Cq(n, d, Files.readString(Paths.get(cqFile(store, d, n).getPath)))
+    })
+  }
+
+  /** Registered CQs re-parsed to their ASTs — what a CQ scheduler hands
+    * to [[InfluxQLPlanner.continuous]] to run each standing rollup as a
+    * watermarked streaming aggregate.
+    */
+  def scheduledCqs(store: String, db: Option[String] = None): Seq[CreateCq] =
+    listCqs(store, db).map(c => InfluxQLParser.parse(c.text).asInstanceOf[CreateCq])
+}

@@ -1,0 +1,233 @@
+package graft.influxql
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkTestBase
+import InfluxQLAst._
+
+/** Database / retention-policy / continuous-query lifecycle — the admin
+  * statements around the data plane (InfluxDB 1.x flows: create → show
+  * lists it → drop → show empty), including the reference client's exact
+  * startup sequence (create_database → write → select,
+  * Linux/InfluxConnector2.py:107-176).
+  */
+class InfluxQLAdminSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  // ---- parsing ------------------------------------------------------------
+
+  test("CREATE/DROP DATABASE parse, including WITH retention clause") {
+    assert(InfluxQLParser.parse("CREATE DATABASE plc1") == CreateDatabase("plc1"))
+    assert(InfluxQLParser.parse("""CREATE DATABASE "192.168.0.10"""") ==
+      CreateDatabase("192.168.0.10"))
+    assert(InfluxQLParser.parse(
+      "CREATE DATABASE d WITH DURATION 3d REPLICATION 1 SHARD DURATION 1h NAME rp1") ==
+      CreateDatabase("d", Some(CreateRetention("rp1", "d", 3 * 86400L, 1, isDefault = true))))
+    // WITH but no NAME → the policy lands as the db's autogen default
+    assert(InfluxQLParser.parse("CREATE DATABASE d WITH DURATION 1w") ==
+      CreateDatabase("d", Some(CreateRetention("autogen", "d", 7 * 86400L, 1, isDefault = true))))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("CREATE DATABASE d WITH"))
+    assert(InfluxQLParser.parse("DROP DATABASE plc1") == DropDatabase("plc1"))
+  }
+
+  test("CQ/retention lifecycle statements parse") {
+    assert(InfluxQLParser.parse("SHOW CONTINUOUS QUERIES") == ShowCqs)
+    assert(InfluxQLParser.parse("DROP CONTINUOUS QUERY cq1 ON db1") == DropCq("cq1", "db1"))
+    assert(InfluxQLParser.parse(
+      "ALTER RETENTION POLICY rp1 ON db1 DURATION 2w REPLICATION 2 DEFAULT") ==
+      AlterRetention("rp1", "db1", Some(14 * 86400L), Some(2), isDefault = true))
+    assert(InfluxQLParser.parse("ALTER RETENTION POLICY rp1 ON db1 DEFAULT") ==
+      AlterRetention("rp1", "db1", None, None, isDefault = true))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parse("ALTER RETENTION POLICY rp1 ON db1"))
+    assert(InfluxQLParser.parse("DROP RETENTION POLICY rp1 ON db1") ==
+      DropRetention("rp1", "db1"))
+    assert(InfluxQLParser.parse("SHOW RETENTION POLICIES ON db1") ==
+      Show("retention_policies", None, on = Some("db1")))
+  }
+
+  test("admin statements render back to parseable text (round-trip)") {
+    Seq(
+      "CREATE DATABASE plc1",
+      "CREATE DATABASE d WITH DURATION 259200s REPLICATION 1 NAME rp1",
+      "DROP DATABASE plc1",
+      "SHOW CONTINUOUS QUERIES",
+      "DROP CONTINUOUS QUERY cq1 ON db1",
+      "ALTER RETENTION POLICY rp1 ON db1 DURATION 1209600s REPLICATION 2 DEFAULT",
+      "DROP RETENTION POLICY rp1 ON db1",
+      "SHOW RETENTION POLICIES ON db1",
+    ).foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st, q)
+    }
+  }
+
+  // ---- StoreMeta ----------------------------------------------------------
+
+  test("StoreMeta: database/RP/CQ round-trips with InfluxDB's error semantics") {
+    val store = java.nio.file.Files.createTempDirectory("graft-meta").toString
+
+    // databases: idempotent create, listed sorted, dropped with their meta
+    StoreMeta.createDatabase(store, CreateDatabase("plcB"))
+    StoreMeta.createDatabase(store, CreateDatabase("plcA"))
+    StoreMeta.createDatabase(store, CreateDatabase("plcA")) // no error
+    assert(StoreMeta.listDatabases(store) == Seq("plcA", "plcB"))
+
+    // retention: create → duplicate errors → alter updates only given
+    // clauses → default is exclusive per db → drop
+    StoreMeta.createRp(store, CreateRetention("keep2w", "plcA", 14 * 86400L, 1, isDefault = false))
+    intercept[InfluxQLParseException](
+      StoreMeta.createRp(store, CreateRetention("keep2w", "plcA", 86400L, 1, isDefault = false)))
+    StoreMeta.alterRp(store, AlterRetention("keep2w", "plcA", Some(28 * 86400L), None, isDefault = true))
+    val rp = StoreMeta.listRps(store, Some("plcA")).head
+    assert(rp.durationSec == 28 * 86400L && rp.replication == 1 && rp.isDefault)
+    StoreMeta.createRp(store, CreateRetention("keep1d", "plcA", 86400L, 2, isDefault = true))
+    val rps = StoreMeta.listRps(store, Some("plcA"))
+    assert(rps.filter(_.isDefault).map(_.name) == Seq("keep1d")) // exclusivity
+    intercept[InfluxQLParseException](
+      StoreMeta.alterRp(store, AlterRetention("nope", "plcA", Some(1L), None, isDefault = false)))
+    StoreMeta.dropRp(store, "keep1d", "plcA")
+    assert(StoreMeta.listRps(store, Some("plcA")).map(_.name) == Seq("keep2w"))
+    intercept[InfluxQLParseException](StoreMeta.dropRp(store, "keep1d", "plcA"))
+
+    // CQs: create → duplicate errors → listed with canonical text →
+    // re-parse to a plannable AST → drop → not found errors
+    val cq = InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY roll1m ON plcA BEGIN " +
+        "SELECT MEAN(value) AS m INTO plcA_1m FROM plcA GROUP BY time(1m) END")
+      .asInstanceOf[CreateCq]
+    StoreMeta.createCq(store, cq)
+    intercept[InfluxQLParseException](StoreMeta.createCq(store, cq))
+    assert(StoreMeta.listCqs(store).map(c => (c.db, c.name)) == Seq(("plcA", "roll1m")))
+    assert(StoreMeta.scheduledCqs(store) == Seq(cq))
+    StoreMeta.dropCq(store, "roll1m", "plcA")
+    assert(StoreMeta.listCqs(store).isEmpty)
+    intercept[InfluxQLParseException](StoreMeta.dropCq(store, "roll1m", "plcA"))
+
+    // dropping a database takes its RPs and CQs with it
+    StoreMeta.createCq(store, cq)
+    StoreMeta.dropDatabase(store, "plcA")
+    assert(StoreMeta.listDatabases(store) == Seq("plcB"))
+    assert(StoreMeta.listRps(store).isEmpty && StoreMeta.listCqs(store).isEmpty)
+  }
+
+  // ---- HTTP ---------------------------------------------------------------
+
+  private def postQuery(port: Int, q: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port/query").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("the reference client's startup sequence: CREATE DATABASE → /write → SELECT") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-db").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      // InfluxDBClient.create_database(plc_ip) → POST /query (idempotent:
+      // the daemon re-runs it on every restart)
+      val (c1, b1) = postQuery(h.port, """CREATE DATABASE "192.168.0.10"""")
+      assert(c1 == 200 && mapper.readTree(b1).at("/results/0/statement_id").asInt() == 0, b1)
+      assert(postQuery(h.port, """CREATE DATABASE "192.168.0.10"""")._1 == 200)
+
+      // the new db shows up (implicit plc namespace first)
+      val (_, dbs) = get(h.port, s"/query?q=${enc("SHOW DATABASES")}")
+      val names = mapper.readTree(dbs).at("/results/0/series/0/values")
+      val listed = (0 until names.size()).map(names.get(_).get(0).asText())
+      assert(listed == Seq("plc", "192.168.0.10"), dbs.take(300))
+
+      // write points and read them back — the daemon's steady-state loop
+      val wc = new URI(s"http://127.0.0.1:${h.port}/write?db=${enc("192.168.0.10")}").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.getOutputStream.write(
+        """192.168.0.10,alias=temp value=21.5 1704067200000000000
+          |192.168.0.10,alias=temp value=22.0 1704067260000000000""".stripMargin.getBytes("UTF-8"))
+      assert(wc.getResponseCode == 204); wc.disconnect()
+      val (c2, b2) = get(h.port,
+        s"/query?q=${enc("SELECT COUNT(value) AS n FROM \"192.168.0.10\"")}")
+      assert(c2 == 200)
+      assert(mapper.readTree(b2).at("/results/0/series/0/values/0/0").asLong() == 2L, b2.take(300))
+
+      // DROP DATABASE removes the db-mapped measurement partition's data
+      val (c3, _) = postQuery(h.port, """DROP DATABASE "192.168.0.10"""")
+      assert(c3 == 200)
+      assert(!new java.io.File(store, "measurement=192.168.0.10").exists())
+      val (_, dbs2) = get(h.port, s"/query?q=${enc("SHOW DATABASES")}")
+      assert(!dbs2.contains("192.168.0.10"), dbs2.take(300))
+
+      // mutations still refuse GET
+      assert(get(h.port, s"/query?q=${enc("CREATE DATABASE nope")}")._1 == 400)
+    } finally h.stop()
+  }
+
+  test("RP and CQ lifecycle over POST /query: create → show → alter/drop → show") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-lifecycle").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      assert(postQuery(h.port, "CREATE DATABASE db1")._1 == 200)
+
+      // retention: implicit autogen alone, then the explicit policy joins it
+      val (_, rp0) = get(h.port, s"/query?q=${enc("SHOW RETENTION POLICIES ON db1")}")
+      assert(mapper.readTree(rp0).at("/results/0/series/0/values/0/0").asText() == "autogen")
+      assert(postQuery(h.port,
+        "CREATE RETENTION POLICY keep2w ON db1 DURATION 2w REPLICATION 1")._1 == 200)
+      val (_, rp1) = get(h.port, s"/query?q=${enc("SHOW RETENTION POLICIES ON db1")}")
+      val rows1 = mapper.readTree(rp1).at("/results/0/series/0/values")
+      assert((0 until rows1.size()).map(rows1.get(_).get(0).asText()).toSet ==
+        Set("autogen", "keep2w"), rp1.take(300))
+      // ALTER to default: autogen row yields its default flag
+      assert(postQuery(h.port,
+        "ALTER RETENTION POLICY keep2w ON db1 DURATION 4w DEFAULT")._1 == 200)
+      val (_, rp2) = get(h.port, s"/query?q=${enc("SHOW RETENTION POLICIES ON db1")}")
+      val rows2 = mapper.readTree(rp2).at("/results/0/series/0/values")
+      val byName = (0 until rows2.size()).map(i => rows2.get(i).get(0).asText() ->
+        (rows2.get(i).get(1).asText(), rows2.get(i).get(3).asBoolean())).toMap
+      assert(byName("keep2w") == (s"${28 * 86400}s", true), rp2.take(300))
+      assert(postQuery(h.port, "DROP RETENTION POLICY keep2w ON db1")._1 == 200)
+      val (_, rp3) = get(h.port, s"/query?q=${enc("SHOW RETENTION POLICIES ON db1")}")
+      assert(!rp3.contains("keep2w"), rp3.take(300))
+      // per-statement error shape for a missing policy (batch continues)
+      val (ce, be) = postQuery(h.port, "DROP RETENTION POLICY nope ON db1")
+      assert(ce == 200 && mapper.readTree(be).at("/results/0/error").asText()
+        .contains("not found"), be.take(300))
+
+      // CQ: create → SHOW CONTINUOUS QUERIES groups one series per db →
+      // drop → db series empties
+      assert(postQuery(h.port,
+        "CREATE CONTINUOUS QUERY roll1m ON db1 BEGIN " +
+          "SELECT MEAN(value) AS m INTO db1_1m FROM db1 GROUP BY time(1m) END")._1 == 200)
+      val (_, cq1) = get(h.port, s"/query?q=${enc("SHOW CONTINUOUS QUERIES")}")
+      val cqRoot = mapper.readTree(cq1).at("/results/0/series")
+      val dbSeries = (0 until cqRoot.size()).map(cqRoot.get(_))
+        .find(_.at("/name").asText() == "db1").get
+      assert(dbSeries.at("/values/0/0").asText() == "roll1m", cq1.take(400))
+      assert(dbSeries.at("/values/0/1").asText().startsWith("CREATE CONTINUOUS QUERY roll1m"),
+        cq1.take(400))
+      assert(postQuery(h.port, "DROP CONTINUOUS QUERY roll1m ON db1")._1 == 200)
+      val (_, cq2) = get(h.port, s"/query?q=${enc("SHOW CONTINUOUS QUERIES")}")
+      assert(!cq2.contains("roll1m"), cq2.take(300))
+    } finally h.stop()
+  }
+}
