@@ -45,8 +45,9 @@ object InfluxQLHttp {
   def start(spark: SparkSession, dir: String,
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
       port: Int = 0, nowNs: Option[Long] = None,
-      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle =
-    serve(spark, dir, () => catalog, None, port, nowNs, maxRows)
+      maxRows: Int = InfluxQLResult.DefaultMaxRows,
+      auth: Option[(String, String)] = None): Handle =
+    serve(spark, dir, () => catalog, None, port, nowNs, maxRows, auth)
 
   /** Serve a measurement+date-partitioned POINT STORE: `/query` resolves
     * the catalog PER REQUEST (a measurement created by a write appears in
@@ -58,13 +59,42 @@ object InfluxQLHttp {
     */
   def startStore(spark: SparkSession, storeDir: String,
       port: Int = 0, nowNs: Option[Long] = None,
-      maxRows: Int = InfluxQLResult.DefaultMaxRows): Handle =
+      maxRows: Int = InfluxQLResult.DefaultMaxRows,
+      auth: Option[(String, String)] = None): Handle =
     serve(spark, storeDir, () => InfluxQLPlanner.Catalog.store(storeDir),
-      Some(storeDir), port, nowNs, maxRows)
+      Some(storeDir), port, nowNs, maxRows, auth)
+
+  /** InfluxDB 1.x authentication (`auth = Some(user -> password)`): the
+    * reference's client always sends credentials
+    * (`InfluxDBClient('localhost', 8086, 'root', 'root', …)`,
+    * Linux/InfluxConnector2.py:107) as `u`/`p` query params; Basic auth is
+    * the curl/Grafana alternative. With auth unset the server stays
+    * permissive and ignores them — InfluxDB's own `auth-enabled = false`
+    * default. With auth set, a bad or missing credential 401s with
+    * InfluxDB's `{"error":"authorization failed"}` before any parsing or
+    * store work; `/ping` stays open (InfluxDB's health check needs no
+    * credentials).
+    */
+  private def authorized(ex: HttpExchange, params: Map[String, String],
+      auth: Option[(String, String)]): Boolean = auth match {
+    case None => true
+    case Some((user, pass)) =>
+      val fromParams = (params.get("u"), params.get("p")) match {
+        case (Some(u), Some(p)) => u == user && p == pass
+        case _ => false
+      }
+      lazy val fromBasic = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Basic "))
+        .map(h => new String(java.util.Base64.getDecoder.decode(h.drop(6)),
+          StandardCharsets.UTF_8))
+        .contains(s"$user:$pass")
+      fromParams || fromBasic
+  }
 
   private def serve(spark: SparkSession, dir: String,
       catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
-      port: Int, nowNs: Option[Long], maxRows: Int): Handle = {
+      port: Int, nowNs: Option[Long], maxRows: Int,
+      auth: Option[(String, String)] = None): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // Store-level concurrency control (InfluxDB's storage engine does the
     // equivalent with shard-level locks): DELETE/DROP rewrite or remove
@@ -79,10 +109,10 @@ object InfluxQLHttp {
     // admin mutation.
     val lock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
     server.createContext("/query", (ex: HttpExchange) =>
-      handleQuery(ex, spark, dir, catalog, nowNs, maxRows, writeStore, lock))
+      handleQuery(ex, spark, dir, catalog, nowNs, maxRows, writeStore, lock, auth))
     writeStore.foreach { store =>
       server.createContext("/write", (ex: HttpExchange) =>
-        handleWrite(ex, spark, store, nowNs, lock))
+        handleWrite(ex, spark, store, nowNs, lock, auth))
     }
     server.createContext("/ping", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
@@ -113,8 +143,13 @@ object InfluxQLHttp {
     */
   private def handleWrite(ex: HttpExchange, spark: SparkSession,
       storeDir: String, nowNs: Option[Long],
-      lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock,
+      auth: Option[(String, String)]): Unit = {
     try {
+      if (!authorized(ex,
+          parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse("")), auth)) {
+        respond(ex, 401, errJson("authorization failed")); return
+      }
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, errJson("/write accepts POST only")); return
       }
@@ -235,7 +270,8 @@ object InfluxQLHttp {
   private def handleQuery(ex: HttpExchange, spark: SparkSession, dir: String,
       catalog0: () => InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
       writeStore: Option[String],
-      lock: java.util.concurrent.locks.ReentrantReadWriteLock): Unit = {
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock,
+      auth: Option[(String, String)]): Unit = {
     try {
       val catalog = catalog0() // one snapshot per request (render paths)
       // Grafana sends GET with URI params or POST with a form body —
@@ -245,6 +281,9 @@ object InfluxQLHttp {
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      if (!authorized(ex, params, auth)) {
+        respond(ex, 401, errJson("authorization failed")); return
+      }
       val epoch0 = params.get("epoch").filter(_.nonEmpty)
       val pretty = params.get("pretty").contains("true")
       // InfluxDB keys CSV off the Accept header; CSV times default to

@@ -230,4 +230,45 @@ class InfluxQLAdminSpec extends SparkTestBase {
       assert(!cq2.contains("roll1m"), cq2.take(300))
     } finally h.stop()
   }
+
+  test("auth-enabled server: u/p params and Basic auth pass, anything else 401s") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-auth").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString, auth = Some("root" -> "root"))
+    try {
+      val q = enc("SHOW DATABASES")
+      // the reference's client sends u/p on every call
+      // (InfluxDBClient('localhost', 8086, 'root', 'root'))
+      assert(get(h.port, s"/query?q=$q&u=root&p=root")._1 == 200)
+      // missing or wrong credentials: InfluxDB's 401 + error shape,
+      // rejected before any parse/plan/store work
+      val (c1, b1) = get(h.port, s"/query?q=$q")
+      assert(c1 == 401 && b1.contains("authorization failed"), s"$c1 $b1")
+      assert(get(h.port, s"/query?q=$q&u=root&p=wrong")._1 == 401)
+      // Basic auth (curl/Grafana form)
+      val conn = new URI(s"http://127.0.0.1:${h.port}/query?q=$q").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString("root:root".getBytes("UTF-8")))
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      // /write is guarded too; /ping stays open (InfluxDB health checks
+      // run unauthenticated)
+      val wc = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.getOutputStream.write("m,alias=a value=1.0 1704067200000000000".getBytes("UTF-8"))
+      assert(wc.getResponseCode == 401); wc.disconnect()
+      val pc = new URI(s"http://127.0.0.1:${h.port}/ping").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(pc.getResponseCode == 204); pc.disconnect()
+    } finally h.stop()
+
+    // default servers stay permissive and ignore stray u/p — InfluxDB's
+    // auth-enabled=false out-of-the-box behavior, which the rest of the
+    // suite (and the reference's root/root client against a fresh store)
+    // relies on
+    val open = InfluxQLHttp.startStore(spark, store.toString)
+    try assert(get(open.port, s"/query?q=${enc("SHOW DATABASES")}&u=x&p=y")._1 == 200)
+    finally open.stop()
+  }
 }
