@@ -75,20 +75,57 @@ object InfluxQLHttp {
     * store work; `/ping` stays open (InfluxDB's health check needs no
     * credentials).
     */
-  private def authorized(ex: HttpExchange, params: Map[String, String],
-      auth: Option[(String, String)]): Boolean = auth match {
-    case None => true
-    case Some((user, pass)) =>
-      val fromParams = (params.get("u"), params.get("p")) match {
-        case (Some(u), Some(p)) => u == user && p == pass
-        case _ => false
+  /** Resolve the request's identity. `None` = credentials required and
+    * wrong/missing (reject 401). `Some(None)` = open server (no auth
+    * configured — anonymous admin, InfluxDB's `auth-enabled = false`).
+    * `Some(Some(user))` = authenticated as `user`: either the configured
+    * root pair or a catalog user ([[StoreMeta.authenticate]], hash
+    * compare). Credentials come as `u`/`p` params (the reference client's
+    * form) or a Basic header (curl/Grafana).
+    */
+  private def authUser(ex: HttpExchange, params: Map[String, String],
+      auth: Option[(String, String)],
+      store: Option[String]): Option[Option[String]] = auth match {
+    case None => Some(None)
+    case Some((rootU, rootP)) =>
+      val cred: Option[(String, String)] =
+        (params.get("u"), params.get("p")) match {
+          case (Some(u), Some(p)) => Some((u, p))
+          case _ =>
+            Option(ex.getRequestHeaders.getFirst("Authorization"))
+              .filter(_.startsWith("Basic "))
+              .map(h => new String(java.util.Base64.getDecoder.decode(h.drop(6)),
+                StandardCharsets.UTF_8))
+              .flatMap(_.split(":", 2) match {
+                case Array(u, p) => Some((u, p))
+                case _           => None
+              })
+        }
+      cred match {
+        case Some((u, p)) if u == rootU && p == rootP => Some(Some(u))
+        case Some((u, p)) if store.exists(StoreMeta.authenticate(_, u, p)) =>
+          Some(Some(u))
+        case _ => None
       }
-      lazy val fromBasic = Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .filter(_.startsWith("Basic "))
-        .map(h => new String(java.util.Base64.getDecoder.decode(h.drop(6)),
-          StandardCharsets.UTF_8))
-        .contains(s"$user:$pass")
-      fromParams || fromBasic
+  }
+
+  /** Admin = the configured root identity, a catalog user holding ALL
+    * PRIVILEGES, or anybody on an open server.
+    */
+  private def isAdminUser(user: Option[String],
+      auth: Option[(String, String)], store: Option[String]): Boolean =
+    (user, auth) match {
+      case (None, _) => true // open server
+      case (Some(u), Some((rootU, _))) if u == rootU => true
+      case (Some(u), _) => store.exists(StoreMeta.isAdmin(_, u))
+    }
+
+  private def isUserAdminStatement(st: InfluxQLAst.Statement): Boolean = st match {
+    case _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
+         _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
+         _: InfluxQLAst.Revoke | InfluxQLAst.ShowUsers |
+         _: InfluxQLAst.ShowGrants => true
+    case _ => false
   }
 
   private def serve(spark: SparkSession, dir: String,
@@ -146,9 +183,20 @@ object InfluxQLHttp {
       lock: java.util.concurrent.locks.ReentrantReadWriteLock,
       auth: Option[(String, String)]): Unit = {
     try {
-      if (!authorized(ex,
-          parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse("")), auth)) {
-        respond(ex, 401, errJson("authorization failed")); return
+      val wparams = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val who = authUser(ex, wparams, auth, Some(storeDir)) match {
+        case None =>
+          respond(ex, 401, errJson("authorization failed")); return
+        case Some(w) => w
+      }
+      // non-admin writers need WRITE (or ALL) on the target db param —
+      // InfluxDB 1.x's per-database write privilege
+      if (!isAdminUser(who, auth, Some(storeDir))) {
+        val db = wparams.getOrElse("db", "")
+        if (db.isEmpty || !StoreMeta.authorizedFor(storeDir, who.get, db, "WRITE")) {
+          respond(ex, 403, errJson(
+            s"""user "${who.get}" is not authorized to write to database "$db"""")); return
+        }
       }
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, errJson("/write accepts POST only")); return
@@ -236,6 +284,9 @@ object InfluxQLHttp {
          _: InfluxQLAst.CreateCq | _: InfluxQLAst.DropCq |
          _: InfluxQLAst.CreateRetention | _: InfluxQLAst.AlterRetention |
          _: InfluxQLAst.DropRetention => true
+    case _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
+         _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
+         _: InfluxQLAst.Revoke => true
     case _ => false
   }
 
@@ -261,6 +312,7 @@ object InfluxQLHttp {
       InfluxQLPlanner.tagValueKeys(catalog, tv): Unit
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
     case InfluxQLAst.ShowCqs     => () // meta-only, nothing to plan
+    case InfluxQLAst.ShowUsers | _: InfluxQLAst.ShowGrants => () // meta-only
     // anything else would fail renderStatement as "not a renderable
     // result" AFTER earlier mutations ran — reject it up front instead
     case other =>
@@ -281,9 +333,12 @@ object InfluxQLHttp {
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      if (!authorized(ex, params, auth)) {
-        respond(ex, 401, errJson("authorization failed")); return
+      val who = authUser(ex, params, auth, writeStore) match {
+        case None =>
+          respond(ex, 401, errJson("authorization failed")); return
+        case Some(w) => w
       }
+      val admin = isAdminUser(who, auth, writeStore)
       val epoch0 = params.get("epoch").filter(_.nonEmpty)
       val pretty = params.get("pretty").contains("true")
       // InfluxDB keys CSV off the Accept header; CSV times default to
@@ -307,6 +362,25 @@ object InfluxQLHttp {
           // monotonic in production (durations, not wall timestamps)
           val clock: () => Long = () => nowNs.getOrElse(System.nanoTime())
           val db = params.getOrElse("db", "")
+          // InfluxDB 1.x privilege model (only bites on auth-enabled
+          // servers): user administration is admin-only; a non-admin needs
+          // READ on the `db` param to query and WRITE to mutate/ingest —
+          // checked BEFORE planning so an unauthorized probe does no work.
+          if (!admin) {
+            if (sts.exists(isUserAdminStatement)) {
+              respond(ex, 403, errJson(
+                s"""user "${who.get}" is not authorized to execute statement"""))
+              return
+            }
+            val need = if (sts.exists(isMutating)) "WRITE" else "READ"
+            val ok = db.nonEmpty &&
+              writeStore.exists(StoreMeta.authorizedFor(_, who.get, db, need))
+            if (!ok) {
+              respond(ex, 403, errJson(s"""user "${who.get}" is not authorized to """ +
+                s"""${if (need == "WRITE") "modify" else "read from"} database "$db""""))
+              return
+            }
+          }
           if (sts.exists(_.isInstanceOf[InfluxQLAst.KillQuery])) {
             // KILL deliberately takes NO store lock and no job group: the
             // victim may be holding the read side, and a kill queued
@@ -353,7 +427,10 @@ object InfluxQLHttp {
                   case _: InfluxQLAst.CreateDatabase | _: InfluxQLAst.DropDatabase |
                        _: InfluxQLAst.CreateCq | _: InfluxQLAst.DropCq |
                        _: InfluxQLAst.CreateRetention | _: InfluxQLAst.AlterRetention |
-                       _: InfluxQLAst.DropRetention => ()
+                       _: InfluxQLAst.DropRetention |
+                       _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
+                       _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
+                       _: InfluxQLAst.Revoke => ()
                   case st => dryPlan(spark, dir, st, nowNs, catalog0())
                 }
                 // Once execution starts, NOTHING may abort the batch — any
@@ -385,6 +462,16 @@ object InfluxQLHttp {
                           StoreMeta.alterRp(store, a)
                         case d: InfluxQLAst.DropRetention =>
                           StoreMeta.dropRp(store, d.name, d.db)
+                        case c: InfluxQLAst.CreateUser =>
+                          StoreMeta.createUser(store, c)
+                        case d: InfluxQLAst.DropUser =>
+                          StoreMeta.dropUser(store, d.name)
+                        case s: InfluxQLAst.SetPassword =>
+                          StoreMeta.setPassword(store, s.name, s.password)
+                        case g: InfluxQLAst.Grant =>
+                          StoreMeta.grant(store, g)
+                        case r: InfluxQLAst.Revoke =>
+                          StoreMeta.revoke(store, r)
                       }
                       s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
                     } catch {

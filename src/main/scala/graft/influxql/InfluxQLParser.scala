@@ -149,6 +149,25 @@ object InfluxQLAst {
     * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
     * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
     */
+  /** InfluxDB 1.x user administration — the statements behind
+    * `auth-enabled = true` deployments (the reference's client presents
+    * root/root credentials, Linux/InfluxConnector2.py:107, which a real
+    * InfluxDB checks against this catalog):
+    * `CREATE USER u WITH PASSWORD 'p' [WITH ALL PRIVILEGES]`,
+    * `DROP USER u`, `SET PASSWORD FOR u = 'p'`, `SHOW USERS`,
+    * `GRANT READ|WRITE|ALL [PRIVILEGES] [ON db] TO u`,
+    * `REVOKE … [ON db] FROM u`, `SHOW GRANTS FOR u`.
+    * `db = None` on grant/revoke is the admin-privilege form.
+    */
+  final case class CreateUser(name: String, password: String,
+      admin: Boolean) extends Statement
+  final case class DropUser(name: String) extends Statement
+  case object ShowUsers extends Statement
+  final case class SetPassword(name: String, password: String) extends Statement
+  final case class Grant(priv: String, db: Option[String], user: String) extends Statement
+  final case class Revoke(priv: String, db: Option[String], user: String) extends Statement
+  final case class ShowGrants(user: String) extends Statement
+
   final case class AlterRetention(name: String, db: String,
       durationSec: Option[Long], replication: Option[Int],
       isDefault: Boolean) extends Statement
@@ -370,6 +389,9 @@ object InfluxQLParser {
     else if (p.atDrop) p.drop()
     else if (p.atDelete) p.delete()
     else if (p.atKill) p.kill()
+    else if (p.atSet) p.setPassword()
+    else if (p.atGrant) p.grant()
+    else if (p.atRevoke) p.revoke()
     else p.select()
   }
 
@@ -438,6 +460,10 @@ object InfluxQLParser {
       case n: TNum if n.v == n.v.toInt => n.v.toInt
       case t => throw InfluxQLParseException(s"expected integer, got $t")
     }
+    private def strLit(): String = next() match {
+      case TStr(s) => s
+      case t => throw InfluxQLParseException(s"expected 'string', got $t")
+    }
 
     def atShow: Boolean = kwPeek.contains("show")
     def atDrop: Boolean = kwPeek.contains("drop")
@@ -491,6 +517,12 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after DROP RETENTION POLICY: ${peek.get}")
           DropRetention(name, db)
+        case Some("user") =>
+          next()
+          val name = ident()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP USER: ${peek.get}")
+          DropUser(name)
         case other => throw InfluxQLParseException(s"unsupported DROP: $other")
       }
     }
@@ -526,9 +558,64 @@ object InfluxQLParser {
         case Some("continuous") => createCq()
         case Some("retention")  => createRetention()
         case Some("database")   => createDatabase()
+        case Some("user")       => createUser()
         case other => throw InfluxQLParseException(s"unsupported CREATE: $other")
       }
     }
+
+    private def createUser(): CreateUser = {
+      eatKw("user")
+      val name = ident()
+      eatKw("with"); eatKw("password")
+      val pw = strLit()
+      val admin =
+        if (kwPeek.contains("with")) {
+          next(); eatKw("all"); eatKw("privileges"); true
+        } else false
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after CREATE USER: ${peek.get}")
+      CreateUser(name, pw, admin)
+    }
+
+    def atSet: Boolean = kwPeek.contains("set")
+
+    def setPassword(): Statement = {
+      eatKw("set"); eatKw("password"); eatKw("for")
+      val name = ident()
+      eatOp("=")
+      val pw = strLit()
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after SET PASSWORD: ${peek.get}")
+      SetPassword(name, pw)
+    }
+
+    def atGrant: Boolean = kwPeek.contains("grant")
+    def atRevoke: Boolean = kwPeek.contains("revoke")
+
+    /** GRANT READ|WRITE|ALL [PRIVILEGES] [ON db] TO u — and REVOKE's
+      * mirror with FROM. The no-ON ALL form is the admin toggle (InfluxDB
+      * 1.x requires ALL there; READ/WRITE need a database).
+      */
+    private def grantRevoke(isGrant: Boolean): Statement = {
+      eatKw(if (isGrant) "grant" else "revoke")
+      val priv = kwPeek match {
+        case Some(p @ ("read" | "write" | "all")) => next(); p.toUpperCase
+        case other => throw InfluxQLParseException(
+          s"expected READ, WRITE or ALL [PRIVILEGES], got $other")
+      }
+      if (priv == "ALL" && kwPeek.contains("privileges")) next()
+      val db = if (kwPeek.contains("on")) { next(); Some(ident()) } else None
+      if (db.isEmpty && priv != "ALL")
+        throw InfluxQLParseException(s"$priv privilege requires ON <database>")
+      eatKw(if (isGrant) "to" else "from")
+      val user = ident()
+      if (peek.isDefined)
+        throw InfluxQLParseException(
+          s"unexpected token after ${if (isGrant) "GRANT" else "REVOKE"}: ${peek.get}")
+      if (isGrant) Grant(priv, db, user) else Revoke(priv, db, user)
+    }
+    def grant(): Statement = grantRevoke(isGrant = true)
+    def revoke(): Statement = grantRevoke(isGrant = false)
 
     private def durSecLit(): Long = next() match {
       case TDur(sec) => sec
@@ -666,6 +753,16 @@ object InfluxQLParser {
             throw InfluxQLParseException(
               s"unexpected token after SHOW CONTINUOUS QUERIES: ${peek.get}")
           return ShowCqs
+        case "users" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW USERS: ${peek.get}")
+          return ShowUsers
+        case "grants" =>
+          eatKw("for")
+          val u = ident()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW GRANTS: ${peek.get}")
+          return ShowGrants(u)
         case "measurements" => "measurements"
         case "measurement" =>
           if (!cardinality())

@@ -144,8 +144,17 @@ object InfluxQLPlanner {
         import spark.implicits._
         StoreMeta.listCqs(dir).map(c => (c.db, c.name, c.text))
           .toDF("db", "name", "query").orderBy("db", "name")
+      case ShowUsers =>
+        import spark.implicits._
+        StoreMeta.listUsers(dir).map(u => (u.name, u.admin))
+          .toDF("user", "admin").orderBy("user")
+      case ShowGrants(user) =>
+        import spark.implicits._
+        StoreMeta.grants(dir, user).toDF("database", "privilege").orderBy("database")
       case st @ (_: CreateDatabase | _: DropDatabase | _: DropCq |
-                 _: CreateRetention | _: AlterRetention | _: DropRetention) =>
+                 _: CreateRetention | _: AlterRetention | _: DropRetention |
+                 _: CreateUser | _: DropUser | _: SetPassword |
+                 _: Grant | _: Revoke) =>
         throw InfluxQLParseException(
           s"${st.getClass.getSimpleName} mutates store metadata — use graft.influxql.StoreMeta")
       case _: DropMeasurement   => throw InfluxQLParseException(

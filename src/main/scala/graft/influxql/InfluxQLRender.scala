@@ -67,6 +67,17 @@ object InfluxQLRender {
         repl.fold("")(r => s" REPLICATION $r") +
         (if (isDefault) " DEFAULT" else "")
     case DropRetention(name, db) => s"DROP RETENTION POLICY $name ON $db"
+    case CreateUser(name, pw, admin) =>
+      s"CREATE USER $name WITH PASSWORD '$pw'" +
+        (if (admin) " WITH ALL PRIVILEGES" else "")
+    case DropUser(name)         => s"DROP USER $name"
+    case ShowUsers              => "SHOW USERS"
+    case SetPassword(name, pw)  => s"SET PASSWORD FOR $name = '$pw'"
+    case Grant(priv, db, user)  =>
+      s"GRANT $priv${db.fold("")(d => s" ON $d")} TO $user"
+    case Revoke(priv, db, user) =>
+      s"REVOKE $priv${db.fold("")(d => s" ON $d")} FROM $user"
+    case ShowGrants(user)       => s"SHOW GRANTS FOR $user"
     case s: Select => renderSelect(s)
   }
 

@@ -180,6 +180,17 @@ object InfluxQLResult {
           seriesObj(db, Map.empty, Seq("name", "query"), rows, epoch)
         }
         (parts.mkString(","), false)
+      case ShowUsers =>
+        // meta-only. InfluxDB's shape: series "users", columns (user, admin)
+        val rows = StoreMeta.listUsers(dir).map(u => Row(u.name, u.admin))
+        (seriesObj("users", Map.empty, Seq("user", "admin"), rows, epoch), false)
+      case ShowGrants(user) =>
+        // meta-only. columns (database, privilege); ALL renders as
+        // InfluxDB's "ALL PRIVILEGES" wire text
+        val rows = StoreMeta.grants(dir, user).map { case (db, p) =>
+          Row(db, if (p == "ALL") "ALL PRIVILEGES" else p)
+        }
+        (seriesObj("grants", Map.empty, Seq("database", "privilege"), rows, epoch), false)
       case ShowQueries =>
         // registry-only — no Spark job; duration uses the same clock
         // convention as InfluxQLQueries.track (pinned nowNs in tests)

@@ -188,4 +188,119 @@ object StoreMeta {
     */
   def scheduledCqs(store: String, db: Option[String] = None): Seq[CreateCq] =
     listCqs(store, db).map(c => InfluxQLParser.parse(c.text).asInstanceOf[CreateCq])
+
+  // ---- users / privileges -------------------------------------------------
+
+  /** Password-hashed user catalog + per-db privileges (InfluxDB 1.x user
+    * admin: CREATE/DROP USER, SET PASSWORD, GRANT/REVOKE, SHOW
+    * USERS/GRANTS). Layout:
+    * {{{
+    *   _meta/users/<enc(name)>              ("<sha256-hex(password)> <admin>")
+    *   _meta/grants/<enc(user)>/<enc(db)>   ("READ"|"WRITE"|"ALL")
+    * }}}
+    * Only the hash is stored — `authenticate` re-hashes the presented
+    * password; there is no way to read a password back out of the store.
+    */
+  final case class User(name: String, pwHash: String, admin: Boolean)
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def userFile(store: String, name: String): File =
+    metaDir(store, "users", enc(name))
+
+  private def writeUser(store: String, u: User): Unit = {
+    val f = userFile(store, u.name)
+    f.getParentFile.mkdirs()
+    Files.writeString(Paths.get(f.getPath), s"${u.pwHash} ${u.admin}"): Unit
+  }
+
+  private def readUser(store: String, name: String): Option[User] = {
+    val f = userFile(store, name)
+    if (!f.isFile) None
+    else Files.readString(Paths.get(f.getPath)).split(' ') match {
+      case Array(h, a) => Some(User(name, h, a.toBoolean))
+      case _ => None
+    }
+  }
+
+  def createUser(store: String, st: CreateUser): Unit = {
+    if (readUser(store, st.name).isDefined)
+      throw InfluxQLParseException("user already exists")
+    writeUser(store, User(st.name, sha256(st.password), st.admin))
+  }
+
+  def dropUser(store: String, name: String): Unit = {
+    val f = userFile(store, name)
+    if (!f.isFile) throw InfluxQLParseException("user not found")
+    f.delete(): Unit
+    rmTree(metaDir(store, "grants", enc(name)))
+  }
+
+  def setPassword(store: String, name: String, password: String): Unit = {
+    val u = readUser(store, name)
+      .getOrElse(throw InfluxQLParseException("user not found"))
+    writeUser(store, u.copy(pwHash = sha256(password)))
+  }
+
+  def listUsers(store: String): Seq[User] =
+    list(metaDir(store, "users")).flatMap(readUser(store, _))
+
+  /** Hash-compare a presented credential. Unknown user = false (same
+    * response as a wrong password — no user-enumeration oracle).
+    */
+  def authenticate(store: String, name: String, password: String): Boolean =
+    readUser(store, name).exists(_.pwHash == sha256(password))
+
+  def isAdmin(store: String, name: String): Boolean =
+    readUser(store, name).exists(_.admin)
+
+  def grant(store: String, st: Grant): Unit = {
+    val u = readUser(store, st.user)
+      .getOrElse(throw InfluxQLParseException("user not found"))
+    st.db match {
+      case None => writeUser(store, u.copy(admin = true)) // GRANT ALL TO u
+      case Some(db) =>
+        val f = metaDir(store, "grants", enc(st.user), enc(db))
+        f.getParentFile.mkdirs()
+        Files.writeString(Paths.get(f.getPath), st.priv): Unit
+    }
+  }
+
+  def revoke(store: String, st: Revoke): Unit = {
+    val u = readUser(store, st.user)
+      .getOrElse(throw InfluxQLParseException("user not found"))
+    st.db match {
+      case None => writeUser(store, u.copy(admin = false))
+      case Some(db) =>
+        // REVOKE WRITE on an ALL grant leaves READ (InfluxDB's partial
+        // revoke); revoking the grant's whole privilege removes the entry
+        val f = metaDir(store, "grants", enc(st.user), enc(db))
+        val cur = if (f.isFile) Files.readString(Paths.get(f.getPath)) else ""
+        (cur, st.priv) match {
+          case ("ALL", "READ")  => Files.writeString(Paths.get(f.getPath), "WRITE"): Unit
+          case ("ALL", "WRITE") => Files.writeString(Paths.get(f.getPath), "READ"): Unit
+          case (c, p) if c == p || p == "ALL" => f.delete(): Unit
+          case _ => () // revoking a privilege the user lacks is a no-op
+        }
+    }
+  }
+
+  /** (db, privilege) pairs for SHOW GRANTS FOR u. */
+  def grants(store: String, user: String): Seq[(String, String)] =
+    list(metaDir(store, "grants", enc(user))).map { db =>
+      db -> Files.readString(Paths.get(metaDir(store, "grants", enc(user), enc(db)).getPath))
+    }
+
+  /** Privilege check for a (user, db) pair: admins hold ALL everywhere;
+    * otherwise the db grant must cover `need` ("READ" is covered by
+    * READ/ALL, "WRITE" by WRITE/ALL).
+    */
+  def authorizedFor(store: String, user: String, db: String, need: String): Boolean =
+    isAdmin(store, user) || {
+      val have = grants(store, user).collectFirst { case (d, p) if d == db => p }
+      have.exists(p => p == "ALL" || p == need)
+    }
 }

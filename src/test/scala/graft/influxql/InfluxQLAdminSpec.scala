@@ -271,4 +271,97 @@ class InfluxQLAdminSpec extends SparkTestBase {
     try assert(get(open.port, s"/query?q=${enc("SHOW DATABASES")}&u=x&p=y")._1 == 200)
     finally open.stop()
   }
+
+  test("user admin statements parse and render round-trip") {
+    assert(InfluxQLParser.parse("CREATE USER u1 WITH PASSWORD 'pw'") ==
+      CreateUser("u1", "pw", admin = false))
+    assert(InfluxQLParser.parse(
+      "CREATE USER admin WITH PASSWORD 'pw' WITH ALL PRIVILEGES") ==
+      CreateUser("admin", "pw", admin = true))
+    assert(InfluxQLParser.parse("SET PASSWORD FOR u1 = 'npw'") == SetPassword("u1", "npw"))
+    assert(InfluxQLParser.parse("GRANT READ ON db1 TO u1") ==
+      Grant("READ", Some("db1"), "u1"))
+    assert(InfluxQLParser.parse("GRANT ALL PRIVILEGES TO u1") == Grant("ALL", None, "u1"))
+    assert(InfluxQLParser.parse("REVOKE WRITE ON db1 FROM u1") ==
+      Revoke("WRITE", Some("db1"), "u1"))
+    intercept[InfluxQLParseException](InfluxQLParser.parse("GRANT READ TO u1")) // needs ON db
+    assert(InfluxQLParser.parse("SHOW USERS") == ShowUsers)
+    assert(InfluxQLParser.parse("SHOW GRANTS FOR u1") == ShowGrants("u1"))
+    Seq(
+      "CREATE USER u1 WITH PASSWORD 'pw'",
+      "CREATE USER admin WITH PASSWORD 'pw' WITH ALL PRIVILEGES",
+      "DROP USER u1", "SET PASSWORD FOR u1 = 'npw'",
+      "GRANT READ ON db1 TO u1", "GRANT ALL TO u1",
+      "REVOKE ALL ON db1 FROM u1", "SHOW USERS", "SHOW GRANTS FOR u1",
+    ).foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st, q)
+    }
+  }
+
+  test("user catalog + RBAC over HTTP: catalog users authenticate, privileges gate access") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-rbac").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString, auth = Some("root" -> "root"))
+    try {
+      def rootQuery(q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/query?u=root&p=root").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, body)
+      }
+      // root (configured pair) provisions a reader and a writer
+      assert(rootQuery("CREATE DATABASE db1")._1 == 200)
+      val (cu, bu) = rootQuery(
+        "CREATE USER reader WITH PASSWORD 'rpw'; CREATE USER writer WITH PASSWORD 'wpw'")
+      assert(cu == 200, bu.take(300))
+      assert(rootQuery("GRANT READ ON db1 TO reader")._1 == 200)
+      assert(rootQuery("GRANT WRITE ON db1 TO writer")._1 == 200)
+
+      // SHOW USERS / SHOW GRANTS render the catalog (admin-only surface)
+      val (_, users) = get(h.port, s"/query?u=root&p=root&q=${enc("SHOW USERS")}")
+      assert(users.contains("reader") && users.contains("writer"), users.take(300))
+      val (_, grants) = get(h.port, s"/query?u=root&p=root&q=${enc("SHOW GRANTS FOR reader")}")
+      val gRows = mapper.readTree(grants).at("/results/0/series/0/values")
+      assert(gRows.get(0).get(0).asText() == "db1" && gRows.get(0).get(1).asText() == "READ",
+        grants.take(300))
+
+      // catalog users authenticate with their own credentials…
+      assert(get(h.port, s"/query?u=reader&p=rpw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 200)
+      assert(get(h.port, s"/query?u=reader&p=wrong&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 401)
+      // …but privileges gate what they reach: no db param, wrong db, or
+      // missing privilege → 403; user admin is admin-only
+      assert(get(h.port, s"/query?u=reader&p=rpw&q=${enc("SHOW MEASUREMENTS")}")._1 == 403)
+      assert(get(h.port, s"/query?u=writer&p=wpw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 403)
+      assert(get(h.port, s"/query?u=reader&p=rpw&db=db1&q=${enc("SHOW USERS")}")._1 == 403)
+
+      // /write: writer passes on db1, reader is refused
+      def write(u: String, p: String): Int = {
+        val wc = new URI(s"http://127.0.0.1:${h.port}/write?db=db1&u=$u&p=$p").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        wc.setRequestMethod("POST"); wc.setDoOutput(true)
+        wc.getOutputStream.write("db1,alias=a value=1.0 1704067200000000000".getBytes("UTF-8"))
+        val c = wc.getResponseCode; wc.disconnect(); c
+      }
+      assert(write("writer", "wpw") == 204)
+      assert(write("reader", "rpw") == 403)
+
+      // lifecycle: password change, revoke, drop
+      assert(rootQuery("SET PASSWORD FOR reader = 'npw'")._1 == 200)
+      assert(get(h.port, s"/query?u=reader&p=rpw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 401)
+      assert(get(h.port, s"/query?u=reader&p=npw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 200)
+      assert(rootQuery("REVOKE READ ON db1 FROM reader")._1 == 200)
+      assert(get(h.port, s"/query?u=reader&p=npw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 403)
+      assert(rootQuery("DROP USER reader")._1 == 200)
+      assert(get(h.port, s"/query?u=reader&p=npw&db=db1&q=${enc("SHOW MEASUREMENTS")}")._1 == 401)
+      // per-statement error for a duplicate create (batch shape intact)
+      val (cd, bd) = rootQuery("CREATE USER writer WITH PASSWORD 'x'")
+      assert(cd == 200 && bd.contains("already exists"), bd.take(300))
+    } finally h.stop()
+  }
 }
