@@ -330,10 +330,15 @@ class InfluxQLHttpSpec extends SparkTestBase {
       // statement types) also 400 pre-mutation via the dry-plan pass
       val (c3b, _) = postQuery("DROP MEASUREMENT m2; SHOW TAG VALUES WITH KEY = bogus")
       assert(c3b == 400)
-      val (c3c, _) = postQuery(
-        "DROP MEASUREMENT m2; CREATE RETENTION POLICY keep ON plc DURATION 7d REPLICATION 1")
+      // KILL QUERY's sole-statement rule is enforced pre-mutation too
+      val (c3c, _) = postQuery("DROP MEASUREMENT m2; KILL QUERY 1")
       assert(c3c == 400)
       assert(count("m2") == 1) // still intact after both
+      // CREATE RETENTION POLICY used to be the 400 example here — it is a
+      // supported store mutation since r8 and executes in a batch
+      val (c3d, _) = postQuery(
+        "CREATE RETENTION POLICY keep ON plc DURATION 7d REPLICATION 1")
+      assert(c3d == 200)
       // a SHOW after a DROP in the SAME batch sees the mutated store —
       // the catalog re-resolves per renderable statement
       val (c4, b4) = postQuery("DROP MEASUREMENT m1; SHOW MEASUREMENTS")

@@ -832,7 +832,7 @@ class InfluxQLSpec extends SparkTestBase {
     // round-5 additions: DATABASES, RETENTION POLICIES, SERIES
     assert(InfluxQLParser.parse("SHOW DATABASES") == Show("databases", None))
     assert(InfluxQLParser.parse("SHOW RETENTION POLICIES ON plc") ==
-      Show("retention_policies", None))
+      Show("retention_policies", None, on = Some("plc"))) // ON scopes (r8)
     assert(InfluxQLPlanner.sql(spark, dir, "SHOW DATABASES")
       .collect().map(_.getString(0)).toSeq == Seq("plc"))
     assert(InfluxQLPlanner.sql(spark, dir, "SHOW RETENTION POLICIES")
