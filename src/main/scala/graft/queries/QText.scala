@@ -284,6 +284,42 @@ object QText {
     },
 
     GraftQuery(
+      "q_pack_sequences",
+      "Extension: contiguous sequence packing — assign each source's documents " +
+        "(doc_id order) to fixed 512-token training sequences by their running start " +
+        "offset. The at-scale packing strategy: contiguous fill needs NO cross-document " +
+        "comparisons (vs bin-packing's quadratic matching), one window pass per source " +
+        "partition; a sequence overflows by at most one document tail, which the " +
+        "q_chunk_windows splitter then trims. fill_bp is integer basis points — " +
+        "engine-portable exact arithmetic, no float rounding at the oracle boundary",
+      """WITH tok AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |              - n_tokens AS BIGINT) AS start_tok
+        |  FROM tok)
+        |SELECT source, start_tok // 512 AS seq_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       (CAST(sum(n_tokens) AS BIGINT) * 10000) // 512 AS fill_bp
+        |FROM r GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+        .groupBy(col("source"), floor(col("start_tok") / 512).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          expr("(sum(n_tokens) * 10000) div 512").as("fill_bp"))
+        .orderBy("source", "seq_id")
+    },
+
+    GraftQuery(
       "q_mixture_sample",
       "Extension: balanced domain-mixture downsample — every source contributes at most " +
         "the smallest source's token total (deterministic doc_id-ordered cumulative cut; " +

@@ -40,6 +40,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("CollectLimit"), plan.take(500))
   }
 
+  test("q_pack_sequences shares one shuffle between the window pass and the seq agg") {
+    // window partitions on source; the packing agg groups on
+    // (source, seq_id) ⊇ that partitioning, so the partial+final hash
+    // aggregate must REUSE the window's Exchange — one hashpartitioning
+    // total (the presentation sort's rangepartitioning is separate)
+    val plan = planOf("q_pack_sequences")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected the packing agg to reuse the window's shuffle, found $hashExchanges:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"the scan must prune to the 3 packing columns:\n$plan")
+  }
+
   test("q_time_range pushes the time predicate into the parquet scan (native ts)") {
     val plan = planOf("q_time_range")
     assert(plan.contains("PushedFilters") &&
