@@ -79,6 +79,7 @@ object StoreMeta {
     rmTree(metaDir(store, "databases", enc(name)))
     rmTree(metaDir(store, "rp", enc(name)))
     rmTree(metaDir(store, "cq", enc(name)))
+    rmTree(metaDir(store, "cqstate", enc(name)))
     val dataDir = new File(store, s"measurement=$name")
     if (dataDir.isDirectory) rmTree(dataDir)
   }
@@ -173,6 +174,23 @@ object StoreMeta {
     val f = cqFile(store, db, name)
     if (!f.isFile) throw InfluxQLParseException("continuous query not found")
     f.delete(): Unit
+    metaDir(store, "cqstate", enc(db), enc(name)).delete(): Unit
+  }
+
+  /** Scheduler high-water mark: the end (exclusive, epoch ns) of the last
+    * bucket range a CQ run finalized — [[graft.influxql.CqRunner]] skips a
+    * CQ until the clock opens a newer finalized bucket. Missing = never
+    * ran.
+    */
+  def cqLastHi(store: String, db: String, name: String): Option[Long] = {
+    val f = metaDir(store, "cqstate", enc(db), enc(name))
+    if (f.isFile) Files.readString(Paths.get(f.getPath)).trim.toLongOption else None
+  }
+
+  def setCqLastHi(store: String, db: String, name: String, hiNs: Long): Unit = {
+    val f = metaDir(store, "cqstate", enc(db), enc(name))
+    f.getParentFile.mkdirs()
+    Files.writeString(Paths.get(f.getPath), hiNs.toString): Unit
   }
 
   def listCqs(store: String, db: Option[String] = None): Seq[Cq] = {

@@ -1,0 +1,97 @@
+package graft.influxql
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import InfluxQLAst._
+
+/** The CQ batch scheduler end-to-end: register → tick → rollup points in
+  * the store → queryable FROM the target → due/skip cadence → late-data
+  * recompute inside the RESAMPLE FOR horizon.
+  */
+class CqRunnerSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s) // UTC session
+
+  private def seed(store: String, rows: (String, String, Double)*): Unit = {
+    import spark.implicits._
+    graft.sinks.PointStore.writePartitioned(
+      rows.toSeq.map { case (t, alias, v) => (ts(t), "plc1", alias, v) }
+        .toDF("ts", "measurement", "alias", "value"),
+      store)
+  }
+
+  private def targetByBucket(store: String): Map[(String, String), Double] =
+    spark.read.parquet(s"$store/measurement=plc1_1m")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        col("alias"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  test("registered CQ materializes, skips until due, and recomputes late data") {
+    val store = java.nio.file.Files.createTempDirectory("graft-cqrun").toString
+    val base = "2024-01-01 00:0"
+    seed(store,
+      (s"${base}0:10", "a", 1.0), (s"${base}0:40", "a", 3.0), // min 0: mean 2
+      (s"${base}1:05", "a", 5.0),                             // min 1: mean 5
+      (s"${base}1:30", "b", 8.0),                             // min 1, b: mean 8
+      (s"${base}2:15", "a", 7.0))                             // min 2 (open at first tick)
+
+    StoreMeta.createCq(store, InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY roll ON db1 RESAMPLE EVERY 1m FOR 2m BEGIN " +
+        "SELECT MEAN(value) AS m INTO plc1_1m FROM plc1 GROUP BY time(1m), alias END")
+      .asInstanceOf[CreateCq])
+
+    def nowNs(t: String): Long = ts(t).getTime * 1000000L
+
+    // tick at 00:02:30 → hi = 00:02, FOR 2m → recompute [00:00, 00:02):
+    // the open 00:02 bucket is NOT written
+    val run1 = CqRunner.runDue(spark, store, nowNs(s"${base}2:30"))
+    assert(run1.map(r => (r.name, r.target, r.rows)) == Seq(("roll", "plc1_1m", 3L)), run1)
+    assert(targetByBucket(store) == Map(
+      ("2024-01-01 00:00:00", "a") -> 2.0,
+      ("2024-01-01 00:01:00", "a") -> 5.0,
+      ("2024-01-01 00:01:00", "b") -> 8.0))
+
+    // same tick again → not due (EVERY 1m hasn't elapsed past the mark)
+    assert(CqRunner.runDue(spark, store, nowNs(s"${base}2:59")).isEmpty)
+
+    // the rollup is a first-class measurement: queryable through the
+    // textual store front-end
+    val back = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT MAX(value) AS mx FROM plc1_1m WHERE time >= '2024-01-01' AND time < '2024-01-02'")
+      .collect()
+    assert(back.length == 1 && back(0).getDouble(back(0).fieldIndex("mx")) == 8.0)
+
+    // late data for minute 1 lands; the next tick's horizon reaches back
+    // to 00:01 and is then extended to the DAY start (the overwrite's
+    // date-partition granularity), so the whole day recomputes — minute
+    // 0's value is reproduced, minute 1 folds the late point in
+    seed(store, (s"${base}1:50", "a", 15.0))
+    val run2 = CqRunner.runDue(spark, store, nowNs(s"${base}3:10"))
+    assert(run2.map(r => (r.loNs, r.hiNs)) ==
+      Seq((nowNs(s"${base}0:00"), nowNs(s"${base}3:00"))), run2)
+    assert(targetByBucket(store) == Map(
+      ("2024-01-01 00:00:00", "a") -> 2.0,   // reproduced by the day recompute
+      ("2024-01-01 00:01:00", "a") -> 10.0,  // (5+15)/2 with the late point
+      ("2024-01-01 00:01:00", "b") -> 8.0,
+      ("2024-01-01 00:02:00", "a") -> 7.0))  // newly finalized bucket
+
+    // lifecycle: dropping the CQ clears its schedule state too
+    StoreMeta.dropCq(store, "roll", "db1")
+    assert(StoreMeta.cqLastHi(store, "db1", "roll").isEmpty)
+    assert(CqRunner.runDue(spark, store, nowNs(s"${base}9:00")).isEmpty)
+  }
+
+  test("a CQ without INTO or GROUP BY time is rejected at run time with a pointed error") {
+    val store = java.nio.file.Files.createTempDirectory("graft-cqrun-bad").toString
+    seed(store, ("2024-01-01 00:00:10", "a", 1.0))
+    StoreMeta.createCq(store, InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY noint ON db1 BEGIN " +
+        "SELECT MEAN(value) AS m FROM plc1 GROUP BY time(1m) END").asInstanceOf[CreateCq])
+    val e = intercept[InfluxQLParseException](
+      CqRunner.runDue(spark, store, ts("2024-01-01 00:05:00").getTime * 1000000L))
+    assert(e.getMessage.contains("INTO"))
+  }
+}
