@@ -9,18 +9,41 @@ import org.apache.spark.sql.SparkSession
   * the reference's daemons could POST their line protocol here verbatim.
   *
   * {{{
-  *   sbt "runMain graft.Serve /path/to/store [port]"   # default 8086
+  *   sbt "runMain graft.Serve /path/to/store [port] [--auth user:pass] [--cq-tick sec]"
   * }}}
   *
-  * The store may start empty (a `/write` creates the first measurement);
-  * `/query` re-resolves the catalog per request. On a cluster the same
-  * object runs on the driver with `master` set by spark-submit.
+  * `--auth` enables InfluxDB 1.x authentication/RBAC (u/p params or Basic;
+  * the pair is the admin root, catalog users via CREATE USER); `--cq-tick`
+  * starts the co-located CQ scheduler (registered continuous queries
+  * materialize rollups every n seconds). The store may start empty (a
+  * `/write` creates the first measurement); `/query` re-resolves the
+  * catalog per request. On a cluster the same object runs on the driver
+  * with `master` set by spark-submit.
   */
 object Serve {
   def main(args: Array[String]): Unit = {
-    val storeDir = args.headOption.getOrElse(
-      throw new IllegalArgumentException("usage: graft.Serve <storeDir> [port]"))
-    val port = args.lift(1).map(_.toInt).getOrElse(8086)
+    val (flags, positional) = {
+      var rest = args.toList
+      var auth: Option[(String, String)] = None
+      var tick: Option[Long] = None
+      val pos = List.newBuilder[String]
+      while (rest.nonEmpty) rest match {
+        case "--auth" :: v :: t =>
+          auth = v.split(":", 2) match {
+            case Array(u, p) => Some((u, p))
+            case _ => throw new IllegalArgumentException("--auth needs user:pass")
+          }
+          rest = t
+        case "--cq-tick" :: v :: t => tick = Some(v.toLong); rest = t
+        case h :: t => pos += h; rest = t
+        case Nil => ()
+      }
+      ((auth, tick), pos.result())
+    }
+    val storeDir = positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "usage: graft.Serve <storeDir> [port] [--auth user:pass] [--cq-tick sec]"))
+    val port = positional.lift(1).map(_.toInt).getOrElse(8086)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -31,8 +54,11 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val handle = graft.influxql.InfluxQLHttp.startStore(spark, storeDir, port)
-    println(s"SERVING port=${handle.port} store=$storeDir")
+    val handle = graft.influxql.InfluxQLHttp.startStore(spark, storeDir, port,
+      auth = flags._1, cqTickSec = flags._2)
+    println(s"SERVING port=${handle.port} store=$storeDir" +
+      flags._1.fold("")(a => s" auth=${a._1}") +
+      flags._2.fold("")(s => s" cq-tick=${s}s"))
     // serve until killed; the JDK server runs on its own threads
     Thread.currentThread().join()
   }

@@ -34,9 +34,13 @@ import InfluxQLAst.InfluxQLParseException
 object InfluxQLHttp {
 
   final class Handle private[InfluxQLHttp] (server: HttpServer,
-      pool: java.util.concurrent.ExecutorService) {
+      pool: java.util.concurrent.ExecutorService,
+      cqTimer: Option[java.util.concurrent.ScheduledExecutorService] = None) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = { server.stop(0); pool.shutdown() }
+    def stop(): Unit = {
+      cqTimer.foreach(_.shutdownNow())
+      server.stop(0); pool.shutdown()
+    }
   }
 
   /** Start serving on `port` (0 = ephemeral, returned via `Handle.port`).
@@ -57,12 +61,20 @@ object InfluxQLHttp {
     * full reference loop (PLC daemon → line protocol → db → Grafana)
     * runs against this one handle.
     */
+  /** `cqTickSec = Some(n)` starts the CQ scheduler inside the served
+    * process: every n seconds a daemon tick runs [[CqRunner.runDue]]
+    * under the store's write lock (a rollup rewrite must not race
+    * appends or queries), so continuous queries REGISTERED over POST
+    * /query produce live rollups in the same store — InfluxDB's CQ
+    * service co-located with its HTTP node.
+    */
   def startStore(spark: SparkSession, storeDir: String,
       port: Int = 0, nowNs: Option[Long] = None,
       maxRows: Int = InfluxQLResult.DefaultMaxRows,
-      auth: Option[(String, String)] = None): Handle =
+      auth: Option[(String, String)] = None,
+      cqTickSec: Option[Long] = None): Handle =
     serve(spark, storeDir, () => InfluxQLPlanner.Catalog.store(storeDir),
-      Some(storeDir), port, nowNs, maxRows, auth)
+      Some(storeDir), port, nowNs, maxRows, auth, cqTickSec)
 
   /** InfluxDB 1.x authentication (`auth = Some(user -> password)`): the
     * reference's client always sends credentials
@@ -131,7 +143,8 @@ object InfluxQLHttp {
   private def serve(spark: SparkSession, dir: String,
       catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
       port: Int, nowNs: Option[Long], maxRows: Int,
-      auth: Option[(String, String)] = None): Handle = {
+      auth: Option[(String, String)] = None,
+      cqTickSec: Option[Long] = None): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // Store-level concurrency control (InfluxDB's storage engine does the
     // equivalent with shard-level locks): DELETE/DROP rewrite or remove
@@ -163,7 +176,27 @@ object InfluxQLHttp {
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     server.setExecutor(pool)
     server.start()
-    new Handle(server, pool)
+    // co-located CQ service: periodic runDue under the write lock, errors
+    // logged per tick (a broken CQ must not kill the scheduler thread —
+    // InfluxDB's CQ service logs and continues the same way)
+    val cqTimer = for { sec <- cqTickSec; store <- writeStore } yield {
+      val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val th = new Thread(r, "graft-cq-tick"); th.setDaemon(true); th })
+      t.scheduleAtFixedRate(() => {
+        try {
+          lock.writeLock.lock()
+          // epoch ns (CQ bucket math) — NOT nanoTime (monotonic-only)
+          try CqRunner.runDue(spark, store,
+            nowNs.getOrElse(System.currentTimeMillis() * 1000000L)): Unit
+          finally lock.writeLock.unlock()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-cq] tick failed: ${e.getMessage}")
+        }
+      }, sec, sec, java.util.concurrent.TimeUnit.SECONDS)
+      t
+    }
+    new Handle(server, pool, cqTimer)
   }
 
   /** POST /write — InfluxDB 1.x line-protocol ingest: parse the body with

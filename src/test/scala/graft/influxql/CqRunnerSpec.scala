@@ -84,6 +84,42 @@ class CqRunnerSpec extends SparkTestBase {
     assert(CqRunner.runDue(spark, store, nowNs(s"${base}9:00")).isEmpty)
   }
 
+  test("a served store's CQ tick materializes rollups registered over HTTP") {
+    val store = java.nio.file.Files.createTempDirectory("graft-cqtick").toString
+    seed(store,
+      ("2024-01-01 00:00:10", "a", 2.0), ("2024-01-01 00:00:40", "a", 4.0),
+      ("2024-01-01 00:01:20", "a", 9.0))
+    // pin the scheduler clock past the data so the first tick finalizes
+    // both buckets, and later ticks find nothing new (due-cadence check)
+    val pinnedNow = ts("2024-01-01 00:05:00").getTime * 1000000L
+    val h = InfluxQLHttp.startStore(spark, store, nowNs = Some(pinnedNow),
+      cqTickSec = Some(1L))
+    try {
+      val conn = new java.net.URI(s"http://127.0.0.1:${h.port}/query").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val cq = "CREATE CONTINUOUS QUERY live ON db1 RESAMPLE FOR 10m BEGIN " +
+        "SELECT MEAN(value) AS m INTO plc1_live FROM plc1 GROUP BY time(1m), alias END"
+      conn.getOutputStream.write(
+        s"q=${java.net.URLEncoder.encode(cq, "UTF-8")}".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      // the daemon tick (1s cadence) picks the registration up
+      val deadline = System.currentTimeMillis() + 30000
+      var got = Map.empty[(String, String), Double]
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        if (new java.io.File(store, "measurement=plc1_live").isDirectory)
+          got = spark.read.parquet(s"$store/measurement=plc1_live")
+            .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("alias"), col("value"))
+            .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      }
+      assert(got == Map(
+        ("2024-01-01 00:00:00", "a") -> 3.0,
+        ("2024-01-01 00:01:00", "a") -> 9.0), got)
+    } finally h.stop()
+  }
+
   test("a CQ without INTO or GROUP BY time is rejected at run time with a pointed error") {
     val store = java.nio.file.Files.createTempDirectory("graft-cqrun-bad").toString
     seed(store, ("2024-01-01 00:00:10", "a", 1.0))
