@@ -346,6 +346,9 @@ object InfluxQLHttp {
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
     case InfluxQLAst.ShowCqs     => () // meta-only, nothing to plan
     case InfluxQLAst.ShowUsers | _: InfluxQLAst.ShowGrants => () // meta-only
+    case InfluxQLAst.ShowShards => () // store-layout-only, nothing to plan
+    // EXPLAIN validates exactly like the SELECT it wraps
+    case e: InfluxQLAst.Explain => dryPlan(spark, dir, e.select, nowNs, catalog)
     // anything else would fail renderStatement as "not a renderable
     // result" AFTER earlier mutations ran — reject it up front instead
     case other =>

@@ -145,6 +145,23 @@ object InfluxQLAst {
   case object ShowCqs extends Statement
   final case class DropCq(name: String, db: String) extends Statement
 
+  /** EXPLAIN [ANALYZE] SELECT … — InfluxDB 1.x's plan inspector, mapped
+    * onto the engine's REAL planner: the wire result is one series of
+    * `QUERY PLAN` text rows, here Spark's formatted plan (scans with
+    * PushedFilters/ReadSchema, exchanges, aggregates). ANALYZE executes
+    * the query first, so the rendered plan is the ADAPTIVE FINAL one
+    * (AQE's runtime re-plan — broadcast conversions, coalesced
+    * partitions), which is strictly more than InfluxDB's cursor stats.
+    */
+  final case class Explain(select: Select, analyze: Boolean) extends Statement
+
+  /** SHOW SHARDS — InfluxDB's shard listing mapped onto the store's
+    * physical layout: one row per `measurement=…/date=…` partition (the
+    * engine's shard = one day of one measurement, the retention/DELETE
+    * drop unit).
+    */
+  case object ShowShards extends Statement
+
   /** ALTER RETENTION POLICY name ON db [DURATION d] [REPLICATION n]
     * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
     * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
@@ -392,6 +409,7 @@ object InfluxQLParser {
     else if (p.atSet) p.setPassword()
     else if (p.atGrant) p.grant()
     else if (p.atRevoke) p.revoke()
+    else if (p.atExplain) p.explain()
     else p.select()
   }
 
@@ -617,6 +635,14 @@ object InfluxQLParser {
     def grant(): Statement = grantRevoke(isGrant = true)
     def revoke(): Statement = grantRevoke(isGrant = false)
 
+    def atExplain: Boolean = kwPeek.contains("explain")
+
+    def explain(): Statement = {
+      eatKw("explain")
+      val analyze = if (kwPeek.contains("analyze")) { next(); true } else false
+      Explain(select(), analyze)
+    }
+
     private def durSecLit(): Long = next() match {
       case TDur(sec) => sec
       case t => throw InfluxQLParseException(s"expected duration, got $t")
@@ -757,6 +783,10 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW USERS: ${peek.get}")
           return ShowUsers
+        case "shards" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW SHARDS: ${peek.get}")
+          return ShowShards
         case "grants" =>
           eatKw("for")
           val u = ident()

@@ -144,6 +144,23 @@ object InfluxQLPlanner {
         import spark.implicits._
         StoreMeta.listCqs(dir).map(c => (c.db, c.name, c.text))
           .toDF("db", "name", "query").orderBy("db", "name")
+      case Explain(sel, analyze) =>
+        import spark.implicits._
+        val df = plan(spark, dir, sel, nowNs, catalog)
+        val text =
+          if (analyze) {
+            // execute THIS queryExecution (no driver materialization) so
+            // its AdaptiveSparkPlan finalizes — df.count() would run a
+            // different plan and leave this one unexecuted
+            df.queryExecution.toRdd.foreach(_ => ())
+            df.queryExecution.executedPlan.toString
+          } else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        text.linesIterator.toSeq.toDF("QUERY PLAN")
+      case ShowShards =>
+        import spark.implicits._
+        shardRows(dir).toDF("id", "database", "retention_policy",
+          "shard_group", "start_time", "end_time", "expiry_time", "owners")
       case ShowUsers =>
         import spark.implicits._
         StoreMeta.listUsers(dir).map(u => (u.name, u.admin))
@@ -256,6 +273,43 @@ object InfluxQLPlanner {
     }
     val paged = offset.fold(base)(base.offset)
     limit.fold(paged)(paged.limit)
+  }
+
+  /** SHOW SHARDS rows from the store's physical layout: one shard per
+    * `measurement=…/date=…` partition — the engine's drop unit for
+    * retention and covered DELETEs, which is exactly what InfluxDB's
+    * shards are for. `id` is a stable hash of the partition path;
+    * `expiry_time` derives from the measurement-db's default retention
+    * policy (empty = infinite, the autogen default); `owners` is empty in
+    * local mode (replication belongs to the storage layer at scale).
+    * A flat-parquet data dir (no partitions) lists no shards, like a
+    * fresh InfluxDB.
+    */
+  private def shardRows(dir: String)
+      : Seq[(Long, String, String, String, String, String, String, String)] = {
+    val root = new java.io.File(dir)
+    val rps = StoreMeta.listRps(dir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+      .sortBy(_.getName)
+      .flatMap { mdir =>
+        val m = mdir.getName.stripPrefix("measurement=")
+        val rp = rps.filter(r => r.db == m && r.isDefault)
+        val rpName = rp.headOption.map(_.name).getOrElse("autogen")
+        Option(mdir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("date="))
+          .sortBy(_.getName)
+          .map { dd =>
+            val date = dd.getName.stripPrefix("date=")
+            val start = java.time.LocalDate.parse(date)
+            val expiry = rp.headOption.filter(_.durationSec > 0)
+              .map(r => s"${start.plusDays(1 + r.durationSec / 86400)}T00:00:00Z")
+              .getOrElse("")
+            (Math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$m/$date").toLong),
+              m, rpName, date, s"${start}T00:00:00Z",
+              s"${start.plusDays(1)}T00:00:00Z", expiry, "")
+          }
+      }
   }
 
   /** Resolve + validate a SHOW TAG VALUES statement against the catalog:

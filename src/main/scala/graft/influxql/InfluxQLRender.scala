@@ -78,6 +78,9 @@ object InfluxQLRender {
     case Revoke(priv, db, user) =>
       s"REVOKE $priv${db.fold("")(d => s" ON $d")} FROM $user"
     case ShowGrants(user)       => s"SHOW GRANTS FOR $user"
+    case ShowShards             => "SHOW SHARDS"
+    case Explain(sel, analyze)  =>
+      s"EXPLAIN ${if (analyze) "ANALYZE " else ""}${render(sel)}"
     case s: Select => renderSelect(s)
   }
 

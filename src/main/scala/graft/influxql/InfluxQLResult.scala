@@ -180,6 +180,22 @@ object InfluxQLResult {
           seriesObj(db, Map.empty, Seq("name", "query"), rows, epoch)
         }
         (parts.mkString(","), false)
+      case e: Explain =>
+        // the plan text as QUERY PLAN rows (InfluxDB's EXPLAIN shape),
+        // sourced from Spark's real planner — ANALYZE executes first so
+        // the adaptive FINAL plan renders
+        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(e), nowNs, catalog)
+        val (rows, partial) = collectCapped(df, maxRows)
+        (seriesObj("", Map.empty, Seq("QUERY PLAN"), rows, epoch), partial)
+      case ShowShards =>
+        // one series per database (InfluxDB's grouping), rows from the
+        // store's measurement/date partition layout
+        val df = InfluxQLPlanner.sql(spark, dir, "SHOW SHARDS", nowNs, catalog)
+        val (rows, partial) = collectCapped(df, maxRows)
+        val cols = df.columns.toSeq
+        val byDb = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)
+        val parts = byDb.map { case (db, rs) => seriesObj(db, Map.empty, cols, rs, epoch) }
+        (parts.mkString(","), partial)
       case ShowUsers =>
         // meta-only. InfluxDB's shape: series "users", columns (user, admin)
         val rows = StoreMeta.listUsers(dir).map(u => Row(u.name, u.admin))

@@ -272,6 +272,81 @@ class InfluxQLAdminSpec extends SparkTestBase {
     finally open.stop()
   }
 
+  test("EXPLAIN [ANALYZE] renders the real Spark plan as QUERY PLAN rows") {
+    val dir = "/root/testdata/sf0.001"
+    assert(InfluxQLParser.parse(
+      "EXPLAIN SELECT MEAN(value) FROM events GROUP BY time(1h)") match {
+      case Explain(s: Select, false) => s.measurement == "events"
+      case _ => false
+    })
+    // plan text carries the scan + pushdown story a Spark engineer reads
+    val plan = InfluxQLPlanner.sql(spark, dir,
+      """EXPLAIN SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-02' AND time < '2024-01-03'
+        |GROUP BY time(1h)""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Scan parquet") && plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("HashAggregate"), plan.take(500))
+    // ANALYZE executes: the adaptive plan is FINAL
+    val analyzed = InfluxQLPlanner.sql(spark, dir,
+      "EXPLAIN ANALYZE SELECT COUNT(value) AS n FROM events")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(analyzed.contains("isFinalPlan=true"), analyzed.take(300))
+    // HTTP shape: one series of QUERY PLAN rows
+    val h = InfluxQLHttp.start(spark, dir)
+    try {
+      val (c, b) = get(h.port,
+        s"/query?q=${enc("EXPLAIN SELECT COUNT(value) AS n FROM events")}")
+      assert(c == 200)
+      val series = mapper.readTree(b).at("/results/0/series/0")
+      assert(series.at("/columns/0").asText() == "QUERY PLAN", b.take(300))
+      assert(series.at("/values").size() > 3, b.take(300))
+    } finally h.stop()
+    // round-trip
+    Seq("EXPLAIN SELECT COUNT(value) AS n FROM events",
+      "EXPLAIN ANALYZE SELECT COUNT(value) AS n FROM events").foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st, q)
+    }
+  }
+
+  test("SHOW SHARDS lists the store's measurement/date partitions as shards") {
+    val store = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    import spark.implicits._
+    graft.sinks.PointStore.writePartitioned(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "plc1", "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "plc1", "a", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "plc2", "b", 3.0))
+        .toDF("ts", "measurement", "alias", "value"),
+      store)
+    val rows = InfluxQLPlanner.sqlStore(spark, store, "SHOW SHARDS")
+      .collect().map(r => (r.getString(1), r.getString(3), r.getString(4), r.getString(6)))
+    assert(rows.toSeq == Seq(
+      ("plc1", "2024-01-01", "2024-01-01T00:00:00Z", ""),
+      ("plc1", "2024-01-02", "2024-01-02T00:00:00Z", ""),
+      ("plc2", "2024-01-01", "2024-01-01T00:00:00Z", "")), rows.toSeq)
+    // a default retention policy gives its measurement-db's shards an expiry
+    StoreMeta.createRp(store, CreateRetention("keep2d", "plc1", 2 * 86400L, 1, isDefault = true))
+    val withRp = InfluxQLPlanner.sqlStore(spark, store, "SHOW SHARDS")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(6)))
+    assert(withRp.toSeq == Seq(
+      ("plc1", "keep2d", "2024-01-04T00:00:00Z"),
+      ("plc1", "keep2d", "2024-01-05T00:00:00Z"),
+      ("plc2", "autogen", "")), withRp.toSeq)
+    // HTTP: one series per database
+    val h = InfluxQLHttp.startStore(spark, store)
+    try {
+      val (c, b) = get(h.port, s"/query?q=${enc("SHOW SHARDS")}")
+      assert(c == 200)
+      val series = mapper.readTree(b).at("/results/0/series")
+      assert(series.size() == 2 &&
+        series.get(0).at("/name").asText() == "plc1" &&
+        series.get(1).at("/name").asText() == "plc2", b.take(400))
+    } finally h.stop()
+    // flat (non-partitioned) data dirs list no shards
+    assert(InfluxQLPlanner.sql(spark, "/root/testdata/sf0.001", "SHOW SHARDS").count() == 0)
+  }
+
   test("user admin statements parse and render round-trip") {
     assert(InfluxQLParser.parse("CREATE USER u1 WITH PASSWORD 'pw'") ==
       CreateUser("u1", "pw", admin = false))
