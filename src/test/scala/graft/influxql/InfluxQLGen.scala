@@ -203,6 +203,41 @@ object InfluxQLGen {
         s.fill == FillMissing && !s.orderDesc)
       every <- Gen.option(Gen.oneOf(30L, 60L, 300L))
       forS <- Gen.option(Gen.oneOf(120L, 600L))
-    } yield CreateCq("cq1", "plc", s, every, forS)))
+    } yield CreateCq("cq1", "plc", s, every, forS)),
+    // r8 admin lifecycle statements — every variant the parser accepts
+    1 -> (for {
+      name <- Gen.oneOf("plc1", "db_x")
+      rp <- Gen.option(for {
+        dur <- Gen.oneOf(86400L, 7L * 86400L)
+        repl <- Gen.choose(1, 3)
+        rpName <- Gen.oneOf("autogen", "rp1")
+      } yield CreateRetention(rpName, name, dur, repl, isDefault = true))
+    } yield CreateDatabase(name, rp)),
+    1 -> Gen.oneOf(
+      DropDatabase("plc1"), ShowCqs, DropCq("cq1", "plc"),
+      ShowUsers, ShowShards, DropUser("u1"),
+      ShowGrants("u1"), SetPassword("u1", "pw")),
+    1 -> (for {
+      name <- Gen.oneOf("rp1", "keep2w")
+      dur <- Gen.option(Gen.oneOf(86400L, 14L * 86400L))
+      repl <- Gen.option(Gen.choose(1, 3))
+      dflt <- Gen.oneOf(true, false)
+      if dur.isDefined || repl.isDefined || dflt
+    } yield AlterRetention(name, "plc", dur, repl, dflt)),
+    1 -> (for {
+      name <- Gen.identifier.map(s => "u" + s.take(6))
+      pw <- Gen.alphaNumStr.map(s => "p" + s.take(8))
+      admin <- Gen.oneOf(true, false)
+    } yield CreateUser(name, pw, admin)),
+    1 -> (for {
+      priv <- Gen.oneOf("READ", "WRITE", "ALL")
+      db <- if (priv == "ALL") Gen.option(Gen.const("plc")) else Gen.const(Some("plc"))
+      user <- Gen.oneOf("u1", "grafana")
+      isGrant <- Gen.oneOf(true, false)
+    } yield if (isGrant) Grant(priv, db, user) else Revoke(priv, db, user)),
+    1 -> (for {
+      s <- genSelect
+      analyze <- Gen.oneOf(true, false)
+    } yield Explain(s, analyze)))
 
 }
