@@ -50,34 +50,77 @@ object LineProtocol {
   def unescapeMeasurement(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\\\ ", " "), "\\\\,", ",")
 
+  // Line-protocol separators as regexes that skip escaped occurrences and
+  // (for the field set) occurrences inside a "quoted string value". The
+  // quote-parity lookahead matches only where an EVEN number of UNESCAPED
+  // quotes follows — `(?:\\.|[^"\\])` consumes any escaped char as a unit,
+  // so an embedded `\"` never flips the parity.
+  private val NotQuote   = """(?:\\.|[^"\\])*"""
+  private val Parity     = s"""(?=(?:$NotQuote"$NotQuote")*$NotQuote$$)"""
+  private val UnescSpace = s"""(?<!\\\\) $Parity"""
+  private val UnescComma = """(?<!\\),"""
+  private val FieldComma = s"""(?<!\\\\),$Parity"""
+  private val KvEq       = s"""(?<!\\\\)=$Parity"""
+
+  /** Unescape a tag key/value (line-protocol: `\,` `\ ` `\=`) — single
+    * pass, so a literal backslash before a separator survives.
+    */
+  private def unescTag(c: Column): Column =
+    regexp_replace(c, """\\([ ,=])""", "$1")
+
   /** Parse line-protocol text back into the point shape — the inverse of
     * [[format]]/[[formatPoints]] and the wire format the reference's
     * whole pipeline produces (InfluxDB 1.7 write payload,
-    * Linux/InfluxConnector2.py:175-176). Handles the general grammar
-    * `measurement[,tag=v…] field=v[,field2=v2…] [tsNs]` with
-    * backslash-escaped commas/spaces in the measurement.
+    * Linux/InfluxConnector2.py:175-176). Handles the full 1.x grammar
+    * `measurement[,tag=v…] field=v[,field2=v2…] [tsNs]`:
+    * backslash-escaped commas/spaces/equals in measurement and tags,
+    * `"quoted string"` field values (embedded `\,`/`= `/`\"` kept), and
+    * integer fields' `i` suffix (`42i`).
     *
-    * Entirely builtin column functions (split with lookbehind regex,
-    * str_to_map, transform_values) — codegen'd, per-row, shuffle-free; a
-    * 100 TB line-protocol backlog parses embarrassingly parallel. Parsed
-    * columns are APPENDED so callers keep their own (offsets, source ids):
-    * measurement STRING, tags MAP<STRING,STRING>, fields_str
-    * MAP<STRING,STRING> (exact wire text), fields MAP<STRING,DOUBLE>,
-    * ts_ns LONG (null if the line omitted it), ts TIMESTAMP.
+    * Entirely builtin column functions (split with lookbehind +
+    * quote-parity regexes, map_from_entries, transform_values) —
+    * codegen'd, per-row, shuffle-free; a 100 TB line-protocol backlog
+    * parses embarrassingly parallel. Parsed columns are APPENDED so
+    * callers keep their own (offsets, source ids): measurement STRING,
+    * tags MAP<STRING,STRING>, fields_str MAP<STRING,STRING> (string
+    * values unquoted+unescaped, numerics exact wire text), fields
+    * MAP<STRING,DOUBLE> (numeric/int-suffixed only — string and boolean
+    * fields stay in fields_str, their double slot null), ts_ns LONG
+    * (null if the line omitted it), ts TIMESTAMP.
     */
-  def parseLines(df: DataFrame, lineColName: String = "line"): DataFrame =
+  def parseLines(df: DataFrame, lineColName: String = "line"): DataFrame = {
+    val kvKey   = (s: Column) => unescTag(element_at(split(s, KvEq, 2), 1))
+    // a separator-less entry ("nonsense") has no value — null, NOT an
+    // ANSI out-of-bounds error, so malformed lines surface as null-value
+    // points the write path can 400 on
+    val kvRaw   = (s: Column) => try_element_at(split(s, KvEq, 2), lit(2))
+    val unquote = (v: Column) =>
+      when(v.rlike("^\".*\"$"),
+        // single-pass unescape of \" and \\ inside the quoted body
+        regexp_replace(v.substr(lit(2), length(v) - 2), """\\(["\\])""", "$1"))
+        .otherwise(v)
     df
-      .withColumn("__parts", split(col(lineColName), "(?<!\\\\) "))
-      .withColumn("__mt", split(element_at(col("__parts"), 1), "(?<!\\\\),"))
+      .withColumn("__parts", split(col(lineColName), UnescSpace))
+      .withColumn("__mt", split(element_at(col("__parts"), 1), UnescComma))
       .withColumn("measurement", unescapeMeasurement(element_at(col("__mt"), 1)))
-      .withColumn("tags", expr(
-        """map_from_entries(transform(slice(__mt, 2, greatest(size(__mt) - 1, 0)),
-          |  s -> struct(split(s, '=', 2)[0] AS key, split(s, '=', 2)[1] AS value)))""".stripMargin))
-      .withColumn("fields_str", expr("str_to_map(element_at(__parts, 2), ',', '=')"))
-      .withColumn("fields", expr("transform_values(fields_str, (k, v) -> CAST(v AS DOUBLE))"))
+      .withColumn("tags", map_from_entries(transform(
+        slice(col("__mt"), lit(2), greatest(size(col("__mt")) - 1, lit(0))),
+        s => struct(kvKey(s).as("key"), unescTag(kvRaw(s)).as("value")))))
+      .withColumn("fields_str", map_from_entries(transform(
+        split(element_at(col("__parts"), 2), FieldComma),
+        s => struct(kvKey(s).as("key"), unquote(kvRaw(s)).as("value")))))
+      // integer fields carry the 1.x `i` suffix — strip it for the double
+      // view (exact for |n| < 2^53, the practical PLC range); try_cast:
+      // string/boolean fields yield null here, their text stays in
+      // fields_str (ANSI cast would throw on them)
+      .withColumn("fields", transform_values(col("fields_str"), (_, v) =>
+        when(v.rlike("^-?[0-9]+i$"),
+          v.substr(lit(1), length(v) - 1).try_cast(org.apache.spark.sql.types.DoubleType))
+          .otherwise(v.try_cast(org.apache.spark.sql.types.DoubleType))))
       .withColumn("ts_ns", expr("try_element_at(__parts, 3)").cast("long"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .drop("__parts", "__mt")
+  }
 
   /** Write a one-column frame of lines to `dir/part-<batchId>-<pid>.lp`,
     * ONE FILE PER PARTITION, written ON THE EXECUTORS — the rows never pass

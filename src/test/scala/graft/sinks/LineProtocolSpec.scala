@@ -83,6 +83,37 @@ class LineProtocolSpec extends SparkTestBase {
     assert(back.getAs[Long]("ts_ns") == 1704067200000000000L)
   }
 
+  test("parseLines: escaped tags, quoted string fields, integer i-suffix (full 1.x grammar)") {
+    import spark.implicits._
+    val lines = Seq(
+      // escaped comma/space/equals in tag key and value
+      """disk,path\,0=/mnt\ data,k\=1=v\=2 used=10.5 100""",
+      // quoted string value holding comma, space, equals, escaped quote;
+      // plus an integer field with the i suffix alongside a float
+      """log,host=a msg="warn, disk=\" 90%\" full",count=42i,load=0.5 200""",
+      // boolean-ish field stays textual, its double view is null
+      """flag,host=b ok=true 300""").toDF("line")
+    val rows = LineProtocol.parseLines(lines).collect()
+      .map(r => r.getAs[String]("measurement") -> r).toMap
+
+    val disk = rows("disk")
+    assert(disk.getAs[Map[String, String]]("tags") ==
+      Map("path,0" -> "/mnt data", "k=1" -> "v=2"))
+    assert(disk.getAs[Map[String, Double]]("fields") == Map("used" -> 10.5))
+
+    val log = rows("log")
+    assert(log.getAs[Map[String, String]]("fields_str")("msg") ==
+      """warn, disk=" 90%" full""")
+    assert(log.getAs[Map[String, Double]]("fields")
+      .view.filterKeys(_ != "msg").toMap == Map("count" -> 42.0, "load" -> 0.5))
+    assert(log.getAs[Map[String, Double]]("fields")("msg") == null
+      || log.getAs[Map[String, Double]]("fields").get("msg").contains(null))
+    assert(log.getAs[Long]("ts_ns") == 200L)
+
+    val flag = rows("flag")
+    assert(flag.getAs[Map[String, String]]("fields_str") == Map("ok" -> "true"))
+  }
+
   test("append writes one file per non-empty partition, executor-side, idempotent on replay") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lp_part").toString
