@@ -24,10 +24,19 @@ object LineProtocol {
   def escapeMeasurement(c: Column): Column =
     regexp_replace(regexp_replace(c, ",", "\\\\,"), " ", "\\\\ ")
 
-  /** One line-protocol line per row: `measurement alias=value tsNs`. */
+  /** Escape a tag/field key or tag value (line-protocol: commas, spaces,
+    * AND equals — one more than measurements).
+    */
+  def escapeKey(c: Column): Column =
+    regexp_replace(escapeMeasurement(c), "=", "\\\\=")
+
+  /** One line-protocol line per row: `measurement alias=value tsNs`. The
+    * alias is a FIELD KEY on the wire, so it carries key escaping — an
+    * alias with a space or comma must not tear the line apart.
+    */
   def lineCol(measurement: Column, alias: Column, value: Column, tsNs: Column): Column =
     concat(escapeMeasurement(measurement), lit(" "),
-      alias, lit("="), format_string("%.2f", value), lit(" "),
+      escapeKey(alias), lit("="), format_string("%.2f", value), lit(" "),
       tsNs.cast("string"))
 
   /** Shape an events-like frame into line-protocol strings. */
