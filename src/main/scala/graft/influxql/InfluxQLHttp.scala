@@ -347,6 +347,7 @@ object InfluxQLHttp {
     case InfluxQLAst.ShowCqs     => () // meta-only, nothing to plan
     case InfluxQLAst.ShowUsers | _: InfluxQLAst.ShowGrants => () // meta-only
     case InfluxQLAst.ShowShards => () // store-layout-only, nothing to plan
+    case InfluxQLAst.ShowStats | InfluxQLAst.ShowDiagnostics => () // metadata-only
     // EXPLAIN validates exactly like the SELECT it wraps
     case e: InfluxQLAst.Explain => dryPlan(spark, dir, e.select, nowNs, catalog)
     // anything else would fail renderStatement as "not a renderable

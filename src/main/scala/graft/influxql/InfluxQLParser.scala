@@ -162,6 +162,15 @@ object InfluxQLAst {
     */
   case object ShowShards extends Statement
 
+  /** SHOW STATS / SHOW DIAGNOSTICS — the admin-tool introspection pair
+    * (Chronograf's health pages): STATS reports store metrics from
+    * filesystem METADATA only (measurements/shards/files/bytes — never a
+    * data scan) plus the live query registry; DIAGNOSTICS reports build
+    * and runtime facts (engine version, Spark version, parallelism).
+    */
+  case object ShowStats extends Statement
+  case object ShowDiagnostics extends Statement
+
   /** ALTER RETENTION POLICY name ON db [DURATION d] [REPLICATION n]
     * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
     * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
@@ -787,6 +796,14 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW SHARDS: ${peek.get}")
           return ShowShards
+        case "stats" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW STATS: ${peek.get}")
+          return ShowStats
+        case "diagnostics" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW DIAGNOSTICS: ${peek.get}")
+          return ShowDiagnostics
         case "grants" =>
           eatKw("for")
           val u = ident()

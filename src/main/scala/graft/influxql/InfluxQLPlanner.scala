@@ -161,6 +161,31 @@ object InfluxQLPlanner {
         import spark.implicits._
         shardRows(dir).toDF("id", "database", "retention_policy",
           "shard_group", "start_time", "end_time", "expiry_time", "owners")
+      case ShowStats =>
+        // filesystem METADATA only — no data scan, constant-time against
+        // store size in measurements (not rows)
+        import spark.implicits._
+        val root = new java.io.File(dir)
+        val mdirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+        def walk(f: java.io.File): (Long, Long) =
+          if (f.isFile) (1L, f.length())
+          else Option(f.listFiles()).getOrElse(Array.empty)
+            .map(walk).foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+        val shards = mdirs.flatMap(m => Option(m.listFiles()).getOrElse(Array.empty))
+          .count(f => f.isDirectory && f.getName.startsWith("date="))
+        val (files, bytes) = mdirs.map(walk).foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+        Seq((mdirs.size.toLong, shards.toLong, files, bytes,
+          InfluxQLQueries.list().size.toLong))
+          .toDF("measurements", "shards", "files", "bytes", "active_queries")
+      case ShowDiagnostics =>
+        import spark.implicits._
+        Seq(
+          ("build", "Version", "1.7-graft"),
+          ("build", "Engine", s"Spark ${spark.version}"),
+          ("runtime", "Parallelism", spark.sparkContext.defaultParallelism.toString),
+          ("runtime", "ShufflePartitions", spark.conf.get("spark.sql.shuffle.partitions")))
+          .toDF("section", "name", "value")
       case ShowUsers =>
         import spark.implicits._
         StoreMeta.listUsers(dir).map(u => (u.name, u.admin))

@@ -79,6 +79,8 @@ object InfluxQLRender {
       s"REVOKE $priv${db.fold("")(d => s" ON $d")} FROM $user"
     case ShowGrants(user)       => s"SHOW GRANTS FOR $user"
     case ShowShards             => "SHOW SHARDS"
+    case ShowStats              => "SHOW STATS"
+    case ShowDiagnostics        => "SHOW DIAGNOSTICS"
     case Explain(sel, analyze)  =>
       s"EXPLAIN ${if (analyze) "ANALYZE " else ""}${render(sel)}"
     case s: Select => renderSelect(s)

@@ -196,6 +196,12 @@ object InfluxQLResult {
         val byDb = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)
         val parts = byDb.map { case (db, rs) => seriesObj(db, Map.empty, cols, rs, epoch) }
         (parts.mkString(","), partial)
+      case ShowStats | ShowDiagnostics =>
+        // metadata-only planning; series named after the statement
+        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
+        val (rows, partial) = collectCapped(df, maxRows)
+        val name = if (st == ShowStats) "stats" else "diagnostics"
+        (seriesObj(name, Map.empty, df.columns.toSeq, rows, epoch), partial)
       case ShowUsers =>
         // meta-only. InfluxDB's shape: series "users", columns (user, admin)
         val rows = StoreMeta.listUsers(dir).map(u => Row(u.name, u.admin))

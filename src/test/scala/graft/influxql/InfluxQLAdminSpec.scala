@@ -347,6 +347,31 @@ class InfluxQLAdminSpec extends SparkTestBase {
     assert(InfluxQLPlanner.sql(spark, "/root/testdata/sf0.001", "SHOW SHARDS").count() == 0)
   }
 
+  test("SHOW STATS / SHOW DIAGNOSTICS report store metadata and runtime facts") {
+    val store = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    import spark.implicits._
+    graft.sinks.PointStore.writePartitioned(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "plc1", "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "plc1", "a", 2.0))
+        .toDF("ts", "measurement", "alias", "value"),
+      store)
+    val stats = InfluxQLPlanner.sqlStore(spark, store, "SHOW STATS").collect()(0)
+    assert(stats.getLong(stats.fieldIndex("measurements")) == 1L)
+    assert(stats.getLong(stats.fieldIndex("shards")) == 2L)
+    assert(stats.getLong(stats.fieldIndex("bytes")) > 0L)
+    val diag = InfluxQLPlanner.sql(spark, store, "SHOW DIAGNOSTICS")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(diag("Version") == "1.7-graft" && diag("Engine").startsWith("Spark "))
+    // HTTP shape: named series
+    val h = InfluxQLHttp.startStore(spark, store)
+    try {
+      val (c, b) = get(h.port, s"/query?q=${enc("SHOW STATS; SHOW DIAGNOSTICS")}")
+      assert(c == 200)
+      assert(mapper.readTree(b).at("/results/0/series/0/name").asText() == "stats", b.take(300))
+      assert(mapper.readTree(b).at("/results/1/series/0/name").asText() == "diagnostics", b.take(300))
+    } finally h.stop()
+  }
+
   test("user admin statements parse and render round-trip") {
     assert(InfluxQLParser.parse("CREATE USER u1 WITH PASSWORD 'pw'") ==
       CreateUser("u1", "pw", admin = false))
