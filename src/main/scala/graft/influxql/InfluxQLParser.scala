@@ -782,6 +782,36 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW QUERIES: ${peek.get}")
           return ShowQueries
+        case "measurements" if kwPeek.contains("with") =>
+          // SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ (or = name) — the
+          // Grafana templated-variable filter; encoded through the same
+          // "re:" catalog resolution as a regex FROM (plain `= name`
+          // quotes to an anchored regex, so an unknown name lists empty
+          // instead of erroring, InfluxDB's behavior)
+          next(); eatKw("measurement")
+          val re = peek match {
+            case Some(TOp("=~")) => next()
+              next() match {
+                case TRegex(r) => r
+                case t => throw InfluxQLParseException(
+                  s"expected /regex/ after WITH MEASUREMENT =~, got $t")
+              }
+            case Some(TOp("=")) => next()
+              s"^${java.util.regex.Pattern.quote(ident())}$$"
+            case t => throw InfluxQLParseException(
+              s"expected = or =~ after WITH MEASUREMENT, got $t")
+          }
+          var limit: Option[Int] = None
+          var offset: Option[Int] = None
+          var more = true
+          while (more) kwPeek match {
+            case Some("limit")  => next(); limit = Some(intLit())
+            case Some("offset") => next(); offset = Some(intLit())
+            case _              => more = false
+          }
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW MEASUREMENTS: ${peek.get}")
+          return Show("measurements", Some(s"re:$re"), limit, offset)
         case "continuous" =>
           eatKw("queries")
           if (peek.isDefined)

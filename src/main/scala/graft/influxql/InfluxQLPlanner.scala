@@ -230,9 +230,23 @@ object InfluxQLPlanner {
     val Show(what, from, limit, offset, on) = sh
     // plain names validate, /re/ expands against the catalog (errors when
     // nothing matches, like a SELECT's regex FROM)
-    val fromMs = from.map(catalog.matchMeasurements)
+    // lazy: the measurements case resolves its WITH MEASUREMENT filter
+    // itself (empty match = empty listing, not the regex-FROM error)
+    lazy val fromMs = from.map(catalog.matchMeasurements)
     val base: DataFrame = what match {
-      case "measurements" => catalog.measurements.toDF("name")
+      // WITH MEASUREMENT =~ /re/ arrives as a "re:" from (parser); an
+      // unfiltered listing keeps from = None. No-match lists EMPTY
+      // (InfluxDB's behavior for this filter — unlike a SELECT's
+      // regex FROM, which errors)
+      case "measurements" =>
+        val ms = from match {
+          case Some(f) if f.startsWith("re:") =>
+            val re = f.drop(3).r
+            catalog.measurements.filter(m => re.findFirstIn(m).isDefined)
+          case Some(f) => catalog.measurements.filter(_ == f)
+          case None    => catalog.measurements
+        }
+        ms.toDF("name")
       case "databases"    =>
         // the engine's implicit namespace plus every CREATE DATABASE'd one
         // (StoreMeta markers) — a dir-backed catalog has no _meta and

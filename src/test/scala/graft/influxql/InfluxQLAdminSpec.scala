@@ -347,6 +347,23 @@ class InfluxQLAdminSpec extends SparkTestBase {
     assert(InfluxQLPlanner.sql(spark, "/root/testdata/sf0.001", "SHOW SHARDS").count() == 0)
   }
 
+  test("SHOW MEASUREMENTS WITH MEASUREMENT filters the listing (Grafana template shape)") {
+    val dir = "/root/testdata/sf0.001"
+    assert(InfluxQLParser.parse("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^ev/ LIMIT 5") ==
+      Show("measurements", Some("re:^ev"), Some(5), None))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^ev/")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    // = name quotes to an anchored regex; unknown names list EMPTY (the
+    // InfluxDB filter behavior), they don't error like a SELECT's FROM
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW MEASUREMENTS WITH MEASUREMENT = events")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    assert(InfluxQLPlanner.sql(spark, dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^nope/")
+      .count() == 0)
+    // render round-trip (canonicalizes to the equivalent FROM form)
+    val st = InfluxQLParser.parse("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^ev/")
+    assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st)
+  }
+
   test("SHOW STATS / SHOW DIAGNOSTICS report store metadata and runtime facts") {
     val store = java.nio.file.Files.createTempDirectory("graft-stats").toString
     import spark.implicits._
