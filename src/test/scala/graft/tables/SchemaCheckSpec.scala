@@ -54,6 +54,36 @@ class SchemaCheckSpec extends SparkTestBase {
     assert(bad == 0L, s"$bad rows where ts_ns and ts disagree at micro precision")
   }
 
+  test("the legacy nanos-as-long vintage still loads (ts rebuilt, ts_ns native)") {
+    // The LongType branch of Tables.events is dead on CURRENT testdata but
+    // must survive a driver flip back to TIMESTAMP(NANOS) (read as raw
+    // long under nanosAsLong). A plain LONG ts column exercises the same
+    // branch, including sub-microsecond nanos the micros vintage can't
+    // carry.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-legacy-events").toString
+    Seq(
+      (1L, 1704067200000000123L, 7L, "click", 1.5, "{}"),
+      (2L, 1704067200000001999L, 8L, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val ev = Tables.events(spark, tmp)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.schema("ts_ns").dataType == LongType)
+    val rows = ev.select("event_id", "ts_ns").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the native nanos column keeps sub-microsecond precision
+    assert(rows == Map(1L -> 1704067200000000123L, 2L -> 1704067200000001999L))
+    // eventsTimeBound stays EXACT on this vintage: a micro-aligned bound
+    // filters by truncated ts, a sub-micro bound by raw nanos
+    assert(Tables.eventsTimeBound(ev, 1704067200000001000L, Long.MaxValue)
+      .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Tables.eventsTimeBound(ev, 1704067200000000124L, Long.MaxValue)
+      .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Tables.eventsTimeBound(ev, Long.MinValue, 1704067200000001999L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("documents / embeddings carry the columns the dedup+ANN families assume") {
     expect("documents", Map("doc_id" -> LongType, "text" -> StringType))
     val emb = fieldTypes("embeddings")
