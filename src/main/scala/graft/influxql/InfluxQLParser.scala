@@ -1044,12 +1044,20 @@ object InfluxQLParser {
           val name = ident()
           val fn = name.toLowerCase
           eatOp("(")
-          // nested shape: TRANSFORM(AGG(field)[, unit|n])
+          // nested shape: TRANSFORM(AGG(field)[, unit|n]) — or the RAW
+          // form TRANSFORM(field[, unit|n]) over ungrouped points (the
+          // Grafana raw-series panel shape). Raw is encoded as a sentinel
+          // "__raw" inner; HOLT_WINTERS and the TA set genuinely need an
+          // aggregate (their state folds the bucket grid) and keep
+          // requiring one.
           val innerName = ident()
-          if (!peek.contains(TOp("(")))
-            throw InfluxQLParseException(
-              s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
-          val inner = aggCall(innerName)
+          val inner =
+            if (!peek.contains(TOp("("))) {
+              if (fn == "holt_winters" || Technical(fn))
+                throw InfluxQLParseException(
+                  s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
+              FnField("__raw", innerName, None, None)
+            } else aggCall(innerName)
           if (RowSelectors(inner.fn))
             throw InfluxQLParseException(s"$name cannot wrap ${inner.fn.toUpperCase}")
           val param =
@@ -1174,7 +1182,11 @@ object InfluxQLParser {
           else ident()
         return FnField("count_distinct", arg, None, None)
       }
-      val arg = ident()
+      // FN(*) — the wildcard-field form (InfluxDB expands * to the
+      // measurement's fields; the planner resolves it against the catalog
+      // and names the output fn_<field>, InfluxDB's wildcard naming)
+      val arg =
+        if (peek.contains(TOp("*"))) { next(); "*" } else ident()
       val param =
         if (peek.contains(TOp(","))) { next(); Some(numOrDur()) } else None
       if (Set("percentile", "top", "bottom", "sample")(fn) && param.isEmpty)
@@ -1340,9 +1352,26 @@ object InfluxQLParser {
           "cannot mix aggregate and raw fields in one SELECT")
       if (!hasFn && (s.groupTimeSec.isDefined || s.groupTags.nonEmpty))
         throw InfluxQLParseException("GROUP BY requires aggregate fields")
-      if (s.fields.exists(_.isInstanceOf[TransformField]) && s.groupTimeSec.isEmpty)
+      def isRawTf(f: Field): Boolean = f match {
+        case t: TransformField => t.inner.fn == "__raw"
+        case _                 => false
+      }
+      if (s.fields.exists(f => f.isInstanceOf[TransformField] && !isRawTf(f)) &&
+          s.groupTimeSec.isEmpty)
         throw InfluxQLParseException(
           "DERIVATIVE/MOVING_AVERAGE/… over an aggregate require GROUP BY time(...)")
+      if (s.fields.exists(isRawTf)) {
+        // raw-point transforms window the points themselves; a time bucket
+        // means the caller wanted the aggregate form
+        if (s.groupTimeSec.isDefined)
+          throw InfluxQLParseException(
+            "a raw-point transform takes no GROUP BY time(...) — nest an aggregate, " +
+              "e.g. DERIVATIVE(MEAN(value))")
+        if (s.fields.size > 1)
+          throw InfluxQLParseException(
+            "a raw-point transform must be the SELECT's only field (it drops " +
+              "warm-up rows, so it cannot align with per-point fields)")
+      }
       val selectors = s.fields.collect {
         case FnField(fn, _, _, _) if RowSelectors(fn) => fn
       }

@@ -430,7 +430,16 @@ object InfluxQLPlanner {
         TimeCond(op, base + off)
       case c => c
     })
-    val q = if (q1.groupTags == Seq("*")) q1.copy(groupTags = catalog.tags) else q1
+    val q2 = if (q1.groupTags == Seq("*")) q1.copy(groupTags = catalog.tags) else q1
+    // FN(*) — wildcard FIELD argument: the catalog has one field per
+    // measurement, so * resolves to it, named fn_<field> (InfluxDB's
+    // wildcard output naming) unless aliased
+    val q = q2.copy(fields = q2.fields.map {
+      case f @ FnField(fn, "*", _, alias) if fn != "__raw" =>
+        f.copy(arg = catalog.field,
+          alias = alias.orElse(Some(s"${fn}_${catalog.field}")))
+      case f => f
+    })
     q.fromSub match {
       case Some(sub) => return planSub(spark, dir, q, sub, nowNs, catalog)
       case None      => ()
@@ -1213,6 +1222,68 @@ object InfluxQLPlanner {
     } else limited(out.orderBy(ord +: tags.map(col): _*), q)
   }
 
+  /** Raw-point transforms — DERIVATIVE(value[, unit]) / DIFFERENCE /
+    * NON_NEGATIVE_* / MOVING_AVERAGE(value, n) / CUMULATIVE_SUM(value)
+    * over UNGROUPED points (the Grafana raw-series panel shape): one
+    * window per series (GROUP BY tags), ordered (ts_ns, event_id) — the
+    * q_win_* operators' shape, one shuffle on the tag partition. Value
+    * conventions mirror the bucketed transform path (derivative round 6
+    * `+0`, difference/cumsum round 2, movavg round 4); warm-up rows with
+    * no predecessor drop (InfluxDB's raw-transform behavior — there is no
+    * fill() on a raw query to interact with), as do the negatives of the
+    * NON_NEGATIVE variants.
+    */
+  private def planRawTransform(filtered: DataFrame, q: Select,
+      t: TransformField): DataFrame = {
+    val name = InfluxQLParser.outName(t)
+    val tags = q.groupTags
+    val v = col(t.inner.arg)
+    val w = Window.partitionBy(tags.map(col): _*)
+      .orderBy(col("ts_ns"), col("event_id"))
+    val kept = seriesLimited(filtered, q, tags)
+    // Δt computed in LONG nanos first — epoch ns exceed a double's exact
+    // range, the deltas don't
+    val dNs = (col("ts_ns") - lag(col("ts_ns"), 1).over(w)).cast("double")
+    val out0 = t.fn match {
+      case "derivative" | "non_negative_derivative" =>
+        val unitNs = t.param.getOrElse(1.0) * 1e9 // unit defaults to 1s
+        val d = round((v - lag(v, 1).over(w)) / (dNs / lit(unitNs)), 6) + lit(0.0)
+        kept.withColumn(name, if (t.fn.startsWith("non_")) when(d >= 0, d) else d)
+          .filter(col(name).isNotNull)
+      case "difference" | "non_negative_difference" =>
+        val d = round(v - lag(v, 1).over(w), 2) + lit(0.0)
+        kept.withColumn(name, if (t.fn.startsWith("non_")) when(d >= 0, d) else d)
+          .filter(col(name).isNotNull)
+      case "moving_average" =>
+        val width = t.param.getOrElse(2.0).toInt
+        kept.withColumn(name,
+          round(avg(v).over(w.rowsBetween(-(width - 1), Window.currentRow)), 4))
+      case "cumulative_sum" =>
+        kept.withColumn(name,
+          round(sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      case other => throw InfluxQLParseException(s"unknown raw transform: $other")
+    }
+    // raw-select presentation: per-point times, (ts_ns, event_id) order —
+    // with per-series LIMIT pagination when grouped (InfluxDB semantics)
+    val ord =
+      if (q.orderDesc) Seq(col("ts_ns").desc, col("event_id").desc)
+      else Seq(col("ts_ns").asc, col("event_id").asc)
+    if (tags.nonEmpty && (q.limit.isDefined || q.offset.isDefined)) {
+      val pw = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
+      val off = q.offset.getOrElse(0)
+      val hi = q.limit.map(off + _).getOrElse(Int.MaxValue)
+      out0.withColumn("__pn", row_number().over(pw))
+        .filter(col("__pn") > off && col("__pn") <= hi)
+        .orderBy(tags.map(col) ++ ord: _*)
+        .select(timeStr(col("ts"), q).as("time") +: tags.map(col) :+ col(name): _*)
+    } else {
+      limited(
+        out0.orderBy(tags.map(col) ++ ord: _*)
+          .select(timeStr(col("ts"), q).as("time") +: tags.map(col) :+ col(name): _*),
+        q)
+    }
+  }
+
   private def planAgg(spark: SparkSession, filtered: DataFrame, q: Select): DataFrame = {
     q.fields match {
       case Seq(f: FnField) if f.fn == "top" || f.fn == "bottom" =>
@@ -1227,6 +1298,8 @@ object InfluxQLPlanner {
         return planHoltWinters(spark, filtered, q, t)
       case Seq(t: TransformField) if InfluxQLParser.Technical(t.fn) =>
         return planTechnical(spark, filtered, q, t)
+      case Seq(t: TransformField) if t.inner.fn == "__raw" =>
+        return planRawTransform(filtered, q, t)
       case _ => ()
     }
     // Transforms compute their INNER aggregate per bucket here, then get

@@ -127,7 +127,10 @@ object InfluxQLRender {
       case RawField(name, _) => name
       case FnField(fn, arg, param, _) => fnCall(fn, arg, param)
       case TransformField(fn, inner, param, _, param2) =>
-        val in = fnCall(inner.fn, inner.arg, inner.param)
+        // "__raw" marks the raw-point form: the inner is a bare field
+        val in =
+          if (inner.fn == "__raw") inner.arg
+          else fnCall(inner.fn, inner.arg, inner.param)
         s"${fn.toUpperCase}($in${param.fold("")(p => s", ${num(p)}")}" +
           s"${param2.fold("")(p => s", ${num(p)}")})"
       case ExprField(e, _) => expr(e)

@@ -138,6 +138,32 @@ object QInfluxQL {
         |GROUP BY time(1h), user_id""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_raw_derivative",
+      "IQL56: textual DERIVATIVE(value) over RAW points per series — the Grafana raw-series " +
+        "rate panel (no aggregate, no time bucket); warm-up rows drop, unit defaults 1s",
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(value) OVER w AS pv,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dus
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       round((value - pv) / (dus / 1000000.0), 6) + 0 AS derivative
+        |FROM d WHERE pv IS NOT NULL
+        |ORDER BY user_id, ts, event_id""".stripMargin)(influx(
+      """SELECT DERIVATIVE(value) FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_count_star",
+      "IQL57: COUNT(*) — the wildcard-field aggregate, expanded against the catalog's " +
+        "field set and named count_<field> like InfluxDB",
+      "SELECT count(value) AS count_value FROM events")(influx(
+      "SELECT COUNT(*) FROM events")),
+
+    GraftQuery(
       "q_influxql_movavg",
       "IQL8: textual MOVING_AVERAGE(MEAN(value), 3) GROUP BY time(1h), tag — smoothed dashboard series",
       """WITH a AS (
