@@ -238,6 +238,24 @@ object InfluxQLGen {
     1 -> (for {
       s <- genSelect
       analyze <- Gen.oneOf(true, false)
-    } yield Explain(s, analyze)))
+    } yield Explain(s, analyze)),
+    // r8 raw-point transforms: TRANSFORM(field[, p]) with no GROUP BY time
+    1 -> (for {
+      fn <- Gen.oneOf("derivative", "non_negative_derivative", "difference",
+        "non_negative_difference", "moving_average", "cumulative_sum")
+      param <- fn match {
+        case "moving_average" => Gen.choose(2, 5).map(n => Some(n.toDouble))
+        case "derivative" | "non_negative_derivative" =>
+          Gen.option(Gen.oneOf(1.0, 60.0, 3600.0))
+        case _ => Gen.const(None)
+      }
+      tags <- Gen.oneOf(Seq.empty[String], Seq("user_id"), Seq("event_type"))
+      limit <- Gen.option(Gen.choose(1, 10))
+    } yield Select(
+      fields = Seq(TransformField(fn, FnField("__raw", "value", None, None), param, None, None)),
+      measurement = "events",
+      where = Seq(TimeCond(">=", 1704067200000000000L), TimeCond("<", 1704240000000000000L)),
+      groupTimeSec = None, groupTags = tags, fill = FillMissing,
+      orderDesc = false, limit = limit, offset = None)))
 
 }
