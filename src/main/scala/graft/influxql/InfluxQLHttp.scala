@@ -320,6 +320,7 @@ object InfluxQLHttp {
     case _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
          _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
          _: InfluxQLAst.Revoke => true
+    case _: InfluxQLAst.DropShard => true
     case _ => false
   }
 
@@ -467,7 +468,7 @@ object InfluxQLHttp {
                        _: InfluxQLAst.DropRetention |
                        _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
                        _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
-                       _: InfluxQLAst.Revoke => ()
+                       _: InfluxQLAst.Revoke | _: InfluxQLAst.DropShard => ()
                   case st => dryPlan(spark, dir, st, nowNs, catalog0())
                 }
                 // Once execution starts, NOTHING may abort the batch — any
@@ -509,6 +510,8 @@ object InfluxQLHttp {
                           StoreMeta.grant(store, g)
                         case r: InfluxQLAst.Revoke =>
                           StoreMeta.revoke(store, r)
+                        case ds: InfluxQLAst.DropShard =>
+                          InfluxQLPlanner.dropShard(ds, store): Unit
                       }
                       s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
                     } catch {

@@ -171,6 +171,12 @@ object InfluxQLAst {
   case object ShowStats extends Statement
   case object ShowDiagnostics extends Statement
 
+  /** DROP SHARD <id> — removes the one `measurement=…/date=…` partition
+    * whose SHOW SHARDS id matches (InfluxDB's targeted shard deletion,
+    * the manual space-reclaim admins reach for before retention bites).
+    */
+  final case class DropShard(id: Long) extends Statement
+
   /** ALTER RETENTION POLICY name ON db [DURATION d] [REPLICATION n]
     * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
     * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
@@ -550,6 +556,15 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after DROP USER: ${peek.get}")
           DropUser(name)
+        case Some("shard") =>
+          next()
+          val id = next() match {
+            case n: TNum if n.v >= 0 && n.v == n.v.toLong => n.v.toLong
+            case t => throw InfluxQLParseException(s"DROP SHARD needs a numeric id, got $t")
+          }
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP SHARD: ${peek.get}")
+          DropShard(id)
         case other => throw InfluxQLParseException(s"unsupported DROP: $other")
       }
     }

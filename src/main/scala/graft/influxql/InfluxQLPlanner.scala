@@ -351,6 +351,25 @@ object InfluxQLPlanner {
       }
   }
 
+  /** Execute DROP SHARD <id> against the store: removes the ONE
+    * measurement/date partition whose [[shardRows]] id matches — a
+    * whole-directory delete, the same O(1)-per-shard fast path as
+    * retention expiry. Unknown ids error (InfluxDB's behavior). Returns
+    * the removed partition path.
+    */
+  def dropShard(ds: DropShard, storeDir: String): String = {
+    val hit = shardRows(storeDir).find(_._1 == ds.id).getOrElse(
+      throw InfluxQLParseException(s"shard ${ds.id} not found"))
+    val dir = new java.io.File(storeDir,
+      s"measurement=${hit._2}${java.io.File.separator}date=${hit._4}")
+    rmTree(dir)
+    // an emptied measurement loses its partition dir too — SHOW
+    // MEASUREMENTS must not list a data-less name
+    val mdir = dir.getParentFile
+    if (Option(mdir.listFiles()).exists(_.isEmpty)) rmTree(mdir)
+    dir.getPath
+  }
+
   /** Resolve + validate a SHOW TAG VALUES statement against the catalog:
     * `=`/`IN` selectors must name known tag keys (a typo'd dropdown is an
     * error, not an empty menu), a regex selector keeps whatever matches —

@@ -81,6 +81,7 @@ object InfluxQLRender {
     case ShowShards             => "SHOW SHARDS"
     case ShowStats              => "SHOW STATS"
     case ShowDiagnostics        => "SHOW DIAGNOSTICS"
+    case DropShard(id)          => s"DROP SHARD $id"
     case Explain(sel, analyze)  =>
       s"EXPLAIN ${if (analyze) "ANALYZE " else ""}${render(sel)}"
     case s: Select => renderSelect(s)

@@ -333,7 +333,8 @@ class InfluxQLAdminSpec extends SparkTestBase {
       ("plc1", "keep2d", "2024-01-04T00:00:00Z"),
       ("plc1", "keep2d", "2024-01-05T00:00:00Z"),
       ("plc2", "autogen", "")), withRp.toSeq)
-    // HTTP: one series per database
+    // HTTP: one series per database; DROP SHARD removes exactly the one
+    // partition its id names (and an emptied measurement's dir with it)
     val h = InfluxQLHttp.startStore(spark, store)
     try {
       val (c, b) = get(h.port, s"/query?q=${enc("SHOW SHARDS")}")
@@ -342,6 +343,15 @@ class InfluxQLAdminSpec extends SparkTestBase {
       assert(series.size() == 2 &&
         series.get(0).at("/name").asText() == "plc1" &&
         series.get(1).at("/name").asText() == "plc2", b.take(400))
+      val plc2Id = series.get(1).at("/values/0/0").asLong()
+      val (cd, bd) = postQuery(h.port, s"DROP SHARD $plc2Id")
+      assert(cd == 200, bd.take(200))
+      assert(!new java.io.File(store, "measurement=plc2").exists())
+      val (_, after) = get(h.port, s"/query?q=${enc("SHOW SHARDS")}")
+      assert(!after.contains("plc2"), after.take(300))
+      // unknown id: per-statement error, batch shape intact
+      val (ce, be) = postQuery(h.port, "DROP SHARD 999999999")
+      assert(ce == 200 && be.contains("not found"), be.take(200))
     } finally h.stop()
     // flat (non-partitioned) data dirs list no shards
     assert(InfluxQLPlanner.sql(spark, "/root/testdata/sf0.001", "SHOW SHARDS").count() == 0)

@@ -215,7 +215,7 @@ object InfluxQLGen {
     } yield CreateDatabase(name, rp)),
     1 -> Gen.oneOf(
       DropDatabase("plc1"), ShowCqs, DropCq("cq1", "plc"),
-      ShowUsers, ShowShards, ShowStats, ShowDiagnostics, DropUser("u1"),
+      ShowUsers, ShowShards, ShowStats, ShowDiagnostics, DropUser("u1"), DropShard(42L),
       ShowGrants("u1"), SetPassword("u1", "pw")),
     1 -> (for {
       name <- Gen.oneOf("rp1", "keep2w")

@@ -53,6 +53,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"the scan must prune to the 3 packing columns:\n$plan")
   }
 
+  test("raw-point transforms window once per series with the time bound pushed down") {
+    // q_influxql_raw_derivative: one hashpartitioning Exchange (the
+    // per-series window), time bounds at the scan as native ts filters
+    val plan = planOf("q_influxql_raw_derivative")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected one series-window shuffle, found $hashExchanges:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts,2024-01-01"),
+      s"raw transform must keep the scan pushdown:\n$plan")
+  }
+
   test("q_time_range pushes the time predicate into the parquet scan (native ts)") {
     val plan = planOf("q_time_range")
     assert(plan.contains("PushedFilters") &&
