@@ -199,6 +199,48 @@ object InfluxQLHttp {
     new Handle(server, pool, cqTimer)
   }
 
+  // subscription fan-out: forwards run on their own daemon pool AFTER the
+  // writer is acked (InfluxDB's subscription writes are async best-effort
+  // too — a dead Kapacitor must not fail or slow producers); failures log
+  // per destination and are never retried here (the subscriber's job)
+  private val subPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-sub-forward"); t.setDaemon(true); t })
+  private val anyCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def forwardToSubscriptions(storeDir: String, rawQuery: String,
+      body: String): Unit = {
+    StoreMeta.listSubs(storeDir).foreach { sub =>
+      val targets = sub.mode match {
+        case "ANY" => // load-balance: rotate one destination per batch
+          Seq(sub.destinations(
+            (anyCounter.getAndIncrement() % sub.destinations.size).toInt))
+        case _ => sub.destinations
+      }
+      targets.foreach { dest =>
+        if (dest.startsWith("http://") || dest.startsWith("https://"))
+          subPool.execute { () =>
+            try {
+              val url = new java.net.URI(dest.stripSuffix("/") + "/write" +
+                (if (rawQuery.isEmpty) "" else s"?$rawQuery")).toURL
+              val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+              conn.setConnectTimeout(2000)
+              conn.setReadTimeout(5000)
+              conn.setRequestMethod("POST")
+              conn.setDoOutput(true)
+              conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+              conn.getResponseCode: Unit
+              conn.disconnect()
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[graft-sub] forward to $dest failed: ${e.getMessage}")
+            }
+          }
+        else System.err.println(
+          s"[graft-sub] unsupported destination scheme: $dest (http/https only)")
+      }
+    }
+  }
+
   /** POST /write — InfluxDB 1.x line-protocol ingest: parse the body with
     * the engine's codegen'd parser (graft.sinks.LineProtocol.parseLines)
     * and append to the point store's measurement+date layout. Store
@@ -299,6 +341,10 @@ object InfluxQLHttp {
           ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
           ex.sendResponseHeaders(204, -1)
           ex.close()
+          // accepted writes fan out to registered subscriptions — after
+          // the ack, off-thread (see forwardToSubscriptions)
+          forwardToSubscriptions(storeDir,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""), body)
       }
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
@@ -321,6 +367,7 @@ object InfluxQLHttp {
          _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
          _: InfluxQLAst.Revoke => true
     case _: InfluxQLAst.DropShard => true
+    case _: InfluxQLAst.CreateSubscription | _: InfluxQLAst.DropSubscription => true
     case _ => false
   }
 
@@ -349,6 +396,7 @@ object InfluxQLHttp {
     case InfluxQLAst.ShowUsers | _: InfluxQLAst.ShowGrants => () // meta-only
     case InfluxQLAst.ShowShards => () // store-layout-only, nothing to plan
     case InfluxQLAst.ShowStats | InfluxQLAst.ShowDiagnostics => () // metadata-only
+    case InfluxQLAst.ShowSubs => () // meta-only, nothing to plan
     // EXPLAIN validates exactly like the SELECT it wraps
     case e: InfluxQLAst.Explain => dryPlan(spark, dir, e.select, nowNs, catalog)
     // anything else would fail renderStatement as "not a renderable
@@ -468,7 +516,9 @@ object InfluxQLHttp {
                        _: InfluxQLAst.DropRetention |
                        _: InfluxQLAst.CreateUser | _: InfluxQLAst.DropUser |
                        _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
-                       _: InfluxQLAst.Revoke | _: InfluxQLAst.DropShard => ()
+                       _: InfluxQLAst.Revoke | _: InfluxQLAst.DropShard |
+                       _: InfluxQLAst.CreateSubscription |
+                       _: InfluxQLAst.DropSubscription => ()
                   case st => dryPlan(spark, dir, st, nowNs, catalog0())
                 }
                 // Once execution starts, NOTHING may abort the batch — any
@@ -512,6 +562,10 @@ object InfluxQLHttp {
                           StoreMeta.revoke(store, r)
                         case ds: InfluxQLAst.DropShard =>
                           InfluxQLPlanner.dropShard(ds, store): Unit
+                        case c: InfluxQLAst.CreateSubscription =>
+                          StoreMeta.createSub(store, c)
+                        case d: InfluxQLAst.DropSubscription =>
+                          StoreMeta.dropSub(store, d.name, d.db, d.rp)
                       }
                       s"""{"statement_id":$i}""" // InfluxDB's empty mutation result
                     } catch {

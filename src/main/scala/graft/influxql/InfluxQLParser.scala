@@ -177,6 +177,17 @@ object InfluxQLAst {
     */
   final case class DropShard(id: Long) extends Statement
 
+  /** CREATE SUBSCRIPTION "name" ON db[.rp] DESTINATIONS ALL|ANY 'url'[, …]
+    * / SHOW SUBSCRIPTIONS / DROP SUBSCRIPTION "name" ON db[.rp] — the
+    * write fan-out surface Kapacitor subscribes through: every accepted
+    * `/write` body forwards to the destinations (ALL = every one,
+    * ANY = one, load-balanced). `rp` defaults to `autogen`.
+    */
+  final case class CreateSubscription(name: String, db: String, rp: String,
+      mode: String, destinations: Seq[String]) extends Statement
+  final case class DropSubscription(name: String, db: String, rp: String) extends Statement
+  case object ShowSubs extends Statement
+
   /** ALTER RETENTION POLICY name ON db [DURATION d] [REPLICATION n]
     * [SHARD DURATION d] [DEFAULT] — updates only the clauses present
     * (InfluxDB requires at least one). / DROP RETENTION POLICY name ON db.
@@ -565,6 +576,14 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after DROP SHARD: ${peek.get}")
           DropShard(id)
+        case Some("subscription") =>
+          next()
+          val name = ident()
+          eatKw("on")
+          val (db, rp) = dbRp()
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after DROP SUBSCRIPTION: ${peek.get}")
+          DropSubscription(name, db, rp)
         case other => throw InfluxQLParseException(s"unsupported DROP: $other")
       }
     }
@@ -601,8 +620,33 @@ object InfluxQLParser {
         case Some("retention")  => createRetention()
         case Some("database")   => createDatabase()
         case Some("user")       => createUser()
+        case Some("subscription") => createSubscription()
         case other => throw InfluxQLParseException(s"unsupported CREATE: $other")
       }
+    }
+
+    /** ON db[.rp] — the subscription scope; rp defaults to autogen. */
+    private def dbRp(): (String, String) = {
+      val db = ident()
+      if (peek.contains(TOp("."))) { next(); (db, ident()) } else (db, "autogen")
+    }
+
+    private def createSubscription(): CreateSubscription = {
+      eatKw("subscription")
+      val name = ident()
+      eatKw("on")
+      val (db, rp) = dbRp()
+      eatKw("destinations")
+      val mode = kwPeek match {
+        case Some(m @ ("all" | "any")) => next(); m.toUpperCase
+        case other => throw InfluxQLParseException(
+          s"expected ALL or ANY after DESTINATIONS, got $other")
+      }
+      val urls = scala.collection.mutable.ArrayBuffer(strLit())
+      while (peek.contains(TOp(","))) { next(); urls += strLit() }
+      if (peek.isDefined)
+        throw InfluxQLParseException(s"unexpected token after CREATE SUBSCRIPTION: ${peek.get}")
+      CreateSubscription(name, db, rp, mode, urls.toSeq)
     }
 
     private def createUser(): CreateUser = {
@@ -845,6 +889,10 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW STATS: ${peek.get}")
           return ShowStats
+        case "subscriptions" =>
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW SUBSCRIPTIONS: ${peek.get}")
+          return ShowSubs
         case "diagnostics" =>
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW DIAGNOSTICS: ${peek.get}")

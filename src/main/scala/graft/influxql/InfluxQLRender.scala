@@ -82,6 +82,11 @@ object InfluxQLRender {
     case ShowStats              => "SHOW STATS"
     case ShowDiagnostics        => "SHOW DIAGNOSTICS"
     case DropShard(id)          => s"DROP SHARD $id"
+    case CreateSubscription(name, db, rp, mode, dests) =>
+      s"CREATE SUBSCRIPTION $name ON $db.$rp DESTINATIONS $mode " +
+        dests.map(d => s"'$d'").mkString(", ")
+    case DropSubscription(name, db, rp) => s"DROP SUBSCRIPTION $name ON $db.$rp"
+    case ShowSubs                       => "SHOW SUBSCRIPTIONS"
     case Explain(sel, analyze)  =>
       s"EXPLAIN ${if (analyze) "ANALYZE " else ""}${render(sel)}"
     case s: Select => renderSelect(s)

@@ -202,6 +202,16 @@ object InfluxQLResult {
         val (rows, partial) = collectCapped(df, maxRows)
         val name = if (st == ShowStats) "stats" else "diagnostics"
         (seriesObj(name, Map.empty, df.columns.toSeq, rows, epoch), partial)
+      case ShowSubs =>
+        // meta-only. InfluxDB's shape: one series per DATABASE, columns
+        // (retention_policy, name, mode, destinations[])
+        val byDb = StoreMeta.listSubs(dir).groupBy(_.db).toSeq.sortBy(_._1)
+        val parts = byDb.map { case (db, subs) =>
+          seriesObj(db, Map.empty, Seq("retention_policy", "name", "mode", "destinations"),
+            subs.sortBy(s => (s.rp, s.name))
+              .map(s => Row(s.rp, s.name, s.mode, s.destinations)), epoch)
+        }
+        (parts.mkString(","), false)
       case ShowUsers =>
         // meta-only. InfluxDB's shape: series "users", columns (user, admin)
         val rows = StoreMeta.listUsers(dir).map(u => Row(u.name, u.admin))
@@ -392,6 +402,9 @@ object InfluxQLResult {
     case n @ (_: Double | _: Float | _: Long | _: Int | _: Short | _: Byte) => n.toString
     case b: Boolean => b.toString
     case d: java.math.BigDecimal => d.toPlainString
+    // nested arrays (SHOW SUBSCRIPTIONS' destinations) — InfluxDB emits
+    // a JSON array cell
+    case xs: Seq[_] => xs.map(x => jsonValue("", x, epoch)).mkString("[", ",", "]")
     case other => str(String.valueOf(other))
   }
 

@@ -207,6 +207,42 @@ object StoreMeta {
   def scheduledCqs(store: String, db: Option[String] = None): Seq[CreateCq] =
     listCqs(store, db).map(c => InfluxQLParser.parse(c.text).asInstanceOf[CreateCq])
 
+  // ---- subscriptions ------------------------------------------------------
+
+  /** Write fan-out registrations (`_meta/subs/<db>/<rp>/<name>`, first
+    * line the ALL|ANY mode, then one destination URL per line) — what
+    * [[InfluxQLHttp]]'s `/write` consults to forward accepted bodies.
+    */
+  final case class Sub(name: String, db: String, rp: String,
+      mode: String, destinations: Seq[String])
+
+  private def subFile(store: String, db: String, rp: String, name: String): File =
+    metaDir(store, "subs", enc(db), enc(rp), enc(name))
+
+  def createSub(store: String, st: CreateSubscription): Unit = {
+    val f = subFile(store, st.db, st.rp, st.name)
+    if (f.isFile) throw InfluxQLParseException("subscription already exists")
+    f.getParentFile.mkdirs()
+    Files.writeString(Paths.get(f.getPath),
+      (st.mode +: st.destinations).mkString("\n")): Unit
+  }
+
+  def dropSub(store: String, name: String, db: String, rp: String): Unit = {
+    val f = subFile(store, db, rp, name)
+    if (!f.isFile) throw InfluxQLParseException("subscription not found")
+    f.delete(): Unit
+  }
+
+  def listSubs(store: String): Seq[Sub] =
+    for {
+      db <- list(metaDir(store, "subs"))
+      rp <- list(metaDir(store, "subs", enc(db)))
+      name <- list(metaDir(store, "subs", enc(db), enc(rp)))
+      lines = Files.readString(
+        Paths.get(subFile(store, db, rp, name).getPath)).split('\n').toSeq
+      if lines.nonEmpty
+    } yield Sub(name, db, rp, lines.head, lines.tail)
+
   // ---- users / privileges -------------------------------------------------
 
   /** Password-hashed user catalog + per-db privileges (InfluxDB 1.x user

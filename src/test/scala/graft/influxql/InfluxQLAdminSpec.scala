@@ -399,6 +399,66 @@ class InfluxQLAdminSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("subscriptions fan accepted writes out to their destinations") {
+    assert(InfluxQLParser.parse(
+      """CREATE SUBSCRIPTION sub0 ON plc.autogen DESTINATIONS ALL 'http://h1:9092', 'http://h2:9092'""") ==
+      CreateSubscription("sub0", "plc", "autogen", "ALL",
+        Seq("http://h1:9092", "http://h2:9092")))
+    assert(InfluxQLParser.parse("DROP SUBSCRIPTION sub0 ON plc") ==
+      DropSubscription("sub0", "plc", "autogen")) // rp defaults
+    assert(InfluxQLParser.parse("SHOW SUBSCRIPTIONS") == ShowSubs)
+    Seq("""CREATE SUBSCRIPTION s ON db.rp DESTINATIONS ANY 'http://a', 'http://b'""",
+      "DROP SUBSCRIPTION s ON db.rp", "SHOW SUBSCRIPTIONS").foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) == st, q)
+    }
+
+    // end-to-end: a second served store IS the subscriber — every write
+    // accepted by the primary shows up there (the Kapacitor topology,
+    // with another graft node standing in)
+    val primary = java.nio.file.Files.createTempDirectory("graft-sub-primary").toFile
+    val mirror = java.nio.file.Files.createTempDirectory("graft-sub-mirror").toFile
+    val hm = InfluxQLHttp.startStore(spark, mirror.toString)
+    val hp = InfluxQLHttp.startStore(spark, primary.toString)
+    try {
+      assert(postQuery(hp.port,
+        s"CREATE SUBSCRIPTION mirror0 ON plc.autogen DESTINATIONS ALL 'http://127.0.0.1:${hm.port}'")._1 == 200)
+      val (_, listed) = get(hp.port, s"/query?q=${enc("SHOW SUBSCRIPTIONS")}")
+      val s0 = mapper.readTree(listed).at("/results/0/series/0")
+      assert(s0.at("/name").asText() == "plc" &&
+        s0.at("/values/0/1").asText() == "mirror0" &&
+        s0.at("/values/0/3/0").asText() == s"http://127.0.0.1:${hm.port}", listed.take(400))
+
+      val wc = new java.net.URI(s"http://127.0.0.1:${hp.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.getOutputStream.write(
+        "plcS,alias=t value=3.5 1704067200000000000".getBytes("UTF-8"))
+      assert(wc.getResponseCode == 204); wc.disconnect()
+      // forwarding is async — poll the mirror for the point
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n == 0L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        if (new java.io.File(mirror, "measurement=plcS").isDirectory)
+          n = spark.read.parquet(s"${mirror}/measurement=plcS").count()
+      }
+      assert(n == 1L, s"mirror never received the forwarded write (n=$n)")
+
+      // dropped subscription stops the fan-out
+      assert(postQuery(hp.port, "DROP SUBSCRIPTION mirror0 ON plc.autogen")._1 == 200)
+      val wc2 = new java.net.URI(s"http://127.0.0.1:${hp.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      wc2.setRequestMethod("POST"); wc2.setDoOutput(true)
+      wc2.getOutputStream.write(
+        "plcS,alias=t value=4.5 1704067201000000000".getBytes("UTF-8"))
+      assert(wc2.getResponseCode == 204); wc2.disconnect()
+      Thread.sleep(1500) // grace for any stray forward
+      assert(spark.read.parquet(s"${mirror}/measurement=plcS").count() == 1L)
+      assert(spark.read.parquet(s"${primary}/measurement=plcS").count() == 2L)
+    } finally { hp.stop(); hm.stop() }
+  }
+
   test("user admin statements parse and render round-trip") {
     assert(InfluxQLParser.parse("CREATE USER u1 WITH PASSWORD 'pw'") ==
       CreateUser("u1", "pw", admin = false))

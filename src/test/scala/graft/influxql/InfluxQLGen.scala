@@ -216,7 +216,9 @@ object InfluxQLGen {
     1 -> Gen.oneOf(
       DropDatabase("plc1"), ShowCqs, DropCq("cq1", "plc"),
       ShowUsers, ShowShards, ShowStats, ShowDiagnostics, DropUser("u1"), DropShard(42L),
-      ShowGrants("u1"), SetPassword("u1", "pw")),
+      ShowGrants("u1"), SetPassword("u1", "pw"), ShowSubs,
+      CreateSubscription("s1", "plc", "autogen", "ALL", Seq("http://h1:9092")),
+      DropSubscription("s1", "plc", "autogen")),
     1 -> (for {
       name <- Gen.oneOf("rp1", "keep2w")
       dur <- Gen.option(Gen.oneOf(86400L, 14L * 86400L))
