@@ -394,7 +394,7 @@ object InfluxQLHttp {
     case InfluxQLAst.ShowQueries => () // registry-only, nothing to plan
     case InfluxQLAst.ShowCqs     => () // meta-only, nothing to plan
     case InfluxQLAst.ShowUsers | _: InfluxQLAst.ShowGrants => () // meta-only
-    case InfluxQLAst.ShowShards => () // store-layout-only, nothing to plan
+    case InfluxQLAst.ShowShards | InfluxQLAst.ShowShardGroups => () // store-layout-only
     case InfluxQLAst.ShowStats | InfluxQLAst.ShowDiagnostics => () // metadata-only
     case InfluxQLAst.ShowSubs => () // meta-only, nothing to plan
     // EXPLAIN validates exactly like the SELECT it wraps

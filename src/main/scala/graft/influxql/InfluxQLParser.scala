@@ -171,6 +171,12 @@ object InfluxQLAst {
   case object ShowStats extends Statement
   case object ShowDiagnostics extends Statement
 
+  /** SHOW SHARD GROUPS — the grouping above [[ShowShards]]: in this
+    * engine's layout one group per (measurement-db, date), the unit a
+    * retention expiry drops in one operation.
+    */
+  case object ShowShardGroups extends Statement
+
   /** DROP SHARD <id> — removes the one `measurement=…/date=…` partition
     * whose SHOW SHARDS id matches (InfluxDB's targeted shard deletion,
     * the manual space-reclaim admins reach for before retention bites).
@@ -885,6 +891,11 @@ object InfluxQLParser {
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW SHARDS: ${peek.get}")
           return ShowShards
+        case "shard" =>
+          eatKw("groups")
+          if (peek.isDefined)
+            throw InfluxQLParseException(s"unexpected token after SHOW SHARD GROUPS: ${peek.get}")
+          return ShowShardGroups
         case "stats" =>
           if (peek.isDefined)
             throw InfluxQLParseException(s"unexpected token after SHOW STATS: ${peek.get}")

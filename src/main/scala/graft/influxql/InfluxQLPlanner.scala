@@ -161,6 +161,14 @@ object InfluxQLPlanner {
         import spark.implicits._
         shardRows(dir).toDF("id", "database", "retention_policy",
           "shard_group", "start_time", "end_time", "expiry_time", "owners")
+      case ShowShardGroups =>
+        // one group per (db, date) — in this layout groups and shards are
+        // 1:1 (single-node, no series-hash splitting), so the rows are the
+        // shard rows minus the per-shard columns
+        import spark.implicits._
+        shardRows(dir).map(r => (r._1, r._2, r._3, r._5, r._6, r._7))
+          .toDF("id", "database", "retention_policy",
+            "start_time", "end_time", "expiry_time")
       case ShowStats =>
         // filesystem METADATA only — no data scan, constant-time against
         // store size in measurements (not rows)

@@ -79,6 +79,7 @@ object InfluxQLRender {
       s"REVOKE $priv${db.fold("")(d => s" ON $d")} FROM $user"
     case ShowGrants(user)       => s"SHOW GRANTS FOR $user"
     case ShowShards             => "SHOW SHARDS"
+    case ShowShardGroups        => "SHOW SHARD GROUPS"
     case ShowStats              => "SHOW STATS"
     case ShowDiagnostics        => "SHOW DIAGNOSTICS"
     case DropShard(id)          => s"DROP SHARD $id"

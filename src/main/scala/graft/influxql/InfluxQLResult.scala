@@ -187,10 +187,10 @@ object InfluxQLResult {
         val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(e), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
         (seriesObj("", Map.empty, Seq("QUERY PLAN"), rows, epoch), partial)
-      case ShowShards =>
+      case ShowShards | ShowShardGroups =>
         // one series per database (InfluxDB's grouping), rows from the
         // store's measurement/date partition layout
-        val df = InfluxQLPlanner.sql(spark, dir, "SHOW SHARDS", nowNs, catalog)
+        val df = InfluxQLPlanner.sql(spark, dir, InfluxQLRender.render(st), nowNs, catalog)
         val (rows, partial) = collectCapped(df, maxRows)
         val cols = df.columns.toSeq
         val byDb = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)

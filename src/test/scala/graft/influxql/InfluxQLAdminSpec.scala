@@ -349,6 +349,9 @@ class InfluxQLAdminSpec extends SparkTestBase {
       assert(!new java.io.File(store, "measurement=plc2").exists())
       val (_, after) = get(h.port, s"/query?q=${enc("SHOW SHARDS")}")
       assert(!after.contains("plc2"), after.take(300))
+      // SHARD GROUPS: same layout rows, grouped per db, no per-shard cols
+      val (cg, bg) = get(h.port, s"/query?q=${enc("SHOW SHARD GROUPS")}")
+      assert(cg == 200 && mapper.readTree(bg).at("/results/0/series/0/columns/2").asText() == "retention_policy", bg.take(300))
       // unknown id: per-statement error, batch shape intact
       val (ce, be) = postQuery(h.port, "DROP SHARD 999999999")
       assert(ce == 200 && be.contains("not found"), be.take(200))

@@ -215,7 +215,7 @@ object InfluxQLGen {
     } yield CreateDatabase(name, rp)),
     1 -> Gen.oneOf(
       DropDatabase("plc1"), ShowCqs, DropCq("cq1", "plc"),
-      ShowUsers, ShowShards, ShowStats, ShowDiagnostics, DropUser("u1"), DropShard(42L),
+      ShowUsers, ShowShards, ShowShardGroups, ShowStats, ShowDiagnostics, DropUser("u1"), DropShard(42L),
       ShowGrants("u1"), SetPassword("u1", "pw"), ShowSubs,
       CreateSubscription("s1", "plc", "autogen", "ALL", Seq("http://h1:9092")),
       DropSubscription("s1", "plc", "autogen")),
