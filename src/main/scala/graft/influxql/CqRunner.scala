@@ -43,9 +43,23 @@ object CqRunner {
     * per executed CQ (skipped = not listed). Callers serialize ticks with
     * store writers (the HTTP server's write lock) — the runner itself does
     * one dynamic-overwrite write per due CQ.
+    *
+    * Per-CQ error ISOLATION: one failing CQ (source measurement dropped,
+    * plan error, a stale registration) logs and the tick continues with
+    * the rest — InfluxDB's CQ service does the same. Without this, a
+    * single broken registration would permanently starve every other CQ
+    * on the node (each tick dying on the same statement).
     */
   def runDue(spark: SparkSession, storeDir: String, nowNs: Long): Seq[CqRun] =
-    StoreMeta.scheduledCqs(storeDir).flatMap(runOne(spark, storeDir, _, nowNs))
+    StoreMeta.scheduledCqs(storeDir).flatMap { cq =>
+      try runOne(spark, storeDir, cq, nowNs)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft-cq] ${cq.db}.${cq.name} failed (continuing): ${e.getMessage}")
+          None
+      }
+    }
 
   private[influxql] def runOne(spark: SparkSession, storeDir: String,
       cq: CreateCq, nowNs: Long): Option[CqRun] = {

@@ -50,8 +50,10 @@ object InfluxQLHttp {
       catalog: InfluxQLPlanner.Catalog = InfluxQLPlanner.Catalog.events,
       port: Int = 0, nowNs: Option[Long] = None,
       maxRows: Int = InfluxQLResult.DefaultMaxRows,
-      auth: Option[(String, String)] = None): Handle =
-    serve(spark, dir, () => catalog, None, port, nowNs, maxRows, auth)
+      auth: Option[(String, String)] = None,
+      jwtSecret: Option[String] = None): Handle =
+    serve(spark, dir, () => catalog, None, port, nowNs, maxRows, auth,
+      jwtSecret = jwtSecret)
 
   /** Serve a measurement+date-partitioned POINT STORE: `/query` resolves
     * the catalog PER REQUEST (a measurement created by a write appears in
@@ -72,9 +74,10 @@ object InfluxQLHttp {
       port: Int = 0, nowNs: Option[Long] = None,
       maxRows: Int = InfluxQLResult.DefaultMaxRows,
       auth: Option[(String, String)] = None,
-      cqTickSec: Option[Long] = None): Handle =
+      cqTickSec: Option[Long] = None,
+      jwtSecret: Option[String] = None): Handle =
     serve(spark, storeDir, () => InfluxQLPlanner.Catalog.store(storeDir),
-      Some(storeDir), port, nowNs, maxRows, auth, cqTickSec)
+      Some(storeDir), port, nowNs, maxRows, auth, cqTickSec, jwtSecret)
 
   /** InfluxDB 1.x authentication (`auth = Some(user -> password)`): the
     * reference's client always sends credentials
@@ -90,21 +93,38 @@ object InfluxQLHttp {
   /** Resolve the request's identity. `None` = credentials required and
     * wrong/missing (reject 401). `Some(None)` = open server (no auth
     * configured — anonymous admin, InfluxDB's `auth-enabled = false`).
-    * `Some(Some(user))` = authenticated as `user`: either the configured
-    * root pair or a catalog user ([[StoreMeta.authenticate]], hash
-    * compare). Credentials come as `u`/`p` params (the reference client's
-    * form) or a Basic header (curl/Grafana).
+    * `Some(Some(user))` = authenticated as `user`: the configured root
+    * pair, a catalog user ([[StoreMeta.authenticate]], salted-KDF
+    * compare), or a JWT bearer token when `jwtSecret` is configured
+    * (InfluxDB 1.x shared-secret mode). Credentials come as `u`/`p`
+    * params (the reference client's form), a Basic header (curl/Grafana),
+    * or `Authorization: Bearer <hs256-jwt>`. All secret comparisons are
+    * constant-time (`MessageDigest.isEqual`).
     */
   private def authUser(ex: HttpExchange, params: Map[String, String],
-      auth: Option[(String, String)],
-      store: Option[String]): Option[Option[String]] = auth match {
+      auth: Option[(String, String)], store: Option[String],
+      jwtSecret: Option[String]): Option[Option[String]] = auth match {
     case None => Some(None)
     case Some((rootU, rootP)) =>
+      def ctEq(a: String, b: String): Boolean =
+        java.security.MessageDigest.isEqual(
+          a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+      val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      // Bearer tokens (shared-secret JWT): the username CLAIM is the
+      // identity — the user must be the root name or exist in the
+      // catalog, privileges resolve from there, no password round trip.
+      val bearer = for {
+        secret <- jwtSecret
+        h <- header if h.startsWith("Bearer ")
+        user <- Jwt.verify(h.drop(7).trim, secret)
+        if ctEq(user, rootU) || store.exists(StoreMeta.userExists(_, user))
+      } yield user
+      if (bearer.isDefined) return Some(bearer)
       val cred: Option[(String, String)] =
         (params.get("u"), params.get("p")) match {
           case (Some(u), Some(p)) => Some((u, p))
           case _ =>
-            Option(ex.getRequestHeaders.getFirst("Authorization"))
+            header
               .filter(_.startsWith("Basic "))
               .map(h => new String(java.util.Base64.getDecoder.decode(h.drop(6)),
                 StandardCharsets.UTF_8))
@@ -114,7 +134,7 @@ object InfluxQLHttp {
               })
         }
       cred match {
-        case Some((u, p)) if u == rootU && p == rootP => Some(Some(u))
+        case Some((u, p)) if ctEq(u, rootU) && ctEq(p, rootP) => Some(Some(u))
         case Some((u, p)) if store.exists(StoreMeta.authenticate(_, u, p)) =>
           Some(Some(u))
         case _ => None
@@ -137,6 +157,12 @@ object InfluxQLHttp {
          _: InfluxQLAst.SetPassword | _: InfluxQLAst.Grant |
          _: InfluxQLAst.Revoke | InfluxQLAst.ShowUsers |
          _: InfluxQLAst.ShowGrants => true
+    // Subscription management is ADMIN-only (InfluxDB 1.x requires admin):
+    // a subscription receives every matching write on the server, so
+    // letting a WRITE-privileged user register an arbitrary destination
+    // URL would hand them other tenants' data.
+    case _: InfluxQLAst.CreateSubscription | _: InfluxQLAst.DropSubscription |
+         InfluxQLAst.ShowSubs => true
     case _ => false
   }
 
@@ -144,7 +170,8 @@ object InfluxQLHttp {
       catalog: () => InfluxQLPlanner.Catalog, writeStore: Option[String],
       port: Int, nowNs: Option[Long], maxRows: Int,
       auth: Option[(String, String)] = None,
-      cqTickSec: Option[Long] = None): Handle = {
+      cqTickSec: Option[Long] = None,
+      jwtSecret: Option[String] = None): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // Store-level concurrency control (InfluxDB's storage engine does the
     // equivalent with shard-level locks): DELETE/DROP rewrite or remove
@@ -159,10 +186,10 @@ object InfluxQLHttp {
     // admin mutation.
     val lock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
     server.createContext("/query", (ex: HttpExchange) =>
-      handleQuery(ex, spark, dir, catalog, nowNs, maxRows, writeStore, lock, auth))
+      handleQuery(ex, spark, dir, catalog, nowNs, maxRows, writeStore, lock, auth, jwtSecret))
     writeStore.foreach { store =>
       server.createContext("/write", (ex: HttpExchange) =>
-        handleWrite(ex, spark, store, nowNs, lock, auth))
+        handleWrite(ex, spark, store, nowNs, lock, auth, jwtSecret))
     }
     server.createContext("/ping", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
@@ -207,9 +234,29 @@ object InfluxQLHttp {
     (r: Runnable) => { val t = new Thread(r, "graft-sub-forward"); t.setDaemon(true); t })
   private val anyCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  private def forwardToSubscriptions(storeDir: String, rawQuery: String,
-      body: String): Unit = {
-    StoreMeta.listSubs(storeDir).foreach { sub =>
+  /** Forward an accepted write to the subscriptions registered for its
+    * (db, retention policy) — and ONLY those. The forward URL carries
+    * db/rp/precision alone: credentials (`u`/`p`) from the original
+    * request are STRIPPED, because destinations are arbitrary registered
+    * URLs — forwarding the raw query string verbatim would hand the
+    * writer's (possibly root) credentials to whoever registered the
+    * subscription. A write with no `rp` param lands on the db's default
+    * policy (its default RP, else `autogen`), InfluxDB's routing.
+    */
+  private def forwardToSubscriptions(storeDir: String,
+      params: Map[String, String], body: String): Unit = {
+    val db = params.getOrElse("db", "")
+    val effRp = params.get("rp").filter(_.nonEmpty).getOrElse(
+      StoreMeta.listRps(storeDir, Some(db)).find(_.isDefault)
+        .map(_.name).getOrElse("autogen"))
+    val fwdQuery = (Seq("db" -> db, "rp" -> effRp) ++
+      params.get("precision").map("precision" -> _))
+      .collect { case (k, v) if v.nonEmpty =>
+        s"$k=${java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)}" }
+      .mkString("&")
+    StoreMeta.listSubs(storeDir)
+      .filter(sub => sub.db == db && sub.rp == effRp)
+      .foreach { sub =>
       val targets = sub.mode match {
         case "ANY" => // load-balance: rotate one destination per batch
           Seq(sub.destinations(
@@ -221,7 +268,7 @@ object InfluxQLHttp {
           subPool.execute { () =>
             try {
               val url = new java.net.URI(dest.stripSuffix("/") + "/write" +
-                (if (rawQuery.isEmpty) "" else s"?$rawQuery")).toURL
+                (if (fwdQuery.isEmpty) "" else s"?$fwdQuery")).toURL
               val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
               conn.setConnectTimeout(2000)
               conn.setReadTimeout(5000)
@@ -241,25 +288,40 @@ object InfluxQLHttp {
     }
   }
 
-  /** POST /write — InfluxDB 1.x line-protocol ingest: parse the body with
-    * the engine's codegen'd parser (graft.sinks.LineProtocol.parseLines)
-    * and append to the point store's measurement+date layout. Store
-    * convention: tag `alias`, field `value`; lines without a timestamp get
-    * the server clock (InfluxDB's behavior), pinned by `nowNs` in tests.
-    * Any unparseable line rejects the whole batch with 400 — InfluxDB's
-    * all-or-nothing write contract. 204 on success.
+  /** POST /write — InfluxDB 1.x line-protocol ingest, the HOT PATH (the
+    * reference daemon POSTs once per sample,
+    * Linux/InfluxConnector2.py:176). The body is parsed DRIVER-LOCALLY
+    * ([[graft.sinks.LineProtocolLocal]] — same grammar as the distributed
+    * parser, equivalence-pinned in LineProtocolLocalSpec) and appended
+    * with a direct ParquetWriter ([[graft.sinks.PointStoreDirect]]): no
+    * Spark job anywhere on the request, which lifted serial ingest from
+    * ~6 POSTs/sec (one job-scheduling round trip per POST) to hundreds
+    * (PERF.md). Bulk 100 TB ingest still goes through the streaming
+    * pipeline's executor-side writers, not this endpoint.
     *
-    * An HTTP write batch is one POST body (bounded), so parsing it
-    * driver-side is inherently panel-sized; bulk 100 TB ingest goes
-    * through the streaming pipeline, not this endpoint.
+    * Point mapping (store convention: tag `alias`, numeric `value`):
+    *  - `m,alias=<t> <k>=<v> [ts]` with ONE field → point (t, v) — the
+    *    reference daemon's shape;
+    *  - otherwise one point PER numeric field, alias = field key — so a
+    *    multi-field `m f1=1,f2=2` lands as two points (Telegraf/influx-CLI
+    *    shape), each queryable as its own alias;
+    *  - lines without a timestamp get the server clock (InfluxDB's
+    *    behavior), pinned by `nowNs` in tests; `precision=` scales bare
+    *    timestamps.
+    * Any unparseable line — or a non-numeric field value, incl. quoted
+    * strings like `value="3.5"` (wire-typed STRING; this store holds
+    * doubles) — rejects the whole batch with 400, InfluxDB's
+    * all-or-nothing write contract. 204 on success. `Content-Encoding:
+    * gzip` bodies are accepted (the Telegraf default).
     */
   private def handleWrite(ex: HttpExchange, spark: SparkSession,
       storeDir: String, nowNs: Option[Long],
       lock: java.util.concurrent.locks.ReentrantReadWriteLock,
-      auth: Option[(String, String)]): Unit = {
+      auth: Option[(String, String)],
+      jwtSecret: Option[String]): Unit = {
     try {
       val wparams = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val who = authUser(ex, wparams, auth, Some(storeDir)) match {
+      val who = authUser(ex, wparams, auth, Some(storeDir), jwtSecret) match {
         case None =>
           respond(ex, 401, errJson("authorization failed")); return
         case Some(w) => w
@@ -277,8 +339,7 @@ object InfluxQLHttp {
         respond(ex, 405, errJson("/write accepts POST only")); return
       }
       // precision= scales bare line timestamps (InfluxDB 1.x: n[s]/u/ms/s)
-      val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val mult = params.getOrElse("precision", "ns") match {
+      val mult = wparams.getOrElse("precision", "ns") match {
         case "ns" | "n" => 1L
         case "u" | "us" => 1000L
         case "ms"       => 1000000L
@@ -288,64 +349,59 @@ object InfluxQLHttp {
         case other =>
           respond(ex, 400, errJson(s"invalid precision: $other (ns|u|ms|s|m|h)")); return
       }
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val rawBody = ex.getRequestBody.readAllBytes()
+      val body = new String(
+        if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .exists(_.toLowerCase.contains("gzip")))
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(rawBody)).readAllBytes()
+        else rawBody, StandardCharsets.UTF_8)
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       if (lines.isEmpty) {
         respond(ex, 400, errJson("empty write body")); return
       }
-      import spark.implicits._
-      import org.apache.spark.sql.functions._
-      // Two accepted line shapes, both landing on the store's (alias,
-      // value) point: the store-tag form `m,alias=<t> value=<v>`, and the
-      // reference daemons' field-keyed form `m <alias>=<v>` (one field per
-      // line, the field KEY is the tag — LineProtocol.formatPoints's
-      // output and InfluxConnector2.py:175-176's write shape).
-      val parsed = graft.sinks.LineProtocol.parseLines(lines.toDF("line"))
-        .select(col("line"), col("measurement"),
-          coalesce(element_at(col("tags"), "alias"),
-            when(size(col("fields")) === 1, element_at(map_keys(col("fields")), 1)))
-            .as("alias"),
-          coalesce(element_at(col("fields"), "value"),
-            when(size(col("fields")) === 1, element_at(map_values(col("fields")), 1)))
-            .as("value"),
-          col("ts_ns"))
-        .collect()
-      val bad = parsed.find(r => r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
-      bad match {
-        case Some(r) =>
-          respond(ex, 400, errJson(s"unable to parse line: '${r.getString(0)}'" +
-            " (expected measurement,alias=<tag> value=<float> [ts]" +
-            " or measurement <alias>=<float> [ts])"))
-        case None =>
-          def tsOfNs(ns: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(Math.floorDiv(ns, 1000000000L) * 1000L)
-            t.setNanos(Math.floorMod(ns, 1000000000L).toInt)
-            t
-          }
-          val serverTs = new java.sql.Timestamp(
-            nowNs.map(_ / 1000000L).getOrElse(System.currentTimeMillis()))
-          val points = parsed.toSeq.map { r =>
-            (if (r.isNullAt(4)) serverTs else tsOfNs(r.getLong(4) * mult),
-              r.getString(1), r.getString(2), r.getDouble(3))
-          }.toDF("ts", "measurement", "alias", "value")
-          // WRITE side of the store lock, and ONLY around the append: two
-          // concurrent append jobs into the same store directory share one
-          // Hadoop `_temporary` staging dir, and the first job's
-          // commit/cleanup deletes the second's in-flight task files
-          // (TASK_WRITE_FAILED) — appends do NOT commute at the committer
-          // level. Body read, parse, and validation all run unlocked so a
-          // slow-uploading client cannot stall the HTTP surface.
-          lock.writeLock.lock()
-          try graft.sinks.PointStore.writePartitioned(points, storeDir)
-          finally lock.writeLock.unlock()
-          ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
-          ex.sendResponseHeaders(204, -1)
-          ex.close()
-          // accepted writes fan out to registered subscriptions — after
-          // the ack, off-thread (see forwardToSubscriptions)
-          forwardToSubscriptions(storeDir,
-            Option(ex.getRequestURI.getRawQuery).getOrElse(""), body)
+      // Driver-local parse (NO Spark job — see the scaladoc above), then
+      // shape into store points. A line with an `alias` tag and exactly
+      // one field is the reference daemon's single-point form; every
+      // other line explodes to one point per field with the field key as
+      // the alias.
+      import graft.sinks.{LineProtocolLocal, PointStoreDirect}
+      val serverNs = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
+      val points = Vector.newBuilder[PointStoreDirect.Point]
+      for (line <- lines) {
+        LineProtocolLocal.parseLine(line) match {
+          case Left(reason) =>
+            respond(ex, 400, errJson(s"unable to parse line: '$line' ($reason)")); return
+          case Right(p) =>
+            val tsNs = p.tsNs.map(_ * mult).getOrElse(serverNs)
+            val singleAlias = p.tags.get("alias").filter(_ => p.fields.size == 1)
+            for (f <- p.fields) f.num match {
+              case Some(v) =>
+                points += PointStoreDirect.Point(tsNs, p.measurement,
+                  singleAlias.getOrElse(f.key), v)
+              case None =>
+                respond(ex, 400, errJson(s"unable to parse line: '$line' " +
+                  s"(field '${f.key}' is not numeric — this store holds float values)"))
+                return
+            }
+        }
       }
+      // WRITE side of the store lock, ONLY around the append: direct
+      // appends are mutually disjoint files, but a DELETE/DROP rewriting
+      // partition directories (or a CQ tick's dynamic overwrite) must not
+      // race an in-flight file landing in them. Body read, parse, and
+      // validation all run unlocked so a slow-uploading client cannot
+      // stall the HTTP surface.
+      lock.writeLock.lock()
+      try PointStoreDirect.append(points.result(), storeDir)
+      finally lock.writeLock.unlock()
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      // accepted writes fan out to registered subscriptions — after the
+      // ack, off-thread, credentials stripped, scoped to the write's
+      // (db, rp) (see forwardToSubscriptions)
+      forwardToSubscriptions(storeDir, wparams, body)
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
     }
@@ -409,7 +465,8 @@ object InfluxQLHttp {
       catalog0: () => InfluxQLPlanner.Catalog, nowNs: Option[Long], maxRows: Int,
       writeStore: Option[String],
       lock: java.util.concurrent.locks.ReentrantReadWriteLock,
-      auth: Option[(String, String)]): Unit = {
+      auth: Option[(String, String)],
+      jwtSecret: Option[String] = None): Unit = {
     try {
       val catalog = catalog0() // one snapshot per request (render paths)
       // Grafana sends GET with URI params or POST with a form body —
@@ -419,7 +476,7 @@ object InfluxQLHttp {
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
       val params = parseParams(body) ++ parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val who = authUser(ex, params, auth, writeStore) match {
+      val who = authUser(ex, params, auth, writeStore, jwtSecret) match {
         case None =>
           respond(ex, 401, errJson("authorization failed")); return
         case Some(w) => w
@@ -711,8 +768,24 @@ object InfluxQLHttp {
       }
     }.toMap
 
+  /** `Accept-Encoding: gzip` (influxdb-python and Telegraf both speak it):
+    * successful response bodies compress with `Content-Encoding: gzip`.
+    * Error bodies stay plain — tiny, and trivially readable in logs.
+    * Chunked mode keeps its uncompressed doc-per-line stream.
+    */
+  private def maybeGzip(ex: HttpExchange, status: Int, bytes: Array[Byte]): Array[Byte] =
+    if (status == 200 && bytes.nonEmpty &&
+        Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+          .exists(_.toLowerCase.contains("gzip"))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      bos.toByteArray
+    } else bytes
+
   private def respondCsv(ex: HttpExchange, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val bytes = maybeGzip(ex, 200, body.getBytes(StandardCharsets.UTF_8))
     ex.getResponseHeaders.set("Content-Type", "application/csv")
     ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
     ex.sendResponseHeaders(200, if (bytes.length == 0) -1L else bytes.length.toLong)
@@ -724,7 +797,7 @@ object InfluxQLHttp {
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val bytes = maybeGzip(ex, status, body.getBytes(StandardCharsets.UTF_8))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
     ex.sendResponseHeaders(status, bytes.length.toLong)

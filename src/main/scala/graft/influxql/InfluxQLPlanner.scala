@@ -1283,8 +1283,13 @@ object InfluxQLPlanner {
           .filter(col(name).isNotNull)
       case "moving_average" =>
         val width = t.param.getOrElse(2.0).toInt
-        kept.withColumn(name,
-          round(avg(v).over(w.rowsBetween(-(width - 1), Window.currentRow)), 4))
+        val frame = w.rowsBetween(-(width - 1), Window.currentRow)
+        // warm-up: InfluxDB emits NOTHING until the window fills — drop
+        // rows with fewer than `width` predecessors (count over the same
+        // frame, so it shares the one window exchange)
+        kept.withColumn(name, round(avg(v).over(frame), 4))
+          .withColumn("__mw_n", count(v).over(frame))
+          .filter(col("__mw_n") === width).drop("__mw_n")
       case "cumulative_sum" =>
         kept.withColumn(name,
           round(sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))

@@ -161,9 +161,18 @@ object StoreMeta {
     metaDir(store, "cq", enc(db), enc(name))
 
   /** Registers the CQ (canonical rendered text, so SHOW round-trips and a
-    * scheduler can re-parse). InfluxDB 1.x errors on a duplicate name.
+    * scheduler can re-parse). InfluxDB 1.x errors on a duplicate name —
+    * and rejects shapes the scheduler cannot run (no INTO target, no
+    * GROUP BY time bucket) at CREATE time, so a broken registration can
+    * never reach [[CqRunner]]'s tick loop.
     */
   def createCq(store: String, st: CreateCq): Unit = {
+    if (st.select.into.isEmpty)
+      throw InfluxQLParseException(
+        s"continuous query ${st.name} requires an INTO target measurement")
+    if (st.select.groupTimeSec.isEmpty)
+      throw InfluxQLParseException(
+        s"continuous query ${st.name} requires GROUP BY time(...)")
     val f = cqFile(store, st.db, st.name)
     if (f.isFile) throw InfluxQLParseException("continuous query already exists")
     f.getParentFile.mkdirs()
@@ -249,11 +258,16 @@ object StoreMeta {
     * admin: CREATE/DROP USER, SET PASSWORD, GRANT/REVOKE, SHOW
     * USERS/GRANTS). Layout:
     * {{{
-    *   _meta/users/<enc(name)>              ("<sha256-hex(password)> <admin>")
+    *   _meta/users/<enc(name)>              ("<hash> <admin>")
     *   _meta/grants/<enc(user)>/<enc(db)>   ("READ"|"WRITE"|"ALL")
     * }}}
-    * Only the hash is stored — `authenticate` re-hashes the presented
-    * password; there is no way to read a password back out of the store.
+    * `<hash>` is `pbkdf2:<iters>:<salt-hex>:<dk-hex>` — PBKDF2WithHmacSHA256
+    * with a per-user random salt (InfluxDB 1.x uses bcrypt; PBKDF2 is the
+    * JDK-builtin salted KDF available offline). Only the hash is stored —
+    * `authenticate` re-derives from the presented password and compares
+    * constant-time; there is no way to read a password back. Files from
+    * the pre-salt era (a bare unsalted sha256 hex) still authenticate and
+    * are MIGRATED to the salted form on first successful login.
     */
   final case class User(name: String, pwHash: String, admin: Boolean)
 
@@ -261,6 +275,51 @@ object StoreMeta {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  // 64k iterations ≈ a few ms per derivation — a work factor in bcrypt's
+  // ballpark for this admin surface; authenticate() caches verdicts so a
+  // per-request credential (the reference client sends u/p on EVERY call)
+  // doesn't re-pay it.
+  private val Pbkdf2Iters = 64000
+
+  private def toHex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private def fromHex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def pbkdf2(password: String, salt: Array[Byte], iters: Int): Array[Byte] =
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iters, 256))
+      .getEncoded
+
+  private def hashPassword(password: String): String = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    s"pbkdf2:$Pbkdf2Iters:${toHex(salt)}:${toHex(pbkdf2(password, salt, Pbkdf2Iters))}"
+  }
+
+  /** Constant-time verify against a stored hash — salted PBKDF2, or a
+    * legacy bare-sha256 file (returns true so the caller can migrate).
+    */
+  private def verifyPassword(password: String, stored: String): Boolean =
+    stored.split(':') match {
+      case Array("pbkdf2", iters, saltHex, dkHex) =>
+        java.security.MessageDigest.isEqual(
+          pbkdf2(password, fromHex(saltHex), iters.toInt), fromHex(dkHex))
+      case _ => // legacy unsalted sha256 hex
+        java.security.MessageDigest.isEqual(
+          sha256(password).getBytes(StandardCharsets.UTF_8),
+          stored.getBytes(StandardCharsets.UTF_8))
+    }
+
+  // (store, user, presented-password-sha) → verdict; dropped whenever the
+  // user's file is rewritten or removed. Bounds the KDF to once per
+  // distinct credential per process — InfluxDB's auth cache does the same
+  // for bcrypt.
+  private val authCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+  private def dropCached(store: String, name: String): Unit =
+    authCache.removeIf(k => k._1 == store && k._2 == name)
 
   private def userFile(store: String, name: String): File =
     metaDir(store, "users", enc(name))
@@ -283,33 +342,55 @@ object StoreMeta {
   def createUser(store: String, st: CreateUser): Unit = {
     if (readUser(store, st.name).isDefined)
       throw InfluxQLParseException("user already exists")
-    writeUser(store, User(st.name, sha256(st.password), st.admin))
+    dropCached(store, st.name)
+    writeUser(store, User(st.name, hashPassword(st.password), st.admin))
   }
 
   def dropUser(store: String, name: String): Unit = {
     val f = userFile(store, name)
     if (!f.isFile) throw InfluxQLParseException("user not found")
     f.delete(): Unit
+    dropCached(store, name)
     rmTree(metaDir(store, "grants", enc(name)))
   }
 
   def setPassword(store: String, name: String, password: String): Unit = {
     val u = readUser(store, name)
       .getOrElse(throw InfluxQLParseException("user not found"))
-    writeUser(store, u.copy(pwHash = sha256(password)))
+    dropCached(store, name)
+    writeUser(store, u.copy(pwHash = hashPassword(password)))
   }
 
   def listUsers(store: String): Seq[User] =
     list(metaDir(store, "users")).flatMap(readUser(store, _))
 
-  /** Hash-compare a presented credential. Unknown user = false (same
-    * response as a wrong password — no user-enumeration oracle).
+  /** Verify a presented credential (salted-KDF compare, constant-time).
+    * Unknown user = false, same response as a wrong password — no
+    * user-enumeration oracle. A successful login against a legacy
+    * unsalted-sha256 file rewrites it salted (migration on first use).
     */
-  def authenticate(store: String, name: String, password: String): Boolean =
-    readUser(store, name).exists(_.pwHash == sha256(password))
+  def authenticate(store: String, name: String, password: String): Boolean = {
+    val key = (store, name, sha256(password))
+    if (authCache.contains(key)) return true
+    readUser(store, name).exists { u =>
+      val ok = verifyPassword(password, u.pwHash)
+      if (ok) {
+        if (!u.pwHash.startsWith("pbkdf2:"))
+          writeUser(store, u.copy(pwHash = hashPassword(password)))
+        authCache.add(key): Unit
+      }
+      ok
+    }
+  }
 
   def isAdmin(store: String, name: String): Boolean =
     readUser(store, name).exists(_.admin)
+
+  /** Does the catalog hold this user? (JWT bearer identities must map to
+    * a real user — InfluxDB 1.x rejects tokens naming unknown users.)
+    */
+  def userExists(store: String, name: String): Boolean =
+    userFile(store, name).isFile
 
   def grant(store: String, st: Grant): Unit = {
     val u = readUser(store, st.user)

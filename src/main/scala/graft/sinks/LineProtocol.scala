@@ -115,20 +115,27 @@ object LineProtocol {
       .withColumn("tags", map_from_entries(transform(
         slice(col("__mt"), lit(2), greatest(size(col("__mt")) - 1, lit(0))),
         s => struct(kvKey(s).as("key"), unescTag(kvRaw(s)).as("value")))))
-      .withColumn("fields_str", map_from_entries(transform(
+      // raw (still-quoted) field values first: quotedness must be decided
+      // BEFORE unquoting, or a wire-typed STRING like value="3.5" would
+      // silently coerce to the float 3.5 in the numeric view — InfluxDB
+      // types quoted values as strings and never coerces them
+      .withColumn("__fraw", map_from_entries(transform(
         split(element_at(col("__parts"), 2), FieldComma),
-        s => struct(kvKey(s).as("key"), unquote(kvRaw(s)).as("value")))))
+        s => struct(kvKey(s).as("key"), kvRaw(s).as("value")))))
+      .withColumn("fields_str", transform_values(col("__fraw"), (_, v) => unquote(v)))
       // integer fields carry the 1.x `i` suffix — strip it for the double
       // view (exact for |n| < 2^53, the practical PLC range); try_cast:
-      // string/boolean fields yield null here, their text stays in
-      // fields_str (ANSI cast would throw on them)
-      .withColumn("fields", transform_values(col("fields_str"), (_, v) =>
-        when(v.rlike("^-?[0-9]+i$"),
-          v.substr(lit(1), length(v) - 1).try_cast(org.apache.spark.sql.types.DoubleType))
+      // boolean/text fields yield null here, their text stays in
+      // fields_str (ANSI cast would throw on them); quoted values are
+      // null by construction (string-typed on the wire)
+      .withColumn("fields", transform_values(col("__fraw"), (_, v) =>
+        when(v.rlike("^\".*\"$"), lit(null).cast(org.apache.spark.sql.types.DoubleType))
+          .when(v.rlike("^-?[0-9]+i$"),
+            v.substr(lit(1), length(v) - 1).try_cast(org.apache.spark.sql.types.DoubleType))
           .otherwise(v.try_cast(org.apache.spark.sql.types.DoubleType))))
       .withColumn("ts_ns", expr("try_element_at(__parts, 3)").cast("long"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .drop("__parts", "__mt")
+      .drop("__parts", "__mt", "__fraw")
   }
 
   /** Write a one-column frame of lines to `dir/part-<batchId>-<pid>.lp`,

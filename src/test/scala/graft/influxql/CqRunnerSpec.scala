@@ -120,14 +120,36 @@ class CqRunnerSpec extends SparkTestBase {
     } finally h.stop()
   }
 
-  test("a CQ without INTO or GROUP BY time is rejected at run time with a pointed error") {
+  test("a CQ without INTO or GROUP BY time is rejected at CREATE time (never registered)") {
     val store = java.nio.file.Files.createTempDirectory("graft-cqrun-bad").toString
     seed(store, ("2024-01-01 00:00:10", "a", 1.0))
+    val e1 = intercept[InfluxQLParseException](StoreMeta.createCq(store,
+      InfluxQLParser.parse("CREATE CONTINUOUS QUERY noint ON db1 BEGIN " +
+        "SELECT MEAN(value) AS m FROM plc1 GROUP BY time(1m) END").asInstanceOf[CreateCq]))
+    assert(e1.getMessage.contains("INTO"))
+    val e2 = intercept[InfluxQLParseException](StoreMeta.createCq(store,
+      InfluxQLParser.parse("CREATE CONTINUOUS QUERY notime ON db1 BEGIN " +
+        "SELECT MEAN(value) AS m INTO t1 FROM plc1 END").asInstanceOf[CreateCq]))
+    assert(e2.getMessage.contains("GROUP BY time"))
+    assert(StoreMeta.listCqs(store).isEmpty, "rejected CQs must not be registered")
+  }
+
+  test("one failing CQ does not starve the others (per-CQ tick isolation)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-cqrun-iso").toString
+    seed(store, ("2024-01-01 00:00:10", "a", 2.0), ("2024-01-01 00:00:40", "a", 4.0))
+    // 'broken' references a measurement that never existed — a stale
+    // registration (its source was dropped). Registered FIRST so a
+    // non-isolated flatMap would die before reaching 'ok'.
     StoreMeta.createCq(store, InfluxQLParser.parse(
-      "CREATE CONTINUOUS QUERY noint ON db1 BEGIN " +
-        "SELECT MEAN(value) AS m FROM plc1 GROUP BY time(1m) END").asInstanceOf[CreateCq])
-    val e = intercept[InfluxQLParseException](
-      CqRunner.runDue(spark, store, ts("2024-01-01 00:05:00").getTime * 1000000L))
-    assert(e.getMessage.contains("INTO"))
+      "CREATE CONTINUOUS QUERY a_broken ON db1 BEGIN " +
+        "SELECT MEAN(value) AS m INTO t_broken FROM ghost GROUP BY time(1m) END")
+      .asInstanceOf[CreateCq])
+    StoreMeta.createCq(store, InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY ok ON db1 BEGIN " +
+        "SELECT MEAN(value) AS m INTO plc1_1m FROM plc1 GROUP BY time(1m), alias END")
+      .asInstanceOf[CreateCq])
+    val runs = CqRunner.runDue(spark, store, ts("2024-01-01 00:05:00").getTime * 1000000L)
+    assert(runs.map(_.name) == Seq("ok"), runs)
+    assert(targetByBucket(store) == Map(("2024-01-01 00:00:00", "a") -> 3.0))
   }
 }

