@@ -52,4 +52,26 @@ object Q {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** Eagerly materialize an intermediate that downstream code references
+    * more than once (shingle tables, candidate-pair frames, CC labels) so
+    * its lineage — often interpreted higher-order functions — computes
+    * exactly once.
+    *
+    * Two storage tiers (VERDICT r8 #8):
+    *  - default: `localCheckpoint` — blocks live on executors. Right for
+    *    tests and interactive runs: zero extra I/O, but blocks die with
+    *    an executor, and at 100 TB an hours-long dedup job losing one
+    *    executor would recompute the whole lineage.
+    *  - `spark.graft.checkpoint.reliable=true` (runtime SQL conf, needs
+    *    `sparkContext.setCheckpointDir` on durable storage): reliable
+    *    `checkpoint` — blocks persist to the checkpoint dir (HDFS/S3 in
+    *    a deployment), surviving executor loss. The at-scale path.
+    * Both truncate lineage identically; ReliableCheckpointSpec pins the
+    * two branches result-equal.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
 }

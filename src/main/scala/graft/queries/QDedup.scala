@@ -78,7 +78,7 @@ object QDedup {
   def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // eager localCheckpoint: the signature is reused by both join sides;
     // without it the higher-order-fn lineage is recomputed per branch.
-    val sig = signatures(documents(s, dir)).localCheckpoint(true)
+    val sig = Q.materialize(signatures(documents(s, dir)))
     val bandStructs = (0 until 4).map(j =>
       struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
     sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
@@ -126,7 +126,7 @@ object QDedup {
     // Pairs: same single band self-join as q_dedup_minhash, thresholded
     // at >= 4/8 matching minhashes (est. Jaccard >= 0.5) -- an INTEGER
     // threshold, so both engines cut identically (no FP boundary).
-    val sig = signatures(documents(s, dir)).localCheckpoint(true)
+    val sig = Q.materialize(signatures(documents(s, dir)))
       val bandStructs = (0 until 4).map(j =>
         struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
       val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
@@ -154,7 +154,7 @@ object QDedup {
       // dup clusters; for adversarial deep graphs the large-star/
       // small-star variant halves the diameter per round).
       val spark = s
-      val pairsC = pairs.localCheckpoint(true)
+      val pairsC = Q.materialize(pairs)
       val nPairs = pairsC.count()
       if (nPairs <= driverCcMaxPairs) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -176,9 +176,9 @@ object QDedup {
           .orderBy("doc_id")
       } else {
         val edges = pairsC.union(pairsC.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").localCheckpoint(true)
+          .toDF("src", "dst").transform(Q.materialize)
         var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node")).localCheckpoint(true)
+          .withColumn("label", col("node")).transform(Q.materialize)
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 20) {
@@ -188,7 +188,7 @@ object QDedup {
           val updated = labels.join(nbr, Seq("node"), "left")
             .select(col("node"), col("label"),
               least(col("label"), coalesce(col("nl"), col("label"))).as("nlabel"))
-            .localCheckpoint(true)
+            .transform(Q.materialize)
           changed = updated.filter(col("nlabel") =!= col("label")).count()
           labels = updated.select(col("node"), col("nlabel").as("label"))
           iter += 1
@@ -426,7 +426,7 @@ object QDedup {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = shingled(documents(s, dir))
         .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .localCheckpoint(true)   // reused 5× below; avoid re-shingling
+        .transform(Q.materialize)  // reused 5× below; avoid re-shingling
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
@@ -481,7 +481,7 @@ object QDedup {
       // codegen'd work after it.
       val sh = shingled(documents(s, dir))
         .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .localCheckpoint(true)   // referenced 3× below; shingle once
+        .transform(Q.materialize)  // referenced 3× below; shingle once
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
       val shA = sh.toDF("doc_a", "sh_a")

@@ -245,7 +245,7 @@ object QText {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"
         )).as("gram"))
-        .localCheckpoint(true) // referenced by bench AND scored; gram once
+        .transform(Q.materialize) // referenced by bench AND scored; gram once
       val bench = grams.filter(col("doc_id") < 10).select("gram").distinct()
       val scored = grams.filter(col("doc_id") >= 10)
         .join(broadcast(bench), "gram")

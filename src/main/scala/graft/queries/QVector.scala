@@ -106,7 +106,7 @@ object QVector {
       embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
-        .localCheckpoint(true))
+        .transform(Q.materialize))
 
   /** IVF-pruned ranking: coarse-quantize probes to top-2 cells, fine-search
     * only those cells. Returns (probe_id, neighbor_id, rnk, score_raw).
@@ -233,7 +233,7 @@ object QVector {
          |WHERE ${dCos("x.e", "y.e")} >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       val b = sparkBucket(embeddings(s, dir)).select("vec_id", "embedding", "bucket")
-        .localCheckpoint(true)   // bucket reused on both join sides
+        .transform(Q.materialize)  // bucket reused on both join sides
       val x = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
       val y = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket").as("bucket_b"))
       x.join(y, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))

@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** The two materialization tiers behind `Q.materialize` (VERDICT r8 #8)
+  * must be interchangeable: `localCheckpoint` (executor blocks — tests,
+  * interactive) vs reliable `checkpoint` (checkpoint-dir blocks — the
+  * at-scale path where an executor loss must not recompute an hours-long
+  * dedup lineage). Same results, and the reliable branch really writes
+  * to the checkpoint dir.
+  */
+class ReliableCheckpointSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("reliable-checkpoint branch writes RDD checkpoints and matches localCheckpoint results") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
+    // q_dedup_minhash runs the full shingle → signature → banded-join
+    // lineage through several materialize points
+    val q = QDedup.all.find(_.name == "q_dedup_minhash").get
+    val localRows = q.run(spark, dir).collect().toSeq
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val reliableRows = q.run(spark, dir).collect().toSeq
+      assert(reliableRows == localRows,
+        s"reliable branch diverged: ${reliableRows.take(3)} vs ${localRows.take(3)}")
+      // the at-scale property: blocks actually persisted to the dir
+      def rddFiles(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(c => if (c.isDirectory) rddFiles(c) else Seq(c))
+      assert(rddFiles(new java.io.File(ckptDir)).exists(_.getName.startsWith("part-")),
+        "no checkpoint blocks written — the reliable branch did not engage")
+    } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
+  }
+}

@@ -88,4 +88,99 @@ class FullLoopSpec extends SparkTestBase {
     assert(InfluxQLPlanner.sqlStore(spark, store,
       """SELECT COUNT(value) AS n FROM "10.0.0.1"""").collect().head.getLong(0) == 0)
   }
+
+  test("reference topology: daemon /write -> CQ rollup tick -> subscription mirror -> query both nodes") {
+    // The full deployment the reference README describes, with every
+    // moving part this engine's own: a daemon POSTing line protocol to
+    // the primary node, the co-located CQ scheduler materializing the
+    // standing rollup, a subscription mirroring accepted writes to a
+    // second node (the Kapacitor topology), and Grafana-shape /query
+    // panels against both.
+    import java.net.{HttpURLConnection, URI, URLEncoder}
+    val primary = Files.createTempDirectory("fullloop_primary").toString
+    val mirror = Files.createTempDirectory("fullloop_mirror").toString
+    // clock pinned past the data so the first CQ tick finalizes all buckets
+    val nowNs = java.sql.Timestamp.valueOf("2024-01-01 00:10:00").getTime * 1000000L
+    val hm = graft.influxql.InfluxQLHttp.startStore(spark, mirror)
+    val hp = graft.influxql.InfluxQLHttp.startStore(spark, primary,
+      nowNs = Some(nowNs), cqTickSec = Some(1L))
+    try {
+      def postQuery(port: Int, q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:$port/query").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          s"q=${URLEncoder.encode(q, "UTF-8")}".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect(); (code, body)
+      }
+      // polling-tolerant: a 400 (measurement not yet materialized /
+      // forwarded) reads as an empty series list, not a failure
+      def getSeries(port: Int, q: String): com.fasterxml.jackson.databind.JsonNode = {
+        val conn = new URI(s"http://127.0.0.1:$port/query?db=plc&q=" +
+          URLEncoder.encode(q, "UTF-8")).toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        if (code != 200) {
+          Option(conn.getErrorStream).foreach(_.readAllBytes())
+          conn.disconnect()
+          return new ObjectMapper().createArrayNode()
+        }
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        new ObjectMapper().readTree(body).at("/results/0/series")
+      }
+      // provision the topology over the wire, exactly as an admin would
+      assert(postQuery(hp.port,
+        "CREATE DATABASE plc; " +
+          s"CREATE SUBSCRIPTION mirror0 ON plc.autogen DESTINATIONS ALL 'http://127.0.0.1:${hm.port}'; " +
+          "CREATE CONTINUOUS QUERY roll1m ON plc BEGIN " +
+          "SELECT MEAN(value) AS m INTO plc7_1m FROM plc7 GROUP BY time(1m), alias END")._1 == 200)
+      // the daemon's steady-state loop: line-protocol POSTs per sample
+      val wc = new URI(s"http://127.0.0.1:${hp.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      wc.setRequestMethod("POST"); wc.setDoOutput(true)
+      val t0 = 1704067200000000000L // 2024-01-01T00:00:00Z
+      wc.getOutputStream.write((
+        s"plc7,alias=temp value=20.0 $t0\n" +
+          s"plc7,alias=temp value=22.0 ${t0 + 30000000000L}\n" + // 00:00:30
+          s"plc7,alias=temp value=30.0 ${t0 + 65000000000L}\n" + // 00:01:05
+          s"plc7,alias=rpm value=900.0 ${t0 + 10000000000L}").getBytes("UTF-8"))
+      assert(wc.getResponseCode == 204); wc.disconnect()
+
+      // the CQ tick (1s cadence) materializes the rollup in the primary
+      val deadline = System.currentTimeMillis() + 30000
+      var rollup = Map.empty[(String, String), Double]
+      while (rollup.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val s = getSeries(hp.port,
+          "SELECT value FROM plc7_1m WHERE alias = 'temp' ORDER BY time")
+        if (s.size() > 0) {
+          val vs = s.get(0).at("/values")
+          rollup = (0 until vs.size()).map(i =>
+            (vs.get(i).get(0).asText(), "temp") -> vs.get(i).get(1).asDouble()).toMap
+        }
+      }
+      assert(rollup == Map(
+        ("2024-01-01T00:00:00Z", "temp") -> 21.0,
+        ("2024-01-01T00:01:00Z", "temp") -> 30.0), rollup)
+
+      // the subscription mirrored the RAW writes to the second node —
+      // a Grafana panel against the mirror sees the same samples
+      val mDeadline = System.currentTimeMillis() + 20000
+      var mirrored = 0L
+      while (mirrored < 4L && System.currentTimeMillis() < mDeadline) {
+        Thread.sleep(300)
+        val s = getSeries(hm.port, "SELECT COUNT(value) AS n FROM plc7")
+        if (s.size() > 0) mirrored = s.get(0).at("/values/0/0").asLong()
+      }
+      assert(mirrored == 4L, s"mirror received $mirrored of 4 points")
+      val mMean = getSeries(hm.port,
+        "SELECT MEAN(value) AS m FROM plc7 WHERE alias = 'temp'")
+        .get(0).at("/values/0/0").asDouble()
+      assert(mMean == 24.0) // (20+22+30)/3 — identical data on both nodes
+    } finally { hp.stop(); hm.stop() }
+  }
 }
