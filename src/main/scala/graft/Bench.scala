@@ -58,7 +58,16 @@ object Bench {
         "q_addr_parse", "q_win_derivative", "q_text_tokens", "q_knn_ivf")
       .foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
                catch { case _: Throwable => () })
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_KEYS (comma-separated) restricts the timed set —
+    // the knob for like-for-like comparisons across registry growth
+    // (e.g. PERF.md r9: the r6 key set on the current build, isolating
+    // per-pass registry size from per-query plan changes).
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .map(ks => all.filter(ks)).getOrElse(all)
+    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     var sinceGc = 0
     for (pass <- 1 to passes; name <- names) {
