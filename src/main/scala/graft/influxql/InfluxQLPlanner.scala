@@ -44,7 +44,16 @@ object InfluxQLPlanner {
       measurements: Seq[String],
       tags: Seq[String],
       field: String,
-      load: (SparkSession, String, String) => DataFrame) {
+      load: (SparkSession, String, String) => DataFrame,
+      /** When set, the named tag holds the FIELD KEY of each point (the
+        * point store's `alias` — multi-field writes explode to one row
+        * per field, field key in this tag). SELECTs may then name fields
+        * directly — `SELECT MEAN(usage_idle) FROM cpu`, the standard
+        * Grafana/Telegraf shape — and the planner resolves them to
+        * conditional projections of `field` (see [[plan]]). None = the
+        * catalog's single `field` column is the only field (events).
+        */
+      fieldTag: Option[String] = None) {
     def requireMeasurement(m: String): Unit =
       if (!measurements.contains(m))
         throw InfluxQLParseException(
@@ -83,8 +92,8 @@ object InfluxQLPlanner {
         .getOrElse(Array.empty[java.io.File]).toSeq
         .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
         .map(_.getName.stripPrefix("measurement=")).sorted
-      Catalog(ms, Seq("alias"), "value",
-        (s, _, m) => {
+      Catalog(ms, Seq("alias"), "value", fieldTag = Some("alias"),
+        load = (s, _, m) => {
           // a measurement whose partitions all expired (retention/DELETE)
           // is still a valid, empty measurement — not a schema error
           val df = try s.read.parquet(s"$storeDir/measurement=$m")
@@ -472,13 +481,83 @@ object InfluxQLPlanner {
       case None      => ()
     }
     val base = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
-    val filtered = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
+    val filtered0 = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
     val isAgg = q.fields.exists {
       case _: FnField | _: TransformField => true
       case ExprField(e, _)                => InfluxQLParser.exprAggLeaves(e).nonEmpty
       case _                              => false
     }
-    if (isAgg) planAgg(spark, filtered, q) else planRaw(filtered, q, catalog)
+    // ---- field-name resolution (r9) ---------------------------------------
+    // Over a (fieldTag, value)-shaped store a SELECT may name fields
+    // directly — `SELECT MEAN(usage_idle) FROM cpu`, the Grafana/Telegraf
+    // shape. Each named field F becomes a conditional projection
+    // `F := value WHERE <fieldTag> = 'F'` (null elsewhere) and the scan
+    // filters to the named aliases, so every aggregate/transform/raw path
+    // downstream — all built on col(arg) — works unchanged: aggregates
+    // skip the nulls exactly like InfluxDB skips other fields' points.
+    // Unknown field names yield an EMPTY result (InfluxDB's behavior), not
+    // an error. One equality filter + per-row when(): no extra shuffle,
+    // and the fieldTag IN (...) predicate pushes to the parquet scan.
+    val fieldRefs: Seq[String] =
+      if (q.fromSub.isDefined) Nil
+      else catalog.fieldTag.toSeq.flatMap { _ =>
+        def refs(f: Field): Seq[String] = f match {
+          case RawField(n, _)                    => Seq(n)
+          case FnField(_, a, _, _)               => Seq(a)
+          case TransformField(_, inner, _, _, _) => Seq(inner.arg)
+          case ExprField(e, _) =>
+            InfluxQLParser.exprRefLeaves(e) ++
+              InfluxQLParser.exprAggLeaves(e).map(_.arg)
+        }
+        q.fields.flatMap(refs).distinct
+          .filter(n => n != catalog.field && n != "*" && n != "time" &&
+            !catalog.tags.contains(n))
+      }
+    val filtered = catalog.fieldTag match {
+      case Some(ft) if fieldRefs.nonEmpty =>
+        fieldRefs.foreach { f =>
+          if (!f.matches("[A-Za-z_][A-Za-z0-9_]*") ||
+              Set("ts", "ts_ns", "event_id", "date").contains(f))
+            throw InfluxQLParseException(s"unsupported field name: $f")
+        }
+        if (fieldRefs.size > 1) {
+          // selectors need raw per-field event order; with several fields
+          // sharing one frame a null-valued other-field row could win —
+          // reject rather than silently misselect (one field per
+          // statement covers InfluxDB's selector semantics exactly)
+          val selectors = Set("first", "last", "top", "bottom", "sample",
+            "distinct", "elapsed", "mode", "percentile", "median")
+          val bad = q.fields.collect {
+            case FnField(fn, a, _, _) if selectors(fn) && fieldRefs.contains(a) => fn
+          }
+          if (bad.nonEmpty) throw InfluxQLParseException(
+            s"${bad.head.toUpperCase} over several named fields — query one field per statement")
+        }
+        fieldRefs.foldLeft(filtered0)((df, f) =>
+          df.withColumn(f, when(col(ft) === f, col(catalog.field))))
+          .filter(col(ft).isin(fieldRefs: _*))
+      case _ => filtered0
+    }
+    if (isAgg) planAgg(spark, filtered, q)
+    else if (fieldRefs.nonEmpty) {
+      // raw field-name select: re-merge the rows a multi-field write
+      // exploded (one row per field, same ts) back into one row per
+      // point — InfluxDB's raw multi-field row shape. Mixing named
+      // fields with tag/value projections is contradictory here (the
+      // fieldTag is being pivoted away).
+      q.fields.foreach {
+        case RawField(n, _) if n == catalog.field || catalog.tags.contains(n) =>
+          throw InfluxQLParseException(
+            s"cannot mix $n with named fields in one raw select")
+        case _ => ()
+      }
+      if (q.groupTags.nonEmpty) throw InfluxQLParseException(
+        "GROUP BY tags with named raw fields — the field tag is already pivoted")
+      val merged = filtered.groupBy(col("ts"), col("ts_ns"))
+        .agg(min(col("event_id")).as("event_id"),
+          fieldRefs.map(f => max(col(f)).as(f)): _*)
+      planRaw(merged, q, catalog)
+    } else planRaw(filtered, q, catalog)
   }
 
   /** Outer aggregate over a one-level subquery — the InfluxQL
