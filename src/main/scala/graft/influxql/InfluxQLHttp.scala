@@ -203,9 +203,11 @@ object InfluxQLHttp {
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     server.setExecutor(pool)
     server.start()
-    // co-located CQ service: periodic runDue under the write lock, errors
-    // logged per tick (a broken CQ must not kill the scheduler thread —
-    // InfluxDB's CQ service logs and continues the same way)
+    // co-located maintenance daemon: each tick runs due CQs, then folds
+    // the direct-append small files away (PointStoreDirect.compact — the
+    // InfluxDB background-compactor role), all under the write lock.
+    // Errors log per tick; a broken CQ or compaction must not kill the
+    // scheduler thread — InfluxDB's services log and continue the same way.
     val cqTimer = for { sec <- cqTickSec; store <- writeStore } yield {
       val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
         (r: Runnable) => { val th = new Thread(r, "graft-cq-tick"); th.setDaemon(true); th })
@@ -213,9 +215,11 @@ object InfluxQLHttp {
         try {
           lock.writeLock.lock()
           // epoch ns (CQ bucket math) — NOT nanoTime (monotonic-only)
-          try CqRunner.runDue(spark, store,
-            nowNs.getOrElse(System.currentTimeMillis() * 1000000L)): Unit
-          finally lock.writeLock.unlock()
+          try {
+            CqRunner.runDue(spark, store,
+              nowNs.getOrElse(System.currentTimeMillis() * 1000000L)): Unit
+            graft.sinks.PointStoreDirect.compact(spark, store): Unit
+          } finally lock.writeLock.unlock()
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft-cq] tick failed: ${e.getMessage}")

@@ -273,9 +273,26 @@ object InfluxQLPlanner {
         (for { m <- fromMs.getOrElse(catalog.measurements); t <- catalog.tags }
           yield (m, t)).toDF("measurement", "tag_key")
       case "field_keys"   =>
-        fromMs.getOrElse(catalog.measurements)
-          .map(m => (m, catalog.field, "float"))
-          .toDF("measurement", "field_key", "field_type")
+        // Over a fieldTag store the alias IS the field key (multi-field
+        // writes explode per field, r9) — list the distinct keys per
+        // measurement, the catalog Grafana's query builder pulls. One
+        // column-pruned distinct per measurement; catalogs without a
+        // fieldTag keep the single synthetic value field.
+        catalog.fieldTag match {
+          case Some(ft) =>
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => catalog.load(spark, dir, m)
+                .select(lit(m).as("measurement"), col(ft).as("field_key"),
+                  lit("float").as("field_type")).distinct())
+              .reduceOption(_.unionByName(_))
+              .getOrElse(Seq.empty[(String, String, String)]
+                .toDF("measurement", "field_key", "field_type"))
+              .orderBy("measurement", "field_key")
+          case None =>
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => (m, catalog.field, "float"))
+              .toDF("measurement", "field_key", "field_type")
+        }
       case "retention_policies" =>
         // explicit policies from the store meta (ON db scopes; no ON lists
         // every db's), TOPPED with the implicit infinite autogen default
@@ -323,8 +340,19 @@ object InfluxQLPlanner {
           .map(m => (m, catalog.tags.size.toLong))
           .toDF("measurement", "count")
       case "field_key_cardinality" =>
-        fromMs.getOrElse(catalog.measurements)
-          .map(m => (m, 1L)).toDF("measurement", "count")
+        catalog.fieldTag match {
+          case Some(ft) => // distinct field keys live in the fieldTag (r9)
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => catalog.load(spark, dir, m)
+                .agg(count_distinct(col(ft)).as("count"))
+                .select(lit(m).as("measurement"), col("count")))
+              .reduceOption(_.unionByName(_))
+              .getOrElse(Seq.empty[(String, Long)].toDF("measurement", "count"))
+              .orderBy("measurement")
+          case None =>
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => (m, 1L)).toDF("measurement", "count")
+        }
       case other => throw InfluxQLParseException(s"unsupported SHOW: $other")
     }
     val paged = offset.fold(base)(base.offset)

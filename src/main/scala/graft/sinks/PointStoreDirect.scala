@@ -60,6 +60,70 @@ object PointStoreDirect {
       Math.floorDiv(tsNs, 1000000000L),
       Math.floorMod(tsNs, 1000000000L)), ZoneOffset.UTC).toString
 
+  /** Compact a store's small files — the maintenance pass behind the
+    * direct-append design. Every `/write` POST lands one file per touched
+    * partition (that is what makes the ack fast), so a daemon POSTing
+    * once per second accumulates ~86k files/day in its partition: the
+    * classic small-files problem, the analogue of the WAL/TSM buildup
+    * InfluxDB's background compactor folds away. For each
+    * `measurement=…/date=…` partition holding more than `maxFiles`
+    * parquet files, the partition is read, coalesced to
+    * ceil(bytes / targetBytes) files, written to a sibling temp dir, and
+    * swapped in. Callers serialize with writers and queries (the HTTP
+    * server runs this on its daemon tick under the store write lock —
+    * same exclusion as a DELETE rewrite). Returns the compacted partition
+    * paths.
+    *
+    * Scale: listing is pure file metadata; only oversized partitions pay
+    * a read-rewrite, and only THEIR files are touched — hot partitions
+    * compact, cold history is never rewritten.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      maxFiles: Int = 32, targetBytes: Long = 128L << 20): Seq[String] = {
+    def partitionDirs(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory && f.getName.startsWith("date=") => Seq(f)
+        case f if f.isDirectory && !f.getName.startsWith("_")    => partitionDirs(f)
+        case _ => Seq.empty
+      }
+    partitionDirs(new java.io.File(storeDir)).flatMap { part =>
+      val files = Option(part.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.size <= maxFiles) None
+      else {
+        val bytes = files.map(_.length()).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmp = new java.io.File(part.getParentFile, part.getName + ".compacting")
+        if (tmp.exists()) { // leftover from a crashed pass — restart clean
+          Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+          tmp.delete(): Unit
+        }
+        spark.read.parquet(part.getPath)
+          .select("ts", "alias", "value")
+          .coalesce(nOut)
+          .write.parquet(tmp.getPath)
+        // swap: remove the small files (and their local-FS checksum
+        // siblings), adopt the compacted ones. Runs under the caller's
+        // write lock, so no scan or append interleaves.
+        files.foreach { f =>
+          f.delete()
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+        }
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+          .foreach { f =>
+            if (f.getName.endsWith(".parquet"))
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(part, f.getName).toPath): Unit
+            else f.delete(): Unit
+          }
+        Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        tmp.delete()
+        Some(part.getPath)
+      }
+    }
+  }
+
   /** Append `points` to the store: one parquet file per touched
     * (measurement, date) partition, written synchronously on the calling
     * thread. Unique filenames (UUID) make concurrent appends physically

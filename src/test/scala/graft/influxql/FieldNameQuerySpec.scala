@@ -98,6 +98,16 @@ class FieldNameQuerySpec extends SparkTestBase {
     assert(v.getDouble(0) == 80.0)
   }
 
+  test("SHOW FIELD KEYS lists the store's real field keys (Grafana's query-builder pull)") {
+    val store = freshStore()
+    val rows = InfluxQLPlanner.sqlStore(spark, store, "SHOW FIELD KEYS FROM cpu")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("usage_idle", "float"), ("usage_user", "float")))
+    val card = InfluxQLPlanner.sqlStore(spark, store, "SHOW FIELD KEY CARDINALITY")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(card.toSeq == Seq(("cpu", 2L)))
+  }
+
   test("field-name queries flow through the HTTP surface end-to-end") {
     val store = java.nio.file.Files.createTempDirectory("graft-fieldname-http").toString
     val h = InfluxQLHttp.startStore(spark, store)
