@@ -390,15 +390,19 @@ object InfluxQLHttp {
             }
         }
       }
-      // WRITE side of the store lock, ONLY around the append: direct
-      // appends are mutually disjoint files, but a DELETE/DROP rewriting
-      // partition directories (or a CQ tick's dynamic overwrite) must not
-      // race an in-flight file landing in them. Body read, parse, and
-      // validation all run unlocked so a slow-uploading client cannot
+      // READ side of the store lock, ONLY around the append: direct
+      // appends are mutually disjoint (unique filenames, no shared
+      // staging dir) and only ever ADD files, so they commute with each
+      // other and with query scans — concurrent writers genuinely run in
+      // parallel. What they must NOT race is anything that removes or
+      // rewrites partition contents — DELETE/DROP, a CQ tick's dynamic
+      // overwrite, the compaction swap — and those all hold the WRITE
+      // side, which excludes every in-flight append. Body read, parse,
+      // and validation all run unlocked so a slow-uploading client cannot
       // stall the HTTP surface.
-      lock.writeLock.lock()
+      lock.readLock.lock()
       try PointStoreDirect.append(points.result(), storeDir)
-      finally lock.writeLock.unlock()
+      finally lock.readLock.unlock()
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
       ex.sendResponseHeaders(204, -1)
       ex.close()

@@ -49,6 +49,22 @@ object HttpWriteBench {
       (0 until nSerial).foreach(i => require(post(line(1000 + i)) == 204))
       val serialSec = (System.nanoTime() - s0) / 1e9
 
+      // concurrent single-line POSTs — many daemons against one node
+      // (writes hold the lock's READ side, so they genuinely parallelize)
+      val nThreads = sys.env.getOrElse("WBENCH_THREADS", "8").toInt
+      val perThread = sys.env.getOrElse("WBENCH_PER_THREAD", "100").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val c0 = System.nanoTime()
+      val futures = (0 until nThreads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until perThread).foreach(i =>
+            require(post(line(10000 + t * perThread + i)) == 204))
+        })
+      }
+      futures.foreach(_.get())
+      val concSec = (System.nanoTime() - c0) / 1e9
+      pool.shutdown()
+
       // one batched POST of many lines — the Telegraf shape
       val nBatch = sys.env.getOrElse("WBENCH_BATCH", "20000").toInt
       val batch = (0 until nBatch).map(i => line(100000 + i)).mkString("\n")
@@ -59,6 +75,9 @@ object HttpWriteBench {
       println(s"""{"metric":"http_write","serial_posts":$nSerial,""" +
         s""""serial_sec":${f"$serialSec%.3f"},""" +
         s""""serial_posts_per_sec":${f"${nSerial / serialSec}%.1f"},""" +
+        s""""concurrent_threads":$nThreads,"concurrent_posts":${nThreads * perThread},""" +
+        s""""concurrent_sec":${f"$concSec%.3f"},""" +
+        s""""concurrent_posts_per_sec":${f"${nThreads * perThread / concSec}%.1f"},""" +
         s""""batch_lines":$nBatch,"batch_sec":${f"$batchSec%.3f"},""" +
         s""""batch_lines_per_sec":${f"${nBatch / batchSec}%.0f"}}""")
     } finally {
