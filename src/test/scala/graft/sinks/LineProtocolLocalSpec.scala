@@ -72,6 +72,64 @@ class LineProtocolLocalSpec extends SparkTestBase {
     assert(row.isNullAt(0), "distributed parser must not coerce quoted values")
   }
 
+  test("property: local parser == distributed parser over generated lines") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // names over the full separator alphabet (escaped on the wire);
+    // trailing backslash excluded — the wire's own unrepresentable case
+    val nameChar = Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const(' ')), (1, Gen.const(',')),
+      (1, Gen.const('=')), (1, Gen.const('_')))
+    val name = Gen.nonEmptyListOf(nameChar).map(_.mkString)
+      .suchThat(s => !s.endsWith("\\") && s.trim.nonEmpty)
+    def esc(s: String, eq: Boolean): String = {
+      val base = s.replace(",", "\\,").replace(" ", "\\ ")
+      if (eq) base.replace("=", "\\=") else base
+    }
+    val fieldVal = Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.3f"),
+      Gen.chooseNum(-99999L, 99999L).map(l => s"${l}i"),
+      Gen.const("true"),
+      Gen.alphaNumStr.map(s => "\"" + s + "\""))
+    val genLine = for {
+      m <- name
+      nTags <- Gen.choose(0, 3)
+      tags <- Gen.listOfN(nTags, Gen.zip(name, name))
+      nFields <- Gen.choose(1, 4)
+      fields <- Gen.listOfN(nFields, Gen.zip(name, fieldVal))
+      ts <- Gen.option(Gen.choose(0L, 1800000000000000000L))
+    } yield {
+      val tagPart = tags.zipWithIndex
+        .map { case ((k, v), i) => s",${esc(s"$k$i", eq = true)}=${esc(v, eq = true)}" }
+        .mkString
+      val fieldPart = fields.zipWithIndex
+        .map { case ((k, v), i) => s"${esc(s"$k$i", eq = true)}=$v" }.mkString(",")
+      s"${esc(m, eq = false)}$tagPart $fieldPart${ts.map(" " + _).getOrElse("")}"
+    }
+    val lines = Gen.listOfN(120, genLine).sample.getOrElse(Nil)
+    assert(lines.size == 120)
+    val sparkSide = LineProtocol.parseLines(lines.distinct.toDF("line"))
+      .select(col("line"), col("measurement"), col("tags"), col("fields_str"),
+        col("fields"), col("ts_ns"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val prop = Prop.forAll(Gen.oneOf(lines)) { line =>
+      val s = sparkSide(line)
+      LineProtocolLocal.parseLine(line) match {
+        case Right(p) =>
+          val sparkNum = s.getAs[Map[String, java.lang.Double]]("fields")
+          p.measurement == s.getString(1) &&
+            p.tags == s.getAs[Map[String, String]]("tags") &&
+            p.fields.map(f => f.key -> f.str).toMap ==
+              s.getAs[Map[String, String]]("fields_str") &&
+            p.fields.forall(f => f.num.map(Double.box) == Option(sparkNum(f.key))) &&
+            p.tsNs == (if (s.isNullAt(5)) None else Some(s.getLong(5)))
+        case Left(_) => false
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("local parser rejects malformed lines with pointed reasons") {
     def reject(line: String): String =
       LineProtocolLocal.parseLine(line).swap.toOption
