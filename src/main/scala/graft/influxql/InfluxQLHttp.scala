@@ -353,13 +353,32 @@ object InfluxQLHttp {
         case other =>
           respond(ex, 400, errJson(s"invalid precision: $other (ns|u|ms|s|m|h)")); return
       }
-      val rawBody = ex.getRequestBody.readAllBytes()
-      val body = new String(
-        if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-            .exists(_.toLowerCase.contains("gzip")))
-          new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(rawBody)).readAllBytes()
-        else rawBody, StandardCharsets.UTF_8)
+      // InfluxDB 1.x [http] max-body-size (default 25 MB): a request body
+      // beyond the cap 413s before buffering it whole — the driver-process
+      // front door must not be OOM-able by one oversized (or gzip-bombed)
+      // POST. The cap applies to the DECOMPRESSED size: the gzip stream is
+      // read through the same bounded reader.
+      val maxBody = 25 * 1024 * 1024
+      def readCapped(is: java.io.InputStream): Option[Array[Byte]] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = is.read(buf)
+        while (n >= 0 && out.size <= maxBody) {
+          out.write(buf, 0, n); n = is.read(buf)
+        }
+        if (out.size > maxBody) None else Some(out.toByteArray)
+      }
+      val gzipped = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .exists(_.toLowerCase.contains("gzip"))
+      val capped = readCapped(
+        if (gzipped) new java.util.zip.GZIPInputStream(ex.getRequestBody)
+        else ex.getRequestBody)
+      val body = capped match {
+        case None =>
+          respond(ex, 413, errJson(
+            s"request body too large (limit $maxBody bytes)")); return
+        case Some(bytes) => new String(bytes, StandardCharsets.UTF_8)
+      }
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       if (lines.isEmpty) {
         respond(ex, 400, errJson("empty write body")); return

@@ -206,6 +206,22 @@ class InfluxQLHttpSpec extends SparkTestBase {
       // clients that don't ask keep getting identity bodies
       val (c2, b2) = get(h.port, s"/query?q=${enc("SELECT COUNT(value) AS n FROM plcgz")}")
       assert(c2 == 200 && b2.startsWith("{"), b2.take(100))
+
+      // max-body-size (InfluxDB 1.x: 25 MB): an oversized body 413s
+      // BEFORE being buffered whole — including via a gzip bomb, where
+      // the cap applies to the DECOMPRESSED size (a ~26 MB body of
+      // zeros gzips to ~26 KB)
+      val bomb = new java.io.ByteArrayOutputStream()
+      val bz = new java.util.zip.GZIPOutputStream(bomb)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 26).foreach(_ => bz.write(chunk)); bz.close()
+      assert(bomb.size() < (1 << 20), s"bomb should compress tiny: ${bomb.size()}")
+      val bc = new URI(s"http://127.0.0.1:${h.port}/write?db=plc").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      bc.setRequestMethod("POST"); bc.setDoOutput(true)
+      bc.setRequestProperty("Content-Encoding", "gzip")
+      bc.getOutputStream.write(bomb.toByteArray)
+      assert(bc.getResponseCode == 413); bc.disconnect()
     } finally h.stop()
   }
 
