@@ -648,5 +648,31 @@ object QInfluxQL {
       """SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS ema FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-08'
         |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_field_select",
+      "IQL62 (r9): field-NAME aggregates (`SELECT MEAN(click), COUNT(view) …`) — the " +
+        "Grafana/Telegraf shape over a fieldTag catalog (the reference writes the alias " +
+        "as the FIELD KEY, Linux/InfluxConnector2.py:222-240): each named field resolves " +
+        "to a conditional projection of the value column, null on other fields' rows",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS time,
+        |       round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS m_click,
+        |       count(CASE WHEN event_type = 'view' THEN value END) AS n_view,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS s_error
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  AND event_type IN ('click', 'view', 'error')
+        |GROUP BY 1 ORDER BY time""".stripMargin) { (s, dir) =>
+      // events with the event_type column PLAYING the field-key role —
+      // exactly how the reference's daemon writes (field key = alias)
+      val cat = InfluxQLPlanner.Catalog(Seq("events"), Seq("event_type"), "value",
+        load = (ss, d, _) => graft.tables.Tables.events(ss, d),
+        fieldTag = Some("event_type"))
+      InfluxQLPlanner.sql(s, dir,
+        """SELECT MEAN(click) AS m_click, COUNT(view) AS n_view, SUM(error) AS s_error
+          |FROM events
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY time(1d)""".stripMargin, catalog = cat)
+    },
   )
 }
