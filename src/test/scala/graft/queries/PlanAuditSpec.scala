@@ -64,6 +64,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw transform must keep the scan pushdown:\n$plan")
   }
 
+  test("field-name selects push the field-key IN filter into the parquet scan") {
+    // q_influxql_field_select: the fieldTag resolution (r9) must reach
+    // the scan as an In(event_type, …) pushdown next to the time bounds —
+    // at 100 TB a 3-field panel query then prunes every other field's
+    // row groups instead of reading the measurement whole
+    // the default 100-char metadata truncation hides the tail of the
+    // PushedFilters list — widen it for this assertion only
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val plan =
+      try planOf("q_influxql_field_select")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"),
+      s"field-key IN filter must reach the scan:\n$plan")
+  }
+
   test("q_time_range pushes the time predicate into the parquet scan (native ts)") {
     val plan = planOf("q_time_range")
     assert(plan.contains("PushedFilters") &&
