@@ -86,4 +86,80 @@ object ConfigXml {
   }
 
   private def parseBool(s: String): Boolean = s.trim.equalsIgnoreCase("true")
+
+  // ---- catalog WRITE lifecycle (SURVEY §2.1 S1, the ConfigApp role) -------
+  // The reference manages the same file through a PySimpleGUI editor
+  // (ConfigApp/ConfigApp.py): update_config appends a <data> entry
+  // (creating the <plc> when new, :54-84), update_element rewrites the
+  // entry matching (plc, alias) in place (:155-176), delete_element
+  // removes it (:138-153). These are the headless equivalents, so the
+  // full config lifecycle — author → daemon read → enrich — runs without
+  // the GUI. Text is XML-escaped on write (the reference writes raw; an
+  // alias holding '<' would corrupt its file).
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Serialize a catalog to the ConfigApp document shape (tag names from
+    * ConfigApp.py:61-67; readers are positional so names are cosmetic,
+    * but round-tripping through the reference's own GUI must work).
+    * PLCs group in first-seen order.
+    */
+  def render(tags: Seq[TagConfig]): String = {
+    val sb = new StringBuilder("<communication>")
+    for (((plc, slot), ts) <- groupInOrder(tags)) {
+      sb ++= s"""<plc slot="$slot">${escape(plc)}"""
+      for (t <- ts) {
+        sb ++= "<data>"
+        sb ++= s"<data_type>${escape(t.dataType)}</data_type>"
+        sb ++= s"<data_area>${escape(t.area)}</data_area>"
+        sb ++= s"<data_address>${escape(t.address)}</data_address>"
+        sb ++= s"<data_alias>${escape(t.alias)}</data_alias>"
+        sb ++= s"<active>${t.active}</active>"
+        sb ++= s"<interval>${escape(t.interval)}</interval>"
+        sb ++= "</data>"
+      }
+      sb ++= "</plc>"
+    }
+    (sb ++= "</communication>").result()
+  }
+
+  private def groupInOrder(tags: Seq[TagConfig]): Seq[((String, Int), Seq[TagConfig])] = {
+    val keys = tags.map(t => (t.plc, t.slot)).distinct
+    keys.map(k => k -> tags.filter(t => (t.plc, t.slot) == k))
+  }
+
+  private def rewrite(path: String)(f: Seq[TagConfig] => Seq[TagConfig]): Unit = {
+    val cur =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) parseFile(path)
+      else Seq.empty
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      render(f(cur))): Unit
+  }
+
+  /** ConfigApp `update_config`: APPEND the entry (duplicates allowed,
+    * like the GUI), creating the file / the PLC group as needed.
+    */
+  def addTag(path: String, tag: TagConfig): Unit =
+    rewrite(path)(_ :+ tag)
+
+  /** ConfigApp `update_element`: rewrite every entry matching
+    * (plc, alias) with the new values (alias may change).
+    */
+  def updateTag(path: String, plc: String, alias: String, to: TagConfig): Unit =
+    rewrite(path)(_.map(t => if (t.plc == plc && t.alias == alias) to else t))
+
+  /** ConfigApp `delete_element`: drop every entry matching (plc, alias);
+    * an emptied PLC group disappears from the document.
+    */
+  def deleteTag(path: String, plc: String, alias: String): Unit =
+    rewrite(path)(_.filterNot(t => t.plc == plc && t.alias == alias))
+
+  /** ConfigApp `get_actual_plcs` / `get_data_aliases` — the GUI's pick
+    * lists.
+    */
+  def listPlcs(path: String): Seq[String] =
+    parseFile(path).map(_.plc).distinct
+  def listAliases(path: String, plc: String): Seq[String] =
+    parseFile(path).filter(_.plc == plc).map(_.alias)
 }

@@ -50,4 +50,36 @@ class ConfigXmlSpec extends AnyFunSuite {
     assert(tags.count(_.active) === 9)
     assert(tags.map(_.plc).distinct.sorted === Seq("10.0.0.1", "10.0.0.2", "10.0.0.3"))
   }
+
+  test("render/parse round-trips any catalog, including XML-hostile text") {
+    val tags = Seq(
+      TagConfig("10.0.0.1", 1, "S7WLReal", "S7AreaDB", "DB1.DBD0", "temp", active = true, "1s"),
+      TagConfig("10.0.0.1", 1, "S7WLBit", "S7AreaPE", "I0.0", "a<b&c", active = false, "min"),
+      TagConfig("10.0.0.2", 2, "S7WLWord", "S7AreaMK", "MW10", "rpm", active = true, "10s"))
+    assert(ConfigXml.parseString(ConfigXml.render(tags)) == tags)
+  }
+
+  test("headless ConfigApp lifecycle: add -> list -> update -> delete (the GUI's exact flow)") {
+    val path = java.nio.file.Files.createTempDirectory("cfgxml").resolve("config.xml").toString
+    val t1 = TagConfig("10.0.0.9", 1, "S7WLReal", "S7AreaDB", "DB1.DBD0", "temp", active = true, "1s")
+    val t2 = TagConfig("10.0.0.9", 1, "S7WLWord", "S7AreaMK", "MW10", "rpm", active = true, "10s")
+    val t3 = TagConfig("10.0.0.7", 1, "S7WLBit", "S7AreaPE", "I0.0", "door", active = false, "min")
+    // update_config: creates the file, then appends under the existing plc
+    ConfigXml.addTag(path, t1)
+    ConfigXml.addTag(path, t2)
+    ConfigXml.addTag(path, t3)
+    assert(ConfigXml.parseFile(path) == Seq(t1, t2, t3))
+    assert(ConfigXml.listPlcs(path) == Seq("10.0.0.9", "10.0.0.7"))
+    assert(ConfigXml.listAliases(path, "10.0.0.9") == Seq("temp", "rpm"))
+    // update_element: rewrite by (plc, alias) in place
+    val t2b = t2.copy(interval = "60s", active = false)
+    ConfigXml.updateTag(path, "10.0.0.9", "rpm", t2b)
+    assert(ConfigXml.parseFile(path) == Seq(t1, t2b, t3))
+    // delete_element: drop by (plc, alias); an emptied plc group vanishes
+    ConfigXml.deleteTag(path, "10.0.0.7", "door")
+    assert(ConfigXml.parseFile(path) == Seq(t1, t2b))
+    assert(ConfigXml.listPlcs(path) == Seq("10.0.0.9"))
+    // and the authored file reads back through the daemon-side parser
+    assert(ConfigXml.parseFile(path) == Seq(t1, t2b))
+  }
 }
