@@ -312,6 +312,12 @@ object InfluxQLHttp {
     *  - lines without a timestamp get the server clock (InfluxDB's
     *    behavior), pinned by `nowNs` in tests; `precision=` scales bare
     *    timestamps.
+    * Tags other than `alias` are accepted and DISCARDED — the store's
+    * series dimensions are (measurement, alias), the reference's own
+    * model (db-per-PLC + field-keyed points; its writes carry no tags at
+    * all, Linux/InfluxConnector2.py:222-240). A Telegraf host/region
+    * tagset would need a store schema with a tags map — a documented
+    * scope cut, not an oversight.
     * Any unparseable line — or a non-numeric field value, incl. quoted
     * strings like `value="3.5"` (wire-typed STRING; this store holds
     * doubles) — rejects the whole batch with 400, InfluxDB's
