@@ -509,7 +509,28 @@ object InfluxQLPlanner {
       case None      => ()
     }
     val base = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
-    val filtered0 = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
+    val filteredTs = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
+    // Derived date-PARTITION pruning (r9): the point store's second
+    // partition column is the UTC day of ts, so every top-level time
+    // bound implies a date bound — conjoining it (a pure superset:
+    // exact ∧ coarse = exact) turns row-group-level pruning into
+    // PartitionFilters, which at 100 TB skips whole `date=` directories
+    // at FILE-LISTING time instead of opening years of footers. Time
+    // bounds are top-level by grammar (OR'd ranges are rejected like
+    // InfluxDB), so folding the top-level conds is complete. Catalogs
+    // without the partition column (events) are untouched.
+    val filtered0 =
+      if (!base.columns.contains("date")) filteredTs
+      else q.where.foldLeft(filteredTs) { (df, c) =>
+        import graft.sinks.PointStoreDirect.utcDate
+        c match {
+          case TimeCond(">" | ">=", ns) => df.filter(col("date") >= utcDate(ns))
+          case TimeCond("<", ns)        => df.filter(col("date") <= utcDate(ns - 1))
+          case TimeCond("<=", ns)       => df.filter(col("date") <= utcDate(ns))
+          case TimeCond("=", ns)        => df.filter(col("date") === utcDate(ns))
+          case _                        => df
+        }
+      }
     val isAgg = q.fields.exists {
       case _: FnField | _: TransformField => true
       case ExprField(e, _)                => InfluxQLParser.exprAggLeaves(e).nonEmpty

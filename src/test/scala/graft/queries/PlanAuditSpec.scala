@@ -79,6 +79,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"field-key IN filter must reach the scan:\n$plan")
   }
 
+  test("store time bounds prune date PARTITIONS, not just row groups") {
+    // a time-bounded store query must carry the derived date bound as a
+    // PartitionFilter — at 100 TB that skips whole `date=` directories at
+    // file-listing time instead of opening every footer (r9)
+    import graft.influxql.InfluxQLPlanner
+    val store = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    import spark.implicits._
+    graft.sinks.PointStore.writePartitioned(
+      (1 to 3).map(d => (java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00"), "plc1", "a", d.toDouble))
+        .toDF("ts", "measurement", "alias", "value"), store)
+    val df = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT MEAN(value) AS m FROM plc1 WHERE time >= '2024-01-02' AND time < '2024-01-03'")
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val plan = try df.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("(date#") && plan.contains(">= 2024-01-02"),
+      s"derived date bound must be a partition filter:\n$plan")
+    // the pruned plan still computes the right answer
+    assert(df.collect().head.getDouble(0) == 2.0)
+  }
+
   test("q_time_range pushes the time predicate into the parquet scan (native ts)") {
     val plan = planOf("q_time_range")
     assert(plan.contains("PushedFilters") &&
