@@ -509,7 +509,29 @@ object InfluxQLPlanner {
       case None      => ()
     }
     val base = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
-    val filteredTs = q.where.foldLeft(base)((df, c) => df.filter(condCol(c)))
+    // ---- field-value predicates (r9) ---------------------------------------
+    // Over a (fieldTag, value) store a WHERE may compare FIELDS by name —
+    // `WHERE usage_idle > 50`, the Grafana threshold shape. A key that is
+    // neither a tag nor the value column is a field reference; its conds
+    // must wait for the conditional field projections below (the raw scan
+    // has no such column), so split them out of the scan-level filter.
+    // Tag and time conds keep their parquet pushdown.
+    val whereFieldRefs: Seq[String] = catalog.fieldTag.toSeq.flatMap { _ =>
+      def refs(c: Cond): Seq[String] = c match {
+        case TagCond(k, _, _)
+          if !catalog.tags.contains(k) && k != catalog.field => Seq(k)
+        case BoolCond(_, l, r) => refs(l) ++ refs(r)
+        case _                 => Nil
+      }
+      q.where.flatMap(refs).distinct
+    }
+    def condHasFieldRef(c: Cond): Boolean = c match {
+      case TagCond(k, _, _)  => whereFieldRefs.contains(k)
+      case BoolCond(_, l, r) => condHasFieldRef(l) || condHasFieldRef(r)
+      case _                 => false
+    }
+    val (fieldConds, scanConds) = q.where.partition(condHasFieldRef)
+    val filteredTs = scanConds.foldLeft(base)((df, c) => df.filter(condCol(c)))
     // Derived date-PARTITION pruning (r9): the point store's second
     // partition column is the UTC day of ts, so every top-level time
     // bound implies a date bound — conjoining it (a pure superset:
@@ -562,9 +584,24 @@ object InfluxQLPlanner {
           .filter(n => n != catalog.field && n != "*" && n != "time" &&
             !catalog.tags.contains(n))
       }
+    // WHERE field conds need the field named in SELECT too: the projection
+    // below nulls a field's column on OTHER fields' rows, so a condition on
+    // an unselected field would drop every selected row — InfluxDB's
+    // point-level cross-field WHERE needs the raw merge (supported below)
+    // or, for aggregates, one field per statement.
+    if (whereFieldRefs.nonEmpty) {
+      if (fieldRefs.isEmpty) throw InfluxQLParseException(
+        s"WHERE references field ${whereFieldRefs.head} — name fields in " +
+          s"SELECT too (e.g. SELECT MEAN(${whereFieldRefs.head}) …)")
+      if (isAgg && (fieldRefs ++ whereFieldRefs).distinct.size > 1)
+        throw InfluxQLParseException(
+          "field conditions across several fields in an aggregate — " +
+            "query one field per statement (points are exploded per field)")
+    }
+    val allRefs = (fieldRefs ++ whereFieldRefs).distinct
     val filtered = catalog.fieldTag match {
-      case Some(ft) if fieldRefs.nonEmpty =>
-        fieldRefs.foreach { f =>
+      case Some(ft) if allRefs.nonEmpty =>
+        allRefs.foreach { f =>
           if (!f.matches("[A-Za-z_][A-Za-z0-9_]*") ||
               Set("ts", "ts_ns", "event_id", "date").contains(f))
             throw InfluxQLParseException(s"unsupported field name: $f")
@@ -582,13 +619,17 @@ object InfluxQLPlanner {
           if (bad.nonEmpty) throw InfluxQLParseException(
             s"${bad.head.toUpperCase} over several named fields — query one field per statement")
         }
-        fieldRefs.foldLeft(filtered0)((df, f) =>
+        allRefs.foldLeft(filtered0)((df, f) =>
           df.withColumn(f, when(col(ft) === f, col(catalog.field))))
-          .filter(col(ft).isin(fieldRefs: _*))
+          .filter(col(ft).isin(allRefs: _*))
       case _ => filtered0
     }
-    if (isAgg) planAgg(spark, filtered, q)
-    else if (fieldRefs.nonEmpty) {
+    if (isAgg) {
+      // single-field by the guard above, so a per-row filter IS the
+      // point-level filter — aggregates see only this field's passing rows
+      val fFiltered = fieldConds.foldLeft(filtered)((df, c) => df.filter(condCol(c)))
+      planAgg(spark, fFiltered, q)
+    } else if (fieldRefs.nonEmpty) {
       // raw field-name select: re-merge the rows a multi-field write
       // exploded (one row per field, same ts) back into one row per
       // point — InfluxDB's raw multi-field row shape. Mixing named
@@ -602,10 +643,22 @@ object InfluxQLPlanner {
       }
       if (q.groupTags.nonEmpty) throw InfluxQLParseException(
         "GROUP BY tags with named raw fields — the field tag is already pivoted")
+      // merge over selected AND where-referenced fields, then apply the
+      // field conds on the merged row — the POINT level, so a condition
+      // on one field gates the whole point exactly like InfluxDB (the
+      // where-only columns never reach the output: planRaw selects only
+      // q.fields)
       val merged = filtered.groupBy(col("ts"), col("ts_ns"))
         .agg(min(col("event_id")).as("event_id"),
-          fieldRefs.map(f => max(col(f)).as(f)): _*)
-      planRaw(merged, q, catalog)
+          allRefs.map(f => max(col(f)).as(f)): _*)
+      val pointFiltered = fieldConds.foldLeft(merged)((df, c) => df.filter(condCol(c)))
+      // a point that passes a where-only field cond but has NO value for
+      // any SELECTED field emits nothing (those series have no point
+      // there — InfluxDB's row shape); moot when selected ⊇ where refs
+      val present =
+        if (whereFieldRefs.forall(fieldRefs.contains)) pointFiltered
+        else pointFiltered.filter(fieldRefs.map(col(_).isNotNull).reduce(_ || _))
+      planRaw(present, q, catalog)
     } else planRaw(filtered, q, catalog)
   }
 
@@ -1524,28 +1577,44 @@ object InfluxQLPlanner {
     val transformed = {
       val tfs = fns.collect { case t: TransformField => t }
       val w = Window.partitionBy(tagCols.map(col): _*).orderBy("__t")
+      // MOVING_AVERAGE warm-up (r9): InfluxDB emits NOTHING until the
+      // window fills — N−1 fewer rows per series. Dropping rows is only
+      // safe when the moving averages are the statement's ONLY outputs
+      // (a sibling MEAN/CUMSUM column would lose its first buckets too —
+      // InfluxDB keeps those rows with nulls in the movavg column) and
+      // when fill() isn't explicitly asking for the full grid. The
+      // structural count shares the avg's window exchange.
+      val dropWarmup = tfs.nonEmpty && fns.forall {
+        case t: TransformField => t.fn == "moving_average"
+        case _                 => false
+      } && (q.fill == FillMissing || q.fill == FillNone)
       tfs.foldLeft(filled) { (df, t) =>
         val n = InfluxQLParser.outName(t)
         val v = col(n)
         val tu = unix_micros(col("__t"))
-        val c = t.fn match {
+        t.fn match {
           case "derivative" | "non_negative_derivative" =>
             // Δvalue / (Δt in units); unit defaults to 1s (InfluxQL).
             val unitMicros = t.param.getOrElse(1.0) * 1000000.0
             val d = round((v - lag(v, 1).over(w)) /
               ((tu - lag(tu, 1).over(w)) / lit(unitMicros)), 6) + lit(0.0)
-            if (t.fn.startsWith("non_")) when(d >= 0, d) else d
+            df.withColumn(n, if (t.fn.startsWith("non_")) when(d >= 0, d) else d)
           case "difference" | "non_negative_difference" =>
             val d = round(v - lag(v, 1).over(w), 2) + lit(0.0)
-            if (t.fn.startsWith("non_")) when(d >= 0, d) else d
+            df.withColumn(n, if (t.fn.startsWith("non_")) when(d >= 0, d) else d)
           case "moving_average" =>
             val width = t.param.getOrElse(2.0).toInt
-            round(avg(v).over(w.rowsBetween(-(width - 1), Window.currentRow)), 4)
+            val frame = w.rowsBetween(-(width - 1), Window.currentRow)
+            val out = df.withColumn(n, round(avg(v).over(frame), 4))
+            if (dropWarmup)
+              out.withColumn(s"__mw_$n", count(lit(1)).over(frame))
+                .filter(col(s"__mw_$n") === width).drop(s"__mw_$n")
+            else out
           case "cumulative_sum" =>
-            round(sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            df.withColumn(n,
+              round(sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
           case other => throw InfluxQLParseException(s"unknown transform: $other")
         }
-        df.withColumn(n, c)
       }
     }
 

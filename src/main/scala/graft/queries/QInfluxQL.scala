@@ -165,18 +165,24 @@ object QInfluxQL {
 
     GraftQuery(
       "q_influxql_movavg",
-      "IQL8: textual MOVING_AVERAGE(MEAN(value), 3) GROUP BY time(1h), tag — smoothed dashboard series",
+      "IQL8: textual MOVING_AVERAGE(MEAN(value), 3) GROUP BY time(1h), tag — smoothed dashboard " +
+        "series; InfluxDB emits NOTHING until the window fills, so the first N-1 buckets per series drop",
       """WITH a AS (
         |  SELECT event_type,
         |         time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
         |         round(avg(value), 4) AS m
         |  FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
-        |  GROUP BY 1, 2)
-        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type,
-        |       round(avg(m) OVER (PARTITION BY event_type ORDER BY t
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma
-        |FROM a ORDER BY time, event_type""".stripMargin)(influx(
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT t, event_type,
+        |         round(avg(m) OVER w, 4) AS ma,
+        |         count(*) OVER w AS wn
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, event_type, ma
+        |FROM s WHERE wn = 3 ORDER BY time, event_type""".stripMargin)(influx(
       """SELECT MOVING_AVERAGE(MEAN(value), 3) AS ma FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-08'
         |GROUP BY time(1h), event_type""".stripMargin)),
@@ -672,6 +678,28 @@ object QInfluxQL {
         """SELECT MEAN(click) AS m_click, COUNT(view) AS n_view, SUM(error) AS s_error
           |FROM events
           |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY time(1d)""".stripMargin, catalog = cat)
+    },
+
+    GraftQuery(
+      "q_influxql_field_where",
+      "IQL65 (r9): field-VALUE predicates in WHERE (`SELECT MEAN(click) … WHERE click > 90`) " +
+        "— the Grafana threshold shape over a fieldTag catalog: the cond waits for the " +
+        "conditional field projection (the raw scan has no such column) while tag/time " +
+        "conds keep their parquet pushdown",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS time,
+        |       round(avg(value), 4) AS m_click, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  AND event_type = 'click' AND value > 90
+        |GROUP BY 1 ORDER BY time""".stripMargin) { (s, dir) =>
+      val cat = InfluxQLPlanner.Catalog(Seq("events"), Seq("user_id"), "value",
+        load = (ss, d, _) => graft.tables.Tables.events(ss, d),
+        fieldTag = Some("event_type"))
+      InfluxQLPlanner.sql(s, dir,
+        """SELECT MEAN(click) AS m_click, COUNT(click) AS n
+          |FROM events
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND click > 90
           |GROUP BY time(1d)""".stripMargin, catalog = cat)
     },
   )

@@ -86,6 +86,46 @@ class FieldNameQuerySpec extends SparkTestBase {
     assert(e.getMessage.contains("one field per statement"))
   }
 
+  test("field-value WHERE predicates — the Grafana threshold shape") {
+    val store = freshStore()
+    // aggregate over the filtered field's own values
+    val m = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT MEAN(usage_idle) AS m FROM cpu WHERE usage_idle > 75").collect().head
+    assert(m.getDouble(0) == 85.0) // (90+80)/2 — the 70 point fails the cond
+    // raw multi-field select: the cond gates the whole POINT (InfluxDB's
+    // point-level WHERE), not just the filtered field's row
+    val rows = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT usage_idle, usage_user FROM cpu WHERE usage_idle > 75 ORDER BY time")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq == Seq(
+      ("2024-01-01 00:00:10", 90.0, 5.0),
+      ("2024-01-01 00:00:40", 80.0, 15.0)))
+    // a raw select may filter on a field it does NOT select — the merge
+    // carries the where-only column, planRaw drops it
+    val other = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT usage_user FROM cpu WHERE usage_idle <= 80 ORDER BY time").collect()
+    assert(other.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("2024-01-01 00:00:40", 15.0))) // 00:01:20 has no usage_user value
+    // field conds compose with tag/time conds (those keep their pushdown)
+    val mixed = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT usage_idle FROM cpu WHERE usage_idle > 75 AND time < '2024-01-01 00:00:30'")
+      .collect()
+    assert(mixed.map(_.getDouble(1)).toSeq == Seq(90.0))
+    // cross-field conds in an AGGREGATE need the point merge — pointed error
+    val e = intercept[InfluxQLAst.InfluxQLParseException](
+      InfluxQLPlanner.sqlStore(spark, store,
+        "SELECT MEAN(usage_user) AS m FROM cpu WHERE usage_idle > 75").collect())
+    assert(e.getMessage.contains("one field per statement"))
+    // a field cond with no named field in SELECT is ambiguous — pointed error
+    val e2 = intercept[InfluxQLAst.InfluxQLParseException](
+      InfluxQLPlanner.sqlStore(spark, store,
+        "SELECT MEAN(value) AS m FROM cpu WHERE usage_idle > 75").collect())
+    assert(e2.getMessage.contains("name fields in SELECT"))
+    // unknown field in WHERE: no point has it → empty (InfluxDB behavior)
+    assert(InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT usage_idle FROM cpu WHERE no_such > 0").count() == 0)
+  }
+
   test("unknown field names yield empty results, not errors (InfluxDB behavior)") {
     val store = freshStore()
     assert(InfluxQLPlanner.sqlStore(spark, store,

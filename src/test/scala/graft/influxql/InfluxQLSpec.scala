@@ -406,6 +406,25 @@ class InfluxQLSpec extends SparkTestBase {
     assert(emaNone.map(_.toString).sorted.sameElements(emaNull.map(_.toString).sorted))
   }
 
+  test("MOVING_AVERAGE over buckets drops warm-up rows like InfluxDB") {
+    val range = "WHERE time >= '2024-01-01' AND time < '2024-01-03' GROUP BY time(1h), user_id"
+    val mean = InfluxQLPlanner.sql(spark, dir,
+      s"SELECT MEAN(value) AS m FROM events $range")
+    val ma = InfluxQLPlanner.sql(spark, dir,
+      s"SELECT MOVING_AVERAGE(MEAN(value), 3) AS ma FROM events $range")
+    // sole-output movavg: the first N-1 buckets of each series never emit
+    // (a series with fewer than N buckets emits nothing at all)
+    val expected = mean.groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(ma.count() == expected)
+    assert(ma.collect().forall(!_.isNullAt(2)))
+    // with a sibling aggregate column the rows STAY — dropping them would
+    // lose the sibling's first buckets (InfluxDB aligns with nulls instead)
+    val both = InfluxQLPlanner.sql(spark, dir,
+      s"SELECT MEAN(value) AS m, MOVING_AVERAGE(MEAN(value), 3) AS ma FROM events $range")
+    assert(both.count() == mean.count())
+  }
+
   test("SELECT *, FROM /re/, and per-series LIMIT semantics") {
     assert(InfluxQLParser.parseSelect("SELECT * FROM events LIMIT 5")
       .fields == Seq(RawField("*", None)))

@@ -79,6 +79,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"field-key IN filter must reach the scan:\n$plan")
   }
 
+  test("field-value WHERE pushes the WHOLE cond into the parquet scan") {
+    // q_influxql_field_where (r9): the planner evaluates `WHERE click > 90`
+    // against the conditional field projection (`click := value WHERE
+    // event_type='click'`), and Catalyst then rewrites the CASE-WHEN
+    // comparison back to plain `event_type='click' AND value>90` — so the
+    // field-key equality, the time bounds AND the field-value threshold all
+    // reach parquet row-group stats. At 100 TB a 1% threshold then skips
+    // 99% of row groups instead of filtering post-read.
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val plan =
+      try planOf("q_influxql_field_where")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    assert(plan.contains("EqualTo(event_type,click)") &&
+        plan.contains("GreaterThan(value,90.0)") &&
+        plan.contains("GreaterThanOrEqual(ts,2024-01-01"),
+      s"field key + threshold + time bounds must all reach the scan:\n$plan")
+  }
+
   test("store time bounds prune date PARTITIONS, not just row groups") {
     // a time-bounded store query must carry the derived date bound as a
     // PartitionFilter — at 100 TB that skips whole `date=` directories at
