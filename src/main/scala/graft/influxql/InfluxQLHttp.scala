@@ -312,12 +312,12 @@ object InfluxQLHttp {
     *  - lines without a timestamp get the server clock (InfluxDB's
     *    behavior), pinned by `nowNs` in tests; `precision=` scales bare
     *    timestamps.
-    * Tags other than `alias` are accepted and DISCARDED — the store's
-    * series dimensions are (measurement, alias), the reference's own
-    * model (db-per-PLC + field-keyed points; its writes carry no tags at
-    * all, Linux/InfluxConnector2.py:222-240). A Telegraf host/region
-    * tagset would need a store schema with a tags map — a documented
-    * scope cut, not an oversight.
+    * Tags other than `alias` persist as the point's tag set (r9): a
+    * canonical-JSON `tags` column in the store schema (keys sorted — the
+    * string IS the series identity), queryable via `WHERE host='a'`,
+    * `GROUP BY host`, and the SHOW TAG surfaces. The reference's own
+    * writes carry no tags (Linux/InfluxConnector2.py:222-240) and land
+    * with a null tag set, exactly like every pre-r9 store file.
     * Any unparseable line — or a non-numeric field value, incl. quoted
     * strings like `value="3.5"` (wire-typed STRING; this store holds
     * doubles) — rejects the whole batch with 400, InfluxDB's
@@ -404,10 +404,16 @@ object InfluxQLHttp {
           case Right(p) =>
             val tsNs = p.tsNs.map(_ * mult).getOrElse(serverNs)
             val singleAlias = p.tags.get("alias").filter(_ => p.fields.size == 1)
+            // every OTHER tag persists as the point's canonical-JSON tag
+            // set (r9 — pre-r9 they were a documented discard): the
+            // Telegraf `cpu,host=a,region=b usage=1` shape keeps its
+            // dimensions and queries back via WHERE host='a' / GROUP BY
+            // host / SHOW TAG KEYS|VALUES
+            val tagSet = PointStoreDirect.canonicalTags(p.tags - "alias")
             for (f <- p.fields) f.num match {
               case Some(v) =>
                 points += PointStoreDirect.Point(tsNs, p.measurement,
-                  singleAlias.getOrElse(f.key), v)
+                  singleAlias.getOrElse(f.key), v, tagSet)
               case None =>
                 respond(ex, 400, errJson(s"unable to parse line: '$line' " +
                   s"(field '${f.key}' is not numeric — this store holds float values)"))

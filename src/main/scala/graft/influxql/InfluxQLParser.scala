@@ -1228,6 +1228,17 @@ object InfluxQLParser {
             throw InfluxQLParseException(
               s"$name is not allowed inside an expression (top-level only)")
           else throw InfluxQLParseException(s"unknown function: $name")
+        } else if (peek.contains(TOp(":"))) {
+          // InfluxDB's type disambiguation suffix: `name::tag` /
+          // `name::field` (a raw select has no schema to resolve a bare
+          // dynamic-tag name against — `host::tag` is the escape hatch).
+          // The hint rides in the ref name; the planner and outName strip
+          // it.
+          next(); eatOp(":")
+          val kind = ident().toLowerCase
+          if (kind != "tag" && kind != "field")
+            throw InfluxQLParseException(s"expected tag or field after '::', got $kind")
+          FRef(s"$name::$kind")
         } else FRef(name)
       case t => throw InfluxQLParseException(
         s"expected expression, got ${t.getOrElse("end of query")}")
@@ -1507,13 +1518,24 @@ object InfluxQLParser {
     case _              => Nil
   }
 
+  /** Strip a `::tag` / `::field` type-hint suffix off a raw reference
+    * name (see primaryExpr) — output names and column lookups use the
+    * bare name, like InfluxDB.
+    */
+  def stripHint(n: String): String =
+    if (n.endsWith("::tag") || n.endsWith("::field")) n.substring(0, n.indexOf("::")) else n
+
+  /** True when the raw reference carries the `::tag` hint. */
+  def isTagHint(n: String): Boolean = n.endsWith("::tag")
+
   /** Output column name for a parsed field: alias, else InfluxQL default
-    * (the lowercase function name; the field name for raw projections).
+    * (the lowercase function name; the field name for raw projections,
+    * `::` hints stripped).
     */
   def outName(f: Field): String = f match {
     case FnField(fn, _, _, alias)        => alias.getOrElse(fn)
     case TransformField(fn, _, _, alias, _) => alias.getOrElse(fn)
-    case RawField(name, alias)           => alias.getOrElse(name)
+    case RawField(name, alias)           => alias.getOrElse(stripHint(name))
     // validated non-empty for ExprField; placeholder keeps outName total
     case ExprField(_, alias)             => alias.getOrElse("expr")
   }

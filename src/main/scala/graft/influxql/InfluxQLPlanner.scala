@@ -53,7 +53,33 @@ object InfluxQLPlanner {
         * conditional projections of `field` (see [[plan]]). None = the
         * catalog's single `field` column is the only field (events).
         */
-      fieldTag: Option[String] = None) {
+      fieldTag: Option[String] = None,
+      /** When set, the named column carries each point's DYNAMIC tag set
+        * as canonical JSON (keys sorted — `/write` persists Telegraf's
+        * `cpu,host=a,region=b` dimensions here, r9). WHERE keys compared
+        * to strings/regexes and GROUP BY names that aren't physical
+        * columns resolve as lookups into it; the SHOW TAG surfaces list
+        * its keys/values next to the static `tags`. None = the static
+        * tag columns are the whole tag space (events).
+        */
+      tagsJson: Option[String] = None) {
+    /** The parsed map view of [[tagsJson]] (null-safe: legacy rows carry
+      * null and every lookup yields null).
+      */
+    def tagsMap: Column = from_json(col(tagsJson.get),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+
+    /** Materialize `keys` as columns: physical columns pass through,
+      * dynamic tag keys become `element_at(tagsMap, k)` (null when the
+      * point lacks the tag — InfluxDB's empty-tag semantics). The ONE
+      * place WHERE / GROUP BY / SHOW TAG VALUES / DELETE resolve dynamic
+      * tags.
+      */
+    def withDynTags(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (tagsJson.isEmpty) df
+      else keys.distinct.filterNot(df.columns.contains)
+        .foldLeft(df)((d, k) => d.withColumn(k, element_at(tagsMap, k)))
     def requireMeasurement(m: String): Unit =
       if (!measurements.contains(m))
         throw InfluxQLParseException(
@@ -93,18 +119,24 @@ object InfluxQLPlanner {
         .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
         .map(_.getName.stripPrefix("measurement=")).sorted
       Catalog(ms, Seq("alias"), "value", fieldTag = Some("alias"),
+        tagsJson = Some("tags"),
         load = (s, _, m) => {
-          // a measurement whose partitions all expired (retention/DELETE)
-          // is still a valid, empty measurement — not a schema error
-          val df = try s.read.parquet(s"$storeDir/measurement=$m")
+          // EXPLICIT data schema (PointStoreDirect.readSchema): files
+          // written before the tags column existed read null there —
+          // never a per-file schema lottery. A measurement whose
+          // partitions all expired (retention/DELETE) is still a valid,
+          // empty measurement — not a schema error.
+          val df = try s.read.schema(graft.sinks.PointStoreDirect.readSchema)
+            .parquet(s"$storeDir/measurement=$m")
           catch {
             case _: org.apache.spark.sql.AnalysisException =>
               s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 org.apache.spark.sql.types.StructType.fromDDL(
-                  "ts TIMESTAMP, alias STRING, value DOUBLE, date STRING"))
+                  graft.sinks.PointStoreDirect.readSchema + ", date STRING"))
           }
           df.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
-            .withColumn("event_id", xxhash64(col("alias"), col("ts"), col("value")))
+            .withColumn("event_id",
+              xxhash64(col("alias"), col("ts"), col("value"), col("tags")))
         })
     }
   }
@@ -270,8 +302,23 @@ object InfluxQLPlanner {
         // lists just the implicit db, the pre-lifecycle behavior
         ("plc" +: StoreMeta.listDatabases(dir)).distinct.toDF("name")
       case "tag_keys"     =>
-        (for { m <- fromMs.getOrElse(catalog.measurements); t <- catalog.tags }
+        val static = (for { m <- fromMs.getOrElse(catalog.measurements); t <- catalog.tags }
           yield (m, t)).toDF("measurement", "tag_key")
+        // dynamic tag keys (r9): the distinct keys of the JSON tag-set
+        // column, listed next to the static tags — a column-pruned
+        // distinct per measurement (explode drops null/untagged rows)
+        catalog.tagsJson match {
+          case Some(_) =>
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => catalog.load(spark, dir, m)
+                .select(explode(map_keys(catalog.tagsMap)).as("tag_key"))
+                .distinct()
+                .select(lit(m).as("measurement"), col("tag_key")))
+              .reduceOption(_.unionByName(_))
+              .fold(static)(static.unionByName(_))
+              .distinct().orderBy("measurement", "tag_key")
+          case None => static
+        }
       case "field_keys"   =>
         // Over a fieldTag store the alias IS the field key (multi-field
         // writes explode per field, r9) — list the distinct keys per
@@ -308,12 +355,22 @@ object InfluxQLPlanner {
       case "series" =>
         // InfluxDB series-key format: measurement,tag1=v1,tag2=v2 with tags
         // sorted by key — distinct over the tag set, one small shuffle.
-        // An empty catalog (a served store before its first write) is an
-        // empty listing, not a crash.
+        // Dynamic tags (r9) append from the canonical JSON (already
+        // key-sorted by the writer, so the rendered order matches
+        // InfluxDB's sorted series key; legacy/untagged rows contribute
+        // nothing). An empty catalog (a served store before its first
+        // write) is an empty listing, not a crash.
         fromMs.getOrElse(catalog.measurements)
           .map { m =>
-            val parts = lit(m) +: catalog.tags.sorted.flatMap(t =>
+            val static = catalog.tags.sorted.flatMap(t =>
               Seq(lit(s",$t="), col(t).cast("string")))
+            val dyn = catalog.tagsJson.toSeq.map { _ =>
+              val rendered = array_join(transform(map_entries(catalog.tagsMap),
+                e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+              when(col(catalog.tagsJson.get).isNotNull,
+                concat(lit(","), rendered)).otherwise(lit(""))
+            }
+            val parts = (lit(m) +: static) ++ dyn
             catalog.load(spark, dir, m).select(concat(parts: _*).as("key")).distinct()
           }
           .reduceOption(_.unionByName(_))
@@ -325,8 +382,12 @@ object InfluxQLPlanner {
         // series; the engine computes exact like SHOW SERIES EXACT …)
         fromMs.getOrElse(catalog.measurements)
           .map { m =>
+            // dynamic tag sets (canonical strings) count as series
+            // dimensions next to the static tags
+            val dims = catalog.tags.sorted.map(col) ++
+              catalog.tagsJson.map(col).toSeq
             catalog.load(spark, dir, m)
-              .agg(count_distinct(struct(catalog.tags.sorted.map(col): _*)).as("count"))
+              .agg(count_distinct(struct(dims: _*)).as("count"))
               .select(lit(m).as("measurement"), col("count"))
           }
           .reduceOption(_.unionByName(_))
@@ -336,9 +397,21 @@ object InfluxQLPlanner {
       case "measurement_cardinality" =>
         Seq(catalog.measurements.size.toLong).toDF("count")
       case "tag_key_cardinality" =>
-        fromMs.getOrElse(catalog.measurements)
-          .map(m => (m, catalog.tags.size.toLong))
-          .toDF("measurement", "count")
+        catalog.tagsJson match {
+          case Some(_) => // static keys + the store's distinct dynamic keys
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => catalog.load(spark, dir, m)
+                .select(explode(map_keys(catalog.tagsMap)).as("k"))
+                .agg((count_distinct(col("k")) + catalog.tags.size).as("count"))
+                .select(lit(m).as("measurement"), col("count")))
+              .reduceOption(_.unionByName(_))
+              .getOrElse(Seq.empty[(String, Long)].toDF("measurement", "count"))
+              .orderBy("measurement")
+          case None =>
+            fromMs.getOrElse(catalog.measurements)
+              .map(m => (m, catalog.tags.size.toLong))
+              .toDF("measurement", "count")
+        }
       case "field_key_cardinality" =>
         catalog.fieldTag match {
           case Some(ft) => // distinct field keys live in the fieldTag (r9)
@@ -424,9 +497,13 @@ object InfluxQLPlanner {
     * checks live — the planner and the HTTP dry-planner both call it.
     */
   def tagValueKeys(catalog: Catalog, tv: ShowTagValues): Seq[String] = {
+    // a catalog with a dynamic tag-set column accepts ANY key by name —
+    // the key space is data, not schema (an absent key lists empty, like
+    // InfluxDB); static-only catalogs keep the typo'd-dropdown error
+    val dyn = catalog.tagsJson.isDefined
     def walk(c: Cond): Unit = c match {
       case TagCond(k, _, _) =>
-        if (!catalog.tags.contains(k))
+        if (!dyn && !catalog.tags.contains(k))
           throw InfluxQLParseException(s"unknown tag key in WHERE: $k")
       case BoolCond(_, l, r) => walk(l); walk(r)
       case _                 => ()
@@ -434,14 +511,17 @@ object InfluxQLPlanner {
     tv.where.foreach(walk)
     tv.sel match {
       case KeyEq(k) =>
-        if (!catalog.tags.contains(k))
+        if (!dyn && !catalog.tags.contains(k))
           throw InfluxQLParseException(s"unknown tag key: $k")
         Seq(k)
       case KeyIn(ks) =>
-        ks.foreach(k => if (!catalog.tags.contains(k))
+        ks.foreach(k => if (!dyn && !catalog.tags.contains(k))
           throw InfluxQLParseException(s"unknown tag key: $k"))
         ks.distinct
       case KeyRe(re, neg) =>
+        // regex selectors enumerate the STATIC key list (dynamic keys
+        // would need a key scan at validation time — name them with
+        // `WITH KEY =`/`IN` instead; documented)
         val r = re.r
         catalog.tags.filter(t => r.findFirstIn(t).isDefined != neg)
     }
@@ -466,7 +546,16 @@ object InfluxQLPlanner {
         TimeCond(op, base + off)
       case c => c
     }
-    val filtered = conds.foldLeft(catalog.load(spark, dir, m))(
+    // dynamic tags (r9): both the listed keys and the WHERE's tag keys
+    // materialize as columns before filtering/selecting
+    def condKeys(c: Cond): Seq[String] = c match {
+      case TagCond(k, _, _)  => Seq(k)
+      case BoolCond(_, l, r) => condKeys(l) ++ condKeys(r)
+      case _                 => Nil
+    }
+    val loaded = catalog.withDynTags(catalog.load(spark, dir, m),
+      keys ++ conds.flatMap(condKeys))
+    val filtered = conds.foldLeft(loaded)(
       (df, c) => df.filter(condCol(c)))
     keys.map(k => filtered
         .select(lit(k).as("key"), col(k).cast("string").as("value"))
@@ -508,18 +597,48 @@ object InfluxQLPlanner {
       case Some(sub) => return planSub(spark, dir, q, sub, nowNs, catalog)
       case None      => ()
     }
-    val base = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
+    val base0 = matched.map(catalog.load(spark, dir, _)).reduce(_.unionByName(_))
+    // ---- dynamic tags (r9) -------------------------------------------------
+    // Over a store carrying a JSON tag-set column, a WHERE key compared to
+    // a STRING or regex — and any GROUP BY name that isn't a physical
+    // column — resolves as a tag lookup (`WHERE host='a'`, `GROUP BY
+    // host`: the Telegraf/Grafana dimensional shapes). Materialized as
+    // element_at(tags, k) columns up front so every downstream path
+    // (condCol, groupBy, the renderer's series identity) sees plain
+    // columns. A point without the tag yields null — InfluxDB's
+    // empty-tag-value group.
+    def isDynTagCond(k: String, op: String, v: Any): Boolean =
+      catalog.tagsJson.isDefined && !catalog.tags.contains(k) &&
+        k != catalog.field && k != "time" &&
+        (op == "=~" || op == "!~" || v.isInstanceOf[String])
+    val dynTagKeys: Seq[String] = if (catalog.tagsJson.isEmpty) Nil else {
+      def walk(c: Cond): Seq[String] = c match {
+        case TagCond(k, op, v) if isDynTagCond(k, op, v) => Seq(k)
+        case BoolCond(_, l, r) => walk(l) ++ walk(r)
+        case _                 => Nil
+      }
+      (q.where.flatMap(walk) ++
+        q.groupTags.filterNot(base0.columns.contains) ++
+        // raw projections with InfluxDB's `::tag` hint (`SELECT value,
+        // host::tag …`) — the escape hatch for naming a dynamic tag where
+        // a bare name would read as a field
+        q.fields.collect { case RawField(n, _) if InfluxQLParser.isTagHint(n) =>
+          InfluxQLParser.stripHint(n) }).distinct
+    }
+    val base = catalog.withDynTags(base0, dynTagKeys)
     // ---- field-value predicates (r9) ---------------------------------------
     // Over a (fieldTag, value) store a WHERE may compare FIELDS by name —
     // `WHERE usage_idle > 50`, the Grafana threshold shape. A key that is
-    // neither a tag nor the value column is a field reference; its conds
-    // must wait for the conditional field projections below (the raw scan
-    // has no such column), so split them out of the scan-level filter.
-    // Tag and time conds keep their parquet pushdown.
+    // neither a tag (static or dynamic) nor the value column is a field
+    // reference; its conds must wait for the conditional field
+    // projections below (the raw scan has no such column), so split them
+    // out of the scan-level filter. Tag and time conds keep their parquet
+    // pushdown; dynamic-tag conds filter right above the scan.
     val whereFieldRefs: Seq[String] = catalog.fieldTag.toSeq.flatMap { _ =>
       def refs(c: Cond): Seq[String] = c match {
-        case TagCond(k, _, _)
-          if !catalog.tags.contains(k) && k != catalog.field => Seq(k)
+        case TagCond(k, op, v)
+          if !catalog.tags.contains(k) && k != catalog.field &&
+            !isDynTagCond(k, op, v) && !dynTagKeys.contains(k) => Seq(k)
         case BoolCond(_, l, r) => refs(l) ++ refs(r)
         case _                 => Nil
       }
@@ -573,11 +692,14 @@ object InfluxQLPlanner {
       if (q.fromSub.isDefined) Nil
       else catalog.fieldTag.toSeq.flatMap { _ =>
         def refs(f: Field): Seq[String] = f match {
-          case RawField(n, _)                    => Seq(n)
+          // `::tag` projections are tag lookups, never field refs;
+          // `::field` hints strip to the bare name
+          case RawField(n, _) if InfluxQLParser.isTagHint(n) => Nil
+          case RawField(n, _)                    => Seq(InfluxQLParser.stripHint(n))
           case FnField(_, a, _, _)               => Seq(a)
           case TransformField(_, inner, _, _, _) => Seq(inner.arg)
           case ExprField(e, _) =>
-            InfluxQLParser.exprRefLeaves(e) ++
+            InfluxQLParser.exprRefLeaves(e).map(InfluxQLParser.stripHint) ++
               InfluxQLParser.exprAggLeaves(e).map(_.arg)
         }
         q.fields.flatMap(refs).distinct
@@ -647,10 +769,19 @@ object InfluxQLPlanner {
       // field conds on the merged row — the POINT level, so a condition
       // on one field gates the whole point exactly like InfluxDB (the
       // where-only columns never reach the output: planRaw selects only
-      // q.fields)
-      val merged = filtered.groupBy(col("ts"), col("ts_ns"))
+      // q.fields). The TAG SET joins the merge key: a point's identity is
+      // (ts, tagset) — two hosts sampling the same instant must never
+      // merge into one row. `::tag` projections ride the merge (constant
+      // within a point, so max() is the value).
+      val tagHintCols = q.fields.collect {
+        case RawField(n, _) if InfluxQLParser.isTagHint(n) =>
+          InfluxQLParser.stripHint(n) }
+      val mergeKeys = Seq(col("ts"), col("ts_ns")) ++
+        catalog.tagsJson.map(col).toSeq
+      val merged = filtered.groupBy(mergeKeys: _*)
         .agg(min(col("event_id")).as("event_id"),
-          allRefs.map(f => max(col(f)).as(f)): _*)
+          (allRefs.map(f => max(col(f)).as(f)) ++
+            tagHintCols.map(k => max(col(k)).as(k))): _*)
       val pointFiltered = fieldConds.foldLeft(merged)((df, c) => df.filter(condCol(c)))
       // a point that passes a where-only field cond but has NO value for
       // any SELECTED field emits nothing (those series have no point
@@ -866,9 +997,21 @@ object InfluxQLPlanner {
         .filter(f => f.isDirectory && f.getName.startsWith("date="))
         .sortBy(_.getName)
         .foreach { dd =>
-          val df = spark.read.parquet(dd.getPath)
+          // dynamic-tag keys resolve against the JSON tag set (r9);
+          // a null lookup is a no-match (keep), never a delete
+          def condTagKeys(c: Cond): Seq[String] = c match {
+            case TagCond(k, _, _)  => Seq(k)
+            case BoolCond(_, l, r) => condTagKeys(l) ++ condTagKeys(r)
+            case _                 => Nil
+          }
+          val cat = Catalog.store(storeDir)
+          val df = cat.withDynTags(
+            spark.read.schema(graft.sinks.PointStoreDirect.readSchema)
+              .parquet(dd.getPath),
+            where.flatMap(condTagKeys).filter(_ != "alias"))
           val pred = where.map(condCol).reduce(_ && _)
-          val keep = df.filter(!pred)
+          val keep = df.filter(!(pred <=> lit(true)))
+            .select("ts", "alias", "value", "tags")
           val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
           keep.write.mode("overwrite").parquet(tmp.getPath)
           rmTree(dd)
@@ -903,9 +1046,10 @@ object InfluxQLPlanner {
     * `time = ts` is legal: timeBounds turns it into [ts, ts+1ns).
     */
   private[influxql] def validateDelete(d: Delete): Unit = {
+    // any tag key is shape-valid (r9): beyond the store's static `alias`,
+    // keys resolve against the dynamic tag set — a key no point carries
+    // matches nothing and the DELETE is a no-op, like InfluxDB
     def checkKeys(c: Cond): Unit = c match {
-      case TagCond(k, _, _) if k != "alias" =>
-        throw InfluxQLParseException(s"unknown tag in DELETE: $k (store tags: alias)")
       case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
       case _ => ()
     }
@@ -925,18 +1069,11 @@ object InfluxQLPlanner {
     }
   }
 
-  /** Shape-only validation of DROP SERIES' WHERE (store tags: alias) —
-    * same pre-execution role as [[validateDelete]].
+  /** Shape-only validation of DROP SERIES' WHERE — same pre-execution
+    * role as [[validateDelete]]: any tag key is shape-valid (static
+    * `alias` or a dynamic tag, r9); an unmatched key drops nothing.
     */
-  private[influxql] def validateDropSeries(ds: DropSeries): Unit = {
-    def checkKeys(c: Cond): Unit = c match {
-      case TagCond(k, _, _) if k != "alias" =>
-        throw InfluxQLParseException(s"unknown tag in DROP SERIES: $k (store tags: alias)")
-      case BoolCond(_, l, r) => checkKeys(l); checkKeys(r)
-      case _ => ()
-    }
-    ds.where.foreach(checkKeys)
-  }
+  private[influxql] def validateDropSeries(ds: DropSeries): Unit = { val _ = ds }
 
   def delete(spark: SparkSession, query: String, storeDir: String,
       nowNs: Option[Long] = None): (Seq[String], Seq[String]) =
@@ -977,13 +1114,29 @@ object InfluxQLPlanner {
               val covered = lo.forall(_ <= dayLo) && hi.forall(_ >= dayHi)
               if (covered && tagConds.isEmpty) { rmTree(dd); dropped += dd.getPath }
               else {
-                val df = spark.read.parquet(dd.getPath)
+                // explicit store schema + dynamic-tag materialization:
+                // `DELETE … WHERE host='a'` resolves keys beyond `alias`
+                // against the JSON tag set (r9); legacy files read null
+                // tags and never match a tag cond
+                def condTagKeys(c: Cond): Seq[String] = c match {
+                  case TagCond(k, _, _)  => Seq(k)
+                  case BoolCond(_, l, r) => condTagKeys(l) ++ condTagKeys(r)
+                  case _                 => Nil
+                }
+                val cat = Catalog.store(storeDir)
+                val df = cat.withDynTags(
+                  spark.read.schema(graft.sinks.PointStoreDirect.readSchema)
+                    .parquet(dd.getPath),
+                  tagConds.flatMap(condTagKeys).filter(_ != "alias"))
                 val tsNs = unix_micros(col("ts")) * 1000L
                 val timePred = (lo.map(l => tsNs >= l) ++ hi.map(h => tsNs < h))
                   .reduceOption(_ && _).getOrElse(lit(true))
                 val tagPred = tagConds.map(condCol)
                   .reduceOption(_ && _).getOrElse(lit(true))
-                val keep = df.filter(!(timePred && tagPred))
+                // null tag lookups make the pred null — treat as no-match
+                // (keep the row), not delete
+                val keep = df.filter(!(timePred && (tagPred <=> lit(true))))
+                  .select("ts", "alias", "value", "tags")
                 val tmp = new java.io.File(dd.getParentFile, dd.getName + "__tmp")
                 keep.write.mode("overwrite").parquet(tmp.getPath)
                 rmTree(dd)
@@ -1118,7 +1271,7 @@ object InfluxQLPlanner {
     */
   private def exprCol(e: FExpr, leaf: FnField => Column): Column = e match {
     case FNum(v)        => lit(v)
-    case FRef(n)        => col(n)
+    case FRef(n)        => col(InfluxQLParser.stripHint(n))
     case FAgg(f)        => leaf(f)
     case FBin(op, l, r) =>
       val (a, b) = (exprCol(l, leaf), exprCol(r, leaf))
@@ -1725,7 +1878,9 @@ object InfluxQLPlanner {
     val fieldCols = q.fields.flatMap {
       // SELECT * — the measurement's tags then fields (InfluxDB order)
       case RawField("*", _) => (catalog.tags :+ catalog.field).map(col)
-      case RawField(name, alias) => Seq(col(name).as(alias.getOrElse(name)))
+      case RawField(name0, alias) =>
+        val name = InfluxQLParser.stripHint(name0) // `::tag`/`::field` hints
+        Seq(col(name).as(alias.getOrElse(name)))
       // raw-select scalar math, e.g. ABS(value) AS av — per-row, codegen'd
       case ExprField(e, alias) => Seq(exprOut(e, f => throw InfluxQLParseException(
         s"aggregate ${f.fn.toUpperCase} in a raw select")).as(alias.get))

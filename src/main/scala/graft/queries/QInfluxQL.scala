@@ -702,5 +702,26 @@ object QInfluxQL {
           |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND click > 90
           |GROUP BY time(1d)""".stripMargin, catalog = cat)
     },
+
+    GraftQuery(
+      "q_influxql_tag_dynamic",
+      "IQL66 (r9): DYNAMIC tag sets — WHERE and GROUP BY keys resolved against a JSON " +
+        "tag-set column (the store's Telegraf `cpu,host=a` dimensions): `GROUP BY k` " +
+        "materializes element_at(tags, 'k') up front, `k != '50'` filters it, and the " +
+        "whole agg/render path downstream sees a plain column",
+      """SELECT json_extract_string(props, '$.k') AS k,
+        |       round(sum(value), 2) AS s, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  AND json_extract_string(props, '$.k') != '50'
+        |GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val cat = InfluxQLPlanner.Catalog(Seq("events"), Seq("event_type"), "value",
+        load = (ss, d, _) => graft.tables.Tables.events(ss, d),
+        tagsJson = Some("props"))
+      InfluxQLPlanner.sql(s, dir,
+        """SELECT SUM(value) AS s, COUNT(value) AS n FROM events
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND k != '50'
+          |GROUP BY k""".stripMargin, catalog = cat)
+    },
   )
 }

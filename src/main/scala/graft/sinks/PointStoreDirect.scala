@@ -38,8 +38,38 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   */
 object PointStoreDirect {
 
-  /** One store point, timestamp in epoch nanoseconds. */
-  final case class Point(tsNs: Long, measurement: String, alias: String, value: Double)
+  /** One store point, timestamp in epoch nanoseconds. `tags` is the
+    * point's tag set as CANONICAL JSON (keys sorted, no whitespace — see
+    * [[canonicalTags]]) or None for an untagged point; canonical form
+    * makes the string itself the series identity, so distinct/grouping
+    * never re-normalizes.
+    */
+  final case class Point(tsNs: Long, measurement: String, alias: String,
+      value: Double, tags: Option[String] = None)
+
+  /** Canonical JSON encoding of a tag set: keys sorted, minimal escapes,
+    * no whitespace. Empty map → None (the column stays null — one shape
+    * for "no tags" across direct writes and legacy Spark-written files).
+    */
+  def canonicalTags(tags: Map[String, String]): Option[String] =
+    if (tags.isEmpty) None
+    else {
+      def esc(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      Some(tags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}"))
+    }
+
+  /** The store's read schema (data columns + the `date` partition) —
+    * reading with it EXPLICITLY makes legacy files without the `tags`
+    * column yield null there instead of schema-lottery behavior.
+    */
+  val readSchema = "ts TIMESTAMP, alias STRING, value DOUBLE, tags STRING"
 
   private val schema: MessageType = Types.buildMessage()
     .optional(PrimitiveTypeName.INT64)
@@ -48,6 +78,8 @@ object PointStoreDirect {
     .optional(PrimitiveTypeName.BINARY)
     .as(LogicalTypeAnnotation.stringType()).named("alias")
     .optional(PrimitiveTypeName.DOUBLE).named("value")
+    .optional(PrimitiveTypeName.BINARY)
+    .as(LogicalTypeAnnotation.stringType()).named("tags")
     .named("spark_schema")
 
   private val conf = new Configuration()
@@ -98,8 +130,10 @@ object PointStoreDirect {
           Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
           tmp.delete(): Unit
         }
-        spark.read.parquet(part.getPath)
-          .select("ts", "alias", "value")
+        // explicit schema: a partition mixing pre-tags and tagged files
+        // compacts with nulls in the legacy rows, never a schema lottery
+        spark.read.schema(readSchema).parquet(part.getPath)
+          .select("ts", "alias", "value", "tags")
           .coalesce(nOut)
           .write.parquet(tmp.getPath)
         // swap: remove the small files (and their local-FS checksum
@@ -150,6 +184,7 @@ object PointStoreDirect {
           g.add("ts", Math.floorDiv(p.tsNs, 1000L)) // ns → µs, the column unit
           g.add("alias", p.alias)
           g.add("value", p.value)
+          p.tags.foreach(g.add("tags", _)) // optional — null when untagged
           writer.write(g)
         } finally writer.close()
     }

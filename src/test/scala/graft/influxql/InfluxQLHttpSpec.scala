@@ -412,14 +412,17 @@ class InfluxQLHttpSpec extends SparkTestBase {
       assert(c3 == 400 && mapper.readTree(b3).at("/error").asText().contains("never_written"),
         s"$c3 ${b3.take(300)}")
       assert(count("m2") == 1) // still intact
-      // statically-invalid renderables (unknown tag key, non-renderable
-      // statement types) also 400 pre-mutation via the dry-plan pass
-      val (c3b, _) = postQuery("DROP MEASUREMENT m2; SHOW TAG VALUES WITH KEY = bogus")
-      assert(c3b == 400)
-      // KILL QUERY's sole-statement rule is enforced pre-mutation too
+      // an unknown tag key over a tagged store is DATA, not a shape error
+      // (r9 dynamic tags): the statement executes and lists EMPTY, like
+      // InfluxDB — it no longer aborts a batch
+      val (c3b, b3b) = postQuery("SHOW TAG VALUES WITH KEY = bogus")
+      assert(c3b == 200, s"$c3b ${b3b.take(300)}")
+      assert(mapper.readTree(b3b).at("/results/0/series/0/values").isMissingNode,
+        b3b.take(300))
+      // KILL QUERY's sole-statement rule is enforced pre-mutation
       val (c3c, _) = postQuery("DROP MEASUREMENT m2; KILL QUERY 1")
       assert(c3c == 400)
-      assert(count("m2") == 1) // still intact after both
+      assert(count("m2") == 1) // still intact
       // CREATE RETENTION POLICY used to be the 400 example here — it is a
       // supported store mutation since r8 and executes in a batch
       val (c3d, _) = postQuery(

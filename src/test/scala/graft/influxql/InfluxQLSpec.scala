@@ -904,9 +904,13 @@ class InfluxQLSpec extends SparkTestBase {
     assert(d3.isEmpty && r3.size == 2)
     assert(spark.read.parquet(root.toString).filter(col("alias") === "click").count() == 0)
 
-    // unknown tag key rejected; unknown measurement rejected
-    intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
-      "DELETE FROM plc1 WHERE bogus = 'x'", root.toString))
+    // an unknown tag key resolves against the dynamic tag set (r9) —
+    // no point carries it, so the DELETE rewrites to a no-op, exactly
+    // like InfluxDB; unknown measurement still rejects
+    val beforeBogus = spark.read.parquet(root.toString).count()
+    InfluxQLPlanner.delete(spark,
+      "DELETE FROM plc1 WHERE bogus = 'x'", root.toString)
+    assert(spark.read.parquet(root.toString).count() == beforeBogus)
     intercept[InfluxQLParseException](InfluxQLPlanner.delete(spark,
       "DELETE FROM nope WHERE time < '2024-01-02'", root.toString))
     // parse + render round-trip
