@@ -583,7 +583,24 @@ object InfluxQLPlanner {
         TimeCond(op, base + off)
       case c => c
     })
-    val q2 = if (q1.groupTags == Seq("*")) q1.copy(groupTags = catalog.tags) else q1
+    // GROUP BY * — the Grafana default (`GROUP BY time($interval), *`):
+    // static catalog tags, plus — over a tagged store (r9) — the
+    // DISCOVERED dynamic key space. Discovery is one column-pruned
+    // distinct over the JSON keys, collected to the driver (bounded by
+    // tag-KEY cardinality — a handful of strings even at 100 TB; the
+    // main query scans the same data anyway). InfluxDB resolves this
+    // from its series index; the scan is our index.
+    val q2 =
+      if (q1.groupTags != Seq("*")) q1
+      else {
+        val dynKeys = catalog.tagsJson.toSeq.flatMap { _ =>
+          matched.flatMap(m => catalog.load(spark, dir, m)
+              .select(explode(map_keys(catalog.tagsMap)).as("k"))
+              .distinct().collect().map(_.getString(0)))
+            .distinct.sorted
+        }
+        q1.copy(groupTags = (catalog.tags ++ dynKeys).distinct)
+      }
     // FN(*) — wildcard FIELD argument: the catalog has one field per
     // measurement, so * resolves to it, named fn_<field> (InfluxDB's
     // wildcard output naming) unless aliased

@@ -119,6 +119,15 @@ class StoreTagsSpec extends SparkTestBase {
     assert(keyCard == Seq(("cpu", 3L))) // alias + host + region
   }
 
+  test("GROUP BY * expands to the discovered dynamic key space (the Grafana default)") {
+    val store = freshStore()
+    val rows = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT COUNT(usage_idle) AS n FROM cpu WHERE host = 'a' GROUP BY *").collect()
+    // groups by (alias, host, region): host-a idle rows form one group
+    assert(rows.head.schema.fieldNames.toSeq == Seq("alias", "host", "region", "n"))
+    assert(rows.map(r => (r.getString(1), r.getLong(3))).toSeq == Seq(("a", 2L)))
+  }
+
   test("raw selects project dynamic tags via the ::tag hint; points never merge across hosts") {
     val store = freshStore()
     // classic exploded view + a tag column (InfluxDB's `SELECT v, host::tag`)
