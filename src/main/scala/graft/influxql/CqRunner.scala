@@ -95,9 +95,11 @@ object CqRunner {
     val df = InfluxQLPlanner.plan(spark, storeDir, bounded, None, catalog)
 
     // shape into store points: ts = the bucket, value = the (single)
-    // aggregate, alias = the tag tuple (or the aggregate's name for
-    // ungrouped CQs) — the (alias, value) convention every store query
-    // uses, so FROM <target> just works
+    // aggregate. STATIC store tags (alias) keep the alias-tuple
+    // convention; DYNAMIC group tags (r9 — `GROUP BY time(1h), host`)
+    // persist into the target's canonical-JSON tag set instead, so the
+    // rollup keeps its dimensions: `SELECT mean FROM <target> GROUP BY
+    // host` works through the same dynamic-tag planning as the source.
     val tagCols = sel.groupTags.filter(_ != "*") ++
       (if (sel.groupTags.contains("*")) catalog.tags else Nil)
     val aggCols = df.columns.filterNot(c => c == "time" || tagCols.contains(c))
@@ -105,14 +107,27 @@ object CqRunner {
       throw InfluxQLParseException(
         s"continuous query ${cq.name}: the store point layout takes exactly one " +
           s"aggregate field, got ${aggCols.mkString(", ")}")
+    val aliasTagCols = tagCols.filter(catalog.tags.contains)
+    val dynCols = tagCols.filterNot(catalog.tags.contains).sorted
     val aliasCol =
-      if (tagCols.isEmpty) lit(aggCols.head)
-      else concat_ws(",", tagCols.map(c => col(c).cast("string")): _*)
+      if (aliasTagCols.isEmpty) lit(aggCols.head)
+      else concat_ws(",", aliasTagCols.map(c => col(c).cast("string")): _*)
+    // sorted keys + null-valued entries dropped → the same canonical
+    // shape PointStoreDirect writes (an all-null group stays untagged)
+    val tagsCol =
+      if (dynCols.isEmpty) lit(null).cast("string")
+      else {
+        val m = map_filter(
+          map(dynCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+          (_, v) => v.isNotNull)
+        when(size(map_keys(m)) > 0, to_json(m))
+      }
     val points = df.select(
       col("time").cast("timestamp").as("ts"),
       lit(target).as("measurement"),
       aliasCol.as("alias"),
-      col(aggCols.head).cast("double").as("value"))
+      col(aggCols.head).cast("double").as("value"),
+      tagsCol.as("tags"))
 
     val out = points.withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
     val rows = out.count()

@@ -152,4 +152,27 @@ class CqRunnerSpec extends SparkTestBase {
     assert(runs.map(_.name) == Seq("ok"), runs)
     assert(targetByBucket(store) == Map(("2024-01-01 00:00:00", "a") -> 3.0))
   }
+
+  test("a tag-grouped CQ persists its dimensions into the target's tag set") {
+    import graft.sinks.PointStoreDirect
+    val store = java.nio.file.Files.createTempDirectory("graft-cqrun-tags").toString
+    def p(t: String, host: String, v: Double) =
+      PointStoreDirect.Point(ts(t).getTime * 1000000L, "cpu", "usage_idle", v,
+        PointStoreDirect.canonicalTags(Map("host" -> host)))
+    PointStoreDirect.append(Seq(
+      p("2024-01-01 00:00:10", "a", 2.0), p("2024-01-01 00:00:40", "a", 4.0),
+      p("2024-01-01 00:00:20", "b", 10.0)), store)
+    StoreMeta.createCq(store, InfluxQLParser.parse(
+      "CREATE CONTINUOUS QUERY byhost ON db1 BEGIN " +
+        "SELECT MEAN(usage_idle) AS m INTO cpu_1m FROM cpu GROUP BY time(1m), host END")
+      .asInstanceOf[CreateCq])
+    val runs = CqRunner.runDue(spark, store, ts("2024-01-01 00:02:00").getTime * 1000000L)
+    assert(runs.map(r => (r.name, r.rows)) == Seq(("byhost", 2L)), runs)
+    // the rollup target queries back BY HOST through the same dynamic-tag
+    // planning as the source — the dimension survived materialization
+    val back = InfluxQLPlanner.sqlStore(spark, store,
+      "SELECT MEAN(m) AS v FROM cpu_1m GROUP BY host").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back == Map("a" -> 3.0, "b" -> 10.0))
+  }
 }
