@@ -376,5 +376,67 @@ object QText {
           ((col("doc_id") * 1103515245L + 42L) % 2147483647L).as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
     },
+
+    GraftQuery(
+      "q_substring_spans",
+      "Extension: span-level exact-substring dedup (the Lee et al. \"Deduplicating Training " +
+        "Data\" shape, re-expressed relationally) — every 8-token gram whose document " +
+        "frequency exceeds 1 marks a duplicated position; gap-and-islands over positions " +
+        "finds each doc's longest duplicated run. Cost is inverted-index bounded: one " +
+        "gram-df aggregate + a semi-join back, never all-pairs; at 100 TB the string gram " +
+        "swaps for the 64-bit rolling hash (q_doc_fingerprint) with identical plan shape",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(range(len(toks) - 7)) AS pos,
+        |             unnest(list_transform(range(len(toks) - 7),
+        |                                   i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |dfreq AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dfreq)),
+        |isl AS (SELECT doc_id, pos,
+        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |        FROM dup),
+        |runs AS (SELECT doc_id, isl, count(*) AS run FROM isl GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(run) AS dup_grams, max(run) AS max_run FROM runs GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+        |       CAST(coalesce(per.max_run, 0) AS BIGINT) AS max_dup_run,
+        |       coalesce(per.max_run, 0) >= 4 AS dup_span
+        |FROM t LEFT JOIN per USING (doc_id)
+        |WHERE len(t.toks) >= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val toks = documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= W)
+      // (doc_id, pos, gram): pos is the 0-based gram start, the island key
+      val g = Q.fanout(toks)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${W - 1}), i -> concat_ws(' ', slice(toks, i, $W)))"
+        )).as(Seq("pos", "gram")))
+        .transform(Q.materialize) // feeds BOTH the df aggregate and the join back
+      // inverted-index bound: only grams seen in >1 doc survive (partial
+      // agg collapses per-doc repeats map-side before the gram shuffle)
+      val dupGrams = g.groupBy("gram")
+        .agg(count_distinct(col("doc_id")).as("df")).filter(col("df") > 1)
+        .select("gram")
+      val dup = g.join(dupGrams, Seq("gram"), "left_semi")
+      // gap-and-islands: consecutive duplicated positions share (pos - rn)
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = dup
+        .withColumn("isl", col("pos") - row_number().over(wd))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+      val per = runs.groupBy("doc_id")
+        .agg(sum(col("run")).as("dup_grams"), max(col("run")).as("max_run"))
+      toks.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("max_run"), lit(0L)).as("max_dup_run"),
+          // a run of 4 grams = an 11-token span shared verbatim with
+          // another document — the Lee-et-al drop/trim candidate
+          (coalesce(col("max_run"), lit(0L)) >= 4).as("dup_span"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -167,6 +167,42 @@ object QVector {
        |               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
        |        FROM iscored)""".stripMargin
 
+  // ---- k-means clustering (q_cluster_kmeans) ---------------------------
+
+  /** Squared-L2 distance between the int8-quantized row vector `qcol` and a
+    * LITERAL centroid — a pure codegen'd projection, so cluster assignment
+    * costs zero shuffles and zero joins per iteration. All arithmetic is
+    * integer (|q| ≤ 127 ⇒ d2 ≤ 254²·64 ≈ 4.1e6 ≪ 2^53), so Spark and
+    * DuckDB agree bit-for-bit.
+    */
+  private def d2Lit(qcol: String, cent: Seq[Long]): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($qcol, array(${cent.map(v => s"${v}L").mkString(",")}), " +
+      "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+
+  /** argmin over the k centroids, ties to the lowest cluster id — struct
+    * ordering makes array_min the lexicographic (d2, cid) minimum. */
+  private def assignCol(qcol: String, cents: Seq[(Int, Seq[Long])]): org.apache.spark.sql.Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(d2Lit(qcol, cv).as("d2"), lit(cid).as("cid")) }: _*))
+
+  /** One Lloyd update: assign (projection), recompute centroids (one k×d
+    * hash aggregate), collect the k×d longs to the driver — the bounded
+    * driver-side state every distributed k-means carries (same shape as
+    * MLlib's). `floor(sum/count)` keeps centroids integer and therefore
+    * engine-portable; empty clusters keep their previous centroid.
+    */
+  private def lloydStep(qdf: DataFrame, cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
+    val rows = qdf.withColumn("__a", assignCol("qv", cents))
+      .select(col("__a.cid").as("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .collect()
+    val byCid = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+      cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toVector.asInstanceOf[Seq[Long]]
+    }
+    cents.map { case (cid, old) => cid -> byCid.getOrElse(cid, old) }
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -288,6 +324,52 @@ object QVector {
         .groupBy("probe_id")
         .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
         .orderBy("probe_id")
+    },
+
+    GraftQuery(
+      "q_cluster_kmeans",
+      "Extension: k-means embedding clustering (k=8, 2 Lloyd iterations) over int8-quantized " +
+        "vectors — assignment is a ZERO-shuffle codegen'd projection (centroids are broadcast " +
+        "literals, the MLlib pattern); the update is one kxd aggregate and only kxd longs ever " +
+        "reach the driver. Integer arithmetic end to end -> bit-exact DuckDB parity",
+      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}
+         |                  ::BIGINT[] AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+         |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+         |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+         |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+         |       FROM q CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |s1 AS (SELECT a1.cl1 AS cid, t.i,
+         |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
+         |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+         |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
+         |d2x AS (SELECT q.vec_id, c.cid,
+         |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+         |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+         |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+         |        FROM q CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, cid AS cluster, d2 FROM d2x
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
+         |SELECT a2.vec_id, a1.cl1::BIGINT AS cluster_init, a2.cluster::BIGINT AS cluster, a2.d2
+         |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id ORDER BY a2.vec_id""".stripMargin) { (s, dir) =>
+      val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
+        .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
+      val init: Seq[(Int, Seq[Long])] = qdf.filter(col("vec_id") < 8)
+        .select("vec_id", "qv").collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toVector)).toSeq
+      val c1 = lloydStep(qdf, init)
+      qdf.withColumn("__a1", assignCol("qv", init))
+        .withColumn("__a2", assignCol("qv", c1))
+        .select(col("vec_id"),
+          col("__a1.cid").cast("bigint").as("cluster_init"),
+          col("__a2.cid").cast("bigint").as("cluster"),
+          col("__a2.d2").as("d2"))
+        .orderBy("vec_id")
     },
   )
 }

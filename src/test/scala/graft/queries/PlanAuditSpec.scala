@@ -261,4 +261,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Generate explode(sequence"), s"grid must be executor-side:\n$plan")
     assert(plan.contains("Window"))
   }
+
+  test("q_cluster_kmeans assigns clusters with ZERO joins (centroids are literals)") {
+    // the k-means assignment must be a pure codegen'd projection: the
+    // centroids travel as broadcast literals inside the expression, so the
+    // per-iteration corpus pass carries no join and no assignment shuffle —
+    // at 100 TB each Lloyd iteration is one scan + one k×d aggregate
+    val plan = planOf("q_cluster_kmeans")
+    assert(!plan.contains("Join"), s"assignment must not join:\n${plan.take(800)}")
+  }
+
+  test("q_substring_spans bounds pairs via the inverted index (semi-join, no all-pairs)") {
+    val plan = planOf("q_substring_spans")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated grams must come back via a semi-join:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span detection must never compare documents pairwise")
+  }
 }
