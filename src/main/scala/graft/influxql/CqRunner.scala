@@ -66,8 +66,8 @@ object CqRunner {
     val sel = cq.select
     val target = sel.into.getOrElse(throw InfluxQLParseException(
       s"continuous query ${cq.name} has no INTO target — nothing to materialize"))
-    val bucketNs = sel.groupTimeSec.getOrElse(throw InfluxQLParseException(
-      s"continuous query ${cq.name} requires GROUP BY time(...)")) * 1000000000L
+    val bucketNs = sel.groupTimeNs.getOrElse(throw InfluxQLParseException(
+      s"continuous query ${cq.name} requires GROUP BY time(...)"))
     val hiNs = Math.floorDiv(nowNs, bucketNs) * bucketNs
     val horizonNs = cq.forSec.orElse(cq.everySec).map(_ * 1000000000L).getOrElse(bucketNs)
     val nBuckets = math.max(1L, -Math.floorDiv(-horizonNs, bucketNs)) // ceil

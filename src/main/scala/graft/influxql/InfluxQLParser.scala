@@ -225,7 +225,7 @@ object InfluxQLAst {
   /** `where` is the top-level AND list (InfluxQL's implicit conjunction);
     * OR groups live inside a [[BoolCond]] element. `groupTags == Seq("*")`
     * means GROUP BY * (every tag key — expanded against the measurement
-    * catalog at planning). `groupTimeOffSec` is `time(n, offset)`'s grid
+    * catalog at planning). `groupTimeOffNs` is `time(n, offset)`'s grid
     * shift. `slimit`/`soffset` paginate SERIES (distinct tag sets), not
     * rows. `tz` buckets and renders in a named zone instead of UTC.
     */
@@ -233,7 +233,7 @@ object InfluxQLAst {
       fields: Seq[Field],
       measurement: String,
       where: Seq[Cond],
-      groupTimeSec: Option[Long],
+      groupTimeNs: Option[Long],
       groupTags: Seq[String],
       fill: Fill,
       orderDesc: Boolean,
@@ -241,7 +241,7 @@ object InfluxQLAst {
       offset: Option[Int],
       into: Option[String] = None,
       fromSub: Option[Select] = None,
-      groupTimeOffSec: Long = 0L,
+      groupTimeOffNs: Long = 0L,
       slimit: Option[Int] = None,
       soffset: Option[Int] = None,
       tz: Option[String] = None) extends Statement
@@ -324,12 +324,12 @@ object InfluxQLParser {
   // range, so eager toDouble would silently round them (found by
   // InfluxQLRoundTripSpec).
   private final case class TNum(raw: String) extends Tok { def v: Double = raw.toDouble }
-  private final case class TDur(seconds: Long) extends Tok
+  private final case class TDur(ns: Long) extends Tok
   private final case class TRegex(re: String) extends Tok
   private final case class TOp(s: String) extends Tok
 
   // sign included: time(1h, -15m) / now()-1h lex as one negative duration
-  private val DurRe = """(-?\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
+  private val DurRe = """(-?\d+)(ns|us|u|µ|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
   private val NumRe = """-?\d+(?:\.\d+)?""".r
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private val StrRe = """'([^']*)'""".r
@@ -363,11 +363,14 @@ object InfluxQLParser {
          else None) orElse
         take(DurRe).map { s =>
           val DurRe(n, u) = s: @unchecked
+          // nanosecond-native durations — InfluxDB 1.x's full unit set
+          // (ns, u/µ, ms, s, m, h, d, w); consumers that genuinely need
+          // whole seconds (retention, CQ cadence) validate at use site
           val mult = u match {
-            case "w" => 604800L; case "d" => 86400L; case "h" => 3600L
-            case "m" => 60L; case "s" => 1L
-            case other => throw InfluxQLParseException(
-              s"sub-second GROUP BY time unit '$other' not supported")
+            case "w" => 604800000000000L; case "d" => 86400000000000L
+            case "h" => 3600000000000L; case "m" => 60000000000L
+            case "s" => 1000000000L; case "ms" => 1000000L
+            case "us" | "u" | "µ" => 1000L; case _ => 1L // ns
           }
           emit(TDur(n.toLong * mult)); s
         } orElse
@@ -718,7 +721,9 @@ object InfluxQLParser {
     }
 
     private def durSecLit(): Long = next() match {
-      case TDur(sec) => sec
+      case TDur(ns) if ns % 1000000000L == 0 => ns / 1000000000L
+      case TDur(_) => throw InfluxQLParseException(
+        "sub-second durations are not supported for retention/CQ cadence")
       case t => throw InfluxQLParseException(s"expected duration, got $t")
     }
 
@@ -785,10 +790,7 @@ object InfluxQLParser {
       eatKw("on")
       val db = ident()
       eatKw("duration")
-      val dur = next() match {
-        case TDur(sec) => sec
-        case t => throw InfluxQLParseException(s"expected duration, got $t")
-      }
+      val dur = durSecLit()
       eatKw("replication")
       val repl = intLit()
       val isDefault = if (kwPeek.contains("default")) { next(); true } else false
@@ -811,15 +813,17 @@ object InfluxQLParser {
         if (kwPeek.contains("every")) {
           next()
           everySec = Some(next() match {
-            case TDur(s) if s > 0 => s
-            case t => throw InfluxQLParseException(s"RESAMPLE EVERY needs a duration, got $t")
+            case TDur(ns) if ns > 0 && ns % 1000000000L == 0 => ns / 1000000000L
+            case t => throw InfluxQLParseException(
+              s"RESAMPLE EVERY needs a whole-second duration, got $t")
           })
         }
         if (kwPeek.contains("for")) {
           next()
           forSec = Some(next() match {
-            case TDur(s) if s > 0 => s
-            case t => throw InfluxQLParseException(s"RESAMPLE FOR needs a duration, got $t")
+            case TDur(ns) if ns > 0 && ns % 1000000000L == 0 => ns / 1000000000L
+            case t => throw InfluxQLParseException(
+              s"RESAMPLE FOR needs a whole-second duration, got $t")
           })
         }
         if (everySec.isEmpty && forSec.isEmpty)
@@ -1280,7 +1284,7 @@ object InfluxQLParser {
     }
 
     private def durLit(): Long = next() match {
-      case TDur(sec) => sec * 1000000000L
+      case TDur(ns) => ns
       case t => throw InfluxQLParseException(s"expected duration, got $t")
     }
 
@@ -1292,7 +1296,7 @@ object InfluxQLParser {
     /** A number, or a duration rendered as seconds (DERIVATIVE unit). */
     private def numOrDur(): Double = next() match {
       case n: TNum => n.v
-      case TDur(s) => s.toDouble
+      case TDur(ns) => ns.toDouble / 1e9
       case t => throw InfluxQLParseException(s"expected number or duration, got $t")
     }
 
@@ -1342,7 +1346,7 @@ object InfluxQLParser {
             val offset = peek match {
               case Some(TOp("-"))            => next(); -durLit()
               case Some(TOp("+"))            => next(); durLit()
-              case Some(TDur(s)) if s < 0    => next(); s * 1000000000L
+              case Some(TDur(ns)) if ns < 0  => next(); ns
               case _                         => 0L
             }
             NowCond(op, offset)
@@ -1371,7 +1375,12 @@ object InfluxQLParser {
           if (name.equalsIgnoreCase("time")) {
             eatOp("(")
             gbTime = Some(next() match {
-              case TDur(s) => s
+              // the point store is microsecond-native (parquet TIMESTAMP
+              // micros), so sub-µs bucket grids cannot be represented
+              case TDur(ns) if ns > 0 && ns % 1000L == 0 => ns
+              case TDur(_) => throw InfluxQLParseException(
+                "GROUP BY time(...) must be a positive multiple of 1µs " +
+                  "(microsecond-native store)")
               case t => throw InfluxQLParseException(s"expected duration, got $t")
             })
             // time(n, offset) — shifts the bucket grid; sign allowed
@@ -1379,7 +1388,9 @@ object InfluxQLParser {
               next()
               val neg = if (peek.contains(TOp("-"))) { next(); true } else false
               val off = next() match {
-                case TDur(s) => s
+                case TDur(ns) if ns % 1000L == 0 => ns
+                case TDur(_) => throw InfluxQLParseException(
+                  "time(n, offset) offset must be a multiple of 1µs")
                 case t => throw InfluxQLParseException(s"expected offset duration, got $t")
               }
               gbOff = if (neg) -off else off
@@ -1435,20 +1446,20 @@ object InfluxQLParser {
       if (hasFn && hasRaw)
         throw InfluxQLParseException(
           "cannot mix aggregate and raw fields in one SELECT")
-      if (!hasFn && (s.groupTimeSec.isDefined || s.groupTags.nonEmpty))
+      if (!hasFn && (s.groupTimeNs.isDefined || s.groupTags.nonEmpty))
         throw InfluxQLParseException("GROUP BY requires aggregate fields")
       def isRawTf(f: Field): Boolean = f match {
         case t: TransformField => t.inner.fn == "__raw"
         case _                 => false
       }
       if (s.fields.exists(f => f.isInstanceOf[TransformField] && !isRawTf(f)) &&
-          s.groupTimeSec.isEmpty)
+          s.groupTimeNs.isEmpty)
         throw InfluxQLParseException(
           "DERIVATIVE/MOVING_AVERAGE/… over an aggregate require GROUP BY time(...)")
       if (s.fields.exists(isRawTf)) {
         // raw-point transforms window the points themselves; a time bucket
         // means the caller wanted the aggregate form
-        if (s.groupTimeSec.isDefined)
+        if (s.groupTimeNs.isDefined)
           throw InfluxQLParseException(
             "a raw-point transform takes no GROUP BY time(...) — nest an aggregate, " +
               "e.g. DERIVATIVE(MEAN(value))")
@@ -1460,7 +1471,7 @@ object InfluxQLParser {
       val selectors = s.fields.collect {
         case FnField(fn, _, _, _) if RowSelectors(fn) => fn
       }
-      if (selectors.nonEmpty && (s.fields.size > 1 || s.groupTimeSec.isDefined))
+      if (selectors.nonEmpty && (s.fields.size > 1 || s.groupTimeNs.isDefined))
         throw InfluxQLParseException(
           "TOP/BOTTOM/DISTINCT/ELAPSED/SAMPLE must be the only field and take no " +
             "GROUP BY time (tags only)")
@@ -1473,7 +1484,7 @@ object InfluxQLParser {
         throw InfluxQLParseException(
           "HOLT_WINTERS and technical-analysis transforms (RSI/CMO/KER/EMA) " +
             "change row cardinality — must be the only field")
-      if (s.fill != FillMissing && s.groupTimeSec.isEmpty)
+      if (s.fill != FillMissing && s.groupTimeNs.isEmpty)
         throw InfluxQLParseException("fill() requires GROUP BY time(...)")
       // time bounds inside an OR/parenthesized group would make the scan
       // range (and any fill grid) ambiguous — InfluxDB rejects them too
@@ -1490,7 +1501,7 @@ object InfluxQLParser {
       }
       if (s.groupTags.contains("*") && s.groupTags.size > 1)
         throw InfluxQLParseException("GROUP BY * cannot be combined with named tags")
-      if (s.groupTimeOffSec != 0 && s.groupTimeSec.isEmpty)
+      if (s.groupTimeOffNs != 0 && s.groupTimeNs.isEmpty)
         throw InfluxQLParseException("time offset requires GROUP BY time(n, offset)")
       if ((s.slimit.isDefined || s.soffset.isDefined) && s.groupTags.isEmpty)
         throw InfluxQLParseException(

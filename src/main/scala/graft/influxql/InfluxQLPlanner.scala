@@ -822,7 +822,7 @@ object InfluxQLPlanner {
     */
   private def planSub(spark: SparkSession, dir: String, q: Select, sub: Select,
       nowNs: Option[Long], catalog: Catalog): DataFrame = {
-    if (q.where.nonEmpty || q.groupTimeSec.isDefined || q.fill != FillMissing)
+    if (q.where.nonEmpty || q.groupTimeNs.isDefined || q.fill != FillMissing)
       throw InfluxQLParseException(
         "outer query over a subquery supports plain aggregates [GROUP BY tags] only" +
           " — filter/bucket/fill in the inner query")
@@ -871,7 +871,7 @@ object InfluxQLPlanner {
       case s: Select => (s, watermark)
       case other => throw InfluxQLParseException(s"not a continuous query: $other")
     }
-    val sec = sel.groupTimeSec.getOrElse(
+    val bNs = sel.groupTimeNs.getOrElse(
       throw InfluxQLParseException("a continuous query requires GROUP BY time(...)"))
     if (sel.where.exists(c => c.isInstanceOf[TimeCond] || c.isInstanceOf[NowCond]))
       throw InfluxQLParseException("continuous queries take no time bounds (standing query)")
@@ -899,7 +899,7 @@ object InfluxQLPlanner {
     // do. Same behavior as hand-written watermarked aggregations.
     val wm0 = if (frame.isStreaming) frame.withWatermark("ts", wm) else frame
     val filtered = sel.where.foldLeft(wm0)((df, c) => df.filter(condCol(c)))
-    filtered.groupBy(window(col("ts"), s"$sec seconds") +: sel.groupTags.map(col): _*)
+    filtered.groupBy(window(col("ts"), s"${bNs / 1000L} microseconds") +: sel.groupTags.map(col): _*)
       .agg(aggExpr(fns.head), fns.tail.map(aggExpr): _*)
       .select(col("window.start").as("time") +:
         (sel.groupTags.map(col) ++ fns.map(f => col(InfluxQLParser.outName(f)))): _*)
@@ -1375,20 +1375,22 @@ object InfluxQLPlanner {
     * time(n, offset) shifts the grid; tz('zone') buckets (and renders) in
     * that zone's wall-clock time, InfluxQL's tz() semantics.
     */
-  private def bucketCol(q: Select, sec: Long): Column = {
-    val off = q.groupTimeOffSec
+  private def bucketCol(q: Select, bNs: Long): Column = {
+    val offNs = q.groupTimeOffNs
     q.tz match {
       case None =>
-        if (off == 0L)
-          expr(s"timestamp_seconds((ts_ns div ${sec}000000000L) * $sec)")
+        // bucket-start ns via integer arithmetic on the raw nanos column,
+        // then rendered at the store's µs precision (the parser guarantees
+        // bNs and offNs are multiples of 1µs, so the division is exact)
+        if (offNs == 0L)
+          expr(s"timestamp_micros(((ts_ns div ${bNs}L) * ${bNs}L) div 1000L)")
         else
-          expr(s"timestamp_seconds(((ts_ns - ${off}000000000L) div ${sec}000000000L)" +
-            s" * $sec + $off)")
+          expr(s"timestamp_micros((((ts_ns - ${offNs}L) div ${bNs}L)" +
+            s" * ${bNs}L + ${offNs}L) div 1000L)")
       case Some(zone) =>
-        // local wall-clock micros (ts is micro-precision; buckets are
-        // >= 1s so no precision is lost)
-        val usPer = sec * 1000000L
-        val offUs = off * 1000000L
+        // local wall-clock micros (ts is micro-precision)
+        val usPer = bNs / 1000L
+        val offUs = offNs / 1000L
         expr(s"timestamp_micros(((unix_micros(from_utc_timestamp(ts, '$zone'))" +
           s" - ${offUs}L) div ${usPer}L) * ${usPer}L + ${offUs}L)")
     }
@@ -1442,7 +1444,7 @@ object InfluxQLPlanner {
     */
   private def planHoltWinters(spark: SparkSession, filtered: DataFrame, q: Select,
       t: TransformField): DataFrame = {
-    val sec = q.groupTimeSec.getOrElse(
+    val bNs = q.groupTimeNs.getOrElse(
       throw InfluxQLParseException("HOLT_WINTERS requires GROUP BY time(...)"))
     val (loOpt, hiOpt) = timeBounds(q.where)
     if (loOpt.isEmpty || hiOpt.isEmpty)
@@ -1453,7 +1455,7 @@ object InfluxQLPlanner {
     val name = InfluxQLParser.outName(t)
     val tags = q.groupTags
     val inner = aggCol(t.inner).as("__v")
-    val agg = filtered.withColumn("__t", bucketCol(q, sec))
+    val agg = filtered.withColumn("__t", bucketCol(q, bNs))
       .groupBy(("__t" +: tags).map(col): _*).agg(inner)
     val series = agg.groupBy(tags.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
@@ -1481,8 +1483,8 @@ object InfluxQLPlanner {
         when(col("__n") === 1, element_at(col("s"), 1).getField("__v"))
           .otherwise(expr(s"floor((__acc.l + __h * __acc.b) * 10000) / 10000")))
       .withColumn("time", date_format(
-        expr(s"timestamp_seconds(unix_seconds(__lastT) + __h * $sec)"),
-        "yyyy-MM-dd HH:mm:ss"))
+        expr(s"timestamp_micros(unix_micros(__lastT) + __h * ${bNs / 1000L}L)"),
+        timeFmt(q)))
       .select(col("time") +: tags.map(col) :+ col(name): _*)
     limited(out.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
       tags.map(col): _*), q)
@@ -1499,7 +1501,7 @@ object InfluxQLPlanner {
     */
   private def planTechnical(spark: SparkSession, filtered: DataFrame, q: Select,
       t: TransformField): DataFrame = {
-    val sec = q.groupTimeSec.getOrElse(
+    val bNs = q.groupTimeNs.getOrElse(
       throw InfluxQLParseException(s"${t.fn.toUpperCase} requires GROUP BY time(...)"))
     val n = t.param.get.toInt
     val name = InfluxQLParser.outName(t)
@@ -1511,7 +1513,7 @@ object InfluxQLPlanner {
           "EXPONENTIAL_MOVING_AVERAGE requires a bounded time range in WHERE " +
             "(the per-series fold state is bounded by the bucket grid)")
     }
-    val agg = filtered.withColumn("__t", bucketCol(q, sec))
+    val agg = filtered.withColumn("__t", bucketCol(q, bNs))
       .groupBy(("__t" +: tags).map(col): _*).agg(aggCol(t.inner).as("__v"))
     // TA transforms consume OBSERVED buckets: fill-inserted null rows are
     // dropped before the diff/fold (a null would poison the recursive EMA
@@ -1583,7 +1585,7 @@ object InfluxQLPlanner {
       case other => throw InfluxQLParseException(s"unknown technical transform: $other")
     }
     val out = series.select(
-      date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time") +:
+      date_format(col("__t"), timeFmt(q)).as("time") +:
         tags.map(col) :+ col(name): _*)
     // InfluxDB semantics: grouped series-of-points results paginate points
     // PER SERIES (LIMIT/OFFSET page each series' rows; SLIMIT pages the
@@ -1693,11 +1695,11 @@ object InfluxQLPlanner {
     val fns: Seq[Field] = q.fields
     val aggNames = fns.map(InfluxQLParser.outName)
     val tagCols = q.groupTags
-    val bucketed = q.groupTimeSec match {
-      case Some(sec) => filtered.withColumn("__t", bucketCol(q, sec))
+    val bucketed = q.groupTimeNs match {
+      case Some(bNs) => filtered.withColumn("__t", bucketCol(q, bNs))
       case None      => filtered
     }
-    val keyCols = (if (q.groupTimeSec.isDefined) Seq("__t") else Nil) ++ tagCols
+    val keyCols = (if (q.groupTimeNs.isDefined) Seq("__t") else Nil) ++ tagCols
 
     // INTEGRAL pre-pass: per-row trapezoid area between consecutive points
     // WITHIN the (bucket, tags) group, ordered (ts, event_id) — q_agg_integral
@@ -1789,16 +1791,16 @@ object InfluxQLPlanner {
     }
 
     val timeOut =
-      if (q.groupTimeSec.isDefined)
+      if (q.groupTimeNs.isDefined)
         // under tz() __t is already local-naive — no further conversion
-        Seq(date_format(col("__t"), "yyyy-MM-dd HH:mm:ss").as("time"))
+        Seq(date_format(col("__t"), timeFmt(q)).as("time"))
       else Nil
     val paged = seriesLimited(transformed, q, tagCols)
     // InfluxDB semantics: on a grouped series-of-points result, LIMIT and
     // OFFSET paginate points PER SERIES (SLIMIT pages the series) — a
     // per-partition rank, cut map-side as a WindowGroupLimit. Ungrouped
     // results keep the global limit.
-    val perSeries = q.groupTimeSec.isDefined && tagCols.nonEmpty &&
+    val perSeries = q.groupTimeNs.isDefined && tagCols.nonEmpty &&
       (q.limit.isDefined || q.offset.isDefined)
     if (perSeries) {
       val ord = if (q.orderDesc) col("__t").desc else col("__t").asc
@@ -1811,7 +1813,7 @@ object InfluxQLPlanner {
       ordering(out, q, hasTime = true, tagCols)
     } else {
       val out = paged.select(timeOut ++ tagCols.map(col) ++ aggNames.map(col): _*)
-      val ordered = ordering(out, q, hasTime = q.groupTimeSec.isDefined, tagCols)
+      val ordered = ordering(out, q, hasTime = q.groupTimeNs.isDefined, tagCols)
       limited(ordered, q)
     }
   }
@@ -1822,15 +1824,14 @@ object InfluxQLPlanner {
     */
   private def gridFill(spark: SparkSession, agg: DataFrame, q: Select,
       aggNames: Seq[String], mode: Fill): DataFrame = {
-    val sec = q.groupTimeSec.get
+    val nsPer = q.groupTimeNs.get
     val (loOpt, hiOpt) = timeBounds(q.where)
     val (lo, hi) = (loOpt, hiOpt) match {
       case (Some(l), Some(h)) => (l, h)
       case _ => throw InfluxQLParseException(
         "fill() requires a bounded time range in WHERE (an unbounded grid is unsafe at scale)")
     }
-    val nsPer = sec * 1000000000L
-    val offS = q.groupTimeOffSec
+    val offNs = q.groupTimeOffNs
     // tz: grid bounds move to the zone's wall clock — same local-naive
     // axis the bucket column uses. (The instant-specific zone offset is
     // applied per bound; a fill grid straddling a DST jump keeps stepping
@@ -1844,13 +1845,26 @@ object InfluxQLPlanner {
         loc.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + loc.getNano
     }
     val (loL, hiL) = (toLocalNs(lo), toLocalNs(hi))
-    // first/last bucket start on the (possibly shifted) grid, epoch s
-    val b0 = math.floorDiv(loL - offS * 1000000000L, nsPer) * sec + offS
-    val bN = math.floorDiv(hiL - 1 - offS * 1000000000L, nsPer) * sec + offS
+    // first/last bucket start on the (possibly shifted) grid, epoch µs
+    // (bucket width and offset are µs-multiples by parser guarantee)
+    val b0Us = (math.floorDiv(loL - offNs, nsPer) * nsPer + offNs) / 1000L
+    val bNUs = (math.floorDiv(hiL - 1 - offNs, nsPer) * nsPer + offNs) / 1000L
+    // InfluxDB's max-select-buckets guard: a fill() grid materializes one
+    // row per bucket PER SERIES, so a sub-second grid over a wide range is
+    // an output explosion (2 days at 500µs = 345M rows/series) — refuse
+    // with the bucket math instead of running it
+    val nBuckets = (bNUs - b0Us) / (nsPer / 1000L) + 1
+    val maxBuckets = spark.conf.getOption("graft.influxql.maxSelectBuckets")
+      .map(_.toLong).getOrElse(1000000L)
+    if (nBuckets > maxBuckets)
+      throw InfluxQLParseException(
+        s"fill() grid would span $nBuckets buckets per series (max $maxBuckets) — " +
+          "narrow the WHERE time range or widen GROUP BY time " +
+          "(override: spark conf graft.influxql.maxSelectBuckets)")
     val tags = q.groupTags
     val seqCol = explode(sequence(
-      timestamp_seconds(lit(b0)), timestamp_seconds(lit(bN)),
-      expr(s"interval $sec seconds"))).as("__t")
+      timestamp_micros(lit(b0Us)), timestamp_micros(lit(bNUs)),
+      expr(s"interval ${nsPer / 1000L} microseconds"))).as("__t")
     val grid =
       if (tags.isEmpty) spark.range(1).select(seqCol)
       else agg.select(tags.map(col): _*).distinct().select(tags.map(col) :+ seqCol: _*)
@@ -1946,8 +1960,16 @@ object InfluxQLPlanner {
     * present (the bucket column is already local-naive then), else UTC.
     */
   private def timeStr(c: Column, q: Select): Column = {
-    val local = q.tz.filter(_ => q.groupTimeSec.isEmpty)
+    val local = q.tz.filter(_ => q.groupTimeNs.isEmpty)
       .fold(c)(zone => from_utc_timestamp(c, zone))
-    date_format(local, "yyyy-MM-dd HH:mm:ss")
+    date_format(local, timeFmt(q))
   }
+
+  /** Rendered time precision: sub-second bucket grids print fractional
+    * seconds (µs — the store's native precision); whole-second grids and
+    * raw selects keep the second-resolution contract.
+    */
+  private def timeFmt(q: Select): String =
+    if (q.groupTimeNs.exists(_ % 1000000000L != 0)) "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    else "yyyy-MM-dd HH:mm:ss"
 }

@@ -9,6 +9,14 @@ import InfluxQLAst._
   */
 object InfluxQLRender {
 
+  /** Nanosecond duration → the most compact whole-unit InfluxQL literal
+    * (so the round-trip property holds for sub-second grids too). */
+  private def durStr(ns: Long): String =
+    if (ns % 1000000000L == 0) s"${ns / 1000000000L}s"
+    else if (ns % 1000000L == 0) s"${ns / 1000000L}ms"
+    else if (ns % 1000L == 0) s"${ns / 1000L}u"
+    else s"${ns}ns"
+
   def render(st: Statement): String = st match {
     case sh: Show =>
       val head = sh.what match {
@@ -110,10 +118,10 @@ object InfluxQLRender {
       case None      => sb ++= s" FROM ${s.measurement}"
     }
     if (s.where.nonEmpty) sb ++= " WHERE " + s.where.map(cond).mkString(" AND ")
-    val timeGroup = s.groupTimeSec.map { sec =>
-      if (s.groupTimeOffSec == 0) s"time(${sec}s)"
-      else if (s.groupTimeOffSec < 0) s"time(${sec}s, -${-s.groupTimeOffSec}s)"
-      else s"time(${sec}s, ${s.groupTimeOffSec}s)"
+    val timeGroup = s.groupTimeNs.map { ns =>
+      if (s.groupTimeOffNs == 0) s"time(${durStr(ns)})"
+      else if (s.groupTimeOffNs < 0) s"time(${durStr(ns)}, -${durStr(-s.groupTimeOffNs)})"
+      else s"time(${durStr(ns)}, ${durStr(s.groupTimeOffNs)})"
     }
     val groups = timeGroup.toSeq ++ s.groupTags
     if (groups.nonEmpty) {

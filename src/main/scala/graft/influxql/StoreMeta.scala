@@ -170,7 +170,7 @@ object StoreMeta {
     if (st.select.into.isEmpty)
       throw InfluxQLParseException(
         s"continuous query ${st.name} requires an INTO target measurement")
-    if (st.select.groupTimeSec.isEmpty)
+    if (st.select.groupTimeNs.isEmpty)
       throw InfluxQLParseException(
         s"continuous query ${st.name} requires GROUP BY time(...)")
     val f = cqFile(store, st.db, st.name)

@@ -723,5 +723,21 @@ object QInfluxQL {
           |WHERE time >= '2024-01-01' AND time < '2024-01-08' AND k != '50'
           |GROUP BY k""".stripMargin, catalog = cat)
     },
+
+    GraftQuery(
+      "q_influxql_subsecond",
+      "IQL67 (r9): sub-second GROUP BY time(250ms, 100ms) — durations are ns-native through " +
+        "the whole lexer→AST→planner path (InfluxDB 1.x's full unit set ns/u/µ/ms/s/m/h/d/w); " +
+        "buckets stay exact integer arithmetic on ts_ns and render at the store's µs precision",
+      """SELECT strftime(make_timestamp(
+        |         ((epoch_us(ts) - 100000) // 250000) * 250000 + 100000),
+        |         '%Y-%m-%d %H:%M:%S.%f') AS time,
+        |       round(avg(value), 4) AS mean_value, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        |GROUP BY 1 ORDER BY time""".stripMargin)(influx(
+      """SELECT MEAN(value) AS mean_value, COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-01T06:00:00Z'
+        |GROUP BY time(250ms, 100ms)""".stripMargin)),
   )
 }

@@ -112,9 +112,13 @@ object InfluxQLGen {
   def aliased[F <: Field](i: Int, g: Option[String] => Gen[F]): Gen[F] =
     g(Some(s"f$i"))
 
+  // durations are NANOSECONDS in the AST (sub-second grids included —
+  // 250ms and 500µs exercise the µs-native bucket path)
   val genAggSelect: Gen[Select] = for {
-    gbTime <- Gen.option(Gen.oneOf(60L, 300L, 3600L, 86400L))
-    gbOff <- if (gbTime.isDefined) Gen.oneOf(0L, 0L, 0L, 1800L, -900L) else Gen.const(0L)
+    gbTime <- Gen.option(Gen.oneOf(60000000000L, 300000000000L, 3600000000000L,
+      86400000000000L, 250000000L, 500000L))
+    gbOff <- if (gbTime.isDefined)
+      Gen.oneOf(0L, 0L, 0L, 1800000000000L, -900000000000L) else Gen.const(0L)
     n <- Gen.choose(1, 3)
     fields <- Gen.sequence[Seq[Field], Field]((0 until n).map(i =>
       if (gbTime.isDefined) Gen.frequency[Field](
@@ -124,7 +128,10 @@ object InfluxQLGen {
         8 -> aliased(i, genAgg), 2 -> aliased(i, genExprField))))
     where <- genWhere
     tags <- Gen.frequency(5 -> genTags, 1 -> Gen.const(Seq("*")))
-    fill <- if (gbTime.isDefined) genFill else Gen.const[Fill](FillMissing)
+    // sub-second grids over the generator's day-scale WHERE ranges exceed
+    // the planner's max-select-buckets fill guard — keep them fill-free
+    fill <- if (gbTime.exists(_ >= 1000000000L)) genFill
+            else Gen.const[Fill](FillMissing)
     (desc, limit, offset) <- genTail
     slimit <- if (tags.nonEmpty) Gen.option(Gen.choose(1, 20)) else Gen.const(None)
     soffset <- if (slimit.isDefined) Gen.option(Gen.choose(1, 5)) else Gen.const(None)
@@ -199,7 +206,7 @@ object InfluxQLGen {
     } yield DropSeries(from, where)),
     1 -> (for {
       s <- genSelect.suchThat(s =>
-        s.groupTimeSec.isDefined && s.where.isEmpty && s.limit.isEmpty &&
+        s.groupTimeNs.isDefined && s.where.isEmpty && s.limit.isEmpty &&
         s.fill == FillMissing && !s.orderDesc)
       every <- Gen.option(Gen.oneOf(30L, 60L, 300L))
       forS <- Gen.option(Gen.oneOf(120L, 600L))
@@ -257,7 +264,7 @@ object InfluxQLGen {
       fields = Seq(TransformField(fn, FnField("__raw", "value", None, None), param, None, None)),
       measurement = "events",
       where = Seq(TimeCond(">=", 1704067200000000000L), TimeCond("<", 1704240000000000000L)),
-      groupTimeSec = None, groupTags = tags, fill = FillMissing,
+      groupTimeNs = None, groupTags = tags, fill = FillMissing,
       orderDesc = false, limit = limit, offset = None)))
 
 }

@@ -27,21 +27,49 @@ class InfluxQLSpec extends SparkTestBase {
       TimeCond(">=", 1704067200000000000L),
       TimeCond("<", 1704672000000000000L),
       TagCond("event_type", "=", "click")))
-    assert(q.groupTimeSec.contains(3600L))
+    assert(q.groupTimeNs.contains(3600000000000L))
     assert(q.groupTags == Seq("user_id"))
     assert(q.fill == FillPrevious)
     assert(q.orderDesc && q.limit.contains(10) && q.offset.contains(5))
   }
 
-  test("duration units: 90s, 5m, 1d, 1w; sub-second rejected") {
+  test("duration units (ns-native): s/m/d/w plus ms/u/µ/us; sub-µs grids rejected") {
     def dur(d: String): Long =
       InfluxQLParser.parseSelect(s"SELECT COUNT(value) FROM events GROUP BY time($d)")
-        .groupTimeSec.get
-    assert(dur("90s") == 90L)
-    assert(dur("5m") == 300L)
-    assert(dur("1d") == 86400L)
-    assert(dur("1w") == 604800L)
-    intercept[InfluxQLParseException](dur("500ms"))
+        .groupTimeNs.get
+    assert(dur("90s") == 90000000000L)
+    assert(dur("5m") == 300000000000L)
+    assert(dur("1d") == 86400000000000L)
+    assert(dur("1w") == 604800000000000L)
+    assert(dur("500ms") == 500000000L)
+    assert(dur("250u") == 250000L)
+    assert(dur("250us") == 250000L)
+    assert(dur("250µ") == 250000L)
+    // the point store is µs-native: a ns-grained bucket grid cannot be
+    // represented, so the parser refuses instead of silently truncating
+    intercept[InfluxQLParseException](dur("500ns"))
+    // retention/CQ cadence stays whole-second
+    intercept[InfluxQLParseException](InfluxQLParser.parse(
+      "CREATE RETENTION POLICY rp ON db DURATION 500ms REPLICATION 1"))
+  }
+
+  test("sub-second GROUP BY time executes; fill grids hit the max-select-buckets guard") {
+    // 500µs buckets over a narrow range: bucket starts are exact µs
+    // arithmetic and render with fractional seconds
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      """SELECT COUNT(value) AS n FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-01T01:00:00Z'
+        |GROUP BY time(500u)""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).matches(""".*\d{2}:\d{2}:\d{2}\.\d{6}""")),
+      s"sub-second buckets must render fractional seconds: ${rows.head}")
+    // a fill() grid at 500µs over 2 days would be 345M rows per series —
+    // the planner refuses with the bucket math (InfluxDB max-select-buckets)
+    val e = intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        |GROUP BY time(500u) fill(previous)""".stripMargin))
+    assert(e.getMessage.contains("buckets"), e.getMessage)
   }
 
   test("time literals: date, datetime, RFC3339, raw epoch ns") {
@@ -217,14 +245,14 @@ class InfluxQLSpec extends SparkTestBase {
       """SELECT MEAN(value) AS m FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-03'
         |GROUP BY time(1h, 30m), * SLIMIT 3 SOFFSET 1 tz('America/New_York')""".stripMargin)
-    assert(q.groupTimeSec.contains(3600L) && q.groupTimeOffSec == 1800L)
+    assert(q.groupTimeNs.contains(3600000000000L) && q.groupTimeOffNs == 1800000000000L)
     assert(q.groupTags == Seq("*"))
     assert(q.slimit.contains(3) && q.soffset.contains(1))
     assert(q.tz.contains("America/New_York"))
     // negative offset
     assert(InfluxQLParser.parseSelect(
       "SELECT MEAN(value) AS m FROM events GROUP BY time(1h, -15m), event_type")
-      .groupTimeOffSec == -900L)
+      .groupTimeOffNs == -900000000000L)
     // * cannot mix with named tags; SLIMIT needs tags
     intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
       "SELECT MEAN(value) AS m FROM events GROUP BY *, user_id"))
@@ -607,7 +635,7 @@ class InfluxQLSpec extends SparkTestBase {
       "CREATE CONTINUOUS QUERY cq1 ON plc BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END")
       .asInstanceOf[CreateCq]
     assert(cq.name == "cq1" && cq.db == "plc")
-    assert(cq.select.groupTimeSec.contains(60L))
+    assert(cq.select.groupTimeNs.contains(60000000000L))
     // sql() refuses to run a CQ against a static dir
     intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
       "CREATE CONTINUOUS QUERY cq1 ON plc BEGIN SELECT MEAN(value) FROM events GROUP BY time(1m) END"))
@@ -698,7 +726,7 @@ class InfluxQLSpec extends SparkTestBase {
   test("subquery: outer aggregate over FROM ( SELECT … ); misuse rejected") {
     val q = InfluxQLParser.parseSelect(
       "SELECT MAX(m) AS p FROM (SELECT MEAN(value) AS m FROM events GROUP BY time(1h), user_id) GROUP BY user_id")
-    assert(q.fromSub.isDefined && q.fromSub.get.groupTimeSec.contains(3600L))
+    assert(q.fromSub.isDefined && q.fromSub.get.groupTimeNs.contains(3600000000000L))
     assert(q.groupTags == Seq("user_id"))
     // outer WHERE / GROUP BY time / FIRST are rejected over a subquery
     intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
