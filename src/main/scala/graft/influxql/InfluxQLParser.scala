@@ -1153,9 +1153,14 @@ object InfluxQLParser {
             if (param.isEmpty || param2.isEmpty)
               throw InfluxQLParseException(
                 "HOLT_WINTERS takes (aggregate, N, S): forecast steps and seasonality")
-            if (param2.get != 0)
+            val s2 = param2.get
+            // S = 0 → Holt linear; S >= 2 → additive seasonal (triple
+            // exponential). S = 1 is degenerate (a 1-bucket "season" is
+            // just the level) and non-integer S has no meaning.
+            if (s2 != s2.floor || s2 < 0 || s2 == 1 || s2 > 10000)
               throw InfluxQLParseException(
-                "seasonal HOLT_WINTERS is not supported — S must be 0 (Holt linear)")
+                "HOLT_WINTERS seasonality S must be 0 (Holt linear) or an " +
+                  "integer 2 <= S <= 10000 (additive seasonal)")
             if (param.get < 1)
               throw InfluxQLParseException("HOLT_WINTERS needs N >= 1 forecast steps")
           } else if (param2.isDefined)

@@ -1490,6 +1490,83 @@ object InfluxQLPlanner {
       tags.map(col): _*), q)
   }
 
+  /** Seasonal (additive, triple-exponential) HOLT_WINTERS over the bucketed
+    * aggregate — HOLT_WINTERS(agg, N, S) with S >= 2. Same per-series fold
+    * shape as the linear branch (state bounded by the bucket grid), the
+    * state just grows by the S-slot seasonal array:
+    *
+    *   init (level-anchored, all single FP ops → engine-deterministic):
+    *     l0 = x[S];  b0 = (x[S] - x[1]) / (S-1);  sa0[i] = x[i] - x[S]
+    *   step t = S+1..n  (α=0.5, β=0.3, γ=0.2, fixed — InfluxDB fits these
+    *   by Nelder-Mead, which no other engine can reproduce bit-for-bit;
+    *   fixed constants keep the fold oracle-checkable, the q_holt_forecast
+    *   convention):
+    *     l' = α(x_t − sa[(t−1) mod S]) + (1−α)(l + b)
+    *     b' = β(l' − l) + (1−β) b
+    *     sa[(t−1) mod S] ← γ(x_t − l') + (1−γ) sa[(t−1) mod S]
+    *   forecast h: l + h·b + sa[(n+h−1) mod S]
+    *
+    * Series shorter than a full season + 1 point produce no rows (not
+    * enough history to estimate seasonality). Every lambda field reads the
+    * OLD accumulator (l' inlined where needed) — the recursive-CTE oracle
+    * evaluates all step columns from the previous row, so the IEEE op
+    * order matches exactly.
+    */
+  private def planHoltWintersSeasonal(spark: SparkSession, filtered: DataFrame,
+      q: Select, t: TransformField): DataFrame = {
+    val bNs = q.groupTimeNs.getOrElse(
+      throw InfluxQLParseException("HOLT_WINTERS requires GROUP BY time(...)"))
+    val (loOpt, hiOpt) = timeBounds(q.where)
+    if (loOpt.isEmpty || hiOpt.isEmpty)
+      throw InfluxQLParseException(
+        "HOLT_WINTERS requires a bounded time range in WHERE (the fold state is " +
+          "bounded by the bucket grid)")
+    val steps = t.param.get.toInt
+    val S = t.param2.get.toInt
+    val name = InfluxQLParser.outName(t)
+    val tags = q.groupTags
+    val agg = filtered.withColumn("__t", bucketCol(q, bNs))
+      .groupBy(("__t" +: tags).map(col): _*).agg(aggCol(t.inner).as("__v"))
+    val series = agg.groupBy(tags.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+      .filter(size(col("s")) >= S + 1)
+    val lp = s"(0.5D * (x.__v - element_at(acc.sa, CAST(acc.i % $S AS INT) + 1))" +
+      s" + 0.5D * (acc.l + acc.b))"
+    val folded = series
+      .withColumn("__n", size(col("s")))
+      .withColumn("__acc", expr(
+        s"""aggregate(
+           |  slice(s, ${S + 1}, greatest(size(s) - $S, 0)),
+           |  named_struct(
+           |    'i', CAST($S AS BIGINT),
+           |    'l', CAST(element_at(s, $S).__v AS DOUBLE),
+           |    'b', CAST((element_at(s, $S).__v - element_at(s, 1).__v)
+           |           / ${S - 1}.0D AS DOUBLE),
+           |    'sa', transform(slice(s, 1, $S),
+           |            e -> CAST(e.__v - element_at(s, $S).__v AS DOUBLE))),
+           |  (acc, x) -> named_struct(
+           |    'i', acc.i + 1L,
+           |    'l', $lp,
+           |    'b', 0.3D * ($lp - acc.l) + 0.7D * acc.b,
+           |    'sa', transform(acc.sa, (v, j) ->
+           |            IF(j = CAST(acc.i % $S AS INT),
+           |               0.2D * (x.__v - $lp) + 0.8D * v, v))))""".stripMargin))
+      .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
+    val out = folded.select(
+      tags.map(col) :+ col("__n") :+ col("__acc") :+ col("__lastT") :+
+        explode(expr(s"sequence(1, $steps)")).as("__h"): _*)
+      .withColumn(name, expr(
+        s"""floor((__acc.l + __h * __acc.b
+           |  + element_at(__acc.sa, CAST((__n + __h - 1) % $S AS INT) + 1))
+           |  * 10000) / 10000""".stripMargin))
+      .withColumn("time", date_format(
+        expr(s"timestamp_micros(unix_micros(__lastT) + __h * ${bNs / 1000L}L)"),
+        timeFmt(q)))
+      .select(col("time") +: tags.map(col) :+ col(name): _*)
+    limited(out.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
+      tags.map(col): _*), q)
+  }
+
   /** Technical-analysis transforms over the bucketed aggregate:
     * RELATIVE_STRENGTH_INDEX / CHANDE_MOMENTUM_OSCILLATOR /
     * KAUFMANS_EFFICIENCY_RATIO are window-expressible and reuse the value
@@ -1680,7 +1757,8 @@ object InfluxQLPlanner {
       case Seq(f: FnField) if f.fn == "sample" =>
         return planSample(filtered, q, f)
       case Seq(t: TransformField) if t.fn == "holt_winters" =>
-        return planHoltWinters(spark, filtered, q, t)
+        return if (t.param2.exists(_ > 0)) planHoltWintersSeasonal(spark, filtered, q, t)
+               else planHoltWinters(spark, filtered, q, t)
       case Seq(t: TransformField) if InfluxQLParser.Technical(t.fn) =>
         return planTechnical(spark, filtered, q, t)
       case Seq(t: TransformField) if t.inner.fn == "__raw" =>

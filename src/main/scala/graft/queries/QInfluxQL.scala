@@ -739,5 +739,46 @@ object QInfluxQL {
       """SELECT MEAN(value) AS mean_value, COUNT(value) AS n FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-01T06:00:00Z'
         |GROUP BY time(250ms, 100ms)""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_holt_seasonal",
+      "IQL68 (r9): HOLT_WINTERS(MEAN(value), 4, 24) — additive SEASONAL (triple-exponential) " +
+        "forecast, daily seasonality over hourly buckets; per-series fold state is " +
+        "(l, b, S-slot seasonal array), bounded by the bucket grid — fixed α/β/γ keep the " +
+        "fold bit-identical to the recursive-CTE oracle",
+      """WITH RECURSIVE a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, list(m ORDER BY t) AS vals, count(*) AS n, max(t) AS lastt
+        |  FROM a GROUP BY event_type),
+        |s(event_type, n, vals, lastt, i, l, b, sa) AS (
+        |  SELECT event_type, n, vals, lastt, CAST(25 AS BIGINT),
+        |         vals[24]::DOUBLE,
+        |         ((vals[24] - vals[1]) / 23.0)::DOUBLE,
+        |         list_transform(vals[1:24], v -> (v - vals[24])::DOUBLE)
+        |  FROM o WHERE n >= 25
+        |  UNION ALL
+        |  SELECT event_type, n, vals, lastt, i + 1,
+        |         0.5 * (vals[i] - sa[((i - 1) % 24) + 1]) + 0.5 * (l + b),
+        |         0.3 * ((0.5 * (vals[i] - sa[((i - 1) % 24) + 1]) + 0.5 * (l + b)) - l)
+        |           + 0.7 * b,
+        |         list_transform(sa, (v, j) -> CASE WHEN j = ((i - 1) % 24) + 1
+        |           THEN 0.2 * (vals[i] - (0.5 * (vals[i] - sa[((i - 1) % 24) + 1])
+        |                  + 0.5 * (l + b))) + 0.8 * v
+        |           ELSE v END)
+        |  FROM s WHERE i <= n),
+        |f AS (SELECT event_type, n, lastt, l, b, sa FROM s WHERE i = n + 1),
+        |h AS (SELECT unnest(generate_series(1, 4)) AS h)
+        |SELECT strftime(f.lastt + h.h * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS time,
+        |       f.event_type,
+        |       floor((f.l + h.h * f.b + f.sa[((f.n + h.h - 1) % 24) + 1]) * 10000) / 10000 AS hw
+        |FROM f CROSS JOIN h ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT HOLT_WINTERS(MEAN(value), 4, 24) AS hw FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
   )
 }

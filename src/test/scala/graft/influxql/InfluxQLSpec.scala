@@ -311,16 +311,23 @@ class InfluxQLSpec extends SparkTestBase {
         "WHERE time >= '2024-01-01' AND time < '2024-01-08' GROUP BY time(1h)")
       .fields == Seq(TransformField("holt_winters",
         FnField("mean", "value", None, None), Some(2.0), Some("hw"), Some(0.0))))
-    // SAMPLE needs n; HOLT_WINTERS needs (N, S) with S = 0; selectors are
-    // single-field, no time bucket; HOLT_WINTERS needs a bounded range
+    // SAMPLE needs n; HOLT_WINTERS needs (N, S) with S = 0 or an integer
+    // S >= 2 (seasonal); selectors are single-field, no time bucket;
+    // HOLT_WINTERS needs a bounded range
     intercept[InfluxQLParseException](
       InfluxQLParser.parseSelect("SELECT SAMPLE(value) FROM events"))
     intercept[InfluxQLParseException](
       InfluxQLParser.parseSelect(
         "SELECT HOLT_WINTERS(MEAN(value), 2) FROM events GROUP BY time(1h)"))
+    assert(InfluxQLParser.parseSelect(
+      "SELECT HOLT_WINTERS(MEAN(value), 2, 4) FROM events GROUP BY time(1h)")
+      .fields.head.asInstanceOf[TransformField].param2.contains(4.0))
     intercept[InfluxQLParseException](
-      InfluxQLParser.parseSelect(
-        "SELECT HOLT_WINTERS(MEAN(value), 2, 4) FROM events GROUP BY time(1h)"))
+      InfluxQLParser.parseSelect(   // S = 1: degenerate one-bucket season
+        "SELECT HOLT_WINTERS(MEAN(value), 2, 1) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](
+      InfluxQLParser.parseSelect(   // non-integer seasonality
+        "SELECT HOLT_WINTERS(MEAN(value), 2, 2.5) FROM events GROUP BY time(1h)"))
     intercept[InfluxQLParseException](
       InfluxQLParser.parseSelect(
         "SELECT ELAPSED(value), COUNT(value) FROM events GROUP BY user_id"))
