@@ -185,6 +185,22 @@ object QVector {
     array_min(array(cents.map { case (cid, cv) =>
       struct(d2Lit(qcol, cv).as("d2"), lit(cid).as("cid")) }: _*))
 
+  /** Quantized corpus + both Lloyd-iteration assignments, shared by
+    * q_cluster_kmeans and q_dedup_semantic: (vec_id, qv, __a1, __a2)
+    * where __a1/__a2 are (d2, cid) structs under the seed / 1-step
+    * centroids. Materialized so the two corpus passes run once.
+    */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
+      .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
+    val init: Seq[(Int, Seq[Long])] = qdf.filter(col("vec_id") < 8)
+      .select("vec_id", "qv").collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toVector)).toSeq
+    val c1 = lloydStep(qdf, init)
+    qdf.withColumn("__a1", assignCol("qv", init))
+      .withColumn("__a2", assignCol("qv", c1))
+  }
+
   /** One Lloyd update: assign (projection), recompute centroids (one k×d
     * hash aggregate), collect the k×d longs to the driver — the bounded
     * driver-side state every distributed k-means carries (same shape as
@@ -357,18 +373,68 @@ object QVector {
          |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
          |SELECT a2.vec_id, a1.cl1::BIGINT AS cluster_init, a2.cluster::BIGINT AS cluster, a2.d2
          |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id ORDER BY a2.vec_id""".stripMargin) { (s, dir) =>
-      val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
-        .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
-      val init: Seq[(Int, Seq[Long])] = qdf.filter(col("vec_id") < 8)
-        .select("vec_id", "qv").collect().sortBy(_.getLong(0))
-        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toVector)).toSeq
-      val c1 = lloydStep(qdf, init)
-      qdf.withColumn("__a1", assignCol("qv", init))
-        .withColumn("__a2", assignCol("qv", c1))
+      kmeansAssigned(s, dir)
         .select(col("vec_id"),
           col("__a1.cid").cast("bigint").as("cluster_init"),
           col("__a2.cid").cast("bigint").as("cluster"),
           col("__a2.d2").as("d2"))
+        .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q_dedup_semantic",
+      "Extension: SemDeDup-style semantic dedup — k-means clusters bound the pair fan-out " +
+        "(sum of cluster² ≪ n², the reason SemDeDup clusters first), then exact quantized " +
+        "cosine ≥ 0.35 inside each cluster; a vector drops when a lower-id near-dup exists " +
+        "in its cluster (the greedy keep-first rule). Integer dots → deterministic threshold",
+      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}
+         |                  ::BIGINT[] AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+         |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+         |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+         |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+         |       FROM q CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |s1 AS (SELECT a1.cl1 AS cid, t.i,
+         |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
+         |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+         |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
+         |d2x AS (SELECT q.vec_id, q.qv, c.cid,
+         |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+         |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+         |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+         |        FROM q CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, qv, cid AS cluster FROM d2x
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |pairs AS (SELECT b.vec_id AS dup_id
+         |          FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |          WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+         |                  / (sqrt(list_dot_product(a.qv::DOUBLE[], a.qv::DOUBLE[]))
+         |                     * sqrt(list_dot_product(b.qv::DOUBLE[], b.qv::DOUBLE[]))) >= 0.35)
+         |SELECT a2.vec_id, a2.cluster::BIGINT AS cluster,
+         |       CAST(count(p.dup_id) AS BIGINT) AS n_nearer_dups,
+         |       count(p.dup_id) > 0 AS dropped
+         |FROM a2 LEFT JOIN pairs p ON p.dup_id = a2.vec_id
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val assigned = Q.materialize(kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("qv"), col("__a2.cid").as("cluster")))
+      // renamed-toDF frames, NOT aliased self-joins (PERF.md r2 #3: alias
+      // dedup degrades the equi-join to a cartesian)
+      val a = assigned.toDF("keep_id", "qa", "cluster")
+      val b = assigned.toDF("dup_id", "qb", "cluster_b")
+      val dups = a.join(b,
+          col("cluster") === col("cluster_b") && col("keep_id") < col("dup_id"))
+        .filter(expr(s"${sDot("qa", "qb")} / (sqrt(${sDot("qa", "qa")})" +
+          s" * sqrt(${sDot("qb", "qb")}))") >= 0.35)
+        .groupBy(col("dup_id")).agg(count(lit(1)).as("n"))
+      assigned.join(dups, assigned("vec_id") === dups("dup_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"),
+          coalesce(col("n"), lit(0L)).as("n_nearer_dups"),
+          (coalesce(col("n"), lit(0L)) > 0).as("dropped"))
         .orderBy("vec_id")
     },
   )

@@ -271,6 +271,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"assignment must not join:\n${plan.take(800)}")
   }
 
+  test("q_dedup_semantic pairs via a cluster equi-join (SemDeDup bound, no all-pairs)") {
+    val plan = planOf("q_dedup_semantic")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"in-cluster pairs must come from an equi-join on the cluster key:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup must never compare the corpus pairwise")
+  }
+
   test("q_substring_spans bounds pairs via the inverted index (semi-join, no all-pairs)") {
     val plan = planOf("q_substring_spans")
     assert(plan.contains("LeftSemi"),
