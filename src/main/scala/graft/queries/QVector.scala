@@ -190,15 +190,23 @@ object QVector {
     * where __a1/__a2 are (d2, cid) structs under the seed / 1-step
     * centroids. Materialized so the two corpus passes run once.
     */
-  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame =
+    kmeansModel(s, dir)._1
+
+  /** The trained model: the assigned corpus (vec_id, embedding, qv, __a1,
+    * __a2) AND the 1-step centroids — q_knn_ivf_kmeans reads the centroids
+    * as its coarse quantizer (the "swap the stand-in for a trained
+    * quantizer" path promised by the IVF design note).
+    */
+  private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
-      .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
+      .select(col("vec_id"), col("embedding"), expr(sQuant("embedding")).as("qv")))
     val init: Seq[(Int, Seq[Long])] = qdf.filter(col("vec_id") < 8)
       .select("vec_id", "qv").collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toVector)).toSeq
     val c1 = lloydStep(qdf, init)
-    qdf.withColumn("__a1", assignCol("qv", init))
-      .withColumn("__a2", assignCol("qv", c1))
+    (qdf.withColumn("__a1", assignCol("qv", init))
+       .withColumn("__a2", assignCol("qv", c1)), c1)
   }
 
   /** One Lloyd update: assign (projection), recompute centroids (one k×d
@@ -218,6 +226,35 @@ object QVector {
     }
     cents.map { case (cid, old) => cid -> byCid.getOrElse(cid, old) }
   }
+
+  /** DuckDB twin of [[kmeansModel]] as a shared CTE prefix: quantized
+    * corpus `q`, seed centroids `c0`, iteration-1 assignment `a1`, updated
+    * centroids `c1`, final assignment `a2(vec_id, qv, cluster, d2)`.
+    */
+  private val dKmeans =
+    s"""q AS (SELECT vec_id, ${dQuant("embedding")}
+       |                  ::BIGINT[] AS qv
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+       |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+       |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+       |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+       |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+       |       FROM q CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |s1 AS (SELECT a1.cl1 AS cid, t.i,
+       |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
+       |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
+       |d2x AS (SELECT q.vec_id, q.qv, c.cid,
+       |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+       |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+       |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+       |        FROM q CROSS JOIN c1 c),
+       |a2 AS (SELECT vec_id, qv, cid AS cluster, d2 FROM d2x
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -348,29 +385,7 @@ object QVector {
         "vectors — assignment is a ZERO-shuffle codegen'd projection (centroids are broadcast " +
         "literals, the MLlib pattern); the update is one kxd aggregate and only kxd longs ever " +
         "reach the driver. Integer arithmetic end to end -> bit-exact DuckDB parity",
-      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}
-         |                  ::BIGINT[] AS qv
-         |           FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
-         |d1 AS (SELECT q.vec_id, q.qv, c.cid,
-         |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-         |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-         |       FROM q CROSS JOIN c0 c),
-         |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
-         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-         |s1 AS (SELECT a1.cl1 AS cid, t.i,
-         |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
-         |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
-         |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
-         |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
-         |d2x AS (SELECT q.vec_id, c.cid,
-         |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-         |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-         |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-         |        FROM q CROSS JOIN c1 c),
-         |a2 AS (SELECT vec_id, cid AS cluster, d2 FROM d2x
-         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
+      s"""WITH $dKmeans
          |SELECT a2.vec_id, a1.cl1::BIGINT AS cluster_init, a2.cluster::BIGINT AS cluster, a2.d2
          |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id ORDER BY a2.vec_id""".stripMargin) { (s, dir) =>
       kmeansAssigned(s, dir)
@@ -387,29 +402,7 @@ object QVector {
         "(sum of cluster² ≪ n², the reason SemDeDup clusters first), then exact quantized " +
         "cosine ≥ 0.35 inside each cluster; a vector drops when a lower-id near-dup exists " +
         "in its cluster (the greedy keep-first rule). Integer dots → deterministic threshold",
-      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}
-         |                  ::BIGINT[] AS qv
-         |           FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
-         |d1 AS (SELECT q.vec_id, q.qv, c.cid,
-         |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-         |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-         |       FROM q CROSS JOIN c0 c),
-         |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
-         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-         |s1 AS (SELECT a1.cl1 AS cid, t.i,
-         |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
-         |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
-         |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
-         |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
-         |d2x AS (SELECT q.vec_id, q.qv, c.cid,
-         |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-         |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-         |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-         |        FROM q CROSS JOIN c1 c),
-         |a2 AS (SELECT vec_id, qv, cid AS cluster FROM d2x
-         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      s"""WITH $dKmeans,
          |pairs AS (SELECT b.vec_id AS dup_id
          |          FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |          WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
@@ -436,6 +429,64 @@ object QVector {
           coalesce(col("n"), lit(0L)).as("n_nearer_dups"),
           (coalesce(col("n"), lit(0L)) > 0).as("dropped"))
         .orderBy("vec_id")
+    },
+
+    GraftQuery(
+      "q_knn_ivf_kmeans",
+      "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
+        "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
+        "centroids by integer d2 and fine-search only the top-2 cells' members with exact " +
+        "float cosine — the fine scan reads 2/k of the corpus",
+      s"""WITH $dKmeans,
+         |pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe,
+         |              ${dQuant("embedding")}::BIGINT[] AS qp
+         |       FROM embeddings WHERE vec_id < 5),
+         |pc AS (SELECT pr.probe_id, c.cid,
+         |              CAST(list_dot_product(pr.qp::DOUBLE[], pr.qp::DOUBLE[])
+         |                 - 2 * list_dot_product(pr.qp::DOUBLE[], c.cv::DOUBLE[])
+         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+         |       FROM pr CROSS JOIN c1 c),
+         |sel AS (SELECT probe_id, cid FROM pc
+         |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 2),
+         |cand AS (SELECT s.probe_id, a2.vec_id FROM sel s JOIN a2 ON a2.cluster = s.cid),
+         |scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
+         |                  ${dCos("e.embedding::DOUBLE[]", "pr.pe")} AS score
+         |           FROM cand c
+         |           JOIN embeddings e ON e.vec_id = c.vec_id
+         |           JOIN pr ON pr.probe_id = c.probe_id
+         |           WHERE c.vec_id <> c.probe_id),
+         |rk AS (SELECT probe_id, neighbor_id, score,
+         |              row_number() OVER (PARTITION BY probe_id
+         |                                 ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM scored)
+         |SELECT probe_id, neighbor_id, rnk, round(score, 4) AS score
+         |FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (assignedRaw, c1) = kmeansModel(s, dir)
+      val assigned = assignedRaw
+        .select(col("vec_id"), col("embedding").as("ce"), col("__a2.cid").as("cluster"))
+      val sq = s; import sq.implicits._
+      // the trained quantizer is k×d longs — a literal broadcast table
+      val cents = c1.map { case (cid, cv) => (cid, cv.toArray) }.toDF("cid", "cv")
+      val probes = embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          expr(sQuant("embedding")).as("qp"))
+      val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
+      val sel = probes.crossJoin(broadcast(cents))
+        .withColumn("__d2", expr(
+          "aggregate(zip_with(qp, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+        .select("probe_id", "pe", "cid")
+      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+      sel.join(assigned, col("cluster") === col("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          expr(sCos("ce", "pe")).as("score_raw"))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy("probe_id", "rnk")
     },
   )
 }
