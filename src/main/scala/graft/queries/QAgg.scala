@@ -154,5 +154,35 @@ object QAgg {
         .select(tsS(col("window.start")).as("ws"), col("event_type"), col("mean_value"), col("n"))
         .orderBy("ws", "event_type")
     },
+
+    GraftQuery(
+      "q_anomaly_mad",
+      "Extension: robust anomaly detection per series — median + MAD (median absolute " +
+        "deviation), flag points with |v - med| > 3*MAD. Medians run over INTEGER cents so " +
+        "both engines' even-count interpolation is exactly representable (no boundary-tie " +
+        "drift); exact percentile is per-group-bounded here — the 100 TB path swaps in " +
+        "approx_percentile with identical plan shape",
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  round(value * 100)::BIGINT AS v100 FROM events),
+        |m AS (SELECT event_type, median(v100) AS med100 FROM e GROUP BY 1),
+        |d AS (SELECT e.*, m.med100 FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(abs(v100 - med100)) AS mad100 FROM d GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       round(med100 / 100, 4) AS med, round(mad100 / 100, 4) AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE abs(v100 - med100) > 3 * mad100
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("v100"))
+      val m = e.groupBy("event_type").agg(expr("percentile(v100, 0.5D)").as("med100"))
+      val d = e.join(broadcast(m), Seq("event_type"))
+      val md = d.groupBy("event_type")
+        .agg(expr("percentile(abs(v100 - med100), 0.5D)").as("mad100"))
+      d.join(broadcast(md), Seq("event_type"))
+        .filter(abs(col("v100") - col("med100")) > lit(3) * col("mad100"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med100") / 100, 4).as("med"), round(col("mad100") / 100, 4).as("mad"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -505,5 +505,51 @@ object QDedup {
         .select(col("doc_a"), col("doc_b"), col("edit"))
         .orderBy("doc_a", "doc_b")
     },
+
+    GraftQuery(
+      "q_dedup_lines",
+      "Extension: CCNet/C4-style LINE-level corpus dedup — docs cut into non-overlapping " +
+        "10-token segments (the 'paragraph' unit; real corpora split on newlines), a segment " +
+        "survives only at its FIRST corpus occurrence (min (doc_id, seg_no)), and each doc is " +
+        "reassembled from its kept segments. One shuffle on the segment key (partial agg " +
+        "collapses repeats map-side), one doc-side regroup — never all-pairs; at 100 TB the " +
+        "segment key space is the dedup working set, exactly CCNet's sharded-hash layout",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |segs AS (SELECT doc_id,
+        |                unnest(range(0, (len(toks) + 9) // 10)) AS seg_no,
+        |                unnest(list_transform(range(0, (len(toks) + 9) // 10),
+        |                        i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS seg
+        |         FROM t),
+        |fl AS (SELECT doc_id, seg_no, seg,
+        |              row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1 AS kept
+        |       FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        |       coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+        |       round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS kept_ratio,
+        |       coalesce(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE kept), '') AS kept_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val segs = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 10.0) AS INT) - 1)," +
+            " i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")).as(Seq("seg_no", "seg")))
+      // first-occurrence-wins: ONE window shuffle keyed on the segment text
+      // (intra-doc repeats drop too, like CCNet's hash-set semantics)
+      val wFirst = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+      segs.withColumn("kept", row_number().over(wFirst) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          // reassembly: kept segments back in document order — collect_list
+          // skips the CASE's nulls, array_sort orders by seg_no (1st field)
+          expr("array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg), ' ')").as("kept_text"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_segs"), 4).as("kept_ratio"),
+          col("kept_text"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -438,5 +438,75 @@ object QText {
           (coalesce(col("max_run"), lit(0L)) >= 4).as("dup_span"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_unigram_logprob",
+      "Extension: unigram-LM perplexity-style quality score (the KenLM-filter stand-in): " +
+        "corpus unigram counts -> per-doc mean log-probability avg(ln(cnt_t)) - ln(N). " +
+        "Two word-count aggregates + one vocab join; at 100 TB the vocab side is millions " +
+        "of rows -> broadcast, the corpus side never re-shuffles beyond the token count",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+        |tot AS (SELECT ln(count(*)::DOUBLE) AS ln_n FROM tk)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(c::DOUBLE)) - (SELECT ln_n FROM tot), 4) AS logprob
+        |FROM tk JOIN cnt USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .transform(Q.materialize) // feeds counts, total, and the doc side once
+      val cnt = tk.groupBy("token").agg(count(lit(1)).as("c"))
+      // the corpus total is ONE long — driver-side like the kmeans
+      // centroids (a scalar-subquery join would plan a BNLJ, audit-banned);
+      // tk is materialized so the count re-reads checkpointed blocks
+      val lnN = math.log(tk.count().toDouble)
+      tk.join(broadcast(cnt), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("c").cast("double"))) - lnN, 4).as("logprob"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_tfidf",
+      "Extension: TF-IDF term weighting — tf(doc, term) * ln(n_docs / df(term)), top-3 " +
+        "terms per doc (weight desc, token asc). tf and df are the two word-count " +
+        "aggregates; the df table broadcasts at any realistic vocab; top-k is a per-doc " +
+        "window the optimizer caps with WindowGroupLimit",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+        |w AS (SELECT doc_id, token,
+        |             tf * ln((SELECT n_docs FROM nd) / df::DOUBLE) AS weight
+        |      FROM tf JOIN df USING (token)),
+        |r AS (SELECT doc_id, token, weight,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY weight DESC, token) AS rnk
+        |      FROM w)
+        |SELECT doc_id, rnk, token, round(weight, 4) AS weight
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .transform(Q.materialize) // tf feeds df AND the weight join
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // corpus doc count: one driver-side long (see q_unigram_logprob)
+      val nDocs = documents(s, dir).select("doc_id").distinct().count().toDouble
+      val wTop = Window.partitionBy("doc_id").orderBy(col("weight_raw").desc, col("token"))
+      tf.join(broadcast(df), Seq("token"))
+        .withColumn("weight_raw", col("tf") * log(lit(nDocs) / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"), col("token"),
+          round(col("weight_raw"), 4).as("weight"))
+        .orderBy("doc_id", "rnk")
+    },
   )
 }
