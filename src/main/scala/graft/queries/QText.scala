@@ -508,5 +508,81 @@ object QText {
           round(col("weight_raw"), 4).as("weight"))
         .orderBy("doc_id", "rnk")
     },
+
+    GraftQuery(
+      "q_bm25",
+      "Extension: BM25 retrieval scoring (Lucene idf variant, k1=1.2 b=0.75) for a fixed " +
+        "query term set over the corpus — tf/df/doclen are word-count aggregates, avgdl is " +
+        "one driver-side scalar, the per-doc score is a sum over matched terms. The shape " +
+        "search-index scoring jobs run at corpus scale: no per-query corpus re-scan beyond " +
+        "the term filter, df broadcasts",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |            FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk WHERE token <> '' GROUP BY doc_id),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |       WHERE token IN ('spark', 'vector', 'query') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |ad AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl)
+        |SELECT tf.doc_id, count(*) AS n_terms,
+        |       round(sum(ln((((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) + 1)
+        |                 * tf * 2.2
+        |                 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM ad)))), 4)
+        |         AS score
+        |FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, dir) =>
+      val (k1, b) = (1.2, 0.75)
+      val tk = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .transform(Q.materialize) // feeds doclen AND the term-filtered tf
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = tk.filter(col("token").isin("spark", "vector", "query"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // two driver-side scalars (N docs, avg doclen) — the kmeans pattern;
+      // a scalar-subquery join would plan an audit-banned BNLJ
+      val nDocs = documents(s, dir).count().toDouble
+      val avgdl = tk.count().toDouble / nDocs
+      val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1)
+      val tfNorm = col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), round(sum(idf * tfNorm), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_bpe_merge",
+      "Extension: BPE merge-candidate ranking — corpus-wide adjacent-pair frequencies, " +
+        "top-20 by count (the single merge step a tokenizer-training driver loop iterates; " +
+        "Sennrich et al.'s argmax). Pair fan-out is a per-row array transform (no self-join), " +
+        "then ONE word-count shuffle with map-side partial aggregation",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |                     i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+        |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM c)
+        |SELECT rnk, pair, n FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Q.fanout(documents(s, dir))
+        .select(split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
+      val counts = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      // global top-20 via limit → TakeOrderedAndProject (distributed
+      // per-partition top-k, no full sort); the unpartitioned rank window
+      // then only ever sees 20 rows
+      val wr = Window.orderBy(col("n").desc, col("pair"))
+      counts.orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rnk", row_number().over(wr))
+        .select(col("rnk").cast("bigint").as("rnk"), col("pair"), col("n"))
+        .orderBy("rnk")
+    },
   )
 }

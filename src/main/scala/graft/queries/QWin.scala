@@ -136,5 +136,25 @@ object QWin {
         .select("event_id", "event_type", "z")
         .orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_win_autocorr",
+      "Extension: lag-1 autocorrelation per series — the periodicity/trend signal (a value " +
+        "near 0 means the series is noise, near 1 means momentum). One window shuffle for " +
+        "the lag, one aggregate for Pearson r over the (v, prev) pairs",
+      """WITH l AS (SELECT event_type, value,
+        |                  lag(value) OVER (PARTITION BY event_type
+        |                                   ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT event_type, count(prev)::BIGINT AS n_pairs,
+        |       round(corr(value, prev), 4) AS r1
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(wl))
+        .groupBy("event_type")
+        .agg(count(col("prev")).as("n_pairs"), round(corr(col("value"), col("prev")), 4).as("r1"))
+        .orderBy("event_type")
+    },
   )
 }
