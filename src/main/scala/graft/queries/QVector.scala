@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
+import graft.functions.VectorMath
 import Q._
 
 /** Similarity search over the embeddings table — SURVEY.md §2.10 D6 + the
@@ -36,10 +37,19 @@ object QVector {
   /** Deterministic integer hyperplanes: w(h,d) = ((h*37 + d*101) % 19) - 9. */
   private def plane(h: Int): Seq[Long] = (0 until 64).map(d => ((h * 37 + d * 101) % 19).toLong - 9)
 
-  private def sDot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
-  private def sCos(a: String, b: String) =
-    s"${sDot(a, b)} / (sqrt(${sDot(a, a)}) * sqrt(${sDot(b, b)}))"
+  /** Every QVector query reads embeddings through this hook, which also
+    * registers the native vec_dot/vec_cos/vec_l2sq expressions (see
+    * [[graft.functions.VectorMath]]: same left-to-right double arithmetic
+    * as the `aggregate(zip_with(...))` HOFs these helpers previously
+    * emitted, but one codegen'd static call per row instead of hundreds of
+    * interpreted lambda invocations). */
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    VectorMath.register(s)
+    Q.embeddings(s, dir)
+  }
+
+  private def sDot(a: String, b: String) = s"vec_dot($a, $b)"
+  private def sCos(a: String, b: String) = s"vec_cos($a, $b)"
 
   private def dCos(a: String, b: String) =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -176,8 +186,7 @@ object QVector {
     * DuckDB agree bit-for-bit.
     */
   private def d2Lit(qcol: String, cent: Seq[Long]): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($qcol, array(${cent.map(v => s"${v}L").mkString(",")}), " +
-      "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    expr(s"vec_l2sq($qcol, array(${cent.map(v => s"${v}L").mkString(",")}))")
 
   /** argmin over the k centroids, ties to the lowest cluster id — struct
     * ordering makes array_min the lexicographic (d2, cid) minimum. */
@@ -473,8 +482,7 @@ object QVector {
           expr(sQuant("embedding")).as("qp"))
       val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
       val sel = probes.crossJoin(broadcast(cents))
-        .withColumn("__d2", expr(
-          "aggregate(zip_with(qp, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+        .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
         .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
         .select("probe_id", "pe", "cid")
       val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
