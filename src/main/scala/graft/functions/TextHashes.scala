@@ -52,7 +52,7 @@ object TextHash {
     acc
   }
 
-  /** Register both expressions in the session registry. Idempotent. */
+  /** Register the expressions in the session registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.registerFunction(
@@ -63,7 +63,40 @@ object TextHash {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head))
   }
+}
+
+/** `poly_hash(string) → long` — the whole-string polynomial hash
+  * (== aggregate(split(s, ''), 0L, (a, c) -> (a*31 + codepoint) % 1e9+7)),
+  * fully codegen'd: one static call per row vs one interpreted lambda
+  * invocation per CHARACTER in the HOF form (q_doc_fingerprint's doc-level
+  * fingerprint walks every char of every doc).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash expects STRING, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hashToken(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.functions.TextHash.hashToken($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `token_hashes(array<string>) → array<long>` — per-token polynomial hash

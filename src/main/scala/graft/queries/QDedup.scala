@@ -32,10 +32,6 @@ object QDedup {
   private val P  = 100003L
   private val CP = 1000000007L
 
-  // ---- Spark-side expression fragments (Spark SQL lambda syntax) ----
-  private def sparkCharHash(v: String) =
-    s"aggregate(split($v, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $CP)"
-
   /** documents → (doc_id, hs: array<long> of DISTINCT 3-token-shingle
     * hashes) via the native ShingleHashes expression (one JVM pass per
     * row; the interpreted lambda form cost µs per character).

@@ -70,7 +70,9 @@ object QText {
         .select(col("doc_id"),
           length(col("text")).cast("bigint").as("n_chars_m"),
           nTok.cast("bigint").as("n_tokens"),
-          round(expr("aggregate(split(lower(text), ' '), 0L, (a, t) -> a + length(t))").cast("double")
+          // Σ token lengths ≡ chars minus separators — a codegen'd builtin
+          // instead of the per-token interpreted fold
+          round(length(translate(lower(col("text")), " ", "")).cast("double")
             / nTok, 4).as("avg_tok_len"),
           when(nTok >= 80, "high").when(nTok >= 40, "medium").otherwise("low").as("quality"))
         .orderBy("doc_id")
@@ -143,9 +145,10 @@ object QText {
         |                     list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
         |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.TextHash.register(s)
+      // native poly_hash == the per-char HOF fold, one codegen'd call/row
       Q.fanout(documents(s, dir)).select(
-        col("doc_id"),
-        expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("fp"))
+        col("doc_id"), expr("poly_hash(text)").as("fp"))
         .orderBy("doc_id")
     },
 
