@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,6 +49,34 @@ object TextHash {
     fold(t2); acc = (acc * 31 + ' '.toInt) % Mod
     fold(t3)
     acc
+  }
+
+  /** Static eval bodies shared by the interpreted and generated paths. */
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val out = new Array[Any](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      val s = arr.getUTF8String(i)
+      out(i) = if (s == null) null else hashToken(s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingleHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < n) {
+      val (a, b, c) = (arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+      if (a != null && b != null && c != null) seen.add(hashShingle(a, b, c))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
   }
 
   /** Register the expressions in the session registry. Idempotent. */
@@ -105,7 +132,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   * with a null-propagating lambda), so the output's containsNull mirrors
   * the input's.
   */
-case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenHashes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType match {
     case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
     case _               => ArrayType(LongType, containsNull = true)
@@ -114,17 +141,14 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextHash.requireStringArray(prettyName, child)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val out = new Array[Any](arr.numElements())
-    var i = 0
-    while (i < out.length) {
-      val s = arr.getUTF8String(i)
-      out(i) = if (s == null) null else TextHash.hashToken(s)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.TextHash.tokenHashes($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -136,30 +160,20 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
   * Windows containing a null token are skipped (a null token is not a
   * shingle member), so the output never contains null.
   */
-case class ShingleHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextHash.requireStringArray(prettyName, child)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var i = 0
-    while (i + 2 < n) {
-      val (a, b, c) = (arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
-      if (a != null && b != null && c != null) {
-        seen.add(TextHash.hashShingle(a, b, c))
-      }
-      i += 1
-    }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.TextHash.shingleHashes($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
