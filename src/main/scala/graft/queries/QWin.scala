@@ -156,5 +156,26 @@ object QWin {
         .agg(count(col("prev")).as("n_pairs"), round(corr(col("value"), col("prev")), 4).as("r1"))
         .orderBy("event_type")
     },
+
+    GraftQuery(
+      "q_win_rolling_median",
+      "Extension: rolling 5-point median per series — the robust smoother (a moving average " +
+        "chases the spikes a rolling median ignores). Medians run over integer cents so both " +
+        "engines' even-count interpolation is exactly representable; one window shuffle on " +
+        "the series key, same frame mechanics as MOVING_AVERAGE",
+      """SELECT event_id, event_type,
+        |       round(median(round(value * 100)::BIGINT)
+        |               OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100, 4) AS med5
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val wm = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      events(s, dir)
+        .withColumn("v100", round(col("value") * 100, 0).cast("long"))
+        .withColumn("med5", round(expr("percentile(v100, 0.5D)")
+          .over(wm) / 100, 4))
+        .select("event_id", "event_type", "med5")
+        .orderBy("event_id")
+    },
   )
 }
