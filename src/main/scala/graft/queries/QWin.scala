@@ -177,5 +177,28 @@ object QWin {
         .select("event_id", "event_type", "med5")
         .orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_gap_report",
+      "Extension: series gap/offline detection — report intervals where a series went " +
+        "silent for > 24 h (the 'PLC stopped reporting' monitoring query). One window " +
+        "shuffle for the lag, then a filter; the report is tiny regardless of corpus size",
+      """SELECT event_id, user_id,
+        |       strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                '%Y-%m-%d %H:%M:%S') AS gap_start,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+        |       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |         AS gap_us
+        |FROM events
+        |QUALIFY gap_us > 86400000000 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wg))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .filter(col("gap_us") > 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          tsS(col("prev_ts")).as("gap_start"), tsS(col("ts")).as("gap_end"), col("gap_us"))
+        .orderBy("event_id")
+    },
   )
 }
