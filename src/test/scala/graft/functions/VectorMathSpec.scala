@@ -55,6 +55,43 @@ class VectorMathSpec extends SparkTestBase {
     assert(r === Row(null, null, null, null))
   }
 
+  test("property: HOF parity holds over hostile values (NaN/Inf/-0.0/empty/tiny/huge)") {
+    import org.scalacheck.Gen
+    VectorMath.register(spark)
+    val special = Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, 1e300, -1e300, 1.5, -2.25)
+    val elem = Gen.frequency(3 -> Gen.chooseNum(-1e6, 1e6), 1 -> special)
+    val genVec = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, elem))
+    val vecs = Gen.listOfN(200, Gen.zip(genVec, genVec)).sample.get
+    import spark.implicits._
+    val df2 = vecs.toDF("a", "b")
+    // java.lang.Double.equals treats NaN == NaN and distinguishes ±0.0 —
+    // exactly the bit-level parity contract. One documented divergence:
+    // on an exactly-zero norm the ANSI HOF division THROWS, while vec_cos
+    // returns IEEE NaN (kinder, and unreachable on real embeddings) — the
+    // CASE guards the HOF and the property pins native NaN for that case.
+    val rows = df2.selectExpr(
+      s"vec_dot(a, b) AS nd", s"${hofDot("a", "b")} AS hd",
+      s"vec_cos(a, b) AS nc",
+      s"CASE WHEN sqrt(${hofDot("a", "a")}) * sqrt(${hofDot("b", "b")}) = 0.0D THEN NULL " +
+        s"ELSE ${hofCos("a", "b")} END AS hc",
+      s"sqrt(${hofDot("a", "a")}) * sqrt(${hofDot("b", "b")}) = 0.0D AS zero_norm").collect()
+    val bad = rows.zipWithIndex.filterNot { case (r, _) =>
+      def eqD(x: Int, y: Int) =
+        (r.isNullAt(x) && r.isNullAt(y)) ||
+          (!r.isNullAt(x) && !r.isNullAt(y) &&
+            java.lang.Double.valueOf(r.getDouble(x)).equals(java.lang.Double.valueOf(r.getDouble(y))))
+      // either bit-equal (incl. both-NULL, e.g. length mismatch), or the
+      // guarded zero-norm case where the ANSI HOF would throw → native NaN
+      val cosOk = eqD(2, 3) ||
+        (r.isNullAt(3) && !r.isNullAt(2) && r.getDouble(2).isNaN)
+      eqD(0, 1) && cosOk
+    }
+    assert(bad.isEmpty, bad.take(3).map { case (r, i) =>
+      s"row $i: vecs=${vecs(i)} row=$r"
+    }.mkString("\n"))
+  }
+
   test("the expressions run inside WholeStageCodegen (no fallback, no eval)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val plan = df.selectExpr("vec_cos(a, b) AS c", "vec_dot(a, b) AS d")
