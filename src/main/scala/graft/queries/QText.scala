@@ -513,6 +513,39 @@ object QText {
     },
 
     GraftQuery(
+      "q_source_overlap",
+      "Extension: cross-source contamination matrix — shared 8-token grams between every " +
+        "source pair (the corpus-internal leakage audit a dataset builder runs before " +
+        "declaring splits independent). Inverted-index bounded: distinct (gram, source) " +
+        "first, so the self-join fans out per gram by sources-sharing-it (≤ #sources), " +
+        "never by document count",
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |             unnest(list_transform(range(1, len(toks) - 6),
+        |                     i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams FROM p
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val g = Q.fanout(documents(s, dir))
+        .select(col("source"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
+        .distinct() // (gram, source): partial agg collapses repeats map-side
+        .transform(Q.materialize) // both join sides read one shuffle's output
+      val a = g.select(col("source").as("src_a"), col("gram"))
+      val b = g.select(col("source").as("src_b"), col("gram").as("gram_b"))
+      a.join(b, col("gram") === col("gram_b") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+        .orderBy("src_a", "src_b")
+    },
+
+    GraftQuery(
       "q_bm25",
       "Extension: BM25 retrieval scoring (Lucene idf variant, k1=1.2 b=0.75) for a fixed " +
         "query term set over the corpus — tf/df/doclen are word-count aggregates, avgdl is " +

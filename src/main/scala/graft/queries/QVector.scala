@@ -441,6 +441,20 @@ object QVector {
     },
 
     GraftQuery(
+      "q_kmeans_inertia",
+      "Extension: k-means fit diagnostics — per-cluster population and inertia (sum of " +
+        "squared distances), the elbow-method numbers a clustering run reports. One " +
+        "k-row aggregate over the shared assignment (integer d2 → exact sums)",
+      s"""WITH $dKmeans
+         |SELECT a2.cluster::BIGINT AS cluster, count(*) AS n, sum(a2.d2)::BIGINT AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      kmeansAssigned(s, dir)
+        .groupBy(col("__a2.cid").cast("bigint").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("__a2.d2")).as("inertia"))
+        .orderBy("cluster")
+    },
+
+    GraftQuery(
       "q_knn_ivf_kmeans",
       "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
         "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
