@@ -13,6 +13,9 @@ import graft.sources.TagConfig
 case class BandSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, band: Long)
 case class BandChange(event_id: Long, user_id: Long, band: Long)
 
+/** Output of the deadman pipeline (T12): a series went silent. */
+case class DeadmanAlert(user_id: Long, last_seen: java.sql.Timestamp, silent_for_ms: Long)
+
 /** Structured-Streaming assembly — SURVEY.md §2.9.
   *
   * The reference's runtime model maps as (SURVEY §3.1):
@@ -73,6 +76,43 @@ object Pipelines {
           }
           last.foreach(state.update)
           out.iterator
+        })
+  }
+
+  /** T12 (r9): deadman / offline alert — the STREAMING twin of
+    * q_gap_report ("the PLC stopped reporting"), built on the one
+    * stateful mechanism the other pipelines don't exercise: EVENT-TIME
+    * TIMEOUTS. Each series keeps one Long of state (last-seen event
+    * time) and arms a timeout at last_seen + gap; when the watermark
+    * passes it with no new sample, the group fires with an empty
+    * iterator and emits exactly one alert, then clears state so a
+    * returning series re-arms cleanly. Batch never has to scan for
+    * silence — silence itself schedules the work (state O(|series|),
+    * alerts ≪ corpus, the same scale story as the batch report).
+    */
+  def deadman(stream: DataFrame, gapMs: Long = 60000L,
+      watermark: String = "30 seconds"): Dataset[DeadmanAlert] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // alert once; the next sample re-arms
+            Iterator.single(DeadmanAlert(uid, new java.sql.Timestamp(last), gapMs))
+          } else {
+            val maxTs = it.map(_._2.getTime)
+              .foldLeft(state.getOption.getOrElse(Long.MinValue))(math.max)
+            state.update(maxTs)
+            // a timeout must sit beyond the current watermark; a series
+            // already silent past gap when first seen fires next batch
+            state.setTimeoutTimestamp(
+              math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
         })
   }
 
