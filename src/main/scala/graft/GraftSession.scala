@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+import graft.functions.{DecodeS7, EmaAggregator, TextHash, VectorMath}
+import graft.tables.Tables
+
+/** One-call SQL entry point: after `GraftSession.init(spark, dir)` the
+  * WHOLE library drives from pure `spark.sql(...)` — every testdata table
+  * is a temp view and every native function (decode_s7, poly_hash,
+  * token_hashes, shingle_hashes, vec_dot/vec_cos/vec_l2sq, ema) is in the
+  * session registry. This is the "switch to this library" surface for a
+  * SQL-first user: no DataFrame code required to reach any operator the
+  * registry expresses in SQL, and the InfluxQL front door
+  * ([[graft.influxql.InfluxQLHttp]]) remains the wire-level equivalent.
+  *
+  * Views are plain lazy scans (the session holds no data): Catalyst still
+  * prunes columns and pushes filters into the parquet source exactly as
+  * the DataFrame paths do. Idempotent; re-init with a new dir repoints
+  * the views.
+  */
+object GraftSession {
+
+  val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def init(spark: SparkSession, dir: String): SparkSession = {
+    TableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir) else Tables.table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+    DecodeS7.register(spark)
+    TextHash.register(spark)
+    VectorMath.register(spark)
+    // typed Aggregator → SQL: ema(key, ts_us, unique_id, value) with the
+    // q_ema constant α=0.3; event-time fold order, id tie-break
+    spark.udf.register("ema", udaf(new EmaAggregator(0.3)))
+    spark
+  }
+}
