@@ -1567,14 +1567,23 @@ object InfluxQLPlanner {
       tags.map(col): _*), q)
   }
 
+  /** The recursive EMA family: plain, double (DEMA), triple (TEMA), and
+    * the triple-EMA derivative (TRIX) — all fold per-series bucket arrays
+    * with the same a = 2/(N+1) recursion, the D/T variants re-folding the
+    * previous fold's output. */
+  private val EmaFamily = Set("exponential_moving_average",
+    "double_exponential_moving_average", "triple_exponential_moving_average",
+    "triple_exponential_derivative")
+
   /** Technical-analysis transforms over the bucketed aggregate:
     * RELATIVE_STRENGTH_INDEX / CHANDE_MOMENTUM_OSCILLATOR /
     * KAUFMANS_EFFICIENCY_RATIO are window-expressible and reuse the value
     * conventions of the standalone W10–W12 operators (q_win_rsi/cmo/ker);
-    * EXPONENTIAL_MOVING_AVERAGE is recursive, so it folds the per-series
-    * bucket array exactly like planHoltWinters — state is bounded by the
-    * dashboard grid (a bounded WHERE time range is required), never raw
-    * points. One shuffle on the tag partition either way.
+    * the EXPONENTIAL_MOVING_AVERAGE family (EMA/DEMA/TEMA/TRIX) is
+    * recursive, so it folds the per-series bucket array exactly like
+    * planHoltWinters — state is bounded by the dashboard grid (a bounded
+    * WHERE time range is required), never raw points. One shuffle on the
+    * tag partition either way.
     */
   private def planTechnical(spark: SparkSession, filtered: DataFrame, q: Select,
       t: TransformField): DataFrame = {
@@ -1583,11 +1592,11 @@ object InfluxQLPlanner {
     val n = t.param.get.toInt
     val name = InfluxQLParser.outName(t)
     val tags = q.groupTags
-    if (t.fn == "exponential_moving_average") {
+    if (EmaFamily.contains(t.fn)) {
       val (loOpt, hiOpt) = timeBounds(q.where)
       if (loOpt.isEmpty || hiOpt.isEmpty)
         throw InfluxQLParseException(
-          "EXPONENTIAL_MOVING_AVERAGE requires a bounded time range in WHERE " +
+          s"${t.fn.toUpperCase} requires a bounded time range in WHERE " +
             "(the per-series fold state is bounded by the bucket grid)")
     }
     val agg = filtered.withColumn("__t", bucketCol(q, bNs))
@@ -1638,26 +1647,64 @@ object InfluxQLPlanner {
           .filter(col("__rn") > n)
           .withColumn(name, when(col("__vol") === 0, 0.0)
             .otherwise(round(col("__chg") / col("__vol"), 4) + lit(0.0)))
-      case "exponential_moving_average" =>
+      case fn if EmaFamily.contains(fn) =>
         // ema_k = a·v_k + (1−a)·ema_{k−1}, a = 2/(N+1), seeded with the
         // first bucket. The fold lambda reads only the OLD accumulator and
         // spells a as the literal division 2/(N+1) — the same op order the
         // recursive-CTE oracle uses, so the doubles are bit-identical.
+        // The D/T variants re-run the SAME fold over the previous fold's
+        // output (EMA of EMA), per the InfluxDB 1.7 definitions:
+        //   DEMA  = 2·e1 − e2
+        //   TEMA  = 3·e1 − 3·e2 + e3
+        //   TRIX  = 100·(e3_k − e3_{k−1})/e3_{k−1}  (first bucket drops)
         val a = s"(CAST(2 AS DOUBLE) / ${n + 1})"
+        // The three recurrences run in ONE pass: e1ₖ feeds e2ₖ feeds e3ₖ
+        // within the same lambda step. SQL lambdas have no let-bindings, so
+        // e1ₖ's (constant-size) arithmetic inlines into e2ₖ's — which is
+        // fine; what must be avoided is folding three separate times:
+        // CollapseProject would inline each O(n) fold 4× inside the next
+        // (slice/element_at/size references) and the nest goes quadratic —
+        // measured 59 s for TRIX at sf0.1 vs ~1 s for this form.
+        val e1n = s"($a * x.__v + (1.0 - $a) * acc.e1)"
+        val e2n = s"($a * $e1n + (1.0 - $a) * acc.e2)"
+        val e3n = s"($a * $e2n + (1.0 - $a) * acc.e3)"
+        val outExpr = fn match {
+          case "exponential_moving_average"        => e1n
+          case "double_exponential_moving_average" => s"(2 * $e1n - $e2n)"
+          case "triple_exponential_moving_average" => s"(3 * $e1n - 3 * $e2n + $e3n)"
+          case _                                   => e3n // TRIX diffs e3 below
+        }
+        // seed: every variant's first output equals the first bucket value
+        // (2v−v = v and 3v−3v+v = v bit-exactly in IEEE)
         val grouped = kept.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
-        grouped.select(
-          tags.map(col) :+ col("s") :+ posexplode(expr(
-            s"""aggregate(
-               |  slice(s, 2, greatest(size(s) - 1, 0)),
-               |  named_struct(
-               |    'e', CAST(element_at(s, 1).__v AS DOUBLE),
-               |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
-               |  (acc, x) -> named_struct(
-               |    'e', $a * x.__v + (1.0 - $a) * acc.e,
-               |    'out', array_append(acc.out, $a * x.__v + (1.0 - $a) * acc.e)),
-               |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
-          .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
+        val folded = grouped.withColumn("__f", expr(
+          s"""aggregate(
+             |  slice(s, 2, greatest(size(s) - 1, 0)),
+             |  named_struct(
+             |    'e1', CAST(element_at(s, 1).__v AS DOUBLE),
+             |    'e2', CAST(element_at(s, 1).__v AS DOUBLE),
+             |    'e3', CAST(element_at(s, 1).__v AS DOUBLE),
+             |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
+             |  (acc, x) -> named_struct(
+             |    'e1', $e1n, 'e2', $e2n, 'e3', $e3n,
+             |    'out', array_append(acc.out, $outExpr)),
+             |  acc -> acc.out)""".stripMargin))
+        // __k0 = 1-based bucket index of the output array's first element
+        val staged =
+          if (fn == "triple_exponential_derivative")
+            folded.withColumn("__out", expr(
+              // sequence(2, 1) would run DESCENDING — guard 1-bucket series
+              "CASE WHEN size(__f) < 2 THEN CAST(array() AS ARRAY<DOUBLE>) " +
+                "ELSE transform(sequence(2, size(__f)), i -> " +
+                "100.0 * (element_at(__f, i) - element_at(__f, i - 1))" +
+                " / element_at(__f, i - 1)) END"))
+              .withColumn("__k0", lit(2))
+          else folded.withColumn("__out", col("__f")).withColumn("__k0", lit(1))
+        staged.select(
+          tags.map(col) :+ col("s") :+ col("__k0") :+
+            posexplode(col("__out")).as(Seq("__i", "__ev")): _*)
+          .withColumn("__t", element_at(col("s"), col("__i") + col("__k0")).getField("__t"))
           .withColumn(name, floor(col("__ev") * 10000) / 10000)
       case other => throw InfluxQLParseException(s"unknown technical transform: $other")
     }

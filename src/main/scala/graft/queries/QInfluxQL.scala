@@ -16,6 +16,44 @@ object QInfluxQL {
   private def influx(q: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, dir) => InfluxQLPlanner.sql(s, dir, q)
 
+  /** Shared recursive-CTE prefix for the EMA-family oracles (N = 9, so
+    * a = 2/10): hourly MEAN buckets (a) → per-series arrays (o) → first
+    * EMA fold (s1) collected as v1 (o2) → second fold (s2) collected as
+    * v2 (o3) → third fold (s3, e = e3_k). Identical op order to the
+    * planner's array fold, so every double is bit-equal before the final
+    * floor-truncation. */
+  private val dEmaA = "(CAST(2 AS DOUBLE) / 10)"
+  private val dEmaPrefix =
+    s"""WITH RECURSIVE a AS (
+       |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+       |         round(avg(value), 4) AS m
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+       |  GROUP BY 1, 2),
+       |o AS (
+       |  SELECT user_id, array_agg(m ORDER BY t) AS vals, array_agg(t ORDER BY t) AS ts_,
+       |         count(*) AS n
+       |  FROM a GROUP BY user_id),
+       |s1(user_id, vals, ts_, n, k, e) AS (
+       |  SELECT user_id, vals, ts_, n, CAST(1 AS BIGINT), vals[1]::DOUBLE FROM o
+       |  UNION ALL
+       |  SELECT user_id, vals, ts_, n, k + 1, $dEmaA * vals[k + 1] + (1.0 - $dEmaA) * e
+       |  FROM s1 WHERE k < n),
+       |o2 AS (SELECT user_id, ts_, n, array_agg(e ORDER BY k) AS v1
+       |       FROM s1 GROUP BY user_id, ts_, n),
+       |s2(user_id, v1, ts_, n, k, e) AS (
+       |  SELECT user_id, v1, ts_, n, CAST(1 AS BIGINT), v1[1] FROM o2
+       |  UNION ALL
+       |  SELECT user_id, v1, ts_, n, k + 1, $dEmaA * v1[k + 1] + (1.0 - $dEmaA) * e
+       |  FROM s2 WHERE k < n),
+       |o3 AS (SELECT user_id, v1, ts_, n, array_agg(e ORDER BY k) AS v2
+       |       FROM s2 GROUP BY user_id, v1, ts_, n),
+       |s3(user_id, v1, v2, ts_, n, k, e) AS (
+       |  SELECT user_id, v1, v2, ts_, n, CAST(1 AS BIGINT), v2[1] FROM o3
+       |  UNION ALL
+       |  SELECT user_id, v1, v2, ts_, n, k + 1, $dEmaA * v2[k + 1] + (1.0 - $dEmaA) * e
+       |  FROM s3 WHERE k < n)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -652,6 +690,45 @@ object QInfluxQL {
         |       floor(e * 10000) / 10000 AS ema
         |FROM s ORDER BY time, user_id""".stripMargin)(influx(
       """SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS ema FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_dema",
+      "IQL69 (r9): DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) — 2·EMA − EMA(EMA), " +
+        "the second fold re-runs the first fold's recursion over its output array",
+      s"""$dEmaPrefix
+         |SELECT strftime(ts_[k], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+         |       floor((2 * v1[k] - e) * 10000) / 10000 AS dema
+         |FROM s2 ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS dema FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_tema",
+      "IQL69 (r9): TRIPLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) — 3·e1 − 3·e2 + e3 " +
+        "over three chained EMA folds",
+      s"""$dEmaPrefix
+         |SELECT strftime(ts_[k], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+         |       floor((3 * v1[k] - 3 * v2[k] + e) * 10000) / 10000 AS tema
+         |FROM s3 ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT TRIPLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) AS tema FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_influxql_trix",
+      "IQL69 (r9): TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 9) — percentage 1-bucket " +
+        "rate of change of the triple EMA; the first bucket drops",
+      s"""$dEmaPrefix,
+         |o4 AS (SELECT user_id, ts_, n, array_agg(e ORDER BY k) AS v3
+         |       FROM s3 GROUP BY user_id, ts_, n),
+         |x AS (SELECT user_id, ts_, unnest(range(2, n + 1)) AS i, v3 FROM o4 WHERE n >= 2)
+         |SELECT strftime(ts_[i], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+         |       floor(100 * (v3[i] - v3[i - 1]) / v3[i - 1] * 10000) / 10000 AS trix
+         |FROM x ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 9) AS trix FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-08'
         |GROUP BY time(1h), user_id""".stripMargin)),
 
