@@ -397,7 +397,8 @@ object InfluxQLParser {
   private[influxql] val Technical = Set("relative_strength_index",
     "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
     "exponential_moving_average", "double_exponential_moving_average",
-    "triple_exponential_moving_average", "triple_exponential_derivative")
+    "triple_exponential_moving_average", "triple_exponential_derivative",
+    "kaufmans_adaptive_moving_average")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",

@@ -1575,6 +1575,10 @@ object InfluxQLPlanner {
     "double_exponential_moving_average", "triple_exponential_moving_average",
     "triple_exponential_derivative")
 
+  /** Every recursive TA transform (fold state bounded by the bucket grid →
+    * they all require a bounded WHERE time range). */
+  private val RecursiveTa = EmaFamily + "kaufmans_adaptive_moving_average"
+
   /** Technical-analysis transforms over the bucketed aggregate:
     * RELATIVE_STRENGTH_INDEX / CHANDE_MOMENTUM_OSCILLATOR /
     * KAUFMANS_EFFICIENCY_RATIO are window-expressible and reuse the value
@@ -1592,7 +1596,7 @@ object InfluxQLPlanner {
     val n = t.param.get.toInt
     val name = InfluxQLParser.outName(t)
     val tags = q.groupTags
-    if (EmaFamily.contains(t.fn)) {
+    if (RecursiveTa.contains(t.fn)) {
       val (loOpt, hiOpt) = timeBounds(q.where)
       if (loOpt.isEmpty || hiOpt.isEmpty)
         throw InfluxQLParseException(
@@ -1647,6 +1651,39 @@ object InfluxQLPlanner {
           .filter(col("__rn") > n)
           .withColumn(name, when(col("__vol") === 0, 0.0)
             .otherwise(round(col("__chg") / col("__vol"), 4) + lit(0.0)))
+      case "kaufmans_adaptive_moving_average" =>
+        // Kaufman's KAMA: er/sc from the KER windows (same warm-up — the
+        // first n buckets drop), then the adaptive recursion
+        //   kama_k = kama_{k-1} + sc_k²·(v_k − kama_{k-1}),
+        //   sc_k = er_k·(fast − slow) + slow,  fast = 2/3, slow = 2/31,
+        // seeded with the first surviving bucket. The square is spelled as
+        // sc·sc (not pow) so both engines' doubles are bit-identical.
+        val fa = "(CAST(2 AS DOUBLE) / 3)"
+        val sl = "(CAST(2 AS DOUBLE) / 31)"
+        val sc = s"(x.__er * ($fa - $sl) + $sl)"
+        val scSq = s"($sc * $sc)"
+        val prepared = kept.withColumn("__adf", abs(v - lag(v, 1).over(w)))
+          .withColumn("__chg", abs(v - lag(v, n).over(w)))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__vol", sum(col("__adf")).over(wf))
+          .filter(col("__rn") > n)
+          .withColumn("__er", when(col("__vol") === 0, 0.0)
+            .otherwise(col("__chg") / col("__vol")))
+        val kgrouped = prepared.groupBy(tags.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("__t"), col("__v"), col("__er")))).as("s"))
+        kgrouped.select(
+          tags.map(col) :+ col("s") :+ posexplode(expr(
+            s"""aggregate(
+               |  slice(s, 2, greatest(size(s) - 1, 0)),
+               |  named_struct(
+               |    'km', CAST(element_at(s, 1).__v AS DOUBLE),
+               |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
+               |  (acc, x) -> named_struct(
+               |    'km', acc.km + $scSq * (x.__v - acc.km),
+               |    'out', array_append(acc.out, acc.km + $scSq * (x.__v - acc.km))),
+               |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
+          .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
+          .withColumn(name, floor(col("__ev") * 10000) / 10000)
       case fn if EmaFamily.contains(fn) =>
         // ema_k = a·v_k + (1−a)·ema_{k−1}, a = 2/(N+1), seeded with the
         // first bucket. The fold lambda reads only the OLD accumulator and

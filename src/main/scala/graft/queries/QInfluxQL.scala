@@ -733,6 +733,48 @@ object QInfluxQL {
         |GROUP BY time(1h), user_id""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_kama",
+      "IQL69 (r9): KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) — er/sc from the KER " +
+        "windows (first 9 buckets drop), then kama_k = kama_{k-1} + sc²·(v_k − kama_{k-1}) " +
+        "seeded with the first surviving bucket; the square is spelled sc·sc for bit parity",
+      """WITH RECURSIVE a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |w1 AS (SELECT user_id, t, m,
+        |              abs(m - lag(m) OVER pw) AS adf,
+        |              abs(m - lag(m, 9) OVER pw) AS chg,
+        |              row_number() OVER pw AS rn
+        |       FROM a WINDOW pw AS (PARTITION BY user_id ORDER BY t)),
+        |w2 AS (SELECT *, sum(adf) OVER (PARTITION BY user_id ORDER BY t
+        |                                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vol
+        |       FROM w1),
+        |e AS (SELECT user_id, t, m,
+        |             CASE WHEN vol = 0 THEN 0.0 ELSE chg / vol END AS er
+        |      FROM w2 WHERE rn > 9),
+        |o AS (SELECT user_id, array_agg(m ORDER BY t) AS vals, array_agg(er ORDER BY t) AS ers,
+        |             array_agg(t ORDER BY t) AS ts_, count(*) AS n
+        |      FROM e GROUP BY user_id),
+        |s(user_id, vals, ers, ts_, n, k, km) AS (
+        |  SELECT user_id, vals, ers, ts_, n, CAST(1 AS BIGINT), vals[1]::DOUBLE FROM o
+        |  UNION ALL
+        |  SELECT user_id, vals, ers, ts_, n, k + 1,
+        |         km + ((ers[k + 1] * ((CAST(2 AS DOUBLE) / 3) - (CAST(2 AS DOUBLE) / 31))
+        |                 + (CAST(2 AS DOUBLE) / 31))
+        |               * (ers[k + 1] * ((CAST(2 AS DOUBLE) / 3) - (CAST(2 AS DOUBLE) / 31))
+        |                 + (CAST(2 AS DOUBLE) / 31)))
+        |              * (vals[k + 1] - km)
+        |  FROM s WHERE k < n)
+        |SELECT strftime(ts_[k], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       floor(km * 10000) / 10000 AS kama
+        |FROM s ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) AS kama FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_field_select",
       "IQL62 (r9): field-NAME aggregates (`SELECT MEAN(click), COUNT(view) …`) — the " +
         "Grafana/Telegraf shape over a fieldTag catalog (the reference writes the alias " +
