@@ -402,7 +402,11 @@ object InfluxQLParser {
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
-    "holt_winters") ++ Technical
+    "holt_winters", "holt_winters_with_fit") ++ Technical
+
+  /** Both predictor spellings share every HOLT_WINTERS rule. */
+  private def isHolt(fn: String): Boolean =
+    fn == "holt_winters" || fn == "holt_winters_with_fit"
 
   /** InfluxQL 1.7 scalar math functions (field expressions). `round` and
     * `pow` take a second numeric argument.
@@ -1133,7 +1137,7 @@ object InfluxQLParser {
           val innerName = ident()
           val inner =
             if (!peek.contains(TOp("("))) {
-              if (fn == "holt_winters" || Technical(fn))
+              if (isHolt(fn) || Technical(fn))
                 throw InfluxQLParseException(
                   s"$name requires a nested aggregate, e.g. $name(MEAN(value))")
               FnField("__raw", innerName, None, None)
@@ -1151,7 +1155,7 @@ object InfluxQLParser {
             }
           val param2 =
             if (peek.contains(TOp(","))) { next(); Some(numLit()) } else None
-          if (fn == "holt_winters") {
+          if (isHolt(fn)) {
             if (param.isEmpty || param2.isEmpty)
               throw InfluxQLParseException(
                 "HOLT_WINTERS takes (aggregate, N, S): forecast steps and seasonality")
@@ -1485,7 +1489,7 @@ object InfluxQLParser {
       // HOLT_WINTERS changes cardinality (one row per forecast step per
       // series) — it cannot share a SELECT with per-bucket fields
       if (s.fields.exists {
-        case t: TransformField => t.fn == "holt_winters" || Technical(t.fn)
+        case t: TransformField => isHolt(t.fn) || Technical(t.fn)
         case _ => false
       } && s.fields.size > 1)
         throw InfluxQLParseException(

@@ -1443,7 +1443,7 @@ object InfluxQLPlanner {
     * Holt at unbounded history is the q_holt_forecast streaming fold.
     */
   private def planHoltWinters(spark: SparkSession, filtered: DataFrame, q: Select,
-      t: TransformField): DataFrame = {
+      t: TransformField, fit: Boolean = false): DataFrame = {
     val bNs = q.groupTimeNs.getOrElse(
       throw InfluxQLParseException("HOLT_WINTERS requires GROUP BY time(...)"))
     val (loOpt, hiOpt) = timeBounds(q.where)
@@ -1462,6 +1462,12 @@ object InfluxQLPlanner {
     // Holt fold: init l=v2, b=v2-v1, then fold elements 3..n. The lambda
     // reads only the OLD accumulator (Spark named_struct semantics), the
     // same op order as the recursive-CTE oracle — bit-identical doubles.
+    // WITH_FIT additionally carries the fitted series in the fold: the
+    // first two buckets are their own fit (they seed the state), every
+    // later bucket's fit is the ONE-STEP prediction l+b from the state
+    // BEFORE folding it in — the standard Holt in-sample fit. The extra
+    // accumulator field reads only old state, so l/b stay bit-identical
+    // to the plain variant.
     val folded = series
       .withColumn("__n", size(col("s")))
       .withColumn("__acc", expr(
@@ -1470,13 +1476,17 @@ object InfluxQLPlanner {
           |  named_struct(
           |    'l', CAST(element_at(s, least(size(s), 2)).__v AS DOUBLE),
           |    'b', CAST(element_at(s, least(size(s), 2)).__v
-          |           - element_at(s, 1).__v AS DOUBLE)),
+          |           - element_at(s, 1).__v AS DOUBLE),
+          |    'out', slice(array(CAST(element_at(s, 1).__v AS DOUBLE),
+          |                       CAST(element_at(s, least(size(s), 2)).__v AS DOUBLE)),
+          |                 1, least(size(s), 2))),
           |  (acc, x) -> named_struct(
           |    'l', 0.5 * x.__v + 0.5 * (acc.l + acc.b),
           |    'b', 0.3 * ((0.5 * x.__v + 0.5 * (acc.l + acc.b)) - acc.l)
-          |           + 0.7 * acc.b))""".stripMargin))
+          |           + 0.7 * acc.b,
+          |    'out', array_append(acc.out, acc.l + acc.b)))""".stripMargin))
       .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
-    val out = folded.select(
+    val forecasts = folded.select(
       tags.map(col) :+ col("s") :+ col("__n") :+ col("__acc") :+ col("__lastT") :+
         explode(expr(s"sequence(1, $steps)")).as("__h"): _*)
       .withColumn(name,
@@ -1486,6 +1496,15 @@ object InfluxQLPlanner {
         expr(s"timestamp_micros(unix_micros(__lastT) + __h * ${bNs / 1000L}L)"),
         timeFmt(q)))
       .select(col("time") +: tags.map(col) :+ col(name): _*)
+    val out = if (!fit) forecasts else {
+      val fits = folded.select(
+        tags.map(col) :+ col("s") :+ posexplode(expr("__acc.out")).as(Seq("__i", "__ev")): _*)
+        .withColumn(name, expr("floor(__ev * 10000) / 10000"))
+        .withColumn("time", date_format(
+          element_at(col("s"), col("__i") + 1).getField("__t"), timeFmt(q)))
+        .select(col("time") +: tags.map(col) :+ col(name): _*)
+      fits.unionAll(forecasts)
+    }
     limited(out.orderBy((if (q.orderDesc) col("time").desc else col("time").asc) +:
       tags.map(col): _*), q)
   }
@@ -1843,6 +1862,11 @@ object InfluxQLPlanner {
       case Seq(t: TransformField) if t.fn == "holt_winters" =>
         return if (t.param2.exists(_ > 0)) planHoltWintersSeasonal(spark, filtered, q, t)
                else planHoltWinters(spark, filtered, q, t)
+      case Seq(t: TransformField) if t.fn == "holt_winters_with_fit" =>
+        if (t.param2.exists(_ > 0))
+          throw InfluxQLParseException(
+            "HOLT_WINTERS_WITH_FIT supports S = 0 (Holt linear) only")
+        return planHoltWinters(spark, filtered, q, t, fit = true)
       case Seq(t: TransformField) if InfluxQLParser.Technical(t.fn) =>
         return planTechnical(spark, filtered, q, t)
       case Seq(t: TransformField) if t.inner.fn == "__raw" =>

@@ -518,6 +518,55 @@ object QInfluxQL {
         |GROUP BY time(1h), event_type""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_holt_fit",
+      "IQL70 (r9): HOLT_WINTERS_WITH_FIT(MEAN(value), 2, 0) — the in-sample fitted series " +
+        "(first two buckets seed and fit themselves; later buckets fit the one-step " +
+        "prediction l+b from the prior state) followed by the 2-step forecast",
+      """WITH RECURSIVE a AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, list(m ORDER BY t) AS vals, list(t ORDER BY t) AS ts_,
+        |         count(*) AS n, max(t) AS lastt
+        |  FROM a GROUP BY event_type),
+        |s(event_type, n, vals, ts_, lastt, i, l, b) AS (
+        |  SELECT event_type, n, vals, ts_, lastt, CAST(3 AS BIGINT),
+        |         vals[2]::DOUBLE, (vals[2] - vals[1])::DOUBLE
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT event_type, n, vals, ts_, lastt, i + 1,
+        |         0.5 * vals[i] + 0.5 * (l + b),
+        |         0.3 * ((0.5 * vals[i] + 0.5 * (l + b)) - l) + 0.7 * b
+        |  FROM s WHERE i <= n),
+        |fits AS (
+        |  SELECT strftime(ts_[1], '%Y-%m-%d %H:%M:%S') AS time, event_type,
+        |         floor(vals[1] * 10000) / 10000 AS hwf
+        |  FROM o WHERE n >= 1
+        |  UNION ALL
+        |  SELECT strftime(ts_[2], '%Y-%m-%d %H:%M:%S'), event_type,
+        |         floor(vals[2] * 10000) / 10000
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT strftime(ts_[i], '%Y-%m-%d %H:%M:%S'), event_type,
+        |         floor((l + b) * 10000) / 10000
+        |  FROM s WHERE i <= n),
+        |f AS (SELECT event_type, lastt, l, b FROM s WHERE i = n + 1),
+        |h AS (SELECT unnest(generate_series(1, 2)) AS h),
+        |fc AS (SELECT strftime(f.lastt + h.h * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS time,
+        |              f.event_type, floor((f.l + h.h * f.b) * 10000) / 10000 AS hwf
+        |       FROM f CROSS JOIN h)
+        |SELECT time, event_type, hwf FROM fits
+        |UNION ALL
+        |SELECT time, event_type, hwf FROM fc
+        |ORDER BY time, event_type""".stripMargin)(influx(
+      """SELECT HOLT_WINTERS_WITH_FIT(MEAN(value), 2, 0) AS hwf FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), event_type""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_star",
       "IQL28: SELECT * raw explore — all tags and fields with times",
       """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS time,
