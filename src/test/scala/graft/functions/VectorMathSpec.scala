@@ -62,7 +62,12 @@ class VectorMathSpec extends SparkTestBase {
       Double.NegativeInfinity, Double.MinPositiveValue, 1e300, -1e300, 1.5, -2.25)
     val elem = Gen.frequency(3 -> Gen.chooseNum(-1e6, 1e6), 1 -> special)
     val genVec = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, elem))
-    val vecs = Gen.listOfN(200, Gen.zip(genVec, genVec)).sample.get
+    val vecs = Gen.listOfN(200, Gen.zip(genVec, genVec)).sample.get ++ Seq(
+      // pinned: denormal squares underflow the norm to 0 while the
+      // cross-dot survives → guarded zero-norm, native ±Inf (found by fuzz)
+      (List(java.lang.Double.MIN_VALUE), List(1e6)),
+      (List(0.0, -0.0), List(1.0, 2.0)), // exact zero norm → NaN
+      (List.empty[Double], List.empty[Double])) // both empty → NaN
     import spark.implicits._
     val df2 = vecs.toDF("a", "b")
     // java.lang.Double.equals treats NaN == NaN and distinguishes ±0.0 —
@@ -82,9 +87,12 @@ class VectorMathSpec extends SparkTestBase {
           (!r.isNullAt(x) && !r.isNullAt(y) &&
             java.lang.Double.valueOf(r.getDouble(x)).equals(java.lang.Double.valueOf(r.getDouble(y))))
       // either bit-equal (incl. both-NULL, e.g. length mismatch), or the
-      // guarded zero-norm case where the ANSI HOF would throw → native NaN
+      // guarded zero-norm case where the ANSI HOF would throw → native
+      // IEEE x/0: NaN when the cross-dot is 0 too, ±Inf when denormal
+      // squares underflowed the norm to 0 but the cross-dot survived
       val cosOk = eqD(2, 3) ||
-        (r.isNullAt(3) && !r.isNullAt(2) && r.getDouble(2).isNaN)
+        (r.isNullAt(3) && !r.isNullAt(2) &&
+          (r.getDouble(2).isNaN || r.getDouble(2).isInfinite))
       eqD(0, 1) && cosOk
     }
     assert(bad.isEmpty, bad.take(3).map { case (r, i) =>
