@@ -29,4 +29,19 @@ class InfluxQLRoundTripSpec extends AnyFunSuite {
       reparsed == st
     })
   }
+
+  test("r9 TA / predictor spellings render round-trip") {
+    // the generator can't mix these into multi-field selects (they must be
+    // the SELECT's only field), so pin each spelling directly
+    val tail = "FROM events WHERE time >= '2024-01-01' AND time < '2024-01-02' GROUP BY time(1h)"
+    Seq(
+      s"SELECT DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) $tail",
+      s"SELECT TRIPLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9) $tail",
+      s"SELECT TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 9) $tail",
+      s"SELECT KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) $tail",
+      s"SELECT HOLT_WINTERS_WITH_FIT(MEAN(value), 3, 0) $tail").foreach { q =>
+      val st = InfluxQLParser.parse(q)
+      assert(InfluxQLParser.parse(InfluxQLRender.render(st)) === st, q)
+    }
+  }
 }
