@@ -1724,39 +1724,38 @@ object InfluxQLPlanner {
         val e1n = s"($a * x.__v + (1.0 - $a) * acc.e1)"
         val e2n = s"($a * $e1n + (1.0 - $a) * acc.e2)"
         val e3n = s"($a * $e2n + (1.0 - $a) * acc.e3)"
+        val isTrix = fn == "triple_exponential_derivative"
         val outExpr = fn match {
           case "exponential_moving_average"        => e1n
           case "double_exponential_moving_average" => s"(2 * $e1n - $e2n)"
           case "triple_exponential_moving_average" => s"(3 * $e1n - 3 * $e2n + $e3n)"
-          case _                                   => e3n // TRIX diffs e3 below
+          // TRIX diffs e3 IN the fold (acc.e3 = e3ₖ₋₁): indexing the fold's
+          // output with a post-hoc transform would re-inline the whole
+          // O(n) fold per element (measured 3.3 s vs 0.6 s at sf0.1)
+          case _ => s"(100.0 * ($e3n - acc.e3) / acc.e3)"
         }
-        // seed: every variant's first output equals the first bucket value
-        // (2v−v = v and 3v−3v+v = v bit-exactly in IEEE)
+        // seed: every non-TRIX variant's first output equals the first
+        // bucket value (2v−v = v and 3v−3v+v = v bit-exactly in IEEE);
+        // TRIX has no previous e3 at the first bucket, so its out starts
+        // empty and the first output lands on bucket 2 (__k0)
+        val outSeed =
+          if (isTrix) "CAST(array() AS ARRAY<DOUBLE>)"
+          else "array(CAST(element_at(s, 1).__v AS DOUBLE))"
         val grouped = kept.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
-        val folded = grouped.withColumn("__f", expr(
+        val staged = grouped.withColumn("__out", expr(
           s"""aggregate(
              |  slice(s, 2, greatest(size(s) - 1, 0)),
              |  named_struct(
              |    'e1', CAST(element_at(s, 1).__v AS DOUBLE),
              |    'e2', CAST(element_at(s, 1).__v AS DOUBLE),
              |    'e3', CAST(element_at(s, 1).__v AS DOUBLE),
-             |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
+             |    'out', $outSeed),
              |  (acc, x) -> named_struct(
              |    'e1', $e1n, 'e2', $e2n, 'e3', $e3n,
              |    'out', array_append(acc.out, $outExpr)),
              |  acc -> acc.out)""".stripMargin))
-        // __k0 = 1-based bucket index of the output array's first element
-        val staged =
-          if (fn == "triple_exponential_derivative")
-            folded.withColumn("__out", expr(
-              // sequence(2, 1) would run DESCENDING — guard 1-bucket series
-              "CASE WHEN size(__f) < 2 THEN CAST(array() AS ARRAY<DOUBLE>) " +
-                "ELSE transform(sequence(2, size(__f)), i -> " +
-                "100.0 * (element_at(__f, i) - element_at(__f, i - 1))" +
-                " / element_at(__f, i - 1)) END"))
-              .withColumn("__k0", lit(2))
-          else folded.withColumn("__out", col("__f")).withColumn("__k0", lit(1))
+          .withColumn("__k0", lit(if (isTrix) 2 else 1))
         staged.select(
           tags.map(col) :+ col("s") :+ col("__k0") :+
             posexplode(col("__out")).as(Seq("__i", "__ev")): _*)

@@ -184,5 +184,49 @@ object QAgg {
           round(col("med100") / 100, 4).as("med"), round(col("mad100") / 100, 4).as("mad"))
         .orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_funnel",
+      "Extension: sequential conversion funnel — first 'view', first 'click' AFTER it, " +
+        "first 'purchase' after that, per user (the ordered-pattern analytic). Three " +
+        "conditional min-aggregates + two joins, all keyed on user_id so the shuffle " +
+        "partitioning is planned once and reused; no per-user sort, no window over raw rows",
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |       strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |       strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c.withColumn("__hasC", lit(1)), Seq("user_id"), "left")
+        .join(p.withColumn("__hasP", lit(1)), Seq("user_id"), "left")
+        .select(col("user_id"),
+          tsS(col("t_view")).as("t_view"),
+          tsS(col("t_click")).as("t_click"),
+          tsS(col("t_purchase")).as("t_purchase"),
+          when(col("__hasP").isNotNull, 3)
+            .when(col("__hasC").isNotNull, 2).otherwise(1).cast("int").as("stage"))
+        .orderBy("user_id")
+    },
   )
 }
