@@ -200,5 +200,41 @@ object QWin {
           tsS(col("prev_ts")).as("gap_start"), tsS(col("ts")).as("gap_end"), col("gap_us"))
         .orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_xcorr",
+      "Extension: lagged cross-correlation between two series — does click activity " +
+        "predict purchases 0-3 hours later? Hourly counts first (the aggregate bounds the " +
+        "series to the dashboard grid, so the single-partition lead window is over ~10² " +
+        "rows, not raw events), then one stack/unpivot and a per-lag Pearson aggregate",
+      """WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |                  count(*) FILTER (WHERE event_type = 'click') AS c,
+        |                  count(*) FILTER (WHERE event_type = 'purchase') AS p
+        |           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |l AS (SELECT t, c, p,
+        |             lead(p, 1) OVER (ORDER BY t) AS p1,
+        |             lead(p, 2) OVER (ORDER BY t) AS p2,
+        |             lead(p, 3) OVER (ORDER BY t) AS p3 FROM b),
+        |u AS (SELECT 0 AS lag, c, p AS pl FROM l
+        |      UNION ALL SELECT 1, c, p1 FROM l
+        |      UNION ALL SELECT 2, c, p2 FROM l
+        |      UNION ALL SELECT 3, c, p3 FROM l)
+        |SELECT lag, count(pl) AS n_pairs, round(corr(c, pl), 4) AS r
+        |FROM u GROUP BY lag ORDER BY lag""".stripMargin) { (s, dir) =>
+      val b = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(when(col("event_type") === "click", 1)).as("c"),
+          count(when(col("event_type") === "purchase", 1)).as("p"))
+        .select(col("window.start").as("t"), col("c"), col("p"))
+      val wx = Window.orderBy("t")
+      b.withColumn("p1", lead(col("p"), 1).over(wx))
+        .withColumn("p2", lead(col("p"), 2).over(wx))
+        .withColumn("p3", lead(col("p"), 3).over(wx))
+        .selectExpr("stack(4, 0, c, p, 1, c, p1, 2, c, p2, 3, c, p3) AS (lag, c2, pl)")
+        .groupBy("lag")
+        .agg(count(col("pl")).as("n_pairs"), round(corr(col("c2"), col("pl")), 4).as("r"))
+        .orderBy("lag")
+    },
   )
 }
