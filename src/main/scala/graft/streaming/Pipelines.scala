@@ -116,6 +116,28 @@ object Pipelines {
         })
   }
 
+  /** T13 (r9): stream–stream INTERVAL JOIN — correlate live samples with a
+    * second live stream (operator commands / alarms) on the series key
+    * within a ±`toleranceSec` event-time band. Both sides are watermarked,
+    * and the join condition's time band is exactly what lets Spark bound
+    * the join state: a buffered row can be dropped once the other side's
+    * watermark passes its band (without the band, state grows forever).
+    * Inner join → a correlation emits only when both sides arrive; the
+    * band + watermark give the late-data contract.
+    */
+  def correlate(samples: DataFrame, commands: DataFrame,
+      toleranceSec: Int = 60, watermark: String = "30 seconds"): DataFrame = {
+    val e = samples.select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val c = commands.select(col("cmd_id"), col("user_id").as("cmd_user"),
+      col("cts"), col("action")).withWatermark("cts", watermark)
+    e.join(c, col("user_id") === col("cmd_user") &&
+      col("cts") >= col("ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+      col("cts") <= col("ts") + expr(s"INTERVAL $toleranceSec SECONDS"))
+      .select(col("event_id"), col("cmd_id"), col("user_id"), col("ts"), col("cts"),
+        col("action"))
+  }
+
   /** Parse the reference's interval enum ('min', '1s' … '300s',
     * ConfigApp.py:187) into a trigger; 'min' = as-fast-as-possible (T1).
     */
