@@ -302,6 +302,46 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_dedup_sizes",
+      "Extension: the duplication REPORT — near-dup cluster size distribution (how many " +
+        "clusters of 2, of 3, …, and how many docs they hold), the number every dedup run " +
+        "logs before anyone trusts the keep list. Two k-row aggregates over the shared " +
+        "cluster assignment",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH RECURSIVE $duckBase, $duckSig,
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |scored AS (SELECT p.doc_a, p.doc_b
+           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
+           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+           |          UNION ALL SELECT doc_b, doc_a FROM scored),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |       FROM reach GROUP BY src),
+           |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+           |SELECT cluster_size, count(*) AS n_clusters,
+           |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+           |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+      }) { (s, dir) =>
+      clusterGroups(s, dir)
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
+    GraftQuery(
       "q_pipeline_trainset",
       "Extension: the SHIPPED training-set pipeline — quality gate ∧ exact-dedup ∧ near-dup keep-list → stratified sample, one composed query",
       {

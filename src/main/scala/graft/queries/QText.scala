@@ -513,6 +513,52 @@ object QText {
     },
 
     GraftQuery(
+      "q_rag_index",
+      "Extension: the composed RAG index build — quality gate (≥ 40 tokens) → 32-token " +
+        "chunking → inner join to the embedded subset (doc-level embedding reused per " +
+        "chunk, the pre-chunk-embedding deployment shape); the int8-quantized vector is " +
+        "FINGERPRINTED (offset-positive polynomial fold → both engines' % agree) so the " +
+        "index row stays scalar-comparable. Chunk fan-out on executors, one equi-join",
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT * FROM t WHERE len(toks) >= 40),
+        |ch AS (SELECT doc_id, source,
+        |              unnest(range(0, (len(toks) + 31) // 32)) AS chunk_id,
+        |              unnest(list_transform(range(0, (len(toks) + 31) // 32),
+        |                      i -> array_to_string(toks[i*32+1 : i*32+32], ' '))) AS chunk_text,
+        |              unnest(list_transform(range(0, (len(toks) + 31) // 32),
+        |                      i -> len(toks[i*32+1 : i*32+32]))) AS n_chunk_tokens
+        |       FROM f),
+        |e AS (SELECT vec_id,
+        |             list_reduce(list_prepend(0::BIGINT,
+        |                 list_transform(embedding::DOUBLE[],
+        |                   x -> floor(greatest(least(x, 1.0), -1.0) * 127.0 + 0.5)::BIGINT + 127)),
+        |               (a, b) -> (a * 255 + b) % 1000000007) AS qv_fp
+        |      FROM embeddings)
+        |SELECT ch.doc_id, ch.chunk_id, ch.source,
+        |       CAST(ch.n_chunk_tokens AS BIGINT) AS n_chunk_tokens, ch.chunk_text, e.qv_fp
+        |FROM ch JOIN e ON e.vec_id = ch.doc_id
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val chunks = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 40)
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 32.0) AS INT) - 1)," +
+            " i -> struct(concat_ws(' ', slice(toks, i * 32 + 1, 32)) AS ctext," +
+            "            size(slice(toks, i * 32 + 1, 32)) AS ntok))")).as(Seq("chunk_id", "c")))
+      val emb = Q.embeddings(s, dir).select(col("vec_id"), expr(
+        "aggregate(transform(embedding," +
+          "  x -> cast(floor(greatest(least(cast(x AS double), 1.0D), -1.0D) * 127.0D + 0.5D)" +
+          "       AS bigint) + 127L)," +
+          " 0L, (a, b) -> (a * 255 + b) % 1000000007)").as("qv_fp"))
+      chunks.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("chunk_id"), col("source"),
+          col("c.ntok").cast("bigint").as("n_chunk_tokens"),
+          col("c.ctext").as("chunk_text"), col("qv_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    GraftQuery(
       "q_source_overlap",
       "Extension: cross-source contamination matrix — shared 8-token grams between every " +
         "source pair (the corpus-internal leakage audit a dataset builder runs before " +
