@@ -186,6 +186,35 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_winsorize",
+      "Extension: winsorization — clamp each series to its [p5, p95] band (the robust " +
+        "preprocessing step before training on sensor values; the clip twin of the MAD " +
+        "detector). Exact interpolated percentiles over integer cents; the final round(4) " +
+        "absorbs any cross-engine interpolation ulp before values are compared",
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  round(value * 100)::BIGINT AS v100 FROM events),
+        |m AS (SELECT event_type,
+        |             quantile_cont(v100, 0.05) AS p05,
+        |             quantile_cont(v100, 0.95) AS p95
+        |      FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |       round(least(greatest(v100, p05), p95) / 100, 4) AS clipped,
+        |       round(p05 / 100, 4) AS lo, round(p95 / 100, 4) AS hi
+        |FROM e JOIN m USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("v100"))
+      val m = e.groupBy("event_type").agg(
+        expr("percentile(v100, 0.05D)").as("p05"),
+        expr("percentile(v100, 0.95D)").as("p95"))
+      e.join(broadcast(m), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(least(greatest(col("v100"), col("p05")), col("p95")) / 100, 4).as("clipped"),
+          round(col("p05") / 100, 4).as("lo"), round(col("p95") / 100, 4).as("hi"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_funnel",
       "Extension: sequential conversion funnel — first 'view', first 'click' AFTER it, " +
         "first 'purchase' after that, per user (the ordered-pattern analytic). Three " +
