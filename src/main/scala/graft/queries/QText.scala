@@ -323,6 +323,36 @@ object QText {
     },
 
     GraftQuery(
+      "q_mixture_temperature",
+      "Extension: temperature-scaled mixture weights — w_s ∝ total_s^0.5 (α = 0.5, the " +
+        "multilingual-sampling rebalance that upweights small sources without drowning " +
+        "large ones), normalized, plus each source's share of a 100k-token budget. One " +
+        "k-row aggregate; sqrt is IEEE-correctly-rounded in both engines, round(4) " +
+        "absorbs the normalization sum's ordering ulp",
+      """WITH tok AS (SELECT source, count(*) AS n_docs,
+        |                    sum(len(string_split(text, ' '))) AS total
+        |             FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, total, sqrt(total::DOUBLE) AS w FROM tok),
+        |z AS (SELECT sum(w) AS z FROM t)
+        |SELECT source, n_docs, CAST(total AS BIGINT) AS total_tokens,
+        |       round(w / (SELECT z FROM z), 4) AS weight,
+        |       round(100000 * w / (SELECT z FROM z), 2) AS budget_tokens
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(split(col("text"), " "))).as("total"))
+        .withColumn("w", sqrt(col("total").cast("double")))
+        .transform(Q.materialize) // one tiny k-row table, read twice
+      // the normalizer is ONE double — driver-side (scalar-subquery joins
+      // plan an audit-banned BNLJ); summation-order ulps die in round(4)
+      val z = t.agg(sum(col("w"))).head.getDouble(0)
+      t.select(col("source"), col("n_docs"), col("total").cast("bigint").as("total_tokens"),
+        round(col("w") / z, 4).as("weight"),
+        round(lit(100000) * col("w") / z, 2).as("budget_tokens"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q_mixture_sample",
       "Extension: balanced domain-mixture downsample — every source contributes at most " +
         "the smallest source's token total (deterministic doc_id-ordered cumulative cut; " +
