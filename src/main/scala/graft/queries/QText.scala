@@ -323,6 +323,29 @@ object QText {
     },
 
     GraftQuery(
+      "q_embedding_coverage",
+      "Extension: embedding-coverage report — per source, how many docs have an embedding " +
+        "row (the pipeline-health check before any ANN/semantic-dedup stage; the testdata " +
+        "itself embeds only a prefix of the corpus at sf0.1). Left semi-join on doc_id, " +
+        "two k-row aggregates",
+      """WITH c AS (SELECT d.source, count(*) AS n_docs,
+        |                  count(e.vec_id) AS n_embedded
+        |           FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |           GROUP BY d.source)
+        |SELECT source, n_docs, n_embedded,
+        |       round(n_embedded::DOUBLE / n_docs, 4) AS coverage
+        |FROM c ORDER BY source""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(col("doc_id"), col("source"))
+        .join(Q.embeddings(s, dir).select(col("vec_id")),
+          col("vec_id") === col("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("vec_id")).as("n_embedded"))
+        .select(col("source"), col("n_docs"), col("n_embedded"),
+          round(col("n_embedded").cast("double") / col("n_docs"), 4).as("coverage"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q_mixture_temperature",
       "Extension: temperature-scaled mixture weights — w_s ∝ total_s^0.5 (α = 0.5, the " +
         "multilingual-sampling rebalance that upweights small sources without drowning " +
