@@ -1149,6 +1149,40 @@ class InfluxQLSpec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getLong(0) > 0)
   }
 
+  test("r9 EMA-family transforms run against the point store (DEMA/TRIX/KAMA/with-fit)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-store-ta").toFile
+    val ev = graft.tables.Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-05").cast("timestamp"))
+    graft.sinks.PointStore.writePartitioned(
+      ev.select(col("ts"), lit("plc1").as("measurement"),
+        col("event_type").as("alias"), col("value")), root.toString)
+    def run(fn: String) = InfluxQLPlanner.sqlStore(spark, root.toString,
+      s"""SELECT $fn AS v FROM plc1
+         |WHERE time >= '2024-01-01' AND time < '2024-01-05'
+         |GROUP BY time(6h), alias""".stripMargin).collect()
+    val ema = run("EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 4)")
+    val dema = run("DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 4)")
+    val trix = run("TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 4)")
+    val kama = run("KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 4)")
+    val fit = run("HOLT_WINTERS_WITH_FIT(MEAN(value), 2, 0)")
+    assert(ema.nonEmpty && dema.nonEmpty && kama.nonEmpty)
+    // same grid: EMA and DEMA emit one row per observed bucket; TRIX drops
+    // the first bucket per series; WITH_FIT adds 2 forecasts per series
+    assert(dema.length === ema.length)
+    val nSeries = ema.map(_.getString(1)).distinct.length
+    assert(trix.length === ema.length - nSeries)
+    assert(fit.length === ema.length + 2 * nSeries)
+    // first fitted value per series is the first bucket's MEAN itself
+    val firstFit = fit.minBy(r => (r.getString(1), r.getString(0)))
+    val firstMean = InfluxQLPlanner.sqlStore(spark, root.toString,
+      s"""SELECT MEAN(value) AS m FROM plc1
+         |WHERE time >= '2024-01-01' AND time < '2024-01-05'
+         |GROUP BY time(6h), alias""".stripMargin).collect()
+      .minBy(r => (r.getString(1), r.getString(0)))
+    assert(math.abs(firstFit.getDouble(2) - firstMean.getDouble(2)) < 1e-9)
+  }
+
   test("time predicates reach the parquet scan as native ts pushed filters") {
     val plan = InfluxQLPlanner.sql(spark, dir,
       """SELECT value FROM events
