@@ -455,6 +455,41 @@ object QVector {
     },
 
     GraftQuery(
+      "q_cluster_purity",
+      "Extension: clustering-quality diagnostic — per-cluster label purity against the " +
+        "corpus ground-truth labels (majority-label fraction; the number an unsupervised " +
+        "run reports when labels exist to audit against). One join to the label column + " +
+        "two k-row aggregates over the shared assignment",
+      s"""WITH $dKmeans,
+         |j AS (SELECT a2.vec_id, a2.cluster, e.label FROM a2
+         |      JOIN embeddings e ON e.vec_id = a2.vec_id),
+         |c AS (SELECT cluster, label, count(*) AS n FROM j GROUP BY 1, 2),
+         |t AS (SELECT cluster, label, n,
+         |             sum(n) OVER (PARTITION BY cluster) AS total,
+         |             row_number() OVER (PARTITION BY cluster
+         |                                ORDER BY n DESC, label) AS rnk
+         |      FROM c)
+         |SELECT cluster::BIGINT AS cluster, CAST(total AS BIGINT) AS n,
+         |       label::BIGINT AS top_label, round(n::DOUBLE / total, 4) AS purity
+         |FROM t WHERE rnk = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val a = kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("__a2.cid").as("cluster"))
+      val lbl = embeddings(s, dir).select(col("vec_id").as("lv"), col("label"))
+      val c = a.join(lbl, col("vec_id") === col("lv"))
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy("cluster")
+      val wr = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
+      c.withColumn("total", sum(col("n")).over(wc))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") === 1)
+        .select(col("cluster").cast("bigint").as("cluster"), col("total").as("n"),
+          col("label").cast("bigint").as("top_label"),
+          round(col("n").cast("double") / col("total"), 4).as("purity"))
+        .orderBy("cluster")
+    },
+
+    GraftQuery(
       "q_knn_ivf_kmeans",
       "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
         "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
