@@ -496,54 +496,94 @@ object QVector {
         "centroids by integer d2 and fine-search only the top-2 cells' members with exact " +
         "float cosine — the fine scan reads 2/k of the corpus",
       s"""WITH $dKmeans,
-         |pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe,
-         |              ${dQuant("embedding")}::BIGINT[] AS qp
-         |       FROM embeddings WHERE vec_id < 5),
-         |pc AS (SELECT pr.probe_id, c.cid,
-         |              CAST(list_dot_product(pr.qp::DOUBLE[], pr.qp::DOUBLE[])
-         |                 - 2 * list_dot_product(pr.qp::DOUBLE[], c.cv::DOUBLE[])
-         |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-         |       FROM pr CROSS JOIN c1 c),
-         |sel AS (SELECT probe_id, cid FROM pc
-         |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 2),
-         |cand AS (SELECT s.probe_id, a2.vec_id FROM sel s JOIN a2 ON a2.cluster = s.cid),
-         |scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
-         |                  ${dCos("e.embedding::DOUBLE[]", "pr.pe")} AS score
-         |           FROM cand c
-         |           JOIN embeddings e ON e.vec_id = c.vec_id
-         |           JOIN pr ON pr.probe_id = c.probe_id
-         |           WHERE c.vec_id <> c.probe_id),
-         |rk AS (SELECT probe_id, neighbor_id, score,
-         |              row_number() OVER (PARTITION BY probe_id
-         |                                 ORDER BY score DESC, neighbor_id) AS rnk
-         |       FROM scored)
+         |$dKmeansIvf
          |SELECT probe_id, neighbor_id, rnk, round(score, 4) AS score
-         |FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val (assignedRaw, c1) = kmeansModel(s, dir)
-      val assigned = assignedRaw
-        .select(col("vec_id"), col("embedding").as("ce"), col("__a2.cid").as("cluster"))
-      val sq = s; import sq.implicits._
-      // the trained quantizer is k×d longs — a literal broadcast table
-      val cents = c1.map { case (cid, cv) => (cid, cv.toArray) }.toDF("cid", "cv")
-      val probes = embeddings(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          expr(sQuant("embedding")).as("qp"))
-      val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
-      val sel = probes.crossJoin(broadcast(cents))
-        .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
-        .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
-        .select("probe_id", "pe", "cid")
-      val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
-      sel.join(assigned, col("cluster") === col("cid"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          expr(sCos("ce", "pe")).as("score_raw"))
-        .withColumn("rnk", row_number().over(wk))
-        .filter(col("rnk") <= 5)
+         |FROM kivf WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+      kmeansIvfTop(s, dir, 5)
         .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"),
           round(col("score_raw"), 4).as("score"))
         .orderBy("probe_id", "rnk")
     },
+
+    GraftQuery(
+      "q_knn_recall_kmeans",
+      "Extension: the ANN quality gate for the TRAINED quantizer — recall@5 of the " +
+        "k-means-IVF index against brute-force ground truth per probe (the self-validation " +
+        "a 100 TB index build runs on a sampled probe set; q_knn_recall's twin for the " +
+        "trained path)",
+      s"""WITH $dKmeans,
+         |$dKmeansIvf,
+         |$dPr,
+         |$dBrute
+         |SELECT b.probe_id, count(i.neighbor_id) / 5.0 AS recall5
+         |FROM (SELECT probe_id, neighbor_id FROM brute WHERE rnk <= 5) b
+         |LEFT JOIN (SELECT probe_id, neighbor_id FROM kivf WHERE rnk <= 5) i
+         |       ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin) { (s, dir) =>
+      val b = bruteTop(s, dir, 5).select("probe_id", "neighbor_id")
+      val i = kmeansIvfTop(s, dir, 5)
+        .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"))
+      b.join(i, col("probe_id") === col("i_probe") && col("neighbor_id") === col("i_neighbor"),
+          "left")
+        .groupBy("probe_id")
+        .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
+        .orderBy("probe_id")
+    },
   )
+
+  /** Trained-quantizer IVF ranking (probe → top-2 k-means cells → exact
+    * cosine over cell members): (probe_id, neighbor_id, rnk, score_raw).
+    * Shared by q_knn_ivf_kmeans and its recall gate. */
+  private def kmeansIvfTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assignedRaw, c1) = kmeansModel(s, dir)
+    val assigned = assignedRaw
+      .select(col("vec_id"), col("embedding").as("ce"), col("__a2.cid").as("cluster"))
+    val sq = s; import sq.implicits._
+    // the trained quantizer is k×d longs — a literal broadcast table
+    val cents = c1.map { case (cid, cv) => (cid, cv.toArray) }.toDF("cid", "cv")
+    val probes = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        expr(sQuant("embedding")).as("qp"))
+    val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
+    val sel = probes.crossJoin(broadcast(cents))
+      .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+      .select("probe_id", "pe", "cid")
+    val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
+    sel.join(assigned, col("cluster") === col("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        expr(sCos("ce", "pe")).as("score_raw"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB twin of [[kmeansIvfTop]] (needs [[dKmeans]] in scope):
+    * kpr → kpc (probe→centroid integer d2) → ksel (top-2 cells) → kcand →
+    * kscored → kivf(probe_id, neighbor_id, score, rnk). Distinct CTE names
+    * so it composes with dPr/dBrute in the recall oracle. */
+  // lazy: declared after `all`, which interpolates it at object init
+  private lazy val dKmeansIvf =
+    s"""kpr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe,
+       |              ${dQuant("embedding")}::BIGINT[] AS qp
+       |       FROM embeddings WHERE vec_id < 5),
+       |kpc AS (SELECT kpr.probe_id, c.cid,
+       |              CAST(list_dot_product(kpr.qp::DOUBLE[], kpr.qp::DOUBLE[])
+       |                 - 2 * list_dot_product(kpr.qp::DOUBLE[], c.cv::DOUBLE[])
+       |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+       |       FROM kpr CROSS JOIN c1 c),
+       |ksel AS (SELECT probe_id, cid FROM kpc
+       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 2),
+       |kcand AS (SELECT s.probe_id, a2.vec_id FROM ksel s JOIN a2 ON a2.cluster = s.cid),
+       |kscored AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
+       |                  ${dCos("e.embedding::DOUBLE[]", "kpr.pe")} AS score
+       |           FROM kcand c
+       |           JOIN embeddings e ON e.vec_id = c.vec_id
+       |           JOIN kpr ON kpr.probe_id = c.probe_id
+       |           WHERE c.vec_id <> c.probe_id),
+       |kivf AS (SELECT probe_id, neighbor_id, score,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY score DESC, neighbor_id) AS rnk
+       |       FROM kscored)""".stripMargin
 }
