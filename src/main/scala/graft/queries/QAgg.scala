@@ -186,6 +186,20 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_skew_salted_avg",
+      "Extension: two-stage SALTED aggregation (operators/Skew) under the oracle gate — " +
+        "the hot-key fix for a chatty PLC dominating one reducer: stage 1 aggregates on " +
+        "(key, salt) spreading the hot key over 32 reducers, stage 2 merges partials. " +
+        "Only algebraic aggregates decompose this way; the oracle is the PLAIN aggregate " +
+        "(same numbers, skew-proof plan)",
+      """SELECT event_type, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.saltedAvg(events(s, dir), "event_type", "value", salts = 32)
+        .select(col("event_type"), round(col("avg_value"), 4).as("avg_value"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
       "q_winsorize",
       "Extension: winsorization — clamp each series to its [p5, p95] band (the robust " +
         "preprocessing step before training on sensor values; the clip twin of the MAD " +
