@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -167,6 +168,39 @@ object QJoin {
         .groupBy("bucket_name")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket_name")
+    },
+
+    GraftQuery(
+      "q_fk_audit",
+      "Extension: referential-integrity audit — orphan counts across the star schema's " +
+        "foreign keys (the data-quality report every warehouse load runs; a healthy load " +
+        "reports zeros, the QUERY is the deliverable). Each edge is one left-anti join " +
+        "shuffled on its key; nothing is collected beyond the k-row report",
+      """SELECT 'lineitem->orders' AS fk, count(*) AS orphans
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer', count(*)
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer->nation', count(*)
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'supplier->nation', count(*)
+        |FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        |ORDER BY fk""".stripMargin) { (s, dir) =>
+      def orphans(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(name).as("fk"), col("orphans"))
+      orphans("lineitem->orders", lineitem(s, dir), "l_orderkey", orders(s, dir), "o_orderkey")
+        .unionAll(orphans("orders->customer", orders(s, dir), "o_custkey",
+          customer(s, dir), "c_custkey"))
+        .unionAll(orphans("customer->nation", customer(s, dir), "c_nationkey",
+          nation(s, dir), "n_nationkey"))
+        .unionAll(orphans("supplier->nation", supplier(s, dir), "s_nationkey",
+          nation(s, dir), "n_nationkey"))
+        .orderBy("fk")
     },
   )
 }
