@@ -114,6 +114,77 @@ object QJoin {
     },
 
     GraftQuery(
+      "q_join_nearest",
+      "Extension: NEAREST-sample join within ±6 h tolerance — sensor fusion's 'closest " +
+        "reading either side' (the bidirectional sibling of J5's backward as-of). Both " +
+        "directions run the same union+window trick (backward pass + mirrored forward " +
+        "pass — ONE shuffle on the series key, two sorts), then pick the smaller |Δt|, " +
+        "backward winning ties; the oracle spells the identical window logic so even " +
+        "equal-timestamp tie-breaks match engine-for-engine",
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, value, 1 AS is_probe FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, value, 0 AS is_probe FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS bval,
+        |    last_value(CASE WHEN is_probe = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS bts,
+        |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, is_probe, event_id DESC
+        |            ROWS UNBOUNDED PRECEDING) AS fval,
+        |    last_value(CASE WHEN is_probe = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, is_probe, event_id DESC
+        |            ROWS UNBOUNDED PRECEDING) AS fts
+        |  FROM u),
+        |p AS (
+        |  SELECT event_id, user_id, value,
+        |         epoch_us(ts) - bts AS bdt, fts - epoch_us(ts) AS fdt, bval, fval,
+        |         bts IS NOT NULL AND epoch_us(ts) - bts <= 21600000000 AS cb,
+        |         fts IS NOT NULL AND fts - epoch_us(ts) <= 21600000000 AS cf
+        |  FROM b WHERE is_probe = 1)
+        |SELECT event_id, user_id, value,
+        |       CASE WHEN cb AND (NOT cf OR bdt <= fdt) THEN bval
+        |            WHEN cf THEN fval END AS nearest_value,
+        |       CASE WHEN cb AND (NOT cf OR bdt <= fdt) THEN -bdt
+        |            WHEN cf THEN fdt END AS nearest_dt_us
+        |FROM p ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val u = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(1).as("is_probe"))
+        .unionByName(e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(0).as("is_probe")))
+      val refVal = when(col("is_probe") === 0, col("value"))
+      val refTs = when(col("is_probe") === 0, unix_micros(col("ts")))
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_probe"), col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tol = 21600000000L
+      val scored = u
+        .withColumn("bval", last(refVal, ignoreNulls = true).over(wB))
+        .withColumn("bts", last(refTs, ignoreNulls = true).over(wB))
+        .withColumn("fval", last(refVal, ignoreNulls = true).over(wF))
+        .withColumn("fts", last(refTs, ignoreNulls = true).over(wF))
+        .filter(col("is_probe") === 1)
+        .withColumn("bdt", unix_micros(col("ts")) - col("bts"))
+        .withColumn("fdt", col("fts") - unix_micros(col("ts")))
+        .withColumn("cb", col("bts").isNotNull && col("bdt") <= tol)
+        .withColumn("cf", col("fts").isNotNull && col("fdt") <= tol)
+      scored.select(col("event_id"), col("user_id"), col("value"),
+          when(col("cb") && (!col("cf") || col("bdt") <= col("fdt")), col("bval"))
+            .when(col("cf"), col("fval")).as("nearest_value"),
+          when(col("cb") && (!col("cf") || col("bdt") <= col("fdt")), -col("bdt"))
+            .when(col("cf"), col("fdt")).as("nearest_dt_us"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_join_bloom",
       "Extension: explicit bloom runtime-filter join — fact rows pruned by a dim-side bloom BEFORE the shuffle (BloomFns)",
       // The oracle is the PLAIN join: the bloom admits false positives but
