@@ -236,5 +236,39 @@ object QWin {
         .agg(count(col("pl")).as("n_pairs"), round(corr(col("c2"), col("pl")), 4).as("r"))
         .orderBy("lag")
     },
+
+    GraftQuery(
+      "q_dwell_time",
+      "Extension: state dwell times — how long each series stayed in each state before " +
+        "changing (the state-machine metric behind 'machine ran 4 h, idled 20 min'): " +
+        "gap-and-islands over state CHANGES (lag + running change-count), then one " +
+        "aggregate per run. One window shuffle on the series key, runs ≪ samples",
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |                  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |                       THEN 1 ELSE 0 END AS chg
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS run_id
+        |      FROM x)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, min(event_type) AS state,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us, count(*) AS n
+        |FROM i GROUP BY user_id, run_id ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
+      val wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wc = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(wd) <=> col("event_type")), 1).otherwise(0))
+        .withColumn("run_id", sum(col("chg")).over(wc))
+        .groupBy("user_id", "run_id")
+        .agg(min(col("event_type")).as("state"),
+          tsS(min(col("ts"))).as("t_start"), tsS(max(col("ts"))).as("t_end"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dwell_us"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("run_id").cast("bigint").as("run_id"), col("state"),
+          col("t_start"), col("t_end"), col("dwell_us"), col("n"))
+        .orderBy("user_id", "run_id")
+    },
   )
 }
