@@ -242,6 +242,51 @@ object QJoin {
     },
 
     GraftQuery(
+      "q_abc_analysis",
+      "Extension: ABC / Pareto revenue classification — rank parts by revenue, classify by " +
+        "cumulative share (A ≤ 80%, B ≤ 95%, C rest). Revenue aggregates per part FIRST " +
+        "(the ranking window then runs over parts ≪ lineitem rows); every comparison is " +
+        "DECIMAL-exact integer arithmetic (cum·5 ≤ total·4 for 80%), so no FP boundary " +
+        "can flip a class between engines",
+      """WITH r AS (SELECT l_partkey,
+        |                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |           FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(rev) AS total FROM r),
+        |c AS (SELECT l_partkey, rev,
+        |             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM r)
+        |SELECT l_partkey, round(CAST(rev AS DOUBLE), 4) AS revenue,
+        |       round(CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE), 4) AS cum_share,
+        |       CASE WHEN cum * 5 <= (SELECT total FROM t) * 4 THEN 'A'
+        |            WHEN cum * 20 <= (SELECT total FROM t) * 19 THEN 'B'
+        |            ELSE 'C' END AS abc
+        |FROM c ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      val r = lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .transform(Q.materialize) // feeds the total AND the ranking window
+      // the grand total is ONE decimal — driver-side (scalar-subquery joins
+      // plan an audit-banned BNLJ); exact, so no FP drift
+      val total = r.agg(sum(col("rev"))).head.getDecimal(0)
+      val wcum = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("cum", sum(col("rev")).over(wcum))
+        // scale-4 decimal → double → round(4): the true value HAS exactly 4
+        // decimals, so no rounding midpoint exists (round(2) would hit the
+        // .xx5 midpoints where Spark's shortest-repr and DuckDB's binary
+        // rounding disagree by a cent)
+        .select(col("l_partkey"), round(col("rev").cast("double"), 4).as("revenue"),
+          round(col("cum").cast("double") / lit(total).cast("double"), 4).as("cum_share"),
+          when(col("cum") * 5 <= lit(total) * 4, "A")
+            .when(col("cum") * 20 <= lit(total) * 19, "B")
+            .otherwise("C").as("abc"))
+        .orderBy("l_partkey")
+    },
+
+    GraftQuery(
       "q_fk_audit",
       "Extension: referential-integrity audit — orphan counts across the star schema's " +
         "foreign keys (the data-quality report every warehouse load runs; a healthy load " +
