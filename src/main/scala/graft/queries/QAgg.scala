@@ -271,5 +271,43 @@ object QAgg {
             .when(col("__hasC").isNotNull, 2).otherwise(1).cast("int").as("stage"))
         .orderBy("user_id")
     },
+
+    GraftQuery(
+      "q_ohlc",
+      "A12 (r9): OHLC candlestick downsample — open/high/low/close/count per series per hour " +
+        "(the financial-chart shape of InfluxQL FIRST/MAX/MIN/LAST + GROUP BY time(1h), " +
+        "ref README.md:3 Grafana panels). Open/close pick the bucket's earliest/latest point " +
+        "deterministically via asc/desc row_number over the SAME (user_id, hour) hash " +
+        "partitioning — Catalyst reuses one Exchange for both sorts and the final agg, so the " +
+        "whole query is a single shuffle; high/low/count ride the same hash aggregate.",
+      """WITH b AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t, value,
+        |         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close, count(*) AS n
+        |FROM b GROUP BY user_id, t ORDER BY user_id, hour_s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).withColumn("t", date_trunc("hour", col("ts")))
+      val wa = Window.partitionBy("user_id", "t").orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy("user_id", "t").orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("user_id", "t")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), tsS(col("t")).as("hour_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("user_id", "hour_s")
+    },
   )
 }

@@ -417,5 +417,59 @@ object QInflux {
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
         .orderBy("event_type")
     },
+
+    GraftQuery(
+      "q_cusum",
+      "W13 (r9): tabular CUSUM control chart per series — the SPC drift detector the " +
+        "reference's alarm panels approximate with thresholds (ref README.md:3 Grafana " +
+        "alerting). Fixed engineering target 50.0, slack k=2, alarm band h=100 (a spec'd " +
+        "target, not the sample mean — standard control-chart practice, and it keeps the " +
+        "fold free of cross-engine mean drift). Order-sensitive recurrence " +
+        "s+ = max(0, s+ + (v-50) - 2), s- = max(0, s- - (v-50) - 2), alarm when either " +
+        "exceeds h AFTER the update. One shuffle (groupBy user_id), per-series sorted fold " +
+        "via the aggregate HOF — interpreted, but over one collapsed array per series; the " +
+        "100 TB path for unbounded series is a typed Aggregator à la EmaAggregator " +
+        "(functions/EmaAggregator.scala) that streams without collect_list. Identical " +
+        "left-to-right op order as the DuckDB recursive CTE; floor-truncation only at the " +
+        "end (Q.scala parity rules).",
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |s(user_id, n, vals, i, sp, sn, alarms) AS (
+        |  SELECT user_id, n, vals, CAST(0 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE, CAST(0 AS BIGINT)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT user_id, n, vals, i + 1,
+        |         greatest(0.0, sp + (vals[i + 1] - 50.0) - 2.0),
+        |         greatest(0.0, sn - (vals[i + 1] - 50.0) - 2.0),
+        |         alarms + CASE WHEN greatest(0.0, sp + (vals[i + 1] - 50.0) - 2.0) > 100.0
+        |                         OR greatest(0.0, sn - (vals[i + 1] - 50.0) - 2.0) > 100.0
+        |                       THEN 1 ELSE 0 END
+        |  FROM s WHERE i < n)
+        |SELECT user_id,
+        |       floor(sp * 10000) / 10000 AS cusum_pos,
+        |       floor(sn * 10000) / 10000 AS cusum_neg,
+        |       alarms, n AS n_points
+        |FROM s WHERE i = n ORDER BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("pts"))
+        .withColumn("vals", expr("transform(pts, p -> p.value)"))
+        .withColumn("st", expr(
+          """aggregate(vals,
+            |  named_struct('sp', 0.0D, 'sn', 0.0D, 'alarms', 0L),
+            |  (a, v) -> named_struct(
+            |    'sp', greatest(0.0D, a.sp + (v - 50.0D) - 2.0D),
+            |    'sn', greatest(0.0D, a.sn - (v - 50.0D) - 2.0D),
+            |    'alarms', a.alarms + (CASE WHEN greatest(0.0D, a.sp + (v - 50.0D) - 2.0D) > 100.0D
+            |                                 OR greatest(0.0D, a.sn - (v - 50.0D) - 2.0D) > 100.0D
+            |                          THEN 1L ELSE 0L END)))""".stripMargin))
+        .select(col("user_id"),
+          (floor(col("st.sp") * 10000) / 10000).as("cusum_pos"),
+          (floor(col("st.sn") * 10000) / 10000).as("cusum_neg"),
+          col("st.alarms").as("alarms"),
+          size(col("vals")).cast("bigint").as("n_points"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -719,5 +719,43 @@ object QText {
         .select(col("rnk").cast("bigint").as("rnk"), col("pair"), col("n"))
         .orderBy("rnk")
     },
+
+    GraftQuery(
+      "q_doc_entropy",
+      "Extension (r9): per-document Shannon token entropy + type-token ratio — the classic " +
+        "training-corpus diversity/quality signals (low entropy = boilerplate/repetition; " +
+        "low TTR = template text). Two hash aggregates: (doc_id, token) counts, then a " +
+        "doc_id-partitioned window for the totals and the entropy agg reuse the SAME doc_id " +
+        "hash partitioning, so the token shuffle is the only wide exchange after the scan. " +
+        "At 100 TB both shuffles carry one row per distinct (doc, token) — the map-side " +
+        "combine has already collapsed repeats. round(4) absorbs cross-engine ln/sum ulps " +
+        "(Q.scala parity rules).",
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |     f AS (SELECT doc_id, token, count(*) AS c FROM t WHERE token <> '' GROUP BY 1, 2),
+        |     g AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS kinds FROM f GROUP BY 1)
+        |SELECT f.doc_id,
+        |       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 4) AS entropy,
+        |       round(kinds::DOUBLE / n, 4) AS ttr,
+        |       g.kinds AS distinct_tokens, g.n AS total_tokens
+        |FROM f JOIN g USING (doc_id) GROUP BY f.doc_id, g.kinds, g.n
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("c"))
+      val wDoc = Window.partitionBy("doc_id")
+      val p = col("c").cast("double") / col("n")
+      f.withColumn("n", sum(col("c")).over(wDoc))
+        .withColumn("kinds", count(lit(1)).over(wDoc))
+        .groupBy("doc_id")
+        .agg(
+          round(-sum(p * log(p)), 4).as("entropy"),
+          round(max(col("kinds")).cast("double") / max(col("n")), 4).as("ttr"),
+          max(col("kinds")).as("distinct_tokens"),
+          max(col("n")).as("total_tokens"))
+        .orderBy("doc_id")
+    },
   )
 }
