@@ -309,5 +309,45 @@ object QAgg {
           col("open"), col("high"), col("low"), col("close"), col("n"))
         .orderBy("user_id", "hour_s")
     },
+
+    GraftQuery(
+      "q_retention_cohort",
+      "A13 (r9): retention-cohort matrix — users bucketed by first-seen day, per-cohort " +
+        "fraction still active N days later (the device-fleet health twin: 'of the PLCs " +
+        "first seen Monday, how many still report on day N'). Three aggregates all keyed " +
+        "on user_id or the tiny cohort key: first-seen via groupBy(user_id), the activity " +
+        "matrix dedups (user, day) pairs map-side before the count, and cohort sizes join " +
+        "back broadcast (one row per cohort day — k rows at any scale). The only wide " +
+        "shuffle at 100 TB is the user_id hash join of events against first-seen, the " +
+        "partitioning a production events table would already be bucketed by.",
+      """WITH fw AS (
+        |  SELECT user_id, min(ts::DATE) AS cohort_d FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, fw.cohort_d,
+        |         datediff('day', fw.cohort_d, e.ts::DATE) AS days_since
+        |  FROM events e JOIN fw USING (user_id)),
+        |c AS (SELECT cohort_d, count(*) AS cohort_size FROM fw GROUP BY cohort_d)
+        |SELECT strftime(a.cohort_d, '%Y-%m-%d') AS cohort_day, a.days_since,
+        |       count(*) AS active_users, c.cohort_size,
+        |       round(count(*)::DOUBLE / c.cohort_size, 4) AS retention
+        |FROM a JOIN c USING (cohort_d)
+        |GROUP BY a.cohort_d, a.days_since, c.cohort_size
+        |ORDER BY cohort_day, days_since""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val fw = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_d"))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(fw, Seq("user_id"))
+        .select(col("user_id"), col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).as("days_since"))
+        .distinct()
+      val sizes = fw.groupBy("cohort_d").agg(count(lit(1)).as("cohort_size"))
+      act.groupBy("cohort_d", "days_since").agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), Seq("cohort_d"))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+          col("days_since").cast("bigint").as("days_since"),
+          col("active_users"), col("cohort_size"),
+          round(col("active_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy("cohort_day", "days_since")
+    },
   )
 }
