@@ -757,5 +757,49 @@ object QText {
           max(col("n")).as("total_tokens"))
         .orderBy("doc_id")
     },
+
+    GraftQuery(
+      "q_pmi_bigrams",
+      "Extension (r9): pointwise mutual information over adjacent-token bigrams (count >= 5) " +
+        "— the collocation detector behind phrase mining / BPE-style vocabulary induction " +
+        "(complements q_bpe_merge's raw pair counts with the association-strength score). " +
+        "Bigrams via zip_with over the token array and its 1-shifted slice (native, codegen'd " +
+        "— no self-join on position), unigram vocab joins back broadcast (vocab ≪ corpus at " +
+        "any scale), corpus total N is one driver-side long (a scalar-subquery crossJoin " +
+        "would plan the BNLJ PlanAuditSpec bans). ln-ratio on exact integer products " +
+        "(< 2^53, conversion exact) with round(4) absorbing cross-engine ln ulps.",
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |           FROM documents),
+        |z AS (SELECT unnest(list_zip(t, t[2:])) AS p FROM d),
+        |b AS (SELECT p[1] AS w1, p[2] AS w2 FROM z WHERE p[2] IS NOT NULL),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+        |u AS (SELECT unnest(t) AS w FROM d),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM u)
+        |SELECT bc.w1, bc.w2, bc.cb,
+        |       round(ln((bc.cb * n.n)::DOUBLE / (u1.c * u2.c)), 4) + 0 AS pmi
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN n
+        |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      val toks = Q.materialize(
+        Q.fanout(documents(s, dir))
+          .select(expr("filter(split(lower(text), ' '), x -> x != '')").as("t")))
+      val unig = toks.select(explode(col("t")).as("w"))
+      val uc = unig.groupBy("w").agg(count(lit(1)).as("c"))
+      val nTotal = unig.count() // driver-side scalar (Q.scala parity rules)
+      val pairLen = greatest(size(col("t")) - 1, lit(0))
+      val bc = toks
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), pairLen), slice(col("t"), lit(2), pairLen),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      bc.join(broadcast(uc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), Seq("w1"))
+        .join(broadcast(uc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), Seq("w2"))
+        .select(col("w1"), col("w2"), col("cb"),
+          (round(log((col("cb") * lit(nTotal)).cast("double") / (col("c1") * col("c2"))), 4) + 0)
+            .as("pmi")) // `+0` folds IEEE -0.0 (InfluxQLPlanner.scala:1878 convention)
+        .orderBy("w1", "w2")
+    },
   )
 }
