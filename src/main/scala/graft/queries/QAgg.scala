@@ -349,5 +349,33 @@ object QAgg {
           round(col("active_users").cast("double") / col("cohort_size"), 4).as("retention"))
         .orderBy("cohort_day", "days_since")
     },
+
+    GraftQuery(
+      "q_seasonal_profile",
+      "A14 (r9): hour-of-day seasonal profile per series type — the daily-cycle baseline " +
+        "(per-hour mean) and each hour's deviation from the series' overall mean, the " +
+        "seasonal-naive reference that W6's z-score and W13's CUSUM compare against. Both " +
+        "levels come from ONE partial aggregate: per-(type, hour) count+sum rows (k×24, tiny " +
+        "at any scale) re-aggregate to per-type totals and join back broadcast — the raw " +
+        "events are scanned exactly once. `+0` folds IEEE -0.0 on the near-zero deviations.",
+      """WITH h AS (
+        |  SELECT event_type, extract(hour FROM ts)::BIGINT AS hr,
+        |         count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS tn, sum(sv) AS tsv FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hr, h.n,
+        |       round(h.sv / h.n, 4) AS avg_v,
+        |       round(h.sv / h.n - t.tsv / t.tn, 4) + 0 AS seasonal_dev
+        |FROM h JOIN t USING (event_type) ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
+      val h = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val t = h.groupBy("event_type").agg(sum(col("n")).as("tn"), sum(col("sv")).as("tsv"))
+      h.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("n"),
+          round(col("sv") / col("n"), 4).as("avg_v"),
+          (round(col("sv") / col("n") - col("tsv") / col("tn"), 4) + 0).as("seasonal_dev"))
+        .orderBy("event_type", "hr")
+    },
   )
 }

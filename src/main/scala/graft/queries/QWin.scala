@@ -270,5 +270,35 @@ object QWin {
           col("t_start"), col("t_end"), col("dwell_us"), col("n"))
         .orderBy("user_id", "run_id")
     },
+
+    GraftQuery(
+      "q_markov_transitions",
+      "W14 (r9): state-transition probability matrix — P(next state | current state) across " +
+        "all series, the Markov-chain summary of the fleet's state machine (which states " +
+        "follow 'error'? is 'purchase' reachable from 'view'?). One window shuffle for the " +
+        "per-series lag, pair counts collapse map-side, per-state totals are a k-row " +
+        "broadcast join (k = distinct states — tiny at any scale).",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, count(*) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.n, t.tot, round(c.n::DOUBLE / t.tot, 4) AS p
+        |FROM c JOIN t USING (prev) ORDER BY prev, next""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("next"))
+        .groupBy("prev", "next")
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("prev").agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("prev"))
+        .select(col("prev"), col("next"), col("n"), col("tot"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("prev", "next")
+    },
   )
 }
