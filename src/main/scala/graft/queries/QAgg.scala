@@ -377,5 +377,63 @@ object QAgg {
           (round(col("sv") / col("n") - col("tsv") / col("tn"), 4) + 0).as("seasonal_dev"))
         .orderBy("event_type", "hr")
     },
+
+    GraftQuery(
+      "q_rfm_segments",
+      "A15 (r9): RFM customer segmentation over the orders star — recency/frequency/monetary " +
+        "quintile scores + named segments, the classic marketing-analytics rollup. One " +
+        "groupBy(custkey) aggregate; the anchor date is a driver-side scalar (a scalar " +
+        "subquery would plan the BNLJ PlanAuditSpec bans); money routes through " +
+        "DECIMAL(18,2) so the sum is order-independent; every ntile is tie-broken by " +
+        "custkey so quintile edges are deterministic in both engines. The global ntile " +
+        "windows are single-partition over one row per CUSTOMER (already aggregated — fine " +
+        "to ~100M rows); the 100 TB path swaps ntile for broadcast approx-quantile " +
+        "boundaries, same output contract.",
+      """WITH m AS (
+        |  SELECT o_custkey, max(o_orderdate::DATE) AS last_o, count(*) AS freq,
+        |         round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS money
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT max(o_orderdate::DATE) AS mx FROM orders),
+        |r AS (
+        |  SELECT o_custkey, datediff('day', last_o, (SELECT mx FROM x)) AS recency_d,
+        |         freq, money
+        |  FROM m),
+        |sc AS (
+        |  SELECT o_custkey, recency_d, freq, money,
+        |         ntile(5) OVER (ORDER BY recency_d DESC, o_custkey) AS r_score,
+        |         ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f_score,
+        |         ntile(5) OVER (ORDER BY money ASC, o_custkey) AS m_score
+        |  FROM r)
+        |SELECT o_custkey, recency_d, freq, money, r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+        |            ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, dir)
+      val mxStr = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0).toString
+      val m = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_o"),
+          count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("money"))
+        .withColumn("recency_d", datediff(lit(mxStr).cast("date"), col("last_o")))
+      val sc = m
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("recency_d").desc, col("o_custkey"))))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("freq").asc, col("o_custkey"))))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("money").asc, col("o_custkey"))))
+      sc.select(col("o_custkey"),
+          col("recency_d").cast("bigint").as("recency_d"), col("freq"), col("money"),
+          col("r_score").cast("int").as("r_score"), col("f_score").cast("int").as("f_score"),
+          col("m_score").cast("int").as("m_score"),
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+            .when(col("r_score") >= 4 && col("f_score") <= 2, "recent_light")
+            .otherwise("regular").as("segment"))
+        .orderBy("o_custkey")
+    },
   )
 }

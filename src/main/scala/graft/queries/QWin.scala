@@ -300,5 +300,48 @@ object QWin {
           round(col("n").cast("double") / col("tot"), 4).as("p"))
         .orderBy("prev", "next")
     },
+
+    GraftQuery(
+      "q_sessionize",
+      "W15 (r9): batch sessionization — split each series into activity sessions at >6h " +
+        "inactivity gaps, emit per-session stats (the batch twin of q_stream_session's " +
+        "streaming session window; same semantics, replayable over history). Classic " +
+        "gap-and-islands: lag flags session starts, a running sum numbers them, one " +
+        "aggregate per session — all three steps reuse the SAME user_id window/grouping " +
+        "partitioning, so the whole query is one shuffle of the scan.",
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) > 21600000000 OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM s),
+        |f AS (SELECT user_id, sess::BIGINT AS session_id, count(*) AS n_events,
+        |             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+        |             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end,
+        |             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS dur_s
+        |      FROM g GROUP BY user_id, sess)
+        |SELECT * FROM f ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+               col("us") - lag(col("us"), 1).over(w) > 21600000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_s")).over(wRun))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          tsS(min(col("ts"))).as("t_start"),
+          tsS(max(col("ts"))).as("t_end"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("bigint").as("dur_s"))
+        .select(col("user_id"), col("sess").cast("bigint").as("session_id"),
+          col("n_events"), col("t_start"), col("t_end"), col("dur_s"))
+        .orderBy("user_id", "session_id")
+    },
   )
 }
