@@ -343,5 +343,43 @@ object QWin {
           col("n_events"), col("t_start"), col("t_end"), col("dur_s"))
         .orderBy("user_id", "session_id")
     },
+
+    GraftQuery(
+      "q_lag_features",
+      "W16 (r9): supervised feature materialization — per (series, t) row emit lag-1/lag-2, " +
+        "rolling 5-point mean/std, and the NEXT value as the forecast target: the training-" +
+        "set constructor for per-series forecasting models. Every feature and the target " +
+        "ride ONE (user_id, ts) window partitioning — a single shuffle materializes the " +
+        "whole feature matrix; warm-up rows (rn < 5) and the last row of each series " +
+        "(no target) are dropped so every emitted row is a complete training example. " +
+        "round(4) absorbs cross-engine avg/stddev summation ulps.",
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER w AS rn,
+        |         lag(value, 1) OVER w AS lag1,
+        |         lag(value, 2) OVER w AS lag2,
+        |         round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        |           AS roll_mean5,
+        |         round(stddev_samp(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        |           AS roll_std5,
+        |         lead(value, 1) OVER w AS target
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value, lag1, lag2, roll_mean5, roll_std5, target
+        |FROM f WHERE rn >= 5 AND target IS NOT NULL ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-4, Window.currentRow)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("lag1", lag(col("value"), 1).over(w))
+        .withColumn("lag2", lag(col("value"), 2).over(w))
+        .withColumn("roll_mean5", round(avg(col("value")).over(wf), 4))
+        .withColumn("roll_std5", round(stddev_samp(col("value")).over(wf), 4))
+        .withColumn("target", lead(col("value"), 1).over(w))
+        .filter(col("rn") >= 5 && col("target").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"), col("lag1"), col("lag2"),
+          col("roll_mean5"), col("roll_std5"), col("target"))
+        .orderBy("event_id")
+    },
   )
 }
