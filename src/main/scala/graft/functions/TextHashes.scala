@@ -33,7 +33,13 @@ object TextHash {
     val str = s.toString
     var acc = 0L
     var i = 0
-    while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += 1 }
+    // Advance by full codepoint: a non-BMP char must contribute exactly one
+    // fold step (the oracle's string_split+unicode iterates per codepoint).
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
     acc
   }
 
@@ -43,7 +49,11 @@ object TextHash {
     def fold(s: UTF8String): Unit = {
       val str = s.toString
       var i = 0
-      while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += 1 }
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * 31 + cp) % Mod
+        i += Character.charCount(cp)
+      }
     }
     fold(t1); acc = (acc * 31 + ' '.toInt) % Mod
     fold(t2); acc = (acc * 31 + ' '.toInt) % Mod

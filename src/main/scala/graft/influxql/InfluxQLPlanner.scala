@@ -1486,12 +1486,14 @@ object InfluxQLPlanner {
           |           + 0.7 * acc.b,
           |    'out', array_append(acc.out, acc.l + acc.b)))""".stripMargin))
       .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
-    val forecasts = folded.select(
+    // A single-bucket series has no trend to extrapolate: InfluxDB's fitter
+    // needs >= 2 points, and the recursive-CTE oracles only seed at n >= 2 —
+    // emit no forecast rows for it (in fit mode it still gets its one
+    // self-fit row from __acc.out below).
+    val forecasts = folded.filter(col("__n") >= 2).select(
       tags.map(col) :+ col("s") :+ col("__n") :+ col("__acc") :+ col("__lastT") :+
         explode(expr(s"sequence(1, $steps)")).as("__h"): _*)
-      .withColumn(name,
-        when(col("__n") === 1, element_at(col("s"), 1).getField("__v"))
-          .otherwise(expr(s"floor((__acc.l + __h * __acc.b) * 10000) / 10000")))
+      .withColumn(name, expr(s"floor((__acc.l + __h * __acc.b) * 10000) / 10000"))
       .withColumn("time", date_format(
         expr(s"timestamp_micros(unix_micros(__lastT) + __h * ${bNs / 1000L}L)"),
         timeFmt(q)))
@@ -2041,7 +2043,12 @@ object InfluxQLPlanner {
     val nBuckets = (bNUs - b0Us) / (nsPer / 1000L) + 1
     val maxBuckets = spark.conf.getOption("graft.influxql.maxSelectBuckets")
       .map(_.toLong).getOrElse(1000000L)
-    if (nBuckets > maxBuckets)
+    // Guard only the sub-second grids that motivated it (IQL67): a
+    // whole-second-or-coarser grid such as GROUP BY time(1s) over two weeks
+    // (1.2M buckets) is a long-standing valid dashboard query — refusing it
+    // would be a silent behavior regression (ADVICE r9). Sub-second widths
+    // can explode to hundreds of millions of rows per series and stay gated.
+    if (nsPer < 1000000000L && nBuckets > maxBuckets)
       throw InfluxQLParseException(
         s"fill() grid would span $nBuckets buckets per series (max $maxBuckets) — " +
           "narrow the WHERE time range or widen GROUP BY time " +

@@ -102,7 +102,11 @@ object Pipelines {
           if (state.hasTimedOut) {
             val last = state.get
             state.remove() // alert once; the next sample re-arms
-            Iterator.single(DeadmanAlert(uid, new java.sql.Timestamp(last), gapMs))
+            // Report the OBSERVED silence, not the configured gap: the
+            // watermark may be well past last + gap when the timeout fires
+            // (ADVICE r9 — the field previously always echoed gapMs).
+            val silent = math.max(state.getCurrentWatermarkMs() - last, gapMs)
+            Iterator.single(DeadmanAlert(uid, new java.sql.Timestamp(last), silent))
           } else {
             val maxTs = it.map(_._2.getTime)
               .foldLeft(state.getOption.getOrElse(Long.MinValue))(math.max)

@@ -44,6 +44,39 @@ class TextHashesSpec extends SparkTestBase {
     }
   }
 
+  private def refCodepointHash(s: String): Long = {
+    var acc = 0L
+    s.codePoints().forEach(cp => acc = (acc * 31 + cp) % CP)
+    acc
+  }
+
+  test("poly_hash folds whole codepoints: non-BMP chars contribute one step, not surrogate pairs") {
+    import spark.implicits._
+    TextHash.register(spark)
+    // U+1F600 (emoji) and U+10348 are surrogate pairs in UTF-16; each must
+    // fold exactly once with its full codepoint, matching the DuckDB
+    // string_split+unicode per-codepoint iteration.
+    val samples = Seq("a😀b", "𐍈", "mixed 😀😁 tail", "plain ascii", "")
+    val out = samples.toDF("s").selectExpr("poly_hash(s) AS h").as[Long].collect()
+    samples.zip(out).foreach { case (s, h) =>
+      assert(h === refCodepointHash(s), s"input codepoints ${s.codePoints().toArray.toSeq}")
+    }
+    // And the ASCII fast path still agrees with the char-wise reference.
+    assert(out(3) === refTokenHash("plain ascii"))
+  }
+
+  test("token_hashes and shingle_hashes agree with the codepoint fold on non-BMP tokens") {
+    import spark.implicits._
+    TextHash.register(spark)
+    val toks = Seq("café", "😀", "x𐍈y")
+    val th = Seq(Tuple1(toks)).toDF("toks")
+      .selectExpr("token_hashes(toks) AS hs").as[Seq[Long]].head()
+    assert(th === toks.map(refCodepointHash))
+    val sh = Seq(Tuple1(toks)).toDF("toks")
+      .selectExpr("shingle_hashes(toks) AS hs").as[Seq[Long]].head()
+    assert(sh === Seq(refCodepointHash(toks.mkString(" "))))
+  }
+
   test("shingle_hashes == distinct hashes of 3-token windows; null-containing windows skipped") {
     import spark.implicits._
     TextHash.register(spark)

@@ -70,6 +70,14 @@ class InfluxQLSpec extends SparkTestBase {
         |WHERE time >= '2024-01-01' AND time < '2024-01-03'
         |GROUP BY time(500u) fill(previous)""".stripMargin))
     assert(e.getMessage.contains("buckets"), e.getMessage)
+    // but a whole-second grid is NOT gated even past the bucket cap: GROUP BY
+    // time(1s) fill(previous) over 2 weeks (1.2M buckets) is a valid
+    // long-standing dashboard query (ADVICE r9 — the guard is scoped to the
+    // sub-second widths that motivated it). Planning must not throw.
+    InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-15'
+        |GROUP BY time(1s) fill(previous)""".stripMargin)
   }
 
   test("time literals: date, datetime, RFC3339, raw epoch ns") {
@@ -1181,6 +1189,27 @@ class InfluxQLSpec extends SparkTestBase {
          |GROUP BY time(6h), alias""".stripMargin).collect()
       .minBy(r => (r.getString(1), r.getString(0)))
     assert(math.abs(firstFit.getDouble(2) - firstMean.getDouble(2)) < 1e-9)
+  }
+
+  test("HOLT_WINTERS over a single-bucket series: no forecast rows; WITH_FIT emits the one self-fit") {
+    // One 1h bucket per series. A lone bucket has no trend — InfluxDB's
+    // fitter needs >= 2 points, and the recursive-CTE oracles only seed at
+    // n >= 2, so plain mode must emit nothing and fit mode exactly the
+    // per-series self-fit row (ADVICE r9: the old __n===1 branch fabricated
+    // constant forecasts the oracle never emits).
+    def run(fn: String) = InfluxQLPlanner.sql(spark, dir,
+      s"""SELECT $fn AS v FROM events
+         |WHERE time >= '2024-01-01' AND time < '2024-01-01T01:00:00Z'
+         |GROUP BY time(1h), event_type""".stripMargin).collect()
+    val plain = run("HOLT_WINTERS(MEAN(value), 2, 0)")
+    assert(plain.isEmpty, s"single-bucket plain HW must forecast nothing, got ${plain.length}")
+    val fit = run("HOLT_WINTERS_WITH_FIT(MEAN(value), 2, 0)")
+    val nSeries = InfluxQLPlanner.sql(spark, dir,
+      s"""SELECT MEAN(value) AS m FROM events
+         |WHERE time >= '2024-01-01' AND time < '2024-01-01T01:00:00Z'
+         |GROUP BY time(1h), event_type""".stripMargin).collect().length
+    assert(nSeries > 0 && fit.length === nSeries,
+      s"fit mode must emit exactly one self-fit row per series ($nSeries), got ${fit.length}")
   }
 
   test("time predicates reach the parquet scan as native ts pushed filters") {

@@ -39,7 +39,10 @@ class DeadmanSpec extends SparkTestBase {
     // (last_seen 2 + gap 1 < wm 10) fires
     ms.addData(Ev(5, ts(11), 1, "click", 1.0))
     q.processAllAvailable()
-    assert(alerts() === List(DeadmanAlert(2, ts(2), 60000L)))
+    // silent_for_ms is the OBSERVED silence (watermark at fire time − last
+    // seen), not the configured gap: series 2 last reported minute 2 and the
+    // timeout fired once the watermark reached minute 10 → 8 min silent.
+    assert(alerts() === List(DeadmanAlert(2, ts(2), 480000L)))
 
     // series 2 returns at minute 12 → re-armed; series 1 then goes silent
     ms.addData(Ev(6, ts(12), 2, "view", 1.0))
@@ -50,6 +53,8 @@ class DeadmanSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     val fin = alerts().toSet
-    assert(fin === Set(DeadmanAlert(2, ts(2), 60000L), DeadmanAlert(1, ts(11), 60000L)))
+    // series 1 last reported minute 11; its timeout fires once the watermark
+    // passes minute 12 — i.e. at watermark 30 → observed silence 19 min.
+    assert(fin === Set(DeadmanAlert(2, ts(2), 480000L), DeadmanAlert(1, ts(11), 1140000L)))
   }
 }
