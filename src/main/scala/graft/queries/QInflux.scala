@@ -426,12 +426,13 @@ object QInflux {
         "target, not the sample mean — standard control-chart practice, and it keeps the " +
         "fold free of cross-engine mean drift). Order-sensitive recurrence " +
         "s+ = max(0, s+ + (v-50) - 2), s- = max(0, s- - (v-50) - 2), alarm when either " +
-        "exceeds h AFTER the update. One shuffle (groupBy user_id), per-series sorted fold " +
-        "via the aggregate HOF — interpreted, but over one collapsed array per series; the " +
-        "100 TB path for unbounded series is a typed Aggregator à la EmaAggregator " +
-        "(functions/EmaAggregator.scala) that streams without collect_list. Identical " +
-        "left-to-right op order as the DuckDB recursive CTE; floor-truncation only at the " +
-        "end (Q.scala parity rules).",
+        "exceeds h AFTER the update. One shuffle (repartition on user_id) + in-partition " +
+        "sort + a streaming group-adjacent fold carrying exactly (s+, s-, alarms, n) — " +
+        "O(1) state per series regardless of length (functions/Cusum.scala; the r9 " +
+        "collect_list spelling buffered whole series in one aggregation buffer and is " +
+        "pinned OUT of this plan by PlanAuditSpec; CusumByKeySpec pins both spellings " +
+        "equal). Identical left-to-right op order as the DuckDB recursive CTE; " +
+        "floor-truncation only at the end (Q.scala parity rules).",
       """WITH RECURSIVE o AS (
         |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
         |  FROM events GROUP BY user_id),
@@ -451,24 +452,14 @@ object QInflux {
         |       floor(sn * 10000) / 10000 AS cusum_neg,
         |       alarms, n AS n_points
         |FROM s WHERE i = n ORDER BY user_id""".stripMargin) { (s, dir) =>
-      events(s, dir)
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("pts"))
-        .withColumn("vals", expr("transform(pts, p -> p.value)"))
-        .withColumn("st", expr(
-          """aggregate(vals,
-            |  named_struct('sp', 0.0D, 'sn', 0.0D, 'alarms', 0L),
-            |  (a, v) -> named_struct(
-            |    'sp', greatest(0.0D, a.sp + (v - 50.0D) - 2.0D),
-            |    'sn', greatest(0.0D, a.sn - (v - 50.0D) - 2.0D),
-            |    'alarms', a.alarms + (CASE WHEN greatest(0.0D, a.sp + (v - 50.0D) - 2.0D) > 100.0D
-            |                                 OR greatest(0.0D, a.sn - (v - 50.0D) - 2.0D) > 100.0D
-            |                          THEN 1L ELSE 0L END)))""".stripMargin))
+      graft.functions.Cusum.cusumByKey(
+          events(s, dir).select(col("user_id"), col("ts_ns"), col("event_id"), col("value")),
+          target = 50.0, slack = 2.0, band = 100.0)
+        .toDF()
         .select(col("user_id"),
-          (floor(col("st.sp") * 10000) / 10000).as("cusum_pos"),
-          (floor(col("st.sn") * 10000) / 10000).as("cusum_neg"),
-          col("st.alarms").as("alarms"),
-          size(col("vals")).cast("bigint").as("n_points"))
+          (floor(col("cusum_pos") * 10000) / 10000).as("cusum_pos"),
+          (floor(col("cusum_neg") * 10000) / 10000).as("cusum_neg"),
+          col("alarms"), col("n_points"))
         .orderBy("user_id")
     },
   )

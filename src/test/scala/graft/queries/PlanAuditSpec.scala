@@ -245,6 +245,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the sortWithinPartitions + mapPartitions fold:\n$plan")
   }
 
+  test("q_cusum folds with O(1) state (no collect_list buffer in the plan)") {
+    val plan = planOf("q_cusum")
+    assert(!plan.contains("collect_list"),
+      s"CUSUM must stream-fold, not buffer whole series per key:\n$plan")
+    assert(plan.contains("MapPartitions") && plan.toLowerCase.contains("sort"),
+      s"expected the repartition + sortWithinPartitions + mapPartitions fold:\n$plan")
+  }
+
   test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(1000).toDF("id").repartition(target)
