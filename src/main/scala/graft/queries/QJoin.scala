@@ -245,9 +245,14 @@ object QJoin {
       "q_abc_analysis",
       "Extension: ABC / Pareto revenue classification — rank parts by revenue, classify by " +
         "cumulative share (A ≤ 80%, B ≤ 95%, C rest). Revenue aggregates per part FIRST " +
-        "(the ranking window then runs over parts ≪ lineitem rows); every comparison is " +
+        "(the ranking runs over parts ≪ lineitem rows); every comparison is " +
         "DECIMAL-exact integer arithmetic (cum·5 ≤ total·4 for 80%), so no FP boundary " +
-        "can flip a class between engines",
+        "can flip a class between engines. The cumulative sum is a two-pass " +
+        "range-partitioned prefix sum (r10): range-partition by (rev DESC, l_partkey), " +
+        "per-partition running sums under Window.partitionBy(pid), and the k partition " +
+        "totals come back as broadcast offsets — no row ever crosses a single-reducer " +
+        "Exchange, so a 10⁹-row part dimension stays parallel (PlanAuditSpec pins " +
+        "SinglePartition out of the plan)",
       """WITH r AS (SELECT l_partkey,
         |                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
@@ -263,17 +268,38 @@ object QJoin {
         |            WHEN cum * 20 <= (SELECT total FROM t) * 19 THEN 'B'
         |            ELSE 'C' END AS abc
         |FROM c ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val r = lineitem(s, dir)
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
-        .transform(Q.materialize) // feeds the total AND the ranking window
-      // the grand total is ONE decimal — driver-side (scalar-subquery joins
-      // plan an audit-banned BNLJ); exact, so no FP drift
-      val total = r.agg(sum(col("rev"))).head.getDecimal(0)
-      val wcum = Window.orderBy(col("rev").desc, col("l_partkey"))
+        // pid is frozen by the materialize: the offsets pass and the window
+        // pass below must see the SAME partition ids
+        .repartitionByRange(col("rev").desc, col("l_partkey"))
+        .withColumn("pid", spark_partition_id())
+        .transform(Q.materialize)
+      // Pass 1: k partition totals (k = shuffle partitions, driver-bounded).
+      // Range partitioning makes pid order ≡ global (rev DESC, l_partkey)
+      // order, so offset(pid) = Σ totals of lower pids; decimal addition is
+      // exact and associative, so the grand total from the same k rows is
+      // bit-identical to a direct sum (scalar-subquery joins plan an
+      // audit-banned BNLJ, hence driver-side).
+      val ptots = r.groupBy("pid").agg(sum(col("rev")).as("ptot"))
+        .collect().map(row => (row.getInt(0), row.getDecimal(1))).sortBy(_._1)
+      val total = ptots.map(_._2).reduce(_ add _)
+      val offsets = ptots.scanLeft((0, java.math.BigDecimal.ZERO)) {
+        case ((_, acc), (pid, ptot)) => (pid + 1, acc add ptot)
+      }.init.zip(ptots).map { case ((_, off), (pid, _)) => (pid, off.toString) }
+      val revType = r.schema("rev").dataType
+      val offDf = broadcast(offsets.toSeq.toDF("pid", "off_s")
+        .select(col("pid"), col("off_s").cast(revType).as("off")))
+      // Pass 2: per-partition running sum + broadcast offset. partitionBy(pid)
+      // keeps every partition's rows on one task but never funnels the whole
+      // dimension through one reducer.
+      val wcum = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      r.withColumn("cum", sum(col("rev")).over(wcum))
+      r.join(offDf, "pid")
+        .withColumn("cum", sum(col("rev")).over(wcum) + col("off"))
         // scale-4 decimal → double → round(4): the true value HAS exactly 4
         // decimals, so no rounding midpoint exists (round(2) would hit the
         // .xx5 midpoints where Spark's shortest-repr and DuckDB's binary

@@ -253,6 +253,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the repartition + sortWithinPartitions + mapPartitions fold:\n$plan")
   }
 
+  test("q_abc_analysis cumsum never funnels through one reducer (no SinglePartition Exchange)") {
+    // r10: the Pareto running sum is a range-partitioned two-pass prefix sum —
+    // per-pid windows + broadcast offsets. The r9 global Window.orderBy would
+    // show `Exchange SinglePartition` and serialize a 10⁹-row part dimension.
+    val plan = planOf("q_abc_analysis")
+    assert(!plan.contains("SinglePartition"),
+      s"Pareto cumsum must stay parallel:\n$plan")
+    assert(plan.contains("hashpartitioning(pid"),
+      s"expected the per-partition window keyed on pid:\n$plan")
+  }
+
   test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(1000).toDF("id").repartition(target)
