@@ -385,10 +385,12 @@ object QAgg {
         "groupBy(custkey) aggregate; the anchor date is a driver-side scalar (a scalar " +
         "subquery would plan the BNLJ PlanAuditSpec bans); money routes through " +
         "DECIMAL(18,2) so the sum is order-independent; every ntile is tie-broken by " +
-        "custkey so quintile edges are deterministic in both engines. The global ntile " +
-        "windows are single-partition over one row per CUSTOMER (already aggregated — fine " +
-        "to ~100M rows); the 100 TB path swaps ntile for broadcast approx-quantile " +
-        "boundaries, same output contract.",
+        "custkey so quintile edges are deterministic in both engines. The three quintile " +
+        "scores run through Q.distributedNtile (r10): range-partitioned exact global rank " +
+        "+ broadcast count offsets + the SQL ntile bucket formula — bit-equal to the " +
+        "global window (RfmNtileSpec pins both branches) but with no single-reducer sort, " +
+        "so a 10⁹-row customer dimension stays parallel. `graft.rfm.globalNtile=true` " +
+        "opts back into the legacy one-window-per-score spelling.",
       """WITH m AS (
         |  SELECT o_custkey, max(o_orderdate::DATE) AS last_o, count(*) AS freq,
         |         round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS money
@@ -418,13 +420,22 @@ object QAgg {
           count(lit(1)).as("freq"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("money"))
         .withColumn("recency_d", datediff(lit(mxStr).cast("date"), col("last_o")))
-      val sc = m
-        .withColumn("r_score",
-          ntile(5).over(Window.orderBy(col("recency_d").desc, col("o_custkey"))))
-        .withColumn("f_score",
-          ntile(5).over(Window.orderBy(col("freq").asc, col("o_custkey"))))
-        .withColumn("m_score",
-          ntile(5).over(Window.orderBy(col("money").asc, col("o_custkey"))))
+      val sc =
+        if (s.conf.getOption("graft.rfm.globalNtile").exists(_.toBoolean))
+          m.withColumn("r_score",
+              ntile(5).over(Window.orderBy(col("recency_d").desc, col("o_custkey"))))
+            .withColumn("f_score",
+              ntile(5).over(Window.orderBy(col("freq").asc, col("o_custkey"))))
+            .withColumn("m_score",
+              ntile(5).over(Window.orderBy(col("money").asc, col("o_custkey"))))
+        else {
+          val r = Q.distributedNtile(m, 5,
+            Seq(col("recency_d").desc, col("o_custkey")), "r_score")
+          val f = Q.distributedNtile(r, 5,
+            Seq(col("freq").asc, col("o_custkey")), "f_score")
+          Q.distributedNtile(f, 5,
+            Seq(col("money").asc, col("o_custkey")), "m_score")
+        }
       sc.select(col("o_custkey"),
           col("recency_d").cast("bigint").as("recency_d"), col("freq"), col("money"),
           col("r_score").cast("int").as("r_score"), col("f_score").cast("int").as("f_score"),

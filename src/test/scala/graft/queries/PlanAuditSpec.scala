@@ -264,6 +264,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the per-partition window keyed on pid:\n$plan")
   }
 
+  test("q_rfm_segments quintile scores never funnel through one reducer") {
+    // r10: Q.distributedNtile replaces the three global ntile windows —
+    // the legacy spelling shows `Exchange SinglePartition` three times.
+    val plan = planOf("q_rfm_segments")
+    assert(!plan.contains("SinglePartition"),
+      s"RFM scoring must stay parallel:\n$plan")
+  }
+
   test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(1000).toDF("id").repartition(target)

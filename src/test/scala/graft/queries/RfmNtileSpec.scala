@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{Registry, SparkTestBase}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins Q.distributedNtile (r10 — range-partitioned exact global rank +
+  * broadcast offsets + SQL bucket formula) bit-equal to the single-reducer
+  * `ntile(n) OVER (ORDER BY …)` it replaces, and the two q_rfm_segments
+  * branches (flag `graft.rfm.globalNtile`) equal on the real orders table.
+  */
+class RfmNtileSpec extends SparkTestBase {
+
+  private def globalNtile(df: org.apache.spark.sql.DataFrame, n: Int,
+                          sort: Seq[org.apache.spark.sql.Column], out: String) =
+    df.withColumn(out, ntile(n).over(Window.orderBy(sort: _*)))
+
+  private def pinEqual(df: org.apache.spark.sql.DataFrame, n: Int,
+                       sort: Seq[org.apache.spark.sql.Column]): Unit = {
+    val a = Q.distributedNtile(df, n, sort, "nt").orderBy("id").collect()
+    val b = globalNtile(df, n, sort, "nt").orderBy("id").collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("distributedNtile == ntile window: N % n != 0, ties split by the tie-break column") {
+    import spark.implicits._
+    // 11 rows over 5 buckets (first bucket gets the extra row); value ties
+    // at v=3 must split across bucket edges by id order, exactly as ntile.
+    val df = (1 to 11).map(i => (i.toLong, if (i <= 6) 3.0 else i.toDouble))
+      .toDF("id", "v").repartition(4)
+    pinEqual(df, 5, Seq(col("v").asc, col("id")))
+    pinEqual(df, 5, Seq(col("v").desc, col("id")))
+  }
+
+  test("distributedNtile == ntile window: fewer rows than buckets, and exact multiples") {
+    import spark.implicits._
+    val tiny = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    pinEqual(tiny, 5, Seq(col("v").asc, col("id")))
+    val exact = (1 to 20).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v").repartition(3)
+    pinEqual(exact, 5, Seq(col("v").asc, col("id")))
+  }
+
+  test("distributedNtile == ntile window on a 10k-row frame across many partitions") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v").repartition(16)
+    pinEqual(df, 5, Seq(col("v").asc, col("id")))
+  }
+
+  test("q_rfm_segments: distributed branch == legacy global-window branch on real orders") {
+    val dir = "/root/testdata/sf0.001"
+    val dist = Registry.byName("q_rfm_segments").run(spark, dir).collect()
+    spark.conf.set("graft.rfm.globalNtile", "true")
+    try {
+      val legacy = Registry.byName("q_rfm_segments").run(spark, dir).collect()
+      assert(dist.length === legacy.length && dist.length > 0)
+      dist.zip(legacy).foreach { case (x, y) => assert(x === y) }
+    } finally spark.conf.unset("graft.rfm.globalNtile")
+  }
+}
