@@ -196,26 +196,49 @@ object QVector {
 
   /** Quantized corpus + both Lloyd-iteration assignments, shared by
     * q_cluster_kmeans and q_dedup_semantic: (vec_id, qv, __a1, __a2)
-    * where __a1/__a2 are (d2, cid) structs under the seed / 1-step
+    * where __a1/__a2 are (d2, cid) structs under the seed / trained
     * centroids. Materialized so the two corpus passes run once.
     */
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame =
     kmeansModel(s, dir)._1
 
   /** The trained model: the assigned corpus (vec_id, embedding, qv, __a1,
-    * __a2) AND the 1-step centroids — q_knn_ivf_kmeans reads the centroids
+    * __a2) AND the trained centroids — q_knn_ivf_kmeans reads the centroids
     * as its coarse quantizer (the "swap the stand-in for a trained
     * quantizer" path promised by the IVF design note).
     */
+  /** k and Lloyd convergence budget — mirrored EXACTLY in [[dKmeans]]. */
+  private val KmeansK = 8
+  private val LloydIters = 5
+
   private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), expr(sQuant("embedding")).as("qv")))
-    val init: Seq[(Int, Seq[Long])] = qdf.filter(col("vec_id") < 8)
-      .select("vec_id", "qv").collect().sortBy(_.getLong(0))
-      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toVector)).toSeq
-    val c1 = lloydStep(qdf, init)
-    (qdf.withColumn("__a1", assignCol("qv", init))
-       .withColumn("__a2", assignCol("qv", c1)), c1)
+    // Farthest-point (k-center greedy) seeding — the deterministic twin of
+    // kmeans++ (r10, VERDICT r9 #5; the r8-r9 seed was literally the first
+    // 8 corpus rows): seed 0 is the min-vec_id vector, each next seed is
+    // the vector maximizing its distance to the chosen set, ties to the
+    // lowest vec_id. Integer d2 throughout → DuckDB picks the same seeds.
+    // k-1 bounded passes over the materialized corpus, one row collected
+    // per pass — the driver never holds more than k×d longs.
+    val v0 = qdf.agg(min(col("vec_id"))).head().getLong(0)
+    var seeds: Vector[(Int, Seq[Long])] = Vector(
+      0 -> qdf.filter(col("vec_id") === v0).select("qv").head().getSeq[Long](0).toVector)
+    for (j <- 1 until KmeansK) {
+      val dists = seeds.map { case (_, cv) => d2Lit("qv", cv) }
+      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = qdf.withColumn("__dmin", dmin)
+        .orderBy(col("__dmin").desc, col("vec_id").asc)
+        .select("qv").head().getSeq[Long](0).toVector
+      seeds :+= (j -> (pick: Seq[Long]))
+    }
+    // Lloyd to a fixed budget (5 iterations converges on this corpus; a
+    // fixed count rather than a movement epsilon keeps the oracle twin a
+    // finite CTE chain).
+    var c: Seq[(Int, Seq[Long])] = seeds
+    for (_ <- 1 to LloydIters) c = lloydStep(qdf, c)
+    (qdf.withColumn("__a1", assignCol("qv", seeds))
+       .withColumn("__a2", assignCol("qv", c)), c)
   }
 
   /** One Lloyd update: assign (projection), recompute centroids (one k×d
@@ -236,34 +259,60 @@ object QVector {
     cents.map { case (cid, old) => cid -> byCid.getOrElse(cid, old) }
   }
 
-  /** DuckDB twin of [[kmeansModel]] as a shared CTE prefix: quantized
-    * corpus `q`, seed centroids `c0`, iteration-1 assignment `a1`, updated
-    * centroids `c1`, final assignment `a2(vec_id, qv, cluster, d2)`.
+  /** Integer squared-L2 between two BIGINT[] lists in DuckDB. */
+  private def dD2(a: String, b: String): String =
+    s"""CAST(list_dot_product($a::DOUBLE[], $a::DOUBLE[])
+       | - 2 * list_dot_product($a::DOUBLE[], $b::DOUBLE[])
+       | + list_dot_product($b::DOUBLE[], $b::DOUBLE[]) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of [[kmeansModel]] as a shared CTE prefix, GENERATED to
+    * mirror the training loop exactly: quantized corpus `q`; farthest-point
+    * seeds `kseed0..kseed{k-1}` (each step picks argmax min-distance, ties
+    * to the lowest vec_id); seed centroids `c0`; [[LloydIters]] Lloyd
+    * blocks `kd/ka/ks/kn/kc{t}` (assign → per-dim floored mean → empty
+    * clusters keep the previous centroid); exposes `a1(vec_id, qv, cl1,
+    * d2)` = the seed assignment, `cf(cid, cv)` = trained centroids, and
+    * `a2(vec_id, qv, cluster, d2)` = the final assignment.
     */
-  private val dKmeans =
-    s"""q AS (SELECT vec_id, ${dQuant("embedding")}
-       |                  ::BIGINT[] AS qv
-       |           FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
-       |d1 AS (SELECT q.vec_id, q.qv, c.cid,
-       |              CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-       |                 - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-       |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-       |       FROM q CROSS JOIN c0 c),
-       |a1 AS (SELECT vec_id, qv, cid AS cl1, d2 FROM d1
-       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-       |s1 AS (SELECT a1.cl1 AS cid, t.i,
-       |              CAST(floor(sum(a1.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
-       |       FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
-       |c1n AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM s1 GROUP BY cid),
-       |c1 AS (SELECT c0.cid, coalesce(c1n.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1n USING (cid)),
-       |d2x AS (SELECT q.vec_id, q.qv, c.cid,
-       |               CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
-       |                  - 2 * list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
-       |                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-       |        FROM q CROSS JOIN c1 c),
-       |a2 AS (SELECT vec_id, qv, cid AS cluster, d2 FROM d2x
-       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""".stripMargin
+  private val dKmeans: String = {
+    val sb = new StringBuilder
+    sb ++= s"""q AS MATERIALIZED (SELECT vec_id, ${dQuant("embedding")}
+              |                  ::BIGINT[] AS qv
+              |           FROM embeddings),
+              |kseed0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, qv AS cv FROM q
+              |           WHERE vec_id = (SELECT min(vec_id) FROM q)),
+              |""".stripMargin
+    for (j <- 1 until KmeansK) {
+      sb ++= s"""kcand$j AS MATERIALIZED (SELECT q.vec_id, q.qv, min(${dD2("q.qv", "s.cv")}) AS dmin
+                |            FROM q CROSS JOIN kseed${j - 1} s GROUP BY q.vec_id, q.qv),
+                |kpick$j AS MATERIALIZED (SELECT $j AS cid, vec_id, qv AS cv FROM kcand$j
+                |            ORDER BY dmin DESC, vec_id LIMIT 1),
+                |kseed$j AS MATERIALIZED (SELECT * FROM kseed${j - 1} UNION ALL SELECT * FROM kpick$j),
+                |""".stripMargin
+    }
+    sb ++= s"c0 AS MATERIALIZED (SELECT cid, cv FROM kseed${KmeansK - 1}),\n"
+    for (t <- 1 to LloydIters) {
+      val prev = if (t == 1) "c0" else s"kc${t - 1}"
+      sb ++= s"""kd$t AS MATERIALIZED (SELECT q.vec_id, q.qv, c.cid, ${dD2("q.qv", "c.cv")} AS d2
+                |        FROM q CROSS JOIN $prev c),
+                |ka$t AS MATERIALIZED (SELECT vec_id, qv, cid, d2 FROM kd$t
+                |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+                |ks$t AS MATERIALIZED (SELECT ka$t.cid, t.i,
+                |              CAST(floor(sum(ka$t.qv[t.i])::DOUBLE / count(*)) AS BIGINT) AS cv_i
+                |        FROM ka$t CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+                |kn$t AS MATERIALIZED (SELECT cid, list(cv_i ORDER BY i) AS cv FROM ks$t GROUP BY cid),
+                |kc$t AS MATERIALIZED (SELECT p.cid, coalesce(kn$t.cv, p.cv) AS cv
+                |        FROM $prev p LEFT JOIN kn$t USING (cid)),
+                |""".stripMargin
+    }
+    sb ++= s"""a1 AS MATERIALIZED (SELECT vec_id, qv, cid AS cl1, d2 FROM ka1),
+              |cf AS MATERIALIZED (SELECT cid, cv FROM kc$LloydIters),
+              |fd AS MATERIALIZED (SELECT q.vec_id, q.qv, c.cid, ${dD2("q.qv", "c.cv")} AS d2
+              |       FROM q CROSS JOIN cf c),
+              |a2 AS MATERIALIZED (SELECT vec_id, qv, cid AS cluster, d2 FROM fd
+              |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""".stripMargin
+    sb.toString
+  }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -390,7 +439,7 @@ object QVector {
 
     GraftQuery(
       "q_cluster_kmeans",
-      "Extension: k-means embedding clustering (k=8, 2 Lloyd iterations) over int8-quantized " +
+      "Extension: k-means embedding clustering (k=8, farthest-point seeding + 5 Lloyd iterations) over int8-quantized " +
         "vectors — assignment is a ZERO-shuffle codegen'd projection (centroids are broadcast " +
         "literals, the MLlib pattern); the update is one kxd aggregate and only kxd longs ever " +
         "reach the driver. Integer arithmetic end to end -> bit-exact DuckDB parity",
@@ -493,8 +542,8 @@ object QVector {
       "q_knn_ivf_kmeans",
       "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
         "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
-        "centroids by integer d2 and fine-search only the top-2 cells' members with exact " +
-        "float cosine — the fine scan reads 2/k of the corpus",
+        "centroids by integer d2 and fine-search only the top-3 cells' members with exact " +
+        "float cosine — the fine scan reads 3/k of the corpus",
       s"""WITH $dKmeans,
          |$dKmeansIvf
          |SELECT probe_id, neighbor_id, rnk, round(score, 4) AS score
@@ -531,7 +580,7 @@ object QVector {
     },
   )
 
-  /** Trained-quantizer IVF ranking (probe → top-2 k-means cells → exact
+  /** Trained-quantizer IVF ranking (probe → top-3 k-means cells → exact
     * cosine over cell members): (probe_id, neighbor_id, rnk, score_raw).
     * Shared by q_knn_ivf_kmeans and its recall gate. */
   private def kmeansIvfTop(s: SparkSession, dir: String, k: Int): DataFrame = {
@@ -548,7 +597,7 @@ object QVector {
     val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
     val sel = probes.crossJoin(broadcast(cents))
       .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
-      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 3)
       .select("probe_id", "pe", "cid")
     val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
     sel.join(assigned, col("cluster") === col("cid"))
@@ -560,7 +609,7 @@ object QVector {
   }
 
   /** DuckDB twin of [[kmeansIvfTop]] (needs [[dKmeans]] in scope):
-    * kpr → kpc (probe→centroid integer d2) → ksel (top-2 cells) → kcand →
+    * kpr → kpc (probe→centroid integer d2) → ksel (top-3 cells) → kcand →
     * kscored → kivf(probe_id, neighbor_id, score, rnk). Distinct CTE names
     * so it composes with dPr/dBrute in the recall oracle. */
   // lazy: declared after `all`, which interpolates it at object init
@@ -572,9 +621,9 @@ object QVector {
        |              CAST(list_dot_product(kpr.qp::DOUBLE[], kpr.qp::DOUBLE[])
        |                 - 2 * list_dot_product(kpr.qp::DOUBLE[], c.cv::DOUBLE[])
        |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
-       |       FROM kpr CROSS JOIN c1 c),
+       |       FROM kpr CROSS JOIN cf c),
        |ksel AS (SELECT probe_id, cid FROM kpc
-       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 2),
+       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 3),
        |kcand AS (SELECT s.probe_id, a2.vec_id FROM ksel s JOIN a2 ON a2.cluster = s.cid),
        |kscored AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
        |                  ${dCos("e.embedding::DOUBLE[]", "kpr.pe")} AS score
