@@ -60,8 +60,7 @@ object QVector {
     * 64-dim sums ≤ ~1e6 ≪ 2^53), so both engines compute bit-identical
     * dots.
     */
-  private def sQuant(c: String) =
-    s"transform($c, x -> floor(greatest(least(cast(x AS double), 1.0D), -1.0D) * 127.0D + 0.5D))"
+  private def sQuant(c: String) = graft.functions.Kmeans.quantExpr(c)
   private def dQuant(c: String) =
     s"list_transform($c::DOUBLE[], x -> floor(greatest(least(x, 1.0), -1.0) * 127.0 + 0.5))"
 
@@ -186,13 +185,12 @@ object QVector {
     * DuckDB agree bit-for-bit.
     */
   private def d2Lit(qcol: String, cent: Seq[Long]): org.apache.spark.sql.Column =
-    expr(s"vec_l2sq($qcol, array(${cent.map(v => s"${v}L").mkString(",")}))")
+    graft.functions.Kmeans.d2Lit(qcol, cent)
 
   /** argmin over the k centroids, ties to the lowest cluster id — struct
     * ordering makes array_min the lexicographic (d2, cid) minimum. */
   private def assignCol(qcol: String, cents: Seq[(Int, Seq[Long])]): org.apache.spark.sql.Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(d2Lit(qcol, cv).as("d2"), lit(cid).as("cid")) }: _*))
+    graft.functions.Kmeans.assignCol(qcol, cents)
 
   /** Quantized corpus + both Lloyd-iteration assignments, shared by
     * q_cluster_kmeans and q_dedup_semantic: (vec_id, qv, __a1, __a2)
@@ -214,49 +212,15 @@ object QVector {
   private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), expr(sQuant("embedding")).as("qv")))
-    // Farthest-point (k-center greedy) seeding — the deterministic twin of
-    // kmeans++ (r10, VERDICT r9 #5; the r8-r9 seed was literally the first
-    // 8 corpus rows): seed 0 is the min-vec_id vector, each next seed is
-    // the vector maximizing its distance to the chosen set, ties to the
-    // lowest vec_id. Integer d2 throughout → DuckDB picks the same seeds.
-    // k-1 bounded passes over the materialized corpus, one row collected
-    // per pass — the driver never holds more than k×d longs.
-    val v0 = qdf.agg(min(col("vec_id"))).head().getLong(0)
-    var seeds: Vector[(Int, Seq[Long])] = Vector(
-      0 -> qdf.filter(col("vec_id") === v0).select("qv").head().getSeq[Long](0).toVector)
-    for (j <- 1 until KmeansK) {
-      val dists = seeds.map { case (_, cv) => d2Lit("qv", cv) }
-      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
-      val pick = qdf.withColumn("__dmin", dmin)
-        .orderBy(col("__dmin").desc, col("vec_id").asc)
-        .select("qv").head().getSeq[Long](0).toVector
-      seeds :+= (j -> (pick: Seq[Long]))
-    }
-    // Lloyd to a fixed budget (5 iterations converges on this corpus; a
-    // fixed count rather than a movement epsilon keeps the oracle twin a
-    // finite CTE chain).
-    var c: Seq[(Int, Seq[Long])] = seeds
-    for (_ <- 1 to LloydIters) c = lloydStep(qdf, c)
+    // Training lives in graft.functions.Kmeans (r10 — shared with the
+    // VectorIndexStore lifecycle artifact): farthest-point seeding (the
+    // deterministic kmeans++ twin; r8-r9 seeded with literally the first
+    // 8 corpus rows) + a fixed [[LloydIters]] Lloyd budget (a fixed count
+    // rather than a movement epsilon keeps the oracle twin a finite CTE
+    // chain). Integer d2 throughout → DuckDB retraces every step.
+    val (seeds, c) = graft.functions.Kmeans.train(qdf, KmeansK, LloydIters)
     (qdf.withColumn("__a1", assignCol("qv", seeds))
        .withColumn("__a2", assignCol("qv", c)), c)
-  }
-
-  /** One Lloyd update: assign (projection), recompute centroids (one k×d
-    * hash aggregate), collect the k×d longs to the driver — the bounded
-    * driver-side state every distributed k-means carries (same shape as
-    * MLlib's). `floor(sum/count)` keeps centroids integer and therefore
-    * engine-portable; empty clusters keep their previous centroid.
-    */
-  private def lloydStep(qdf: DataFrame, cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
-    val rows = qdf.withColumn("__a", assignCol("qv", cents))
-      .select(col("__a.cid").as("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .collect()
-    val byCid = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
-      cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toVector.asInstanceOf[Seq[Long]]
-    }
-    cents.map { case (cid, old) => cid -> byCid.getOrElse(cid, old) }
   }
 
   /** Integer squared-L2 between two BIGINT[] lists in DuckDB. */

@@ -1,0 +1,141 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Kmeans, VectorMath}
+
+/** IVF vector index as a STORE LIFECYCLE artifact (r10, VERDICT r9 #6).
+  *
+  * The QVector query family trains its coarse quantizer per query run —
+  * right for a one-shot analytic, wrong for a serving store where
+  * embeddings keep arriving: a 100 TB corpus cannot re-cluster on every
+  * append. This store gives the index the same lifecycle as parquet
+  * compaction ([[PointStoreDirect.compact]], IQL63):
+  *
+  *  - `build` trains centroids (farthest-point seeding + Lloyd,
+  *    [[graft.functions.Kmeans]]) and writes the inverted lists as a
+  *    parquet table PARTITIONED BY cluster — a probe's fine scan prunes
+  *    to nprobe directories at the file-listing level;
+  *  - `append` lands new vectors in `delta/` (one bounded parquet write,
+  *    no index work on the ingest path — the lazy invalidation: the index
+  *    is simply stale while delta is non-empty);
+  *  - `tick` (the daemon-tick hook) ASSIGNS delta vectors to the existing
+  *    centroids — one bounded pass over delta only, centroids untouched —
+  *    and folds them into the partitioned lists. Only when the unindexed
+  *    fraction passes `retrainFraction` does it retrain from the full
+  *    corpus (the compaction analogy: appends are cheap, the expensive
+  *    fold is amortized and incremental);
+  *  - `search` reads centroids (k×d longs), picks top-`nprobe` cells on
+  *    the driver, and fine-scans ONLY those cluster partitions with exact
+  *    float cosine.
+  *
+  * Layout: `indexDir/centroids.parquet` (cid, cv), `indexDir/lists/`
+  * (cluster=…/ partitioned: vec_id, embedding), `indexDir/delta/`.
+  * Callers serialize mutations exactly like store compaction (the HTTP
+  * server's write lock); `search` between an `append` and the next `tick`
+  * serves the indexed corpus — the documented staleness window, readable
+  * via [[staleCount]].
+  */
+object VectorIndexStore {
+
+  private def listsDir(d: String) = s"$d/lists"
+  private def deltaDir(d: String) = s"$d/delta"
+  private def centPath(d: String) = s"$d/centroids.parquet"
+
+  private def quantized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      expr(Kmeans.quantExpr("embedding")).as("qv"))
+
+  private def loadCentroids(spark: SparkSession, indexDir: String): Seq[(Int, Seq[Long])] =
+    spark.read.parquet(centPath(indexDir))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toVector: Seq[Long]))
+      .sortBy(_._1).toSeq
+
+  private def writeCentroids(spark: SparkSession, indexDir: String,
+      cents: Seq[(Int, Seq[Long])]): Unit = {
+    val sq = spark; import sq.implicits._
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(centPath(indexDir))
+  }
+
+  /** Train on `emb` (vec_id, embedding) and write the full index. */
+  def build(spark: SparkSession, emb: DataFrame, indexDir: String,
+      k: Int = 8, iters: Int = 5): Unit = {
+    VectorMath.register(spark)
+    val qdf = graft.queries.Q.materialize(quantized(emb))
+    val (_, cents) = Kmeans.train(qdf, k, iters)
+    writeCentroids(spark, indexDir, cents)
+    qdf.withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+      .select("vec_id", "embedding", "cluster")
+      .write.partitionBy("cluster").mode("overwrite").parquet(listsDir(indexDir))
+  }
+
+  /** Land new vectors unindexed — the ingest path does NO index work. */
+  def append(spark: SparkSession, emb: DataFrame, indexDir: String): Unit =
+    emb.select("vec_id", "embedding").write.mode("append").parquet(deltaDir(indexDir))
+
+  /** Vectors appended since the last tick (the staleness window). */
+  def staleCount(spark: SparkSession, indexDir: String): Long =
+    if (!new java.io.File(deltaDir(indexDir)).exists()) 0L
+    else spark.read.parquet(deltaDir(indexDir)).count()
+
+  /** Daemon-tick maintenance. Returns (indexedDelta, retrained). */
+  def tick(spark: SparkSession, indexDir: String,
+      retrainFraction: Double = 0.5, k: Int = 8, iters: Int = 5): (Long, Boolean) = {
+    VectorMath.register(spark)
+    val dDir = new java.io.File(deltaDir(indexDir))
+    if (!dDir.exists()) return (0L, false)
+    val delta = spark.read.parquet(deltaDir(indexDir))
+    val nDelta = delta.count()
+    if (nDelta == 0L) return (0L, false)
+    val nIndexed = spark.read.parquet(listsDir(indexDir)).count()
+    val retrain = nDelta.toDouble > retrainFraction * nIndexed
+    if (retrain) {
+      // the amortized full fold: corpus = lists ∪ delta, retrain + rewrite
+      val corpus = spark.read.parquet(listsDir(indexDir)).select("vec_id", "embedding")
+        .unionByName(delta.select("vec_id", "embedding"))
+      // materialize BEFORE the overwrite below invalidates its source files
+      val frozen = graft.queries.Q.materialize(corpus)
+      build(spark, frozen, indexDir, k, iters)
+    } else {
+      // incremental: assign ONLY the delta against the existing centroids —
+      // one bounded pass, centroids byte-identical afterwards
+      val cents = loadCentroids(spark, indexDir)
+      graft.queries.Q.materialize(quantized(delta)) // freeze before delta dir clears
+        .withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+        .select("vec_id", "embedding", "cluster")
+        .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
+    }
+    // delta is folded in — clear it (same swap discipline as compaction)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dDir)
+    (nDelta, retrain)
+  }
+
+  /** Exact-cosine top-k over the `nprobe` nearest cells. The cluster
+    * IN (…) predicate prunes the partitioned lists at file listing —
+    * the fine scan reads nprobe/k of the corpus.
+    */
+  def search(spark: SparkSession, indexDir: String, probe: Seq[Double],
+      topK: Int, nprobe: Int = 3): DataFrame = {
+    VectorMath.register(spark)
+    val cents = loadCentroids(spark, indexDir)
+    val qp: Seq[Long] = probe.map(x =>
+      math.floor(math.max(-1.0, math.min(1.0, x)) * 127.0 + 0.5).toLong)
+    val cells = cents
+      .map { case (cid, cv) =>
+        (cid, cv.zip(qp).map { case (a, b) => val d = a - b; d * d }.sum) }
+      .sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
+    val pLit = s"array(${probe.map(v => s"${v}D").mkString(",")})"
+    spark.read.parquet(listsDir(indexDir))
+      .filter(col("cluster").isin(cells: _*))
+      .withColumn("score", expr(s"vec_cos(embedding, $pLit)"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+      .select("vec_id", "score", "cluster")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The r10 lifecycle contract for the IVF store (VERDICT r9 #6): write new
+  * embeddings → tick → a probe finds them WITHOUT a full rebuild (the
+  * centroid artifact is byte-identical across the incremental tick), and
+  * the retrain threshold still triggers the full fold when delta dwarfs
+  * the indexed corpus.
+  */
+class VectorIndexStoreSpec extends SparkTestBase {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vecidx").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select("vec_id", "embedding")
+
+  private def centroids(dir: String) =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+
+  test("build → search returns exact cosine top-k from the probed cells only") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val probeVec = corpus.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val hits = VectorIndexStore.search(spark, dir, probeVec, topK = 5).collect()
+    assert(hits.length === 5)
+    // the probe vector itself is in the corpus → must be its own top hit
+    assert(hits.head.getLong(0) === 3L && math.abs(hits.head.getDouble(1) - 1.0) < 1e-9)
+    // scores descend
+    assert(hits.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // fine scan pruned: every hit comes from one of the 3 probed cells
+    assert(hits.map(_.getInt(2)).distinct.length <= 3)
+  }
+
+  test("append lands in delta (index stale), tick folds it in WITHOUT retraining, probe finds it") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val centsBefore = centroids(dir)
+
+    // a new vector engineered to be the global nearest neighbor of itself:
+    // clone vector 3's embedding under a fresh id
+    val donor = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1)
+    val sq = spark; import sq.implicits._
+    val newVecs = Seq((100001L, donor)).toDF("vec_id", "embedding")
+    VectorIndexStore.append(spark, newVecs, dir)
+    assert(VectorIndexStore.staleCount(spark, dir) === 1L)
+
+    // pre-tick: the staleness window — the probe does NOT see the new id
+    val probe = donor.map(_.toDouble)
+    val pre = VectorIndexStore.search(spark, dir, probe, topK = 5).collect()
+    assert(!pre.map(_.getLong(0)).contains(100001L))
+
+    // tick: incremental (1 ≪ 50% of 500) — no retrain, centroids untouched
+    val (indexed, retrained) = VectorIndexStore.tick(spark, dir)
+    assert(indexed === 1L && !retrained)
+    assert(centroids(dir) === centsBefore, "incremental tick must not move centroids")
+    assert(VectorIndexStore.staleCount(spark, dir) === 0L)
+
+    // post-tick: the clone scores cosine 1.0 and ranks in the top hits
+    val post = VectorIndexStore.search(spark, dir, probe, topK = 5).collect()
+    assert(post.map(_.getLong(0)).contains(100001L),
+      s"probe must find the newly indexed vector, got ${post.map(_.getLong(0)).toSeq}")
+    // and a second tick is a no-op
+    assert(VectorIndexStore.tick(spark, dir) === ((0L, false)))
+  }
+
+  test("a delta larger than the retrain fraction triggers the full fold") {
+    val dir = freshDir()
+    val sq = spark; import sq.implicits._
+    val half = corpus.filter(col("vec_id") < 250L)
+    val rest = corpus.filter(col("vec_id") >= 250L)
+    VectorIndexStore.build(spark, half, dir)
+    VectorIndexStore.append(spark, rest, dir)
+    val (indexed, retrained) = VectorIndexStore.tick(spark, dir)
+    assert(indexed === rest.count() && retrained, "delta > 50% of indexed must retrain")
+    // the rebuilt index covers the full corpus
+    val n = spark.read.parquet(s"$dir/lists").count()
+    assert(n === corpus.count())
+  }
+}
