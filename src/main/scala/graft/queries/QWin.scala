@@ -381,5 +381,79 @@ object QWin {
           col("roll_mean5"), col("roll_std5"), col("target"))
         .orderBy("event_id")
     },
+
+    GraftQuery(
+      "q_model_feed",
+      "Extension (r10): the composed model-feed pipeline — per-row supervised features " +
+        "(q_lag_features), per-series CUSUM drift state (q_cusum's streaming fold), and " +
+        "batch liveness (the deadman's silent-for / stale flag vs the corpus watermark) " +
+        "in ONE training-ready frame. Every branch partitions on the SAME key (the " +
+        "user_id window, the Cusum repartition, the per-series join), so the feature " +
+        "matrix, drift labels, and liveness ride one co-partitioned plan; the corpus " +
+        "watermark is a driver-side scalar (scalar subqueries plan the audit-banned " +
+        "BNLJ). The composition pattern of q_pipeline_trainset applied to the " +
+        "time-series stack.",
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |s(user_id, n, vals, i, sp, sn, alarms) AS (
+        |  SELECT user_id, n, vals, CAST(0 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE, CAST(0 AS BIGINT)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT user_id, n, vals, i + 1,
+        |         greatest(0.0, sp + (vals[i + 1] - 50.0) - 2.0),
+        |         greatest(0.0, sn - (vals[i + 1] - 50.0) - 2.0),
+        |         alarms + CASE WHEN greatest(0.0, sp + (vals[i + 1] - 50.0) - 2.0) > 100.0
+        |                         OR greatest(0.0, sn - (vals[i + 1] - 50.0) - 2.0) > 100.0
+        |                       THEN 1 ELSE 0 END
+        |  FROM s WHERE i < n),
+        |drift AS (SELECT user_id, floor(sp * 10000) / 10000 AS cusum_pos, alarms
+        |          FROM s WHERE i = n),
+        |x AS (SELECT max(ts) AS mx FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER w AS rn,
+        |         lag(value, 1) OVER w AS lag1,
+        |         round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        |           AS roll_mean5,
+        |         lead(value, 1) OVER w AS target,
+        |         max(ts) OVER (PARTITION BY user_id) AS last_seen
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT f.event_id, f.user_id, f.value, f.lag1, f.roll_mean5, f.target,
+        |       d.cusum_pos, d.alarms AS drift_alarms,
+        |       (epoch_us((SELECT mx FROM x)) - epoch_us(f.last_seen)) // 1000000 AS silent_s,
+        |       epoch_us((SELECT mx FROM x)) - epoch_us(f.last_seen) > 86400000000 AS stale
+        |FROM f JOIN drift d USING (user_id)
+        |WHERE f.rn >= 5 AND f.target IS NOT NULL
+        |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      // the corpus watermark: one driver-side long (Q.scala scalar rule)
+      val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-4, Window.currentRow)
+      val wSeries = Window.partitionBy("user_id")
+      val feats = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("lag1", lag(col("value"), 1).over(w))
+        .withColumn("roll_mean5", round(avg(col("value")).over(wf), 4))
+        .withColumn("target", lead(col("value"), 1).over(w))
+        .withColumn("last_seen", max(col("ts")).over(wSeries))
+        .filter(col("rn") >= 5 && col("target").isNotNull)
+      val drift = graft.functions.Cusum.cusumByKey(
+          ev.select(col("user_id"), col("ts_ns"), col("event_id"), col("value")),
+          target = 50.0, slack = 2.0, band = 100.0)
+        .toDF()
+        .select(col("user_id").as("d_uid"),
+          (floor(col("cusum_pos") * 10000) / 10000).as("cusum_pos"),
+          col("alarms").as("drift_alarms"))
+      feats.join(drift, col("user_id") === col("d_uid"))
+        .select(col("event_id"), col("user_id"), col("value"), col("lag1"),
+          col("roll_mean5"), col("target"), col("cusum_pos"), col("drift_alarms"),
+          ((lit(mxUs) - unix_micros(col("last_seen"))) / lit(1000000L)).cast("bigint")
+            .as("silent_s"),
+          (lit(mxUs) - unix_micros(col("last_seen")) > 86400000000L).as("stale"))
+        .orderBy("event_id")
+    },
   )
 }
