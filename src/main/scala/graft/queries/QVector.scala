@@ -209,7 +209,20 @@ object QVector {
   private val KmeansK = 8
   private val LloydIters = 5
 
-  private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
+  /** Per-(session, dir) model cache — the same justification as
+    * [[centCache]], now LITERALLY implemented as a store artifact by
+    * [[graft.sinks.VectorIndexStore]]: a deployment trains the quantizer
+    * once and persists it; six registry keys re-deriving identical
+    * centroids per query would charge the training loop (k−1 seeding
+    * passes + 5 Lloyd aggregates) six times per board run.
+    */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(Int, Seq[Long])])]
+
+  private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) =
+    modelCache.getOrElseUpdate((s, dir), trainKmeansModel(s, dir))
+
+  private def trainKmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), expr(sQuant("embedding")).as("qv")))
     // Training lives in graft.functions.Kmeans (r10 — shared with the
