@@ -555,6 +555,64 @@ object QVector {
         .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
         .orderBy("probe_id")
     },
+
+    GraftQuery(
+      "q_embedding_pca",
+      "Extension (r10): top principal component of the embedding corpus via QUANTIZED " +
+        "power iteration — the whitening/compression direction an embedding pipeline " +
+        "estimates before projecting (the distributed-PCA shape: the d² Gram/covariance " +
+        "matrix aggregates in ONE distributed pass — the only data-scale work, exactly " +
+        "MLlib's computeGramianMatrix design — and the 64×64 eigen-iteration runs on " +
+        "bounded driver state like the Lloyd update). EVERY step is integer: int8-" +
+        "quantized inputs make the covariance numerator n·Σxy − Σx·Σy exact in BIGINT; " +
+        "the matrix and the iterate are rescaled to ≤10⁴ by integer division (both " +
+        "engines truncate toward zero); 3 fixed iterations from the all-ones vector. " +
+        "No float ever appears, so the loading vector hashes bit-identically.",
+      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}::BIGINT[] AS qv FROM embeddings),
+         |ex AS MATERIALIZED (SELECT vec_id, unnest(qv) AS x, unnest(range(1, 65)) AS i FROM q),
+         |sx AS MATERIALIZED (SELECT i, sum(x) AS s FROM ex GROUP BY i),
+         |nn AS (SELECT count(*) AS n FROM q),
+         |cxy AS MATERIALIZED (SELECT a.i, b.i AS j, sum(a.x * b.x) AS sxy
+         |       FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+         |c0 AS MATERIALIZED (SELECT cxy.i, cxy.j,
+         |              (SELECT n FROM nn) * sxy - sa.s * sb.s AS cv
+         |       FROM cxy JOIN sx sa ON sa.i = cxy.i JOIN sx sb ON sb.i = cxy.j),
+         |mc AS (SELECT greatest(max(abs(cv)), 1) AS m FROM c0),
+         |cs AS MATERIALIZED (SELECT i, j, (cv * 10000 // (SELECT m FROM mc))::BIGINT AS cv FROM c0),
+         |v0 AS (SELECT i, 10000::BIGINT AS v FROM range(1, 65) t(i)),
+         |w1 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v0.v) AS w FROM cs JOIN v0 ON v0.i = cs.j GROUP BY 1),
+         |v1 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w1))::BIGINT AS v FROM w1),
+         |w2 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v1.v) AS w FROM cs JOIN v1 ON v1.i = cs.j GROUP BY 1),
+         |v2 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w2))::BIGINT AS v FROM w2),
+         |w3 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v2.v) AS w FROM cs JOIN v2 ON v2.i = cs.j GROUP BY 1),
+         |v3 AS (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w3))::BIGINT AS v FROM w3)
+         |SELECT i::BIGINT AS pos, v AS loading FROM v3 ORDER BY pos""".stripMargin) { (s, dir) =>
+      val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
+        .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
+      val n = qdf.count()
+      val ex = qdf.select(col("qv"), posexplode(col("qv")).as(Seq("i", "x")))
+      val sx = ex.groupBy("i").agg(sum(col("x")).as("sx")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // the one distributed pass: d² cross-product sums (4096 longs collected)
+      val prods = ex.select(col("i"), col("x"), posexplode(col("qv")).as(Seq("j", "y")))
+        .groupBy("i", "j").agg(sum(col("x") * col("y")).as("sxy"))
+        .collect()
+      val c = Array.ofDim[Long](64, 64)
+      prods.foreach { r =>
+        c(r.getInt(0))(r.getInt(1)) = n * r.getLong(2) - sx(r.getInt(0)) * sx(r.getInt(1))
+      }
+      val maxC = math.max(c.flatten.map(math.abs).max, 1L)
+      val cs = c.map(_.map(x => x * 10000L / maxC))
+      var v = Array.fill(64)(10000L)
+      for (_ <- 1 to 3) {
+        val w = Array.tabulate(64)(i => (0 until 64).map(j => cs(i)(j) * v(j)).sum)
+        val m = math.max(w.map(math.abs).max, 1L)
+        v = w.map(x => x * 10000L / m)
+      }
+      val sq = s; import sq.implicits._
+      v.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }.toSeq
+        .toDF("pos", "loading").orderBy("pos")
+    },
   )
 
   /** Trained-quantizer IVF ranking (probe → top-3 k-means cells → exact
