@@ -197,6 +197,35 @@ object QDedup {
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q_dedup_normalized",
+      "Extension (r10): normalized exact dedup — the C4/CCNet preprocessing step that " +
+        "catches trivially-disguised copies plain content-hash dedup misses: casefold, " +
+        "strip non-alphanumerics, collapse whitespace, THEN hash. One shuffle on the " +
+        "normalized hash; keeper = min doc_id per group (greedy keep-first, the " +
+        "q_dedup_keep rule); both the keep flag and the copy count ride the same window " +
+        "partitioning, so the whole key is one exchange.",
+      """WITH n AS (SELECT doc_id,
+        |                  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |                        '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        |           FROM documents),
+        |g AS (SELECT norm_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |      FROM n GROUP BY norm_hash)
+        |SELECT n.doc_id, n.norm_hash, g.n_copies,
+        |       n.doc_id = g.keeper AS keep
+        |FROM n JOIN g USING (norm_hash) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wH = Window.partitionBy("norm_hash")
+      Q.fanout(documents(s, dir))
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), "\\s+", " "))).as("norm_hash"))
+        .withColumn("n_copies", count(lit(1)).over(wH))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wH))
+        .select("doc_id", "norm_hash", "n_copies", "keep")
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_minhash_sig",
       "Extension: MinHash signatures (k=8) over 3-token shingles — per-row, shuffle-free",
       s"""WITH $duckBase, $duckSig
