@@ -568,25 +568,49 @@ object QVector {
         "the matrix and the iterate are rescaled to ≤10⁴ by integer division (both " +
         "engines truncate toward zero); 3 fixed iterations from the all-ones vector. " +
         "No float ever appears, so the loading vector hashes bit-identically.",
-      s"""WITH q AS (SELECT vec_id, ${dQuant("embedding")}::BIGINT[] AS qv FROM embeddings),
-         |ex AS MATERIALIZED (SELECT vec_id, unnest(qv) AS x, unnest(range(1, 65)) AS i FROM q),
-         |sx AS MATERIALIZED (SELECT i, sum(x) AS s FROM ex GROUP BY i),
-         |nn AS (SELECT count(*) AS n FROM q),
-         |cxy AS MATERIALIZED (SELECT a.i, b.i AS j, sum(a.x * b.x) AS sxy
-         |       FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
-         |c0 AS MATERIALIZED (SELECT cxy.i, cxy.j,
-         |              (SELECT n FROM nn) * sxy - sa.s * sb.s AS cv
-         |       FROM cxy JOIN sx sa ON sa.i = cxy.i JOIN sx sb ON sb.i = cxy.j),
-         |mc AS (SELECT greatest(max(abs(cv)), 1) AS m FROM c0),
-         |cs AS MATERIALIZED (SELECT i, j, (cv * 10000 // (SELECT m FROM mc))::BIGINT AS cv FROM c0),
-         |v0 AS (SELECT i, 10000::BIGINT AS v FROM range(1, 65) t(i)),
-         |w1 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v0.v) AS w FROM cs JOIN v0 ON v0.i = cs.j GROUP BY 1),
-         |v1 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w1))::BIGINT AS v FROM w1),
-         |w2 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v1.v) AS w FROM cs JOIN v1 ON v1.i = cs.j GROUP BY 1),
-         |v2 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w2))::BIGINT AS v FROM w2),
-         |w3 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v2.v) AS w FROM cs JOIN v2 ON v2.i = cs.j GROUP BY 1),
-         |v3 AS (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w3))::BIGINT AS v FROM w3)
+      s"""WITH $dPca
          |SELECT i::BIGINT AS pos, v AS loading FROM v3 ORDER BY pos""".stripMargin) { (s, dir) =>
+      val v = pcaLoading(s, dir)
+      val sq = s; import sq.implicits._
+      v.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }.toSeq
+        .toDF("pos", "loading").orderBy("pos")
+    },
+
+    GraftQuery(
+      "q_embedding_project",
+      "Extension (r10): PCA projection + decile bucketing — every vector scored on the " +
+        "top component (integer dot of the quantized vector against the quantized " +
+        "loading, exact in BIGINT) and binned into deciles for the tail-pruning / " +
+        "diversity-balancing curation step. The decile is Q.distributedNtile (the RFM " +
+        "machinery reused as a general operator) — exact global ntile, no " +
+        "single-reducer sort. Projection itself is a zero-join codegen'd row pass.",
+      s"""WITH $dPca,
+         |proj AS (SELECT q.vec_id,
+         |                list_dot_product(q.qv::DOUBLE[],
+         |                  (SELECT list(v ORDER BY i) FROM v3)::DOUBLE[]) AS score
+         |         FROM q)
+         |SELECT vec_id, score::BIGINT AS score,
+         |       ntile(10) OVER (ORDER BY score, vec_id)::INT AS decile
+         |FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = pcaLoading(s, dir)
+      val vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
+      val proj = Q.fanout(embeddings(s, dir))
+        .select(col("vec_id"),
+          expr(s"CAST(vec_dot(${sQuant("embedding")}, $vLit) AS BIGINT)").as("score"))
+      Q.distributedNtile(proj, 10, Seq(col("score").asc, col("vec_id")), "decile")
+        .orderBy("vec_id")
+    },
+  )
+
+  /** The quantized-power-iteration PCA loading (see q_embedding_pca for the
+    * full design note), cached per (session, dir) like the k-means model:
+    * one distributed d² covariance aggregate, then pure-Long driver math.
+    */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Long]]
+
+  private def pcaLoading(s: SparkSession, dir: String): Array[Long] =
+    pcaCache.getOrElseUpdate((s, dir), {
       val qdf = Q.materialize(Q.fanout(embeddings(s, dir))
         .select(col("vec_id"), expr(sQuant("embedding")).as("qv")))
       val n = qdf.count()
@@ -609,11 +633,32 @@ object QVector {
         val m = math.max(w.map(math.abs).max, 1L)
         v = w.map(x => x * 10000L / m)
       }
-      val sq = s; import sq.implicits._
-      v.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }.toSeq
-        .toDF("pos", "loading").orderBy("pos")
-    },
-  )
+      v
+    })
+
+  /** DuckDB twin of [[pcaLoading]]: quantized corpus `q`, integer covariance
+    * numerator `c0`, ≤10⁴-rescaled `cs`, three matvec+rescale blocks, final
+    * loading `v3(i, v)`. MATERIALIZED throughout (multi-referenced CTEs).
+    */
+  private lazy val dPca: String =
+    s"""q AS MATERIALIZED (SELECT vec_id, ${dQuant("embedding")}::BIGINT[] AS qv FROM embeddings),
+       |ex AS MATERIALIZED (SELECT vec_id, unnest(qv) AS x, unnest(range(1, 65)) AS i FROM q),
+       |sx AS MATERIALIZED (SELECT i, sum(x) AS s FROM ex GROUP BY i),
+       |nn AS (SELECT count(*) AS n FROM q),
+       |cxy AS MATERIALIZED (SELECT a.i, b.i AS j, sum(a.x * b.x) AS sxy
+       |       FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (SELECT cxy.i, cxy.j,
+       |              (SELECT n FROM nn) * sxy - sa.s * sb.s AS cv
+       |       FROM cxy JOIN sx sa ON sa.i = cxy.i JOIN sx sb ON sb.i = cxy.j),
+       |mc AS (SELECT greatest(max(abs(cv)), 1) AS m FROM c0),
+       |cs AS MATERIALIZED (SELECT i, j, (cv * 10000 // (SELECT m FROM mc))::BIGINT AS cv FROM c0),
+       |v0 AS (SELECT i, 10000::BIGINT AS v FROM range(1, 65) t(i)),
+       |w1 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v0.v) AS w FROM cs JOIN v0 ON v0.i = cs.j GROUP BY 1),
+       |v1 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w1))::BIGINT AS v FROM w1),
+       |w2 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v1.v) AS w FROM cs JOIN v1 ON v1.i = cs.j GROUP BY 1),
+       |v2 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w2))::BIGINT AS v FROM w2),
+       |w3 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v2.v) AS w FROM cs JOIN v2 ON v2.i = cs.j GROUP BY 1),
+       |v3 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w3))::BIGINT AS v FROM w3)""".stripMargin
 
   /** Trained-quantizer IVF ranking (probe → top-3 k-means cells → exact
     * cosine over cell members): (probe_id, neighbor_id, rnk, score_raw).
