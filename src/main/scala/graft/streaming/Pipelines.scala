@@ -16,6 +16,11 @@ case class BandChange(event_id: Long, user_id: Long, band: Long)
 /** Output of the deadman pipeline (T12): a series went silent. */
 case class DeadmanAlert(user_id: Long, last_seen: java.sql.Timestamp, silent_for_ms: Long)
 
+/** Input/output rows of the streaming CUSUM pipeline (T14, r10). */
+case class CusumSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class CusumAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    cusum_pos: Double, cusum_neg: Double)
+
 /** Structured-Streaming assembly — SURVEY.md §2.9.
   *
   * The reference's runtime model maps as (SURVEY §3.1):
@@ -117,6 +122,42 @@ object Pipelines {
               math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
+        })
+  }
+
+  /** T14 (r10): streaming CUSUM drift alarms — the LIVE twin of the batch
+    * q_cusum control chart (same recurrence, same constants): each series
+    * carries exactly (s⁺, s⁻, alarms) in checkpointed state — O(1) per
+    * series, the scale story the batch fold earns via its streaming
+    * group-adjacent pass — and a row is EMITTED only when a side exceeds
+    * the alarm band after its update (alarms ≪ samples, like the deadman).
+    * Rows inside one micro-batch group fold in (ts, event_id) order, so a
+    * stream fed in event-time order reproduces the batch fold exactly;
+    * CusumStreamSpec pins terminal state and alarm count against
+    * [[graft.functions.Cusum.cusumByKey]] across multi-batch feeds.
+    */
+  def cusumAlerts(stream: DataFrame, target: Double = 50.0, slack: Double = 2.0,
+      band: Double = 100.0): Dataset[CusumAlarm] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").cast("double").as("value"))
+      .as[CusumSample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Double, Long)]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (sp, sn, alarms) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val out = sorted.flatMap { e =>
+            sp = math.max(0.0, sp + (e.value - target) - slack)
+            sn = math.max(0.0, sn - (e.value - target) - slack)
+            if (sp > band || sn > band) {
+              alarms += 1
+              Some(CusumAlarm(e.event_id, uid, e.ts, sp, sn))
+            } else None
+          }
+          state.update((sp, sn, alarms))
+          out.iterator
         })
   }
 
