@@ -216,9 +216,14 @@ object InfluxQLHttp {
           lock.writeLock.lock()
           // epoch ns (CQ bucket math) — NOT nanoTime (monotonic-only)
           try {
-            CqRunner.runDue(spark, store,
-              nowNs.getOrElse(System.currentTimeMillis() * 1000000L)): Unit
+            val now = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
+            CqRunner.runDue(spark, store, now): Unit
             graft.sinks.PointStoreDirect.compact(spark, store): Unit
+            // the retention service: expired date-partitions drop on the
+            // same cadence (StoreMeta.enforceRetention — default-RP driven)
+            StoreMeta.enforceRetention(store, java.time.LocalDate.ofInstant(
+              java.time.Instant.ofEpochSecond(Math.floorDiv(now, 1000000000L)),
+              java.time.ZoneOffset.UTC)): Unit
           } finally lock.writeLock.unlock()
         } catch {
           case scala.util.control.NonFatal(e) =>

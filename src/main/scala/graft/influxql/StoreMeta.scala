@@ -155,6 +155,28 @@ object StoreMeta {
     dbs.flatMap(d => list(metaDir(store, "rp", enc(d))).flatMap(readRp(store, d, _)))
   }
 
+  /** The retention-enforcement service (r10): for every database whose
+    * DEFAULT policy declares a finite duration, drop `date=` partitions
+    * older than it — what InfluxDB's retention service does to expired
+    * shard groups on its check interval, here run from the daemon tick
+    * under the store write lock (the CQ/compaction cadence). The store
+    * keeps one data tree per database (SURVEY §2.1 S4), so only the
+    * default policy governs expiry; duration 0 (infinite, the implicit
+    * autogen) and sub-day durations never expire anything. `today` is
+    * injectable for determinism. Returns the dropped partition paths.
+    */
+  def enforceRetention(store: String, today: java.time.LocalDate): Seq[String] =
+    listDatabases(store).flatMap { db =>
+      listRps(store, Some(db))
+        .find(rp => rp.isDefault && rp.durationSec >= 86400L)
+        .toSeq.flatMap { rp =>
+          val dataDir = new File(store, s"measurement=$db")
+          if (!dataDir.isDirectory) Seq.empty
+          else graft.sinks.PointStore.expireRetention(
+            dataDir.getPath, (rp.durationSec / 86400L).toInt, today)
+        }
+    }
+
   // ---- continuous queries -------------------------------------------------
 
   private def cqFile(store: String, db: String, name: String): File =
