@@ -331,6 +331,56 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_dedup_keep_best",
+      "Extension (r10): QUALITY-AWARE canonical selection — within each near-dup cluster " +
+        "keep the LONGEST member (C4's rule; ties to the lowest doc_id) instead of " +
+        "q_dedup_keep's greedy keep-first. Same cluster labels, one extra window over " +
+        "the (tiny) clustered slice joined back broadcast-style; singleton docs are their " +
+        "own cluster and always keep.",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH RECURSIVE $duckBase, $duckSig,
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |scored AS (SELECT p.doc_a, p.doc_b
+           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
+           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+           |          UNION ALL SELECT doc_b, doc_a FROM scored),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |       FROM reach GROUP BY src),
+           |m AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster, d.n_chars
+           |      FROM documents d LEFT JOIN cc USING (doc_id)),
+           |best AS (SELECT cluster, doc_id AS keep_id FROM m
+           |         QUALIFY row_number() OVER (PARTITION BY cluster
+           |                                    ORDER BY n_chars DESC, doc_id) = 1)
+           |SELECT m.doc_id, m.cluster, m.n_chars, m.doc_id = b.keep_id AS keep
+           |FROM m JOIN best b USING (cluster) ORDER BY m.doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels = clusterGroups(s, dir)
+        .select(col("doc_id").as("l_doc"), col("cluster").as("l_cluster"))
+      val m = documents(s, dir)
+        .join(labels, col("doc_id") === col("l_doc"), "left")
+        .select(col("doc_id"), coalesce(col("l_cluster"), col("doc_id")).as("cluster"),
+          col("n_chars"))
+      val wBest = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      m.withColumn("keep", row_number().over(wBest) === 1)
+        .select("doc_id", "cluster", "n_chars", "keep")
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_dedup_sizes",
       "Extension: the duplication REPORT — near-dup cluster size distribution (how many " +
         "clusters of 2, of 3, …, and how many docs they hold), the number every dedup run " +
