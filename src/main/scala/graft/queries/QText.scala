@@ -20,6 +20,42 @@ object QText {
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q_corpus_datasheet",
+      "Extension (r10): the per-source corpus DATA CARD — doc counts, token volume, " +
+        "length profile, language mix, exact-dup incidence in one report (the datasheet " +
+        "a dataset release ships; every number a training run quotes about its mixture). " +
+        "One scan: the dup flag rides a content-hash window, everything else is one " +
+        "groupBy(source) aggregate — two exchanges total regardless of corpus size, " +
+        "output rows = |sources|.",
+      """WITH t AS (SELECT doc_id, source, lang, n_chars,
+        |                  len(string_split(lower(text), ' ')) AS toks,
+        |                  md5(text) AS h
+        |           FROM documents),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY h) AS c FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       sum(toks)::BIGINT AS total_tokens,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |         AS pct_en,
+        |       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+        |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, dir).select(
+        col("source"), col("lang"), col("n_chars"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"),
+        md5(col("text")).as("h"))
+      val w = t.withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      w.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(sum(when(col("lang") === "en", 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("pct_en"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q_text_tokens",
       "F13/D5: tokenize + global token frequency (explode is the builtin Generator — no UDTF)",
       """SELECT token, count(*) AS n
