@@ -21,6 +21,20 @@ case class CusumSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, va
 case class CusumAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     cusum_pos: Double, cusum_neg: Double)
 
+/** Output of the online feature pipeline (T15, r10): one complete training
+  * example per sample once the series has warmed up — the live twin of
+  * q_lag_features' rows (the batch key also emits the FORWARD target;
+  * online, the target for sample t−1 is simply sample t, so each arriving
+  * sample completes the PREVIOUS row — `value` here is the feature row's
+  * value, `target` the sample that closed it). */
+case class FeatureRow(event_id: Long, user_id: Long, value: Double,
+    lag1: Double, lag2: Double, roll_mean5: Double, target: Double)
+
+/** T15 state: samples seen, the last ≤5 values (chronological), and the
+  * warmed-up feature row awaiting its forward target. */
+case class FeatState(n: Long, ring: Seq[Double],
+    pend: Option[(Long, Double, Double, Double, Double)])
+
 /** Structured-Streaming assembly — SURVEY.md §2.9.
   *
   * The reference's runtime model maps as (SURVEY §3.1):
@@ -157,6 +171,47 @@ object Pipelines {
             } else None
           }
           state.update((sp, sn, alarms))
+          out.iterator
+        })
+  }
+
+  /** T15 (r10): ONLINE supervised-feature materialization — the live twin
+    * of q_lag_features (W16): per series, each arriving sample completes
+    * the previous sample's training row (the forward target is simply the
+    * next observation), and rows emit only once the series has warmed up
+    * (5 samples), exactly the batch key's rn ≥ 5 ∧ target-not-null cut.
+    * State per series is O(1): the last ≤5 values + one pending row —
+    * the streaming feature-store shape (features computed once at ingest,
+    * identical to what batch backfill computes; OnlineFeaturesSpec pins
+    * stream ≡ batch on multi-batch feeds). roll_mean5 rounds HALF_UP at
+    * scale 4 like the batch column.
+    */
+  def onlineFeatures(stream: DataFrame): Dataset[FeatureRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    stream
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").cast("double").as("value"))
+      .as[CusumSample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[CusumSample], state: GroupState[FeatState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FeatState(0L, Nil, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeatureRow]
+          for (e <- sorted) {
+            st.pend.foreach { case (id, v, l1, l2, m) =>
+              out += FeatureRow(id, uid, v, l1, l2, m, e.value)
+            }
+            val ring = (st.ring :+ e.value).takeRight(5)
+            val n = st.n + 1
+            val pend =
+              if (n >= 5) Some((e.event_id, e.value, ring(3), ring(2), round4(ring.sum / 5)))
+              else None
+            st = FeatState(n, ring, pend)
+          }
+          state.update(st)
           out.iterator
         })
   }
