@@ -272,6 +272,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"RFM scoring must stay parallel:\n$plan")
   }
 
+  test("q_corpus_datasheet is two exchanges total (hash window + source aggregate)") {
+    val plan = planOf("q_corpus_datasheet")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"the data card must stay two exchanges regardless of corpus size:\n$plan")
+  }
+
   test("Q.fanout is a no-op on an already-parallel input (no Exchange inserted)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(1000).toDF("id").repartition(target)

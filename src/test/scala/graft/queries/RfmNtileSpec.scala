@@ -47,6 +47,12 @@ class RfmNtileSpec extends SparkTestBase {
     pinEqual(df, 5, Seq(col("v").asc, col("id")))
   }
 
+  test("distributedNtile on an empty frame returns empty (no div-by-zero in the bucket math)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Q.distributedNtile(empty, 5, Seq(col("v").asc, col("id")), "nt").count() === 0L)
+  }
+
   test("q_rfm_segments: distributed branch == legacy global-window branch on real orders") {
     val dir = "/root/testdata/sf0.001"
     val dist = Registry.byName("q_rfm_segments").run(spark, dir).collect()
