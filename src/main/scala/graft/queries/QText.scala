@@ -56,6 +56,49 @@ object QText {
     },
 
     GraftQuery(
+      "q_pipeline_c4",
+      "Extension (r10): the C4 cleaning pipeline with FUNNEL ATTRIBUTION — language-ID " +
+        "gate → quality gate → exact dedup WITHIN the surviving set (the real C4 order: " +
+        "dedup after filtering, so a junk doc never claims canonical-ness), and every doc " +
+        "reports the FIRST stage that dropped it ('langid'/'quality'/'exact_dup'/'kept') " +
+        "— the per-stage loss accounting a pipeline run publishes. One scan computes all " +
+        "three signals; the dedup keeper is one hash aggregate over the filtered slice " +
+        "joined back (co-keyed on the content hash).",
+      s"""WITH f AS (SELECT doc_id,
+         |            len(list_filter(string_split(lower(text), ' '), t -> t IN $EnStop))::DOUBLE
+         |              / len(string_split(lower(text), ' ')) AS sr,
+         |            len(string_split(lower(text), ' ')) AS ntok,
+         |            md5(trim(regexp_replace(regexp_replace(lower(text),
+         |                  '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS h
+         |          FROM documents),
+         |p AS (SELECT * FROM f WHERE sr > 0.02 AND ntok >= 40),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM p GROUP BY h)
+         |SELECT f.doc_id,
+         |       CASE WHEN f.sr <= 0.02 THEN 'langid'
+         |            WHEN f.ntok < 40 THEN 'quality'
+         |            WHEN f.doc_id <> k.keeper THEN 'exact_dup'
+         |            ELSE 'kept' END AS dropped_by
+         |FROM f LEFT JOIN k USING (h) ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val lt = lower(col("text"))
+      val f = Q.fanout(documents(s, dir)).select(
+        col("doc_id"),
+        (expr(s"size(filter(split(lower(text), ' '), t -> t IN $EnStop))").cast("double")
+          / size(split(lt, " "))).as("sr"),
+        size(split(lt, " ")).as("ntok"),
+        md5(trim(regexp_replace(regexp_replace(lt, "[^a-z0-9 ]", ""), "\\s+", " "))).as("h"))
+        .transform(Q.materialize) // one scan feeds both the gate and the keeper agg
+      val k = f.filter(col("sr") > 0.02 && col("ntok") >= 40)
+        .groupBy("h").agg(min(col("doc_id")).as("keeper"))
+      f.join(k, Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("sr") <= 0.02, "langid")
+            .when(col("ntok") < 40, "quality")
+            .when(col("doc_id") =!= col("keeper"), "exact_dup")
+            .otherwise("kept").as("dropped_by"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_text_tokens",
       "F13/D5: tokenize + global token frequency (explode is the builtin Generator — no UDTF)",
       """SELECT token, count(*) AS n
