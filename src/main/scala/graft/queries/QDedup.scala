@@ -197,6 +197,77 @@ object QDedup {
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q_minhash_calibration",
+      "Extension (r10): the dedup index's HONESTY GATE — per LSH candidate pair, the " +
+        "8-hash estimated Jaccard against the EXACT shingle Jaccard, with the absolute " +
+        "error (q_knn_recall's role for the minhash side: an index you never calibrate " +
+        "is an index you can't trust). The exact side costs one shared-shingle count " +
+        "over the CANDIDATE pairs only (LSH already bounded them) — never all-pairs.",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $duckBase, $duckSig,
+           |bands AS ($bands),
+           |cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |           FROM bands x JOIN bands y
+           |             ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |est AS (SELECT p.doc_a, p.doc_b, ($est) / 8.0 AS est_sim
+           |        FROM cpairs p JOIN sig a ON p.doc_a = a.doc_id
+           |        JOIN sig b ON p.doc_b = b.doc_id),
+           |sh AS (SELECT doc_id, unnest(hs) AS shingle FROM base),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |shared AS (SELECT e.doc_a, e.doc_b, count(*) AS shared
+           |           FROM est e JOIN sh x ON x.doc_id = e.doc_a
+           |           JOIN sh y ON y.doc_id = e.doc_b AND y.shingle = x.shingle
+           |           GROUP BY 1, 2)
+           |SELECT e.doc_a, e.doc_b, round(e.est_sim, 4) AS est_sim,
+           |       round(coalesce(s.shared, 0)::DOUBLE
+           |             / (sa.n + sb.n - coalesce(s.shared, 0)), 4) AS jaccard,
+           |       round(abs(e.est_sim - coalesce(s.shared, 0)::DOUBLE
+           |             / (sa.n + sb.n - coalesce(s.shared, 0))), 4) AS abs_err
+           |FROM est e LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+           |JOIN sizes sa ON sa.doc_id = e.doc_a
+           |JOIN sizes sb ON sb.doc_id = e.doc_b
+           |ORDER BY e.doc_a, e.doc_b""".stripMargin
+      }) { (s, dir) =>
+      val bands = bandedSignatures(s, dir)
+      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
+      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
+      val estCol = A.indices.map(i =>
+        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
+      val est = bx.join(by,
+          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg((max(estCol) / lit(8.0)).as("est_raw"))
+      val sh = shingled(documents(s, dir))
+        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
+        .transform(Q.materialize) // both shared-join sides + sizes
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shX = sh.toDF("xd", "xs")
+      val shY = sh.toDF("yd", "ys")
+      val shared = est.join(shX, col("doc_a") === col("xd"))
+        .join(shY, col("doc_b") === col("yd") && col("ys") === col("xs"))
+        .groupBy(col("doc_a").as("sa_id"), col("doc_b").as("sb_id"))
+        .agg(count(lit(1)).as("shared"))
+      val sizeA = sizes.toDF("da", "na")
+      val sizeB = sizes.toDF("db", "nb")
+      val jac = coalesce(col("shared"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("shared"), lit(0L)))
+      est
+        .join(shared, col("doc_a") === col("sa_id") && col("doc_b") === col("sb_id"), "left")
+        .join(sizeA, col("doc_a") === col("da"))
+        .join(sizeB, col("doc_b") === col("db"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_raw"), 4).as("est_sim"),
+          round(jac, 4).as("jaccard"),
+          round(abs(col("est_raw") - jac), 4).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    GraftQuery(
       "q_dedup_normalized",
       "Extension (r10): normalized exact dedup — the C4/CCNet preprocessing step that " +
         "catches trivially-disguised copies plain content-hash dedup misses: casefold, " +
