@@ -99,6 +99,32 @@ object QText {
     },
 
     GraftQuery(
+      "q_truncation_loss",
+      "Extension (r10): context-length planning — for candidate sequence lengths, the " +
+        "fraction of docs that fit whole and the fraction of corpus tokens RETAINED " +
+        "under truncation (what a context-window choice actually costs in data; " +
+        "production asks this at 2k/8k/32k, same shape). One scan, one 3-way explode, " +
+        "one aggregate — output rows = |candidate lengths|.",
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |x AS (SELECT n, unnest([32, 64, 128]) AS ctx_len FROM t)
+        |SELECT ctx_len::BIGINT AS ctx_len,
+        |       round(sum(CASE WHEN n <= ctx_len THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |         AS pct_docs_fit,
+        |       round(sum(least(n, ctx_len))::DOUBLE / sum(n), 4) AS pct_tokens_kept
+        |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(size(split(lower(col("text")), " ")).cast("long").as("n"))
+        .select(col("n"), explode(array(lit(32L), lit(64L), lit(128L))).as("ctx_len"))
+        .groupBy("ctx_len")
+        .agg(
+          round(sum(when(col("n") <= col("ctx_len"), 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("pct_docs_fit"),
+          round(sum(least(col("n"), col("ctx_len"))).cast("double") / sum(col("n")), 4)
+            .as("pct_tokens_kept"))
+        .orderBy("ctx_len")
+    },
+
+    GraftQuery(
       "q_text_tokens",
       "F13/D5: tokenize + global token frequency (explode is the builtin Generator — no UDTF)",
       """SELECT token, count(*) AS n
