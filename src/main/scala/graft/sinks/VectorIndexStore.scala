@@ -116,6 +116,39 @@ object VectorIndexStore {
     (nDelta, retrain)
   }
 
+  /** Batched search — the realistic serving call: a whole probe FRAME
+    * (probe_id, embedding) against the index in one plan. Cells are
+    * selected per probe against the broadcast centroid table (integer d2,
+    * the kmeansIvfTop shape), the union of probed cells prunes the
+    * partitioned lists once, and each probe fine-scans only its own
+    * cells' members. Returns (probe_id, vec_id, score, rnk ≤ topK).
+    */
+  def searchBatch(spark: SparkSession, indexDir: String, probes: DataFrame,
+      topK: Int, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorMath.register(spark)
+    val cents = loadCentroids(spark, indexDir)
+    val sq = spark; import sq.implicits._
+    val centDf = broadcast(cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv"))
+    val qp = probes.select(col("probe_id"), col("embedding").as("pe"),
+      expr(Kmeans.quantExpr("embedding")).as("qp"))
+    val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
+    val sel = qp.crossJoin(centDf)
+      .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= nprobe)
+      .select("probe_id", "pe", "cid")
+    // one pruned scan for the UNION of probed cells (driver-bounded: ≤ k)
+    val cells = sel.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(listsDir(indexDir))
+      .filter(col("cluster").isin(cells: _*))
+    val wk = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+    sel.join(lists, col("cluster") === col("cid"))
+      .withColumn("score", expr("vec_cos(embedding, pe)"))
+      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= topK)
+      .select("probe_id", "vec_id", "score", "rnk")
+  }
+
   /** Exact-cosine top-k over the `nprobe` nearest cells. The cluster
     * IN (…) predicate prunes the partitioned lists at file listing —
     * the fine scan reads nprobe/k of the corpus.

@@ -71,6 +71,23 @@ class VectorIndexStoreSpec extends SparkTestBase {
     assert(VectorIndexStore.tick(spark, dir) === ((0L, false)))
   }
 
+  test("searchBatch == per-probe search for every probe in the frame") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val probes = corpus.filter(col("vec_id") < 4L)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val batched = VectorIndexStore.searchBatch(spark, dir, probes, topK = 5)
+      .collect().groupBy(_.getLong(0))
+    (0L until 4L).foreach { pid =>
+      val single = VectorIndexStore.search(spark, dir,
+          corpus.filter(col("vec_id") === pid).head().getSeq[Float](1).map(_.toDouble),
+          topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = batched(pid).sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+      assert(b.toSeq === single.toSeq, s"probe $pid diverged")
+    }
+  }
+
   test("a delta larger than the retrain fraction triggers the full fold") {
     val dir = freshDir()
     val sq = spark; import sq.implicits._
