@@ -186,6 +186,66 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_anomaly_ensemble",
+      "Extension (r10): consensus anomaly detection — three detectors vote per point " +
+        "(W7's median/MAD band, the Tukey IQR fence, and a seasonal-adjusted variant " +
+        "against the hour-of-day median) and a point alerts on consensus (≥2 votes), the " +
+        "'page only when detectors agree' practice that cuts single-detector false " +
+        "positives. Every statistic runs on INTEGER cents (exact percentile " +
+        "interpolation: .5/.25 fractions are binary-exact, the W7 rule), so no flag can " +
+        "flip between engines. Per-series aggregates broadcast back — the detectors " +
+        "share ONE scan and the same grouping keys.",
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  round(value * 100)::BIGINT AS v100,
+        |                  date_part('hour', ts) AS hr FROM events),
+        |m AS (SELECT event_type, median(v100) AS med100,
+        |             quantile_cont(v100, 0.25) AS q1,
+        |             quantile_cont(v100, 0.75) AS q3 FROM e GROUP BY 1),
+        |d AS (SELECT e.*, m.med100, m.q1, m.q3 FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(abs(v100 - med100)) AS mad100 FROM d GROUP BY 1),
+        |hm AS (SELECT event_type, hr, median(v100) AS hmed100 FROM e GROUP BY 1, 2),
+        |f AS (SELECT d.event_id, d.event_type, d.value,
+        |             CASE WHEN abs(d.v100 - d.med100) > 3 * md.mad100 THEN 1 ELSE 0 END
+        |               AS f_mad,
+        |             CASE WHEN d.v100 < d.q1 - 1.5 * (d.q3 - d.q1)
+        |                    OR d.v100 > d.q3 + 1.5 * (d.q3 - d.q1) THEN 1 ELSE 0 END
+        |               AS f_iqr,
+        |             CASE WHEN abs(d.v100 - hm.hmed100) > 3 * md.mad100 THEN 1 ELSE 0 END
+        |               AS f_seasonal
+        |      FROM d JOIN md USING (event_type) JOIN hm
+        |        ON hm.event_type = d.event_type AND hm.hr = d.hr)
+        |SELECT event_id, event_type, value,
+        |       (f_mad + f_iqr + f_seasonal)::BIGINT AS votes,
+        |       f_mad + f_iqr + f_seasonal >= 2 AS consensus
+        |FROM f WHERE f_mad + f_iqr + f_seasonal >= 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("v100"),
+        hour(col("ts")).as("hr"))
+      val m = e.groupBy("event_type").agg(
+        expr("percentile(v100, 0.5D)").as("med100"),
+        expr("percentile(v100, 0.25D)").as("q1"),
+        expr("percentile(v100, 0.75D)").as("q3"))
+      val d = e.join(broadcast(m), Seq("event_type"))
+      val md = d.groupBy("event_type")
+        .agg(expr("percentile(abs(v100 - med100), 0.5D)").as("mad100"))
+      val hm = e.groupBy("event_type", "hr").agg(expr("percentile(v100, 0.5D)").as("hmed100"))
+      val fMad = when(abs(col("v100") - col("med100")) > lit(3) * col("mad100"), 1).otherwise(0)
+      val iqr = col("q3") - col("q1")
+      val fIqr = when(col("v100") < col("q1") - lit(1.5) * iqr ||
+        col("v100") > col("q3") + lit(1.5) * iqr, 1).otherwise(0)
+      val fSea = when(abs(col("v100") - col("hmed100")) > lit(3) * col("mad100"), 1).otherwise(0)
+      val votes = fMad + fIqr + fSea
+      d.join(broadcast(md), Seq("event_type"))
+        .join(broadcast(hm), Seq("event_type", "hr"))
+        .withColumn("votes", votes.cast("bigint"))
+        .filter(col("votes") >= 1)
+        .select(col("event_id"), col("event_type"), col("value"), col("votes"),
+          (col("votes") >= 2).as("consensus"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_skew_salted_avg",
       "Extension: two-stage SALTED aggregation (operators/Skew) under the oracle gate — " +
         "the hot-key fix for a chatty PLC dominating one reducer: stage 1 aggregates on " +
