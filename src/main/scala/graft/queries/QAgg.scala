@@ -246,6 +246,80 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_value_psi",
+      "Extension (r10): population stability index per series type — the standard " +
+        "ML-ops drift metric between the first and second half of the window: decile " +
+        "bins from the BASELINE half's exact integer-cents quantiles (binary-exact " +
+        "interpolation, the W7 rule), +1-smoothed bin shares, PSI = Σ (p2−p1)·ln(p2/p1). " +
+        "PSI > 0.2 is the retrain-trigger convention. Bin boundaries broadcast into a " +
+        "projection — two counting aggregates over one scan; `+0` folds −0.0 on " +
+        "near-zero PSI (the q_pmi_bigrams ln-rounding convention).",
+      """WITH e AS (SELECT event_type, round(value * 100)::BIGINT AS v100,
+        |                  CASE WHEN ts < '2024-01-16' THEN 1 ELSE 2 END AS period
+        |           FROM events),
+        |b AS (SELECT event_type,
+        |             quantile_cont(v100, 0.1) AS b1, quantile_cont(v100, 0.2) AS b2,
+        |             quantile_cont(v100, 0.3) AS b3, quantile_cont(v100, 0.4) AS b4,
+        |             quantile_cont(v100, 0.5) AS b5, quantile_cont(v100, 0.6) AS b6,
+        |             quantile_cont(v100, 0.7) AS b7, quantile_cont(v100, 0.8) AS b8,
+        |             quantile_cont(v100, 0.9) AS b9
+        |      FROM e WHERE period = 1 GROUP BY event_type),
+        |binned AS (SELECT e.event_type, e.period,
+        |                  1 + (CASE WHEN v100 > b1 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b2 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b3 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b4 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b5 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b6 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b7 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b8 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN v100 > b9 THEN 1 ELSE 0 END) AS bin
+        |           FROM e JOIN b USING (event_type)),
+        |grid AS (SELECT DISTINCT event_type, unnest(range(1, 11)) AS bin FROM e),
+        |c AS (SELECT g.event_type, g.bin,
+        |             coalesce(sum(CASE WHEN x.period = 1 THEN 1 ELSE 0 END), 0) + 1 AS c1,
+        |             coalesce(sum(CASE WHEN x.period = 2 THEN 1 ELSE 0 END), 0) + 1 AS c2
+        |      FROM grid g LEFT JOIN binned x
+        |        ON x.event_type = g.event_type AND x.bin = g.bin
+        |      GROUP BY 1, 2),
+        |n AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1)
+        |SELECT c.event_type,
+        |       round(sum((c2::DOUBLE / n2 - c1::DOUBLE / n1)
+        |                 * ln((c2::DOUBLE / n2) / (c1::DOUBLE / n1))), 4) + 0 AS psi,
+        |       (max(n1) - 10)::BIGINT AS n_baseline, (max(n2) - 10)::BIGINT AS n_current
+        |FROM c JOIN n USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v100"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 1).otherwise(2).as("period"))
+      val bAggs = (1 to 9).map(i => expr(s"percentile(v100, 0.${i}D)").as(s"b$i"))
+      val b = e.filter(col("period") === 1).groupBy("event_type")
+        .agg(bAggs.head, bAggs.tail: _*)
+      val binCol = (1 to 9).map(i => when(col("v100") > col(s"b$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      val binned = e.join(broadcast(b), Seq("event_type")).withColumn("bin", binCol)
+      val sq = s; import sq.implicits._
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast((1 to 10).toDF("bin")))
+      val c = grid.join(binned.toDF("x_et", "v100", "period", "b1", "b2", "b3", "b4",
+          "b5", "b6", "b7", "b8", "b9", "x_bin"),
+          col("event_type") === col("x_et") && col("bin") === col("x_bin"), "left")
+        .groupBy("event_type", "bin")
+        .agg((coalesce(sum(when(col("period") === 1, 1).otherwise(0)), lit(0)) + 1).as("c1"),
+          (coalesce(sum(when(col("period") === 2, 1).otherwise(0)), lit(0)) + 1).as("c2"))
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val p1 = col("c1").cast("double") / col("n1")
+      val p2 = col("c2").cast("double") / col("n2")
+      c.withColumn("n1", sum(col("c1")).over(wN))
+        .withColumn("n2", sum(col("c2")).over(wN))
+        .groupBy("event_type")
+        .agg((round(sum((p2 - p1) * log(p2 / p1)), 4) + lit(0.0)).as("psi"),
+          (max(col("n1")) - 10).cast("bigint").as("n_baseline"),
+          (max(col("n2")) - 10).cast("bigint").as("n_current"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
       "q_skew_salted_avg",
       "Extension: two-stage SALTED aggregation (operators/Skew) under the oracle gate — " +
         "the hot-key fix for a chatty PLC dominating one reducer: stage 1 aggregates on " +
