@@ -298,9 +298,10 @@ object QAgg {
       val binCol = (1 to 9).map(i => when(col("v100") > col(s"b$i"), 1).otherwise(0))
         .foldLeft(lit(1))(_ + _)
       val binned = e.join(broadcast(b), Seq("event_type")).withColumn("bin", binCol)
-      val sq = s; import sq.implicits._
+      // the 10-bin grid fans out per type via explode — no join, no BNLJ
       val grid = e.select("event_type").distinct()
-        .crossJoin(broadcast((1 to 10).toDF("bin")))
+        .select(col("event_type"),
+          explode(array((1 to 10).map(lit(_)): _*)).as("bin"))
       val c = grid.join(binned.toDF("x_et", "v100", "period", "b1", "b2", "b3", "b4",
           "b5", "b6", "b7", "b8", "b9", "x_bin"),
           col("event_type") === col("x_et") && col("bin") === col("x_bin"), "left")
