@@ -600,6 +600,82 @@ object QVector {
       Q.distributedNtile(proj, 10, Seq(col("score").asc, col("vec_id")), "decile")
         .orderBy("vec_id")
     },
+
+    GraftQuery(
+      "q_embedding_drift",
+      "Extension (r10): EMBEDDING drift — PSI of the top-PC projection distribution " +
+        "between the corpus's first and second half (by vec_id), per label: the " +
+        "embedding-space twin of q_value_psi (a new crawl/model shifting the embedding " +
+        "distribution is exactly what this catches before an ANN index goes stale). " +
+        "Quartile bins from the BASELINE half (factors .25/.5/.75 are binary-exact on " +
+        "integer scores → identical boundaries in both engines), +1-smoothed shares, " +
+        "Σ(p2−p1)·ln(p2/p1). Projection scores are the exact integer dots of " +
+        "q_embedding_project; the split point is a driver scalar.",
+      s"""WITH $dPca,
+         |proj AS (SELECT q.vec_id,
+         |                list_dot_product(q.qv::DOUBLE[],
+         |                  (SELECT list(v ORDER BY i) FROM v3)::DOUBLE[])::BIGINT AS sc
+         |         FROM q),
+         |pl AS (SELECT p.vec_id, p.sc, e.label,
+         |              CASE WHEN p.vec_id < (SELECT (max(vec_id) + 1) // 2 FROM q)
+         |                   THEN 1 ELSE 2 END AS period
+         |       FROM proj p JOIN embeddings e USING (vec_id)),
+         |bq AS (SELECT label, quantile_cont(sc, 0.25) AS b1,
+         |              quantile_cont(sc, 0.5) AS b2, quantile_cont(sc, 0.75) AS b3
+         |       FROM pl WHERE period = 1 GROUP BY label),
+         |binned AS (SELECT pl.label, pl.period,
+         |                  1 + (CASE WHEN sc > b1 THEN 1 ELSE 0 END)
+         |                    + (CASE WHEN sc > b2 THEN 1 ELSE 0 END)
+         |                    + (CASE WHEN sc > b3 THEN 1 ELSE 0 END) AS bin
+         |           FROM pl JOIN bq USING (label)),
+         |grid AS (SELECT DISTINCT label, unnest(range(1, 5)) AS bin FROM pl),
+         |c AS (SELECT g.label, g.bin,
+         |             coalesce(sum(CASE WHEN x.period = 1 THEN 1 ELSE 0 END), 0) + 1 AS c1,
+         |             coalesce(sum(CASE WHEN x.period = 2 THEN 1 ELSE 0 END), 0) + 1 AS c2
+         |      FROM grid g LEFT JOIN binned x ON x.label = g.label AND x.bin = g.bin
+         |      GROUP BY 1, 2),
+         |n AS (SELECT label, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1)
+         |SELECT c.label::BIGINT AS label,
+         |       round(sum((c2::DOUBLE / n2 - c1::DOUBLE / n1)
+         |                 * ln((c2::DOUBLE / n2) / (c1::DOUBLE / n1))), 4) + 0 AS psi,
+         |       (max(n1) - 4)::BIGINT AS n_baseline, (max(n2) - 4)::BIGINT AS n_current
+         |FROM c JOIN n USING (label)
+         |GROUP BY c.label ORDER BY label""".stripMargin) { (s, dir) =>
+      val v = pcaLoading(s, dir)
+      val vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
+      val emb = embeddings(s, dir)
+      val half = emb.agg((max(col("vec_id")) + 1) / 2).head().getDouble(0).toLong
+      val pl = Q.fanout(emb).select(col("vec_id"), col("label"),
+        expr(s"CAST(vec_dot(${sQuant("embedding")}, $vLit) AS BIGINT)").as("sc"),
+        when(col("vec_id") < half, 1).otherwise(2).as("period"))
+      val bq = pl.filter(col("period") === 1).groupBy("label")
+        .agg(expr("percentile(sc, 0.25D)").as("b1"),
+          expr("percentile(sc, 0.5D)").as("b2"),
+          expr("percentile(sc, 0.75D)").as("b3"))
+      val binCol = (1 to 3).map(i => when(col("sc") > col(s"b$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      val binned = pl.join(broadcast(bq), Seq("label")).withColumn("bin", binCol)
+        .select(col("label").as("x_label"), col("period"), col("bin").as("x_bin"))
+      val grid = pl.select("label").distinct()
+        .select(col("label"), explode(array((1 to 4).map(lit(_)): _*)).as("bin"))
+      val c = grid.join(binned,
+          col("label") === col("x_label") && col("bin") === col("x_bin"), "left")
+        .groupBy("label", "bin")
+        .agg((coalesce(sum(when(col("period") === 1, 1).otherwise(0)), lit(0)) + 1).as("c1"),
+          (coalesce(sum(when(col("period") === 2, 1).otherwise(0)), lit(0)) + 1).as("c2"))
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      val p1 = col("c1").cast("double") / col("n1")
+      val p2 = col("c2").cast("double") / col("n2")
+      c.withColumn("n1", sum(col("c1")).over(wN))
+        .withColumn("n2", sum(col("c2")).over(wN))
+        .groupBy("label")
+        .agg((round(sum((p2 - p1) * log(p2 / p1)), 4) + lit(0.0)).as("psi"),
+          (max(col("n1")) - 4).cast("bigint").as("n_baseline"),
+          (max(col("n2")) - 4).cast("bigint").as("n_current"))
+        .select(col("label").cast("bigint").as("label"), col("psi"),
+          col("n_baseline"), col("n_current"))
+        .orderBy("label")
+    },
   )
 
   /** The quantized-power-iteration PCA loading (see q_embedding_pca for the
