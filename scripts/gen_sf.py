@@ -124,8 +124,7 @@ write("events", {
 wdf = con.sql(f"SELECT w, count(*) c FROM (SELECT unnest(string_split(text,' ')) w "
               f"FROM '{SRC}/documents.parquet') GROUP BY w").df()
 words, wp = wdf.w.to_numpy(), (wdf.c / wdf.c.sum()).to_numpy()
-lens = boot("documents", "len(string_split(text, ' '))".replace("len(string_split(text, ' '))", "length(string_split(text,' '))"), nDoc) \
-    if False else con.sql(f"SELECT len(string_split(text,' ')) l FROM '{SRC}/documents.parquet'").df().l.to_numpy()
+lens = con.sql(f"SELECT len(string_split(text,' ')) l FROM '{SRC}/documents.parquet'").df().l.to_numpy()
 lens = lens[rng.integers(0, len(lens), nDoc)]
 flat = rng.choice(words, int(lens.sum()), p=wp)
 texts, off = [], 0

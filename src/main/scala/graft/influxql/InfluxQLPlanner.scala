@@ -2041,16 +2041,22 @@ object InfluxQLPlanner {
     // an output explosion (2 days at 500µs = 345M rows/series) — refuse
     // with the bucket math instead of running it
     val nBuckets = (bNUs - b0Us) / (nsPer / 1000L) + 1
-    val maxBuckets = spark.conf.getOption("graft.influxql.maxSelectBuckets")
-      .map(_.toLong).getOrElse(1000000L)
-    // Guard only the sub-second grids that motivated it (IQL67): a
-    // whole-second-or-coarser grid such as GROUP BY time(1s) over two weeks
-    // (1.2M buckets) is a long-standing valid dashboard query — refusing it
-    // would be a silent behavior regression (ADVICE r9). Sub-second widths
-    // can explode to hundreds of millions of rows per series and stay gated.
-    if (nsPer < 1000000000L && nBuckets > maxBuckets)
+    // Two-tier guard. Sub-second grids (the IQL67 explosion that motivated
+    // it) gate at maxSelectBuckets (default 1M). Whole-second-or-coarser
+    // grids keep long-standing dashboard queries working — GROUP BY time(1s)
+    // fill(previous) over two weeks is 1.2M buckets and must plan (ADVICE
+    // r9) — but are NOT unbounded: the grid materializes one sequence()
+    // array per series, so a 26-year 1s grid (8.2e8 elements) would OOM an
+    // executor or overflow sequence()'s 2^31 element cap. The coarse tier
+    // defaults to 10M (a 1s grid over ~4 months; ~120 MB transient array);
+    // a user-set maxSelectBuckets applies to BOTH tiers.
+    val userMax = spark.conf.getOption("graft.influxql.maxSelectBuckets").map(_.toLong)
+    val cap =
+      if (nsPer < 1000000000L) userMax.getOrElse(1000000L)
+      else userMax.getOrElse(10000000L)
+    if (nBuckets > cap)
       throw InfluxQLParseException(
-        s"fill() grid would span $nBuckets buckets per series (max $maxBuckets) — " +
+        s"fill() grid would span $nBuckets buckets per series (max $cap) — " +
           "narrow the WHERE time range or widen GROUP BY time " +
           "(override: spark conf graft.influxql.maxSelectBuckets)")
     val tags = q.groupTags

@@ -173,7 +173,12 @@ object StoreMeta {
           val dataDir = new File(store, s"measurement=$db")
           if (!dataDir.isDirectory) Seq.empty
           else graft.sinks.PointStore.expireRetention(
-            dataDir.getPath, (rp.durationSec / 86400L).toInt, today)
+            // Ceil, not floor: a date= partition may only drop once its
+            // NEWEST point is past the duration (InfluxDB drops a shard
+            // group when the whole group is expired). Floor on a
+            // non-day-multiple duration (36h -> 1) would delete points
+            // still inside the declared window.
+            dataDir.getPath, ((rp.durationSec + 86399L) / 86400L).toInt, today)
         }
     }
 

@@ -105,6 +105,26 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
+  /** LSH candidate pairs from ONE renamed self-join of the banded
+    * signature table: (doc_a, doc_b, m) with m = number of agreeing
+    * minhashes (0..8, so est_sim = m/8 and the near-dup cut is the
+    * INTEGER m >= 4 — no FP boundary between engines). The single place
+    * the banding scheme lives on the Spark side; q_dedup_minhash,
+    * q_minhash_calibration and clusterGroups all consume this frame.
+    */
+  private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val bands = bandedSignatures(s, dir)
+    val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
+    val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
+    val est = A.indices.map(i =>
+      when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
+    bx.join(by,
+        col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(est).as("m"))
+  }
+
   /** Driver union-find cutoff for connected components: below this many
     * candidate pairs the exact in-memory pass wins; above it, distributed
     * min-label propagation. Injectable (system property) so the 100 TB
@@ -119,25 +139,10 @@ object QDedup {
     */
   private def clusterGroups(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    // Pairs: same single band self-join as q_dedup_minhash, thresholded
-    // at >= 4/8 matching minhashes (est. Jaccard >= 0.5) -- an INTEGER
-    // threshold, so both engines cut identically (no FP boundary).
-    val sig = Q.materialize(signatures(documents(s, dir)))
-      val bandStructs = (0 until 4).map(j =>
-        struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-      val bands = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-        explode(array(bandStructs: _*)).as("bk"): _*)
-        .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
-          col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
-      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
-      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
-      val est = A.indices.map(i =>
-        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-      val pairs = bx.join(by,
-          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(max(est).as("m"))
+    // Pairs: the shared LSH candidate self-join ([[candidatePairs]]),
+    // thresholded at >= 4/8 matching minhashes (est. Jaccard >= 0.5) --
+    // an INTEGER threshold, so both engines cut identically.
+    val pairs = candidatePairs(s, dir)
         .filter(col("m") >= 4)
         .select("doc_a", "doc_b")
       // Connected components, scale-adaptive (like broadcast-join
@@ -232,16 +237,8 @@ object QDedup {
            |JOIN sizes sb ON sb.doc_id = e.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin
       }) { (s, dir) =>
-      val bands = bandedSignatures(s, dir)
-      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
-      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
-      val estCol = A.indices.map(i =>
-        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-      val est = bx.join(by,
-          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg((max(estCol) / lit(8.0)).as("est_raw"))
+      val est = candidatePairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), (col("m") / lit(8.0)).as("est_raw"))
       val sh = shingled(documents(s, dir))
         .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
         .transform(Q.materialize) // both shared-join sides + sizes
@@ -321,16 +318,8 @@ object QDedup {
            |FROM pairs p JOIN sig a ON p.doc_a = a.doc_id JOIN sig b ON p.doc_b = b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, dir) =>
-      val bands = bandedSignatures(s, dir)
-      val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
-      val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
-      val est = A.indices.map(i =>
-        when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-      bx.join(by,
-          col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(round(max(est) / lit(8.0), 4).as("est_sim"))
+      candidatePairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), round(col("m") / lit(8.0), 4).as("est_sim"))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -286,6 +286,12 @@ object QJoin {
       // audit-banned BNLJ, hence driver-side).
       val ptots = r.groupBy("pid").agg(sum(col("rev")).as("ptot"))
         .collect().map(row => (row.getInt(0), row.getDecimal(1))).sortBy(_._1)
+      if (ptots.isEmpty) {
+        // empty lineitem: zero parts, zero output rows (the old single-window
+        // spelling degraded the same way; reduce on empty would throw)
+        r.select(col("l_partkey"), lit(0.0).as("revenue"),
+          lit(0.0).as("cum_share"), lit("C").as("abc")).limit(0)
+      } else {
       val total = ptots.map(_._2).reduce(_ add _)
       val offsets = ptots.scanLeft((0, java.math.BigDecimal.ZERO)) {
         case ((_, acc), (pid, ptot)) => (pid + 1, acc add ptot)
@@ -310,6 +316,7 @@ object QJoin {
             .when(col("cum") * 20 <= lit(total) * 19, "B")
             .otherwise("C").as("abc"))
         .orderBy("l_partkey")
+      }
     },
 
     GraftQuery(

@@ -37,6 +37,11 @@ object QVector {
   /** Deterministic integer hyperplanes: w(h,d) = ((h*37 + d*101) % 19) - 9. */
   private def plane(h: Int): Seq[Long] = (0 until 64).map(d => ((h * 37 + d * 101) % 19).toLong - 9)
 
+  /** Cells probed by the TRAINED-quantizer IVF (see [[kmeansIvfTop]] for
+    * the 3 → 4 rationale). Declared before `all`: the oracle fragments
+    * interpolate it at object init. */
+  private val kmeansNprobe = 4
+
   /** Every QVector query reads embeddings through this hook, which also
     * registers the native vec_dot/vec_cos/vec_l2sq expressions (see
     * [[graft.functions.VectorMath]]: same left-to-right double arithmetic
@@ -519,7 +524,7 @@ object QVector {
       "q_knn_ivf_kmeans",
       "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
         "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
-        "centroids by integer d2 and fine-search only the top-3 cells' members with exact " +
+        "centroids by integer d2 and fine-search only the top-4 cells' members with exact " +
         "float cosine — the fine scan reads 3/k of the corpus",
       s"""WITH $dKmeans,
          |$dKmeansIvf
@@ -697,12 +702,19 @@ object QVector {
       val prods = ex.select(col("i"), col("x"), posexplode(col("qv")).as(Seq("j", "y")))
         .groupBy("i", "j").agg(sum(col("x") * col("y")).as("sxy"))
         .collect()
-      val c = Array.ofDim[Long](64, 64)
+      // BigInt, not Long: covariance numerators scale as n²·var(q), which
+      // wraps Long past a few million vectors while the DuckDB twin stays
+      // exact in HUGEINT — the engines would silently diverge. BigInt `/`
+      // truncates toward zero exactly like DuckDB `//`; after the ≤10⁴
+      // rescale everything fits Long again (|cs|≤1e4, matvec ≤ 6.4e9).
+      val c = Array.ofDim[BigInt](64, 64)
+      for (i <- 0 until 64; j <- 0 until 64) c(i)(j) = BigInt(0)
       prods.foreach { r =>
-        c(r.getInt(0))(r.getInt(1)) = n * r.getLong(2) - sx(r.getInt(0)) * sx(r.getInt(1))
+        c(r.getInt(0))(r.getInt(1)) =
+          BigInt(n) * BigInt(r.getLong(2)) - BigInt(sx(r.getInt(0))) * BigInt(sx(r.getInt(1)))
       }
-      val maxC = math.max(c.flatten.map(math.abs).max, 1L)
-      val cs = c.map(_.map(x => x * 10000L / maxC))
+      val maxC = c.flatten.map(_.abs).max.max(BigInt(1))
+      val cs = c.map(_.map(x => (x * 10000 / maxC).toLong))
       var v = Array.fill(64)(10000L)
       for (_ <- 1 to 3) {
         val w = Array.tabulate(64)(i => (0 until 64).map(j => cs(i)(j) * v(j)).sum)
@@ -736,9 +748,17 @@ object QVector {
        |w3 AS MATERIALIZED (SELECT cs.i, sum(cs.cv * v2.v) AS w FROM cs JOIN v2 ON v2.i = cs.j GROUP BY 1),
        |v3 AS MATERIALIZED (SELECT i, (w * 10000 // (SELECT greatest(max(abs(w)), 1) FROM w3))::BIGINT AS v FROM w3)""".stripMargin
 
-  /** Trained-quantizer IVF ranking (probe → top-3 k-means cells → exact
-    * cosine over cell members): (probe_id, neighbor_id, rnk, score_raw).
-    * Shared by q_knn_ivf_kmeans and its recall gate. */
+  /** Trained-quantizer IVF ranking (probe → top-`kmeansNprobe` k-means
+    * cells → exact cosine over cell members): (probe_id, neighbor_id, rnk,
+    * score_raw). Shared by q_knn_ivf_kmeans and its recall gate.
+    *
+    * nprobe=4 of 8 cells (r10): the retrained quantizer (farthest-point +
+    * 5 Lloyd iterations) improved inertia but dropped recall@5 at nprobe=3
+    * vs the probe-lucky first-8-rows seeding (0.92 → 0.76 — this corpus
+    * has no real cluster structure, so near neighbors straddle cell
+    * borders). One more probed cell buys the recall back while still
+    * pruning half the corpus; the gate in KmeansGateSpec holds the line.
+    */
   private def kmeansIvfTop(s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assignedRaw, c1) = kmeansModel(s, dir)
@@ -753,7 +773,7 @@ object QVector {
     val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
     val sel = probes.crossJoin(broadcast(cents))
       .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
-      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= 3)
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= kmeansNprobe)
       .select("probe_id", "pe", "cid")
     val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
     sel.join(assigned, col("cluster") === col("cid"))
@@ -765,7 +785,7 @@ object QVector {
   }
 
   /** DuckDB twin of [[kmeansIvfTop]] (needs [[dKmeans]] in scope):
-    * kpr → kpc (probe→centroid integer d2) → ksel (top-3 cells) → kcand →
+    * kpr → kpc (probe→centroid integer d2) → ksel (top-nprobe cells) → kcand →
     * kscored → kivf(probe_id, neighbor_id, score, rnk). Distinct CTE names
     * so it composes with dPr/dBrute in the recall oracle. */
   // lazy: declared after `all`, which interpolates it at object init
@@ -779,7 +799,7 @@ object QVector {
        |                 + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
        |       FROM kpr CROSS JOIN cf c),
        |ksel AS (SELECT probe_id, cid FROM kpc
-       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 3),
+       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= $kmeansNprobe),
        |kcand AS (SELECT s.probe_id, a2.vec_id FROM ksel s JOIN a2 ON a2.cluster = s.cid),
        |kscored AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
        |                  ${dCos("e.embedding::DOUBLE[]", "kpr.pe")} AS score

@@ -41,7 +41,15 @@ object VectorIndexStore {
 
   private def listsDir(d: String) = s"$d/lists"
   private def deltaDir(d: String) = s"$d/delta"
+  private def foldingDir(d: String) = s"$d/delta.folding"
   private def centPath(d: String) = s"$d/centroids.parquet"
+  private def listsBuilding(d: String) = s"$d/lists.building"
+  private def centBuilding(d: String) = s"$d/centroids.building.parquet"
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(): Unit
+  }
 
   private def quantized(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
@@ -52,23 +60,30 @@ object VectorIndexStore {
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toVector: Seq[Long]))
       .sortBy(_._1).toSeq
 
-  private def writeCentroids(spark: SparkSession, indexDir: String,
-      cents: Seq[(Int, Seq[Long])]): Unit = {
-    val sq = spark; import sq.implicits._
-    cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(centPath(indexDir))
-  }
-
-  /** Train on `emb` (vec_id, embedding) and write the full index. */
+  /** Train on `emb` (vec_id, embedding) and write the full index.
+    *
+    * Staged, not in-place: centroids.building is written FIRST, then
+    * lists.building, then the commit renames both over the live dirs
+    * (cent before lists). [[recoverFolding]] depends on exactly this
+    * order to tell an uncommitted build (roll back) from a half-committed
+    * swap (roll forward) — an in-place mode("overwrite") would leave a
+    * crashed retrain with no index at all.
+    */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       k: Int = 8, iters: Int = 5): Unit = {
     VectorMath.register(spark)
     val qdf = graft.queries.Q.materialize(quantized(emb))
     val (_, cents) = Kmeans.train(qdf, k, iters)
-    writeCentroids(spark, indexDir, cents)
+    val sq = spark; import sq.implicits._
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(centBuilding(indexDir))
     qdf.withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
       .select("vec_id", "embedding", "cluster")
-      .write.partitionBy("cluster").mode("overwrite").parquet(listsDir(indexDir))
+      .write.partitionBy("cluster").mode("overwrite").parquet(listsBuilding(indexDir))
+    val cent = new java.io.File(centPath(indexDir))
+    val lists = new java.io.File(listsDir(indexDir))
+    rm(cent); new java.io.File(centBuilding(indexDir)).renameTo(cent): Unit
+    rm(lists); new java.io.File(listsBuilding(indexDir)).renameTo(lists): Unit
   }
 
   /** Land new vectors unindexed — the ingest path does NO index work. */
@@ -80,15 +95,72 @@ object VectorIndexStore {
     if (!new java.io.File(deltaDir(indexDir)).exists()) 0L
     else spark.read.parquet(deltaDir(indexDir)).count()
 
-  /** Daemon-tick maintenance. Returns (indexedDelta, retrained). */
+  /** Crash recovery: an orphaned `delta.folding/` means a prior tick died
+    * between folding and cleanup, so its list-append may or may not have
+    * committed. Re-folding blindly would duplicate every delta vector in
+    * the index forever (top-k would return the same vec_id twice); instead
+    * fold only the vectors NOT already present in the lists (anti-join on
+    * vec_id — the recovery pass is idempotent, so a crash during recovery
+    * just re-enters here), then clear the marker.
+    */
+  private def recoverFolding(spark: SparkSession, indexDir: String): Unit = {
+    val fDir  = new java.io.File(foldingDir(indexDir))
+    val lb    = new java.io.File(listsBuilding(indexDir))
+    val cb    = new java.io.File(centBuilding(indexDir))
+    val lists = new java.io.File(listsDir(indexDir))
+    val cent  = new java.io.File(centPath(indexDir))
+    // Retrain-swap recovery first. Build writes cb THEN lb; commit is
+    // delete cent → rename cb→cent → delete lists → rename lb→lists. Every
+    // crash state is therefore unambiguous:
+    //  - cb exists, cent gone       → commit started: roll FORWARD (adopt both);
+    //  - cb and lb exist (cent too) → build never committed: roll back,
+    //    fall through to the incremental fold of delta.folding;
+    //  - cb alone                   → tmp write died before lb: roll back;
+    //  - lb alone                   → centroids already committed (the old
+    //    lists no longer match them): finish adopting lb. delta.folding's
+    //    vectors are IN lb's corpus, so the anti-join below then folds
+    //    nothing and just clears the marker.
+    if (cb.exists() && !cent.exists()) {
+      cb.renameTo(cent): Unit
+      rm(lists); lb.renameTo(lists): Unit
+    } else if (cb.exists() && lb.exists()) { rm(lb); rm(cb) }
+    else if (cb.exists()) rm(cb)
+    else if (lb.exists()) { rm(lists); lb.renameTo(lists): Unit }
+    if (!fDir.exists()) return
+    val pending = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
+      .join(spark.read.parquet(listsDir(indexDir)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val frozen = graft.queries.Q.materialize(quantized(pending))
+    if (frozen.head(1).nonEmpty) {
+      val cents = loadCentroids(spark, indexDir)
+      frozen.withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+        .select("vec_id", "embedding", "cluster")
+        .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
+    }
+    rm(fDir)
+  }
+
+  /** Daemon-tick maintenance. Returns (indexedDelta, retrained).
+    *
+    * Crash discipline: `delta/` is RENAMED to `delta.folding/` (an atomic
+    * directory move — the marker) before any index work, the fold reads
+    * from the marker dir, and only a completed fold removes it. A crash at
+    * any point leaves either an intact `delta/` (nothing happened) or a
+    * `delta.folding/` that the next tick folds idempotently
+    * ([[recoverFolding]]) — no vector is ever lost or duplicated.
+    */
   def tick(spark: SparkSession, indexDir: String,
       retrainFraction: Double = 0.5, k: Int = 8, iters: Int = 5): (Long, Boolean) = {
     VectorMath.register(spark)
+    recoverFolding(spark, indexDir)
     val dDir = new java.io.File(deltaDir(indexDir))
     if (!dDir.exists()) return (0L, false)
-    val delta = spark.read.parquet(deltaDir(indexDir))
+    val fDir = new java.io.File(foldingDir(indexDir))
+    if (!dDir.renameTo(fDir))
+      throw new IllegalStateException(s"cannot stage $dDir -> $fDir for folding")
+    val delta = spark.read.parquet(fDir.getPath)
     val nDelta = delta.count()
-    if (nDelta == 0L) return (0L, false)
+    if (nDelta == 0L) { rm(fDir); return (0L, false) }
     val nIndexed = spark.read.parquet(listsDir(indexDir)).count()
     val retrain = nDelta.toDouble > retrainFraction * nIndexed
     if (retrain) {
@@ -102,17 +174,12 @@ object VectorIndexStore {
       // incremental: assign ONLY the delta against the existing centroids —
       // one bounded pass, centroids byte-identical afterwards
       val cents = loadCentroids(spark, indexDir)
-      graft.queries.Q.materialize(quantized(delta)) // freeze before delta dir clears
+      graft.queries.Q.materialize(quantized(delta)) // freeze before the marker dir clears
         .withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
     }
-    // delta is folded in — clear it (same swap discipline as compaction)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(dDir)
+    rm(fDir)
     (nDelta, retrain)
   }
 

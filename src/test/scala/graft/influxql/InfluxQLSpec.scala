@@ -78,6 +78,23 @@ class InfluxQLSpec extends SparkTestBase {
       """SELECT MEAN(value) AS m FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-15'
         |GROUP BY time(1s) fill(previous)""".stripMargin)
+    // ...but coarse grids are not UNbounded: a 26-year 1s grid (8.2e8
+    // buckets) would overflow sequence()'s element cap / OOM — the coarse
+    // tier refuses at its own 10M default
+    val e2 = intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+      """SELECT MEAN(value) AS m FROM events
+        |WHERE time >= '2000-01-01' AND time < '2026-01-01'
+        |GROUP BY time(1s) fill(previous)""".stripMargin))
+    assert(e2.getMessage.contains("buckets"), e2.getMessage)
+    // the user override applies to both tiers
+    spark.conf.set("graft.influxql.maxSelectBuckets", "100")
+    try {
+      val e3 = intercept[InfluxQLParseException](InfluxQLPlanner.sql(spark, dir,
+        """SELECT MEAN(value) AS m FROM events
+          |WHERE time >= '2024-01-01' AND time < '2024-01-02'
+          |GROUP BY time(10m) fill(null)""".stripMargin))
+      assert(e3.getMessage.contains("max 100"), e3.getMessage)
+    } finally spark.conf.unset("graft.influxql.maxSelectBuckets")
   }
 
   test("time literals: date, datetime, RFC3339, raw epoch ns") {

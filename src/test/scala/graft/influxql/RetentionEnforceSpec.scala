@@ -43,6 +43,23 @@ class RetentionEnforceSpec extends SparkTestBase {
     assert(StoreMeta.enforceRetention(store, LocalDate.parse("2024-02-01")).isEmpty)
   }
 
+  test("a non-day-multiple duration only drops fully-expired partitions (ceil, not floor)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-rp36").toString
+    StoreMeta.createDatabase(store, InfluxQLParser.parse("CREATE DATABASE hrs")
+      .asInstanceOf[CreateDatabase])
+    StoreMeta.createRp(store, InfluxQLParser.parse(
+      "CREATE RETENTION POLICY rp36 ON hrs DURATION 36h REPLICATION 1 DEFAULT")
+      .asInstanceOf[CreateRetention])
+    // today-2's newest possible point is ~24h old at the tick — INSIDE the
+    // 36h window. floor(36h/1d)=1 would drop it; ceil=2 must keep it.
+    PointStoreDirect.append(Seq(
+      PointStoreDirect.Point(ns("2024-01-30"), "hrs", "t", 1.0), // today-2: keep
+      PointStoreDirect.Point(ns("2024-01-29"), "hrs", "t", 2.0)), store) // today-3: drop
+    val dropped = StoreMeta.enforceRetention(store, LocalDate.parse("2024-02-01"))
+    assert(dropped.size === 1 && dropped.head.endsWith("date=2024-01-29"))
+    assert(new java.io.File(store, "measurement=hrs/date=2024-01-30").exists())
+  }
+
   test("the served store's daemon tick expires data declared by CREATE RETENTION POLICY") {
     import java.net.{HttpURLConnection, URI}
     val store = java.nio.file.Files.createTempDirectory("graft-rp-http").toString

@@ -11,20 +11,22 @@ import graft.{Registry, SparkTestBase}
   * cluster structure (q_cluster_purity ≈ 0.16 against 10 labels ≈ the 0.1
   * random baseline), so IVF recall@5 over 5 probes is inherently noisy —
   * training improved inertia (the k-means objective, 7.60M → 7.51M at
-  * sf0.01) and cluster balance, while recall moved 0.92 → 0.76 at nprobe=3
-  * (the old seeding was probe-lucky). The gates below are the first
-  * EXPLICIT ones (r9 had none): mean recall@5 ≥ 0.7, every cell populated,
-  * no degenerate cell imbalance.
+  * sf0.01) and cluster balance, but at nprobe=3 recall dropped 0.92 → 0.76
+  * (the old first-8-rows seeding was probe-lucky; true neighbors straddle
+  * cell borders here). The fix was NOT to lower the bar to the regression:
+  * nprobe went 3 → 4 (still pruning half the corpus) which restores mean
+  * recall@5 to 0.92 at sf0.001, and the gate holds the pre-retrain level:
+  * mean ≥ 0.9, every cell populated, no degenerate cell imbalance.
   */
 class KmeansGateSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("trained-quantizer IVF holds mean recall@5 >= 0.7 on the probe set") {
+  test("trained-quantizer IVF holds mean recall@5 >= 0.9 on the probe set") {
     val rows = Registry.byName("q_knn_recall_kmeans").run(spark, dir).collect()
     assert(rows.length === 5, "5 probes expected")
     val mean = rows.map(_.getDouble(1)).sum / rows.length
-    assert(mean >= 0.7, f"mean recall@5 $mean%.2f fell below the 0.7 gate")
+    assert(mean >= 0.9, f"mean recall@5 $mean%.2f fell below the 0.9 gate")
   }
 
   test("all 8 k-means cells are populated and no cell dominates (max <= 3x min)") {

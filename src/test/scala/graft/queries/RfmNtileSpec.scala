@@ -53,6 +53,17 @@ class RfmNtileSpec extends SparkTestBase {
     assert(Q.distributedNtile(empty, 5, Seq(col("v").asc, col("id")), "nt").count() === 0L)
   }
 
+  test("q_abc_analysis on an empty lineitem returns zero rows (no empty.reduce)") {
+    // the offsets pass collects zero partition totals — must degrade to an
+    // empty frame like the single-window spelling did, not throw
+    val tmp = java.nio.file.Files.createTempDirectory("graft-abc-empty").toString
+    graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .limit(0).write.parquet(s"$tmp/lineitem.parquet")
+    val out = Registry.byName("q_abc_analysis").run(spark, tmp)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("l_partkey", "revenue", "cum_share", "abc"))
+  }
+
   test("q_rfm_segments: distributed branch == legacy global-window branch on real orders") {
     val dir = "/root/testdata/sf0.001"
     val dist = Registry.byName("q_rfm_segments").run(spark, dir).collect()

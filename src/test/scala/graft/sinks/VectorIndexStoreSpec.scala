@@ -88,6 +88,58 @@ class VectorIndexStoreSpec extends SparkTestBase {
     }
   }
 
+  test("crash between fold and cleanup: the next tick does not duplicate delta vectors") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val donor = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1)
+    val sq = spark; import sq.implicits._
+    VectorIndexStore.append(spark, Seq((100001L, donor)).toDF("vec_id", "embedding"), dir)
+    // simulate the worst crash window: the fold COMMITTED its list-append
+    // but died before clearing the marker — i.e. run a full tick, then
+    // resurrect delta/ as delta.folding/ with the same vector
+    assert(VectorIndexStore.tick(spark, dir)._1 === 1L)
+    Seq((100001L, donor)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/delta.folding")
+    VectorIndexStore.tick(spark, dir) // recovery path
+    val copies = spark.read.parquet(s"$dir/lists")
+      .filter(col("vec_id") === 100001L).count()
+    assert(copies === 1L, s"recovery must not duplicate the folded vector (got $copies)")
+    assert(!new java.io.File(s"$dir/delta.folding").exists())
+    // the opposite window — fold never committed — must not LOSE the vector
+    Seq((100002L, donor)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/delta.folding")
+    VectorIndexStore.tick(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists")
+      .filter(col("vec_id") === 100002L).count() === 1L)
+  }
+
+  test("crash mid retrain-swap: an uncommitted build rolls back, a half-commit rolls forward") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val before = spark.read.parquet(s"$dir/lists").count()
+    // uncommitted build: both .building dirs present, live index intact →
+    // next tick discards them and the index is unchanged
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .write.parquet(s"$dir/centroids.building.parquet")
+    spark.read.parquet(s"$dir/lists").write.partitionBy("cluster")
+      .parquet(s"$dir/lists.building")
+    VectorIndexStore.tick(spark, dir)
+    assert(!new java.io.File(s"$dir/lists.building").exists())
+    assert(!new java.io.File(s"$dir/centroids.building.parquet").exists())
+    assert(spark.read.parquet(s"$dir/lists").count() === before)
+    // half-commit: centroids renamed (cb gone), lists swap pending → next
+    // tick adopts lists.building
+    val sq = spark; import sq.implicits._
+    val donor = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1)
+    spark.read.parquet(s"$dir/lists")
+      .unionByName(Seq((200001L, donor, 0)).toDF("vec_id", "embedding", "cluster"))
+      .write.partitionBy("cluster").parquet(s"$dir/lists.building")
+    VectorIndexStore.tick(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists").count() === before + 1)
+    assert(spark.read.parquet(s"$dir/lists")
+      .filter(col("vec_id") === 200001L).count() === 1L)
+  }
+
   test("a delta larger than the retrain fraction triggers the full fold") {
     val dir = freshDir()
     val sq = spark; import sq.implicits._
