@@ -105,6 +105,34 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
+  /** DuckDB twin of [[clusterGroups]] as a composable CTE chain — bands →
+    * cand → scored → edges → reach → cc(doc_id, cluster). Callers open
+    * `WITH RECURSIVE $duckBase, $duckSig, $duckCc` and select from cc.
+    * ONE copy per engine side: the banding scheme lives in
+    * [[candidatePairs]] on the Spark side and here on the oracle side.
+    */
+  private val duckCc: String = {
+    val bands = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+      .mkString(" UNION ALL ")
+    val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+       |scored AS (SELECT p.doc_a, p.doc_b
+       |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
+       |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+       |          UNION ALL SELECT doc_b, doc_a FROM scored),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |       FROM reach GROUP BY src)""".stripMargin
+  }
+
   /** LSH candidate pairs from ONE renamed self-join of the banded
     * signature table: (doc_a, doc_b, m) with m = number of agreeing
     * minhashes (0..8, so est_sim = m/8 and the near-dup cut is the
@@ -326,59 +354,20 @@ object QDedup {
     GraftQuery(
       "q_dedup_groups",
       "Extension: near-dup CLUSTERS — connected components over LSH candidate pairs (min-label propagation), canonical doc per cluster",
-      {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
-        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH RECURSIVE $duckBase, $duckSig,
-           |bands AS ($bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM bands x JOIN bands y
-           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
-           |scored AS (SELECT p.doc_a, p.doc_b
-           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
-           |          UNION ALL SELECT doc_b, doc_a FROM scored),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-           |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc
+         |SELECT doc_id, cluster FROM cc ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       clusterGroups(s, dir).orderBy("doc_id")
     },
 
     GraftQuery(
       "q_dedup_keep",
       "Extension: the dedup KEEP LIST — corpus minus non-canonical near-dup cluster members (the actual training-set filter)",
-      {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
-        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH RECURSIVE $duckBase, $duckSig,
-           |bands AS ($bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM bands x JOIN bands y
-           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
-           |scored AS (SELECT p.doc_a, p.doc_b
-           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
-           |          UNION ALL SELECT doc_b, doc_a FROM scored),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |       FROM reach GROUP BY src)
-           |SELECT d.doc_id, d.lang, d.source FROM documents d
-           |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster)
-           |ORDER BY d.doc_id""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster)
+         |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
       // Victims = cluster members that are not their cluster's canonical
       // doc; the corpus anti-joins them away. This is the query a training
       // pipeline actually ships — groups are diagnostics, THIS is the
@@ -397,35 +386,15 @@ object QDedup {
         "q_dedup_keep's greedy keep-first. Same cluster labels, one extra window over " +
         "the (tiny) clustered slice joined back broadcast-style; singleton docs are their " +
         "own cluster and always keep.",
-      {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
-        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH RECURSIVE $duckBase, $duckSig,
-           |bands AS ($bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM bands x JOIN bands y
-           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
-           |scored AS (SELECT p.doc_a, p.doc_b
-           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
-           |          UNION ALL SELECT doc_b, doc_a FROM scored),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |       FROM reach GROUP BY src),
-           |m AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster, d.n_chars
-           |      FROM documents d LEFT JOIN cc USING (doc_id)),
-           |best AS (SELECT cluster, doc_id AS keep_id FROM m
-           |         QUALIFY row_number() OVER (PARTITION BY cluster
-           |                                    ORDER BY n_chars DESC, doc_id) = 1)
-           |SELECT m.doc_id, m.cluster, m.n_chars, m.doc_id = b.keep_id AS keep
-           |FROM m JOIN best b USING (cluster) ORDER BY m.doc_id""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |m AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster, d.n_chars
+         |      FROM documents d LEFT JOIN cc USING (doc_id)),
+         |best AS (SELECT cluster, doc_id AS keep_id FROM m
+         |         QUALIFY row_number() OVER (PARTITION BY cluster
+         |                                    ORDER BY n_chars DESC, doc_id) = 1)
+         |SELECT m.doc_id, m.cluster, m.n_chars, m.doc_id = b.keep_id AS keep
+         |FROM m JOIN best b USING (cluster) ORDER BY m.doc_id""".stripMargin
+    ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val labels = clusterGroups(s, dir)
         .select(col("doc_id").as("l_doc"), col("cluster").as("l_cluster"))
@@ -446,32 +415,12 @@ object QDedup {
         "clusters of 2, of 3, …, and how many docs they hold), the number every dedup run " +
         "logs before anyone trusts the keep list. Two k-row aggregates over the shared " +
         "cluster assignment",
-      {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
-        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH RECURSIVE $duckBase, $duckSig,
-           |bands AS ($bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM bands x JOIN bands y
-           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
-           |scored AS (SELECT p.doc_a, p.doc_b
-           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
-           |          UNION ALL SELECT doc_b, doc_a FROM scored),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |       FROM reach GROUP BY src),
-           |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
-           |SELECT cluster_size, count(*) AS n_clusters,
-           |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-           |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    ) { (s, dir) =>
       clusterGroups(s, dir)
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -483,28 +432,8 @@ object QDedup {
     GraftQuery(
       "q_pipeline_trainset",
       "Extension: the SHIPPED training-set pipeline — quality gate ∧ exact-dedup ∧ near-dup keep-list → stratified sample, one composed query",
-      {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
-        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH RECURSIVE $duckBase, $duckSig,
-           |bands AS ($bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM bands x JOIN bands y
-           |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
-           |scored AS (SELECT p.doc_a, p.doc_b
-           |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-           |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
-           |          UNION ALL SELECT doc_b, doc_a FROM scored),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |       FROM reach GROUP BY src),
-           |near_v AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |near_v AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
            |exact_v AS (SELECT doc_id FROM (
            |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            |  FROM documents) WHERE rn > 1),
@@ -516,7 +445,7 @@ object QDedup {
            |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
            |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rk
            |  FROM kept) WHERE rk <= 10 ORDER BY source, rk""".stripMargin
-      }) { (s, dir) =>
+    ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // The pipeline a training run actually ships, composed from the
       // proven stages: quality gate (>= 40 tokens), exact dedup
@@ -543,6 +472,42 @@ object QDedup {
         .filter(col("rk") <= 10)
         .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
+    },
+
+    GraftQuery(
+      "q_split_leakage_safe",
+      "Extension (r10): LEAKAGE-SAFE train/val/test split — the split UNIT is the " +
+        "near-dup cluster, not the document, so near-duplicates can never straddle " +
+        "train and test (the leakage a per-document random split ships: the model is " +
+        "evaluated on paraphrases of its training data). Deterministic integer hash of " +
+        "the cluster id → 80/10/10; singletons are their own cluster. Same CC labels as " +
+        "q_dedup_groups — at 100 TB the cluster assignment is computed once and every " +
+        "split/decontamination consumer broadcast-joins it.",
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |m AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         |      FROM documents d LEFT JOIN cc USING (doc_id)),
+         |h AS (SELECT doc_id, cluster,
+         |             ((cluster % 2147483648) * 1103515245 + 12345) % 2147483648 % 10 AS b
+         |      FROM m)
+         |SELECT doc_id, cluster,
+         |       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      // The hash is LCG-style pure integer arithmetic: (cluster mod 2^31)
+      // * 1103515245 stays ≤ 2.4e18 (no Long wrap at any doc_id), and both
+      // engines compute it bit-identically. Every member of a cluster
+      // shares `cluster`, hence shares `split` BY CONSTRUCTION — the
+      // leakage guarantee is structural, not statistical
+      // (SplitLeakageSpec pins it plus the 80/10/10 ratios).
+      val labels = clusterGroups(s, dir)
+        .select(col("doc_id").as("l_doc"), col("cluster").as("l_cluster"))
+      val m = documents(s, dir)
+        .join(labels, col("doc_id") === col("l_doc"), "left")
+        .select(col("doc_id"), coalesce(col("l_cluster"), col("doc_id")).as("cluster"))
+      val b = ((col("cluster") % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 10
+      m.withColumn("split",
+          when(b <= 7, "train").when(b === 8, "val").otherwise("test"))
+        .orderBy("doc_id")
     },
 
     GraftQuery(

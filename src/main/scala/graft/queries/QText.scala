@@ -199,6 +199,38 @@ object QText {
     },
 
     GraftQuery(
+      "q_length_buckets",
+      "Extension (r10): LENGTH-BUCKETED batching report — docs grouped into 64-token " +
+        "buckets with the padding waste each bucket pays (bucket_max·n − Σtokens), the " +
+        "number a batching planner reads to pick sequence-length buckets: padding to " +
+        "per-bucket max instead of global max is the standard throughput lever. One " +
+        "map-side projection + one k-row aggregate; integer math end to end.",
+      """SELECT ((len(string_split(text, ' ')) + 63) // 64) * 64 AS bucket_max,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(((len(string_split(text, ' ')) + 63) // 64) * 64 * count(*)
+        |         - sum(len(string_split(text, ' '))) AS BIGINT) AS pad_tokens,
+        |       round((((len(string_split(text, ' ')) + 63) // 64) * 64 * count(*)
+        |              - sum(len(string_split(text, ' '))))::DOUBLE
+        |             / (((len(string_split(text, ' ')) + 63) // 64) * 64 * count(*)), 4)
+        |         AS waste_pct
+        |FROM documents GROUP BY 1 ORDER BY bucket_max""".stripMargin) { (s, dir) =>
+      val t = size(split(col("text"), " ")).cast("bigint")
+      documents(s, dir)
+        // floor((t+63)/64)·64: the double division is exact (t ≪ 2^53) and
+        // floor() returns LONG, matching DuckDB's integer `//` on positives
+        .select((floor((t + lit(63L)) / lit(64L)) * 64).cast("bigint").as("bucket_max"),
+          t.as("t"))
+        .groupBy("bucket_max")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+        .select(col("bucket_max"), col("n_docs"), col("sum_tokens"),
+          (col("bucket_max") * col("n_docs") - col("sum_tokens")).as("pad_tokens"),
+          round((col("bucket_max") * col("n_docs") - col("sum_tokens")).cast("double")
+            / (col("bucket_max") * col("n_docs")), 4).as("waste_pct"))
+        .orderBy("bucket_max")
+    },
+
+    GraftQuery(
       "q_text_pii",
       "Extension: PII scrub — mask emails and long digit runs before training (regexp_replace, codegen'd)",
       """SELECT doc_id,
@@ -473,7 +505,7 @@ object QText {
         .transform(Q.materialize) // one tiny k-row table, read twice
       // the normalizer is ONE double — driver-side (scalar-subquery joins
       // plan an audit-banned BNLJ); summation-order ulps die in round(4)
-      val z = t.agg(sum(col("w"))).head.getDouble(0)
+      val z = t.agg(sum(col("w"))).head().getDouble(0)
       t.select(col("source"), col("n_docs"), col("total").cast("bigint").as("total_tokens"),
         round(col("w") / z, 4).as("weight"),
         round(lit(100000) * col("w") / z, 2).as("budget_tokens"))
