@@ -94,6 +94,36 @@ object Q {
     * Integer `DIV` throughout (a double `floor(/)` would wobble past 2⁵³).
     */
   def distributedNtile(df: DataFrame, buckets: Int, sort: Seq[Column], out: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val (ranked, total) = rankedWithTotal(df, sort, "__rk")
+    val q = total / buckets
+    val r = total % buckets
+    val bucketSql =
+      if (q == 0L) "__rk" // fewer rows than buckets: ntile(rank) = rank
+      else s"""CASE WHEN __rk <= ${r * (q + 1)} THEN (__rk - 1) DIV ${q + 1} + 1
+              |     ELSE $r + (__rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
+    ranked
+      .withColumn(out, expr(s"CAST(($bucketSql) AS INT)"))
+      .select((cols :+ out).map(col): _*)
+  }
+
+  /** Exact global rank 1..N by `sort` (a TOTAL order — callers tie-break
+    * with a unique column) without a single-reducer sort: pass 1 of
+    * [[distributedNtile]], exposed for callers that consume the rank
+    * itself (curriculum ordering, prefix sums). Identical to
+    * `row_number() OVER (ORDER BY sort)` but no row ever crosses a
+    * SinglePartition Exchange.
+    */
+  def distributedRank(df: DataFrame, sort: Seq[Column], out: String): DataFrame =
+    rankedWithTotal(df, sort, out)._1
+
+  /** The shared two-pass core: range-partition on `sort`, freeze pids,
+    * collect the k per-partition counts (k = shuffle partitions,
+    * driver-bounded), then per-partition row_number + broadcast prefix
+    * offset = the exact global rank. Returns (df + `out` rank col, N).
+    */
+  private def rankedWithTotal(
+      df: DataFrame, sort: Seq[Column], out: String): (DataFrame, Long) = {
     import df.sparkSession.implicits._
     val cols = df.columns.toSeq
     val keyed = df.repartitionByRange(sort: _*)
@@ -105,16 +135,10 @@ object Q {
     val offs = counts.scanLeft(0L)(_ + _._2).init
       .zip(counts).map { case (off, (pid, _)) => (pid, off) }
     val offDf = broadcast(offs.toSeq.toDF("__pid", "__off"))
-    val q = total / buckets
-    val r = total % buckets
-    val bucketSql =
-      if (q == 0L) "__rk" // fewer rows than buckets: ntile(rank) = rank
-      else s"""CASE WHEN __rk <= ${r * (q + 1)} THEN (__rk - 1) DIV ${q + 1} + 1
-              |     ELSE $r + (__rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid").orderBy(sort: _*)
-    keyed.join(offDf, "__pid")
-      .withColumn("__rk", row_number().over(w).cast("long") + col("__off"))
-      .withColumn(out, expr(s"CAST(($bucketSql) AS INT)"))
+    val ranked = keyed.join(offDf, "__pid")
+      .withColumn(out, row_number().over(w).cast("long") + col("__off"))
       .select((cols :+ out).map(col): _*)
+    (ranked, total)
   }
 }

@@ -42,7 +42,7 @@ object QDedup {
     * into downstream lambdas (inlined, every `toks[i]` access re-splits
     * the whole document; observed 300s → 3s at sf0.1).
     */
-  private def shingled(df: DataFrame): DataFrame = {
+  private[queries] def shingled(df: DataFrame): DataFrame = {
     graft.functions.TextHash.register(df.sparkSession)
     Q.fanout(
       df.withColumn("toks", split(lower(col("text")), " "))
@@ -89,7 +89,7 @@ object QDedup {
 
   // list_distinct AFTER hashing: matches ShingleHashes' dedup-by-hash
   // exactly even in the (unlikely) event of a hash collision.
-  private val duckBase =
+  private[queries] val duckBase =
     s"""base AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(
@@ -105,24 +105,32 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
+  /** DuckDB twin of the banded-signature explode (bands CTE over sig). */
+  private val duckBands: String = {
+    val bands = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+      .mkString(" UNION ALL ")
+    s"bands AS ($bands)"
+  }
+
+  /** DuckDB MinHash-agreement estimate between sig aliases `a` and `b`. */
+  private def duckEst(a: String, b: String): String =
+    A.indices.map(i => s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+
   /** DuckDB twin of [[clusterGroups]] as a composable CTE chain — bands →
     * cand → scored → edges → reach → cc(doc_id, cluster). Callers open
     * `WITH RECURSIVE $duckBase, $duckSig, $duckCc` and select from cc.
     * ONE copy per engine side: the banding scheme lives in
     * [[candidatePairs]] on the Spark side and here on the oracle side.
     */
-  private val duckCc: String = {
-    val bands = (0 until 4).map(j =>
-      s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-      .mkString(" UNION ALL ")
-    val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""bands AS ($bands),
+  private val duckCc: String =
+    s"""$duckBands,
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
        |scored AS (SELECT p.doc_a, p.doc_b
        |           FROM cand p JOIN sig a ON p.doc_a = a.doc_id
-       |           JOIN sig b ON p.doc_b = b.doc_id WHERE ($est) >= 4),
+       |           JOIN sig b ON p.doc_b = b.doc_id WHERE (${duckEst("a", "b")}) >= 4),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
        |          UNION ALL SELECT doc_b, doc_a FROM scored),
        |reach(src, dst) AS (
@@ -131,7 +139,6 @@ object QDedup {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
        |       FROM reach GROUP BY src)""".stripMargin
-  }
 
   /** LSH candidate pairs from ONE renamed self-join of the banded
     * signature table: (doc_a, doc_b, m) with m = number of agreeing
@@ -507,6 +514,72 @@ object QDedup {
       val b = ((col("cluster") % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 10
       m.withColumn("split",
           when(b <= 7, "train").when(b === 8, "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_dedup_incremental",
+      "Extension (r10): INCREMENTAL dedup — an arriving batch (odd doc_ids) checked " +
+        "against the already-ingested snapshot (even doc_ids) WITHOUT re-clustering " +
+        "the corpus: exact layer = content-hash equi-join against the snapshot, near " +
+        "layer = the batch's banded MinHash signatures probing the snapshot's band " +
+        "index (the table bandedSignatures persists bucketed by (band_id, k) at " +
+        "100 TB — cost ∝ |batch|, never ∝ |corpus|, and no batch×batch or " +
+        "snapshot×snapshot pairs are ever formed). Verdict per batch doc: " +
+        "drop_exact beats drop_near beats keep; match_id = lowest matching " +
+        "snapshot doc (−1 for keepers).",
+      s"""WITH $duckBase, $duckSig, $duckBands,
+         |bb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+         |sb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS s_doc
+         |         FROM bb x JOIN sb y ON x.band_id = y.band_id AND x.k = y.k),
+         |near AS (SELECT c.doc_id, min(c.s_doc) AS near_id
+         |         FROM cand c JOIN sig a ON c.doc_id = a.doc_id
+         |         JOIN sig b ON c.s_doc = b.doc_id
+         |         WHERE (${duckEst("a", "b")}) >= 4 GROUP BY c.doc_id),
+         |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |exact AS (SELECT n.doc_id, min(o.doc_id) AS exact_id
+         |          FROM hx n JOIN hx o ON n.h = o.h AND o.doc_id % 2 = 0
+         |          WHERE n.doc_id % 2 = 1 GROUP BY n.doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN e.exact_id IS NOT NULL THEN 'drop_exact'
+         |            WHEN nr.near_id IS NOT NULL THEN 'drop_near'
+         |            ELSE 'keep' END AS verdict,
+         |       coalesce(e.exact_id, nr.near_id, -1) AS match_id
+         |FROM documents d
+         |LEFT JOIN exact e USING (doc_id) LEFT JOIN near nr USING (doc_id)
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      // Exact layer: batch text hashes probe the snapshot's hashes.
+      val hx = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val snapH = hx.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("s_doc"), col("h"))
+      val exact = hx.filter(col("doc_id") % 2 === 1)
+        .join(snapH, "h")
+        .groupBy("doc_id").agg(min(col("s_doc")).as("exact_id"))
+      // Near layer: batch bands probe snapshot bands. RENAMED toDF copy of
+      // the snapshot side (the aliased-self-join trap, see bandedSignatures
+      // doc) — and since both sides carry the full signature, est_sim needs
+      // no join back to sig.
+      val sigAll = bandedSignatures(s, dir)
+      val batchSig = sigAll.filter(col("doc_id") % 2 === 1)
+      val snapSig = sigAll.filter(col("doc_id") % 2 === 0)
+        .toDF(("s_doc" +: A.indices.map(i => s"smh$i")) ++ Seq("s_band", "s_k"): _*)
+      val est = A.indices
+        .map(i => when(col(s"mh$i") === col(s"smh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val near = batchSig
+        .join(snapSig, col("band_id") === col("s_band") && col("k") === col("s_k"))
+        .filter(est >= 4)
+        .groupBy("doc_id").agg(min(col("s_doc")).as("near_id"))
+      documents(s, dir).filter(col("doc_id") % 2 === 1).select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, "drop_exact")
+            .when(col("near_id").isNotNull, "drop_near")
+            .otherwise("keep").as("verdict"),
+          coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
         .orderBy("doc_id")
     },
 

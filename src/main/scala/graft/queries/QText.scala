@@ -199,6 +199,40 @@ object QText {
     },
 
     GraftQuery(
+      "q_tokenizer_fertility",
+      "Extension (r10): TOKENIZER FERTILITY report per language — subword-per-word " +
+        "fertility (BPE-ish chunks / words) and chars-per-whitespace-token compression, " +
+        "the numbers a tokenizer evaluation quotes per language before committing a " +
+        "vocab (high-fertility languages pay more sequence length per sentence). One " +
+        "scan + one k-row aggregate; the ratios divide two exact integer sums, so both " +
+        "engines agree bit-for-bit before round(4).",
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+        |       sum(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT AS word_tokens,
+        |       sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::BIGINT AS bpe_ish_tokens,
+        |       sum(n_chars)::BIGINT AS total_chars,
+        |       round(sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::DOUBLE
+        |             / sum(len(regexp_extract_all(text, '[a-z0-9]+'))), 4) AS fertility,
+        |       round(sum(n_chars)::DOUBLE
+        |             / sum(len(string_split(text, ' '))), 4) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("bigint").as("ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("bigint").as("wt"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("bigint").as("bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("wt")).as("word_tokens"), sum(col("bp")).as("bpe_ish_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("word_tokens"),
+          col("bpe_ish_tokens"), col("total_chars"),
+          round(col("bpe_ish_tokens").cast("double") / col("word_tokens"), 4).as("fertility"),
+          round(col("total_chars").cast("double") / col("ws_tokens"), 4).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
+    GraftQuery(
       "q_length_buckets",
       "Extension (r10): LENGTH-BUCKETED batching report — docs grouped into 64-token " +
         "buckets with the padding waste each bucket pays (bucket_max·n − Σtokens), the " +
@@ -228,6 +262,57 @@ object QText {
           round((col("bucket_max") * col("n_docs") - col("sum_tokens")).cast("double")
             / (col("bucket_max") * col("n_docs")), 4).as("waste_pct"))
         .orderBy("bucket_max")
+    },
+
+    GraftQuery(
+      "q_curriculum_order",
+      "Extension (r10): deterministic CURRICULUM ORDER — shortest (easiest) docs " +
+        "first, sources interleaved round-robin at every difficulty stage so no " +
+        "training run sees a domain-contiguous stretch. stage = rank of the doc " +
+        "within its source by (n_chars, doc_id); global_pos visits stage 1 across " +
+        "all sources (source-alphabetical), then stage 2, … Scale shape: the stage " +
+        "comes from ONE range-partitioned exact rank (Q.distributedRank — no " +
+        "SinglePartition window even when one source is billions of docs), and " +
+        "global_pos is computed ARITHMETICALLY from the k-row per-source size " +
+        "table (k = |sources|, driver-bounded like the ntile partition counts): " +
+        "pos = Σ_s min(size_s, stage−1) + |{s: size_s ≥ stage, s < source}| + 1. " +
+        "No global sort anywhere; the ORDER BY is presentation only.",
+      """WITH staged AS (SELECT doc_id, source, n_chars,
+        |                       row_number() OVER (PARTITION BY source
+        |                                          ORDER BY n_chars, doc_id) AS stage
+        |                FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        |SELECT CAST((SELECT sum(least(z.n, m.stage - 1)) FROM sz z)
+        |          + (SELECT count(*) FROM sz z
+        |             WHERE z.n >= m.stage AND z.source < m.source) + 1 AS BIGINT)
+        |         AS global_pos,
+        |       m.doc_id, m.source, m.stage, m.n_chars
+        |FROM staged m ORDER BY global_pos""".stripMargin) { (s, dir) =>
+      val base = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      // Exact global rank by (source, n_chars, doc_id): contiguous per
+      // source, so stage = rank − (#docs in alphabetically-earlier sources).
+      val ranked = Q.distributedRank(
+        base, Seq(col("source"), col("n_chars"), col("doc_id")), "__grk")
+      val sizes = base.groupBy("source").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val srcOff = sizes.scanLeft(0L)(_ + _._2).init
+        .zip(sizes).map { case (o, (src, _)) => (src, o) }
+      import s.implicits._
+      val offDf = broadcast(srcOff.toSeq.toDF("source", "__soff"))
+      val staged = ranked.join(offDf, "source")
+        .withColumn("stage", col("__grk") - col("__soff"))
+      // global_pos from the k collected (source, size) pairs as LITERALS —
+      // the broadcast-centroid-literal pattern (QVector): a pure projection,
+      // no join, no window, integer math only.
+      val offExpr = sizes.map { case (_, n) =>
+        least(lit(n), col("stage") - 1) }.reduce(_ + _)
+      val rankExpr = sizes.map { case (src2, n) =>
+        when(lit(n) >= col("stage") && lit(src2) < col("source"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      staged
+        .select((offExpr + rankExpr + 1).cast("bigint").as("global_pos"),
+          col("doc_id"), col("source"), col("stage"), col("n_chars"))
+        .orderBy("global_pos")
     },
 
     GraftQuery(
@@ -287,6 +372,71 @@ object QText {
       Q.fanout(documents(s, dir)).select(
         col("doc_id"), expr("poly_hash(text)").as("fp"))
         .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_ngram_novelty",
+      "Extension (r10): NOVELTY curve — per doc (in doc_id ingestion order) the " +
+        "fraction of its distinct 3-token shingles whose FIRST corpus occurrence is " +
+        "this doc; the number that tells a dataset build whether the next crawl " +
+        "increment still adds new content or only re-treads (diminishing-novelty " +
+        "cutoffs are standard in crawl scheduling). Shape: per-row shingle hashing " +
+        "(no shuffle) → one gram→min(doc_id) aggregate (word-count shape, map-side " +
+        "partial min) → one equi-join back; never all-pairs.",
+      s"""WITH ${QDedup.duckBase},
+         |g AS (SELECT doc_id, unnest(hs) AS g FROM base),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         |         AS novel_grams,
+         |       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*), 4) AS novelty
+         |FROM g JOIN f USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val g = QDedup.shingled(documents(s, dir))
+        .select(col("doc_id"), explode(col("hs")).as("g"))
+        .transform(Q.materialize) // feeds the first-occurrence agg AND the join
+      val f = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      g.join(f, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
+        .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+          round(col("novel_grams").cast("double") / col("n_grams"), 4).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_quality_ablation",
+      "Extension (r10): quality-filter ABLATION sweep — for each candidate " +
+        "min-token threshold, the docs and tokens that would survive and the " +
+        "fraction of the corpus they retain: the one-scan grid a pipeline reads " +
+        "to place its quality cut before committing a full run. The threshold " +
+        "grid is a generator (explode over literals), NOT a join; corpus totals " +
+        "are two driver-side longs (the scalar-subquery rule).",
+      """WITH tk AS (SELECT len(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*)::DOUBLE AS nd, sum(tok)::DOUBLE AS nt FROM tk),
+        |s AS (SELECT unnest([10, 20, 40, 80, 160]) AS min_tokens)
+        |SELECT min_tokens, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+        |       round(count(*) / (SELECT nd FROM tot), 4) AS pct_docs,
+        |       round(sum(tok) / (SELECT nt FROM tot), 4) AS pct_tokens
+        |FROM s JOIN tk ON tk.tok >= s.min_tokens
+        |GROUP BY min_tokens ORDER BY min_tokens""".stripMargin) { (s, dir) =>
+      val tk = documents(s, dir)
+        .select(size(split(col("text"), " ")).cast("bigint").as("tok"))
+        .transform(Q.materialize) // one tiny column, read for totals + sweep
+      val totals = tk.agg(count(lit(1)), sum(col("tok"))).head()
+      val (nd, nt) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+      tk.select(col("tok"),
+          explode(array(Seq(10, 20, 40, 80, 160).map(lit): _*)).as("min_tokens"))
+        .filter(col("tok") >= col("min_tokens"))
+        .groupBy("min_tokens")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .select(col("min_tokens"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs") / nd, 4).as("pct_docs"),
+          round(col("n_tokens") / nt, 4).as("pct_tokens"))
+        .orderBy("min_tokens")
     },
 
     GraftQuery(
@@ -660,6 +810,61 @@ object QText {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log(col("c").cast("double"))) - lnN, 4).as("logprob"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_importance_weights",
+      "Extension (r10): DSIR-style IMPORTANCE WEIGHTS — per-doc mean log-ratio of " +
+        "target-domain vs whole-corpus unigram probability (add-one smoothed over the " +
+        "corpus vocab), the score importance resampling ranks by when steering a " +
+        "mixture toward a clean reference domain (here source='src0'). Token log-ratio " +
+        "reduces to ln(ct+1) − ln(cr+1) plus a constant normalizer folded in " +
+        "driver-side, so the heavy path is the two word-count aggregates + ONE " +
+        "broadcast vocab join — at 100 TB the corpus never re-shuffles beyond the " +
+        "token count, and the vocab side stays broadcastable.",
+      """WITH tok AS (SELECT doc_id, source,
+        |                    unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tk AS (SELECT doc_id, source, token FROM tok WHERE token <> ''),
+        |raw AS (SELECT token, count(*) AS cr FROM tk GROUP BY token),
+        |tgt AS (SELECT token, count(*) AS ct FROM tk WHERE source = 'src0'
+        |        GROUP BY token),
+        |v AS (SELECT token, cr, coalesce(ct, 0) AS ct
+        |      FROM raw LEFT JOIN tgt USING (token)),
+        |s AS (SELECT ln(((SELECT count(*) FROM tk) + (SELECT count(*) FROM raw))::DOUBLE)
+        |           - ln(((SELECT count(*) FROM tk WHERE source = 'src0')
+        |                 + (SELECT count(*) FROM raw))::DOUBLE) AS off)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(ln((ct + 1)::DOUBLE) - ln((cr + 1)::DOUBLE))
+        |             + (SELECT off FROM s), 4) + 0 AS dsir_logweight
+        |FROM tk JOIN v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = Q.fanout(documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .transform(Q.materialize) // feeds both counts, both totals, the doc side
+      val raw = tk.groupBy("token").agg(count(lit(1)).as("cr"))
+        .transform(Q.materialize) // feeds the vocab join AND the |V| scalar
+      val tgt = tk.filter(col("source") === "src0")
+        .groupBy("token").agg(count(lit(1)).as("ct"))
+      val vocab = raw.join(tgt, Seq("token"), "left")
+        .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      // The normalizer ln(nRaw+|V|) − ln(nTgt+|V|) is a constant over the
+      // whole corpus: three driver-side longs (the scalar-subquery rule,
+      // see q_unigram_logprob), added AFTER the avg so the distributed part
+      // is the same ln(c+1) shape both engines fold identically.
+      val vSize = raw.count()
+      val nRaw  = tk.count()
+      val nTgt  = tk.filter(col("source") === "src0").count()
+      val off   = math.log((nRaw + vSize).toDouble) - math.log((nTgt + vSize).toDouble)
+      tk.join(broadcast(vocab), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          // `+0` folds IEEE -0.0 (InfluxQLPlanner.scala:1878 convention)
+          (round(avg(log((col("ct") + 1).cast("double"))
+            - log((col("cr") + 1).cast("double"))) + off, 4) + lit(0.0)).as("dsir_logweight"))
         .orderBy("doc_id")
     },
 
