@@ -66,6 +66,30 @@ object Pipelines {
   def dedup(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** T9 + r10: streaming INCREMENTAL dedup — the streaming twin of
+    * q_dedup_incremental's exact layer. Arriving docs (doc_id, ts, text)
+    * are dropped when their content hash already exists in the ingested
+    * snapshot (stream-static LEFT ANTI join against the snapshot's hash
+    * index — broadcastable when the index is a compacted store artifact,
+    * re-read per micro-batch so a snapshot refresh is picked up without a
+    * restart), then deduped WITHIN the stream on the same hash, state
+    * bounded by the watermark horizon. The near-dup banded layer stays a
+    * batch store artifact (the VectorIndexStore tick pattern): streaming
+    * it would mean unbounded signature state for no recall gain at the
+    * micro-batch cadence.
+    *
+    * `snapshot` must expose a text column; only its hash is joined.
+    */
+  def incrementalDedup(stream: DataFrame, snapshot: DataFrame,
+      watermark: String = "30 seconds"): DataFrame = {
+    val snapHashes = snapshot.select(md5(col("text")).as("h")).distinct()
+    stream.withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .join(snapHashes, Seq("h"), "left_anti")
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+  }
+
   /** T8: stateful write-on-change — one Long of state per series (the
     * last emitted value band), kept by flatMapGroupsWithState; a row is
     * emitted only when its band differs. State is O(|series|), not
