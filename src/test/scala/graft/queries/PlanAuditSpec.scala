@@ -272,6 +272,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"RFM scoring must stay parallel:\n$plan")
   }
 
+  test("q_curriculum_order stages and positions never funnel through one reducer") {
+    // r10: the stage is Q.distributedRank (range partition + pid window +
+    // broadcast offsets) and global_pos is a pure literal projection — a
+    // global row_number/ntile spelling would show `Exchange SinglePartition`.
+    val plan = planOf("q_curriculum_order")
+    assert(!plan.contains("SinglePartition"),
+      s"curriculum ordering must stay parallel:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected the range-partitioned rank pass:\n$plan")
+  }
+
   test("q_corpus_datasheet is two exchanges total (hash window + source aggregate)") {
     val plan = planOf("q_corpus_datasheet")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
