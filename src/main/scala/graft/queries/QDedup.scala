@@ -482,6 +482,69 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_pipeline_curriculum",
+      "Extension (r10): the END-TO-END training-ORDER pipeline — quality gate ∧ " +
+        "exact-dedup ∧ near-dup keep-list → leakage-safe TRAIN split (cluster-keyed, " +
+        "so no near-dup of a held-out doc can train) → curriculum order over the " +
+        "survivors (easy-first, source-interleaved). One composed plan from four " +
+        "proven stages sharing one scan + one cluster assignment; the ordering pass " +
+        "is the same SinglePartition-free rank + literal-projection shape as " +
+        "q_curriculum_order.",
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |near_v AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+         |exact_v AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn > 1),
+         |kept AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |         WHERE len(string_split(d.text, ' ')) >= 40
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_v)
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM near_v)),
+         |m AS (SELECT k.doc_id, k.source, k.n_chars,
+         |             coalesce(cc.cluster, k.doc_id) AS cluster
+         |      FROM kept k LEFT JOIN cc USING (doc_id)),
+         |train AS (SELECT doc_id, source, n_chars FROM m
+         |          WHERE ((cluster % 2147483648) * 1103515245 + 12345)
+         |                % 2147483648 % 10 <= 7),
+         |staged AS (SELECT doc_id, source, n_chars,
+         |                  row_number() OVER (PARTITION BY source
+         |                                     ORDER BY n_chars, doc_id) AS stage
+         |           FROM train),
+         |sz AS (SELECT source, count(*) AS n FROM train GROUP BY source)
+         |SELECT CAST((SELECT sum(least(z.n, t.stage - 1)) FROM sz z)
+         |          + (SELECT count(*) FROM sz z
+         |             WHERE z.n >= t.stage AND z.source < t.source) + 1 AS BIGINT)
+         |         AS global_pos,
+         |       t.doc_id, t.source, t.stage, t.n_chars
+         |FROM staged t ORDER BY global_pos""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val exactVictims = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") > 1).select("doc_id")
+      val labels = Q.materialize(clusterGroups(s, dir)) // victims AND split keys
+      val nearVictims = labels
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val kept = docs
+        .filter(size(split(col("text"), " ")) >= 40)
+        .join(exactVictims, Seq("doc_id"), "left_anti")
+        .join(nearVictims, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "n_chars")
+      // cluster-keyed split hash (the q_split_leakage_safe LCG): every
+      // member of a near-dup cluster lands in the same split, so the
+      // train cut can never leak a paraphrase of held-out data
+      val m = kept
+        .join(labels.select(col("doc_id").as("l_doc"), col("cluster").as("l_cluster")),
+          col("doc_id") === col("l_doc"), "left")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(col("l_cluster"), col("doc_id")).as("cluster"))
+      val b = ((col("cluster") % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 10
+      val train = m.filter(b <= 7).select("doc_id", "source", "n_chars")
+      QText.curriculum(train)
+    },
+
+    GraftQuery(
       "q_split_leakage_safe",
       "Extension (r10): LEAKAGE-SAFE train/val/test split — the split UNIT is the " +
         "near-dup cluster, not the document, so near-duplicates can never straddle " +

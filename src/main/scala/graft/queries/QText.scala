@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import Q._
@@ -16,6 +17,41 @@ import Q._
 object QText {
 
   private val EnStop = "('the','a','of','and','is','to','in')"
+
+  /** The curriculum-order plan over ANY (doc_id, source, n_chars) frame —
+    * shared by q_curriculum_order (whole corpus) and the composed
+    * q_pipeline_curriculum (post-dedup, train-split survivors). Stage =
+    * rank of the doc within its source by (n_chars, doc_id), computed as
+    * ONE range-partitioned exact global rank minus the per-source prefix
+    * (k-row broadcast); global_pos is a pure literal projection from the
+    * k collected (source, size) pairs (the broadcast-centroid-literal
+    * pattern) — no SinglePartition window anywhere, k = |sources| is
+    * driver-bounded like the ntile partition counts.
+    */
+  private[queries] def curriculum(base: DataFrame): DataFrame = {
+    val sizes = base.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (sizes.isEmpty)
+      return base.select(col("doc_id").as("global_pos"), col("doc_id"),
+        col("source"), col("doc_id").as("stage"), col("n_chars")).limit(0)
+    val ranked = Q.distributedRank(
+      base, Seq(col("source"), col("n_chars"), col("doc_id")), "__grk")
+    val srcOff = sizes.scanLeft(0L)(_ + _._2).init
+      .zip(sizes).map { case (o, (src, _)) => (src, o) }
+    import base.sparkSession.implicits._
+    val offDf = broadcast(srcOff.toSeq.toDF("source", "__soff"))
+    val staged = ranked.join(offDf, "source")
+      .withColumn("stage", col("__grk") - col("__soff"))
+    val offExpr = sizes.map { case (_, n) =>
+      least(lit(n), col("stage") - 1) }.reduce(_ + _)
+    val rankExpr = sizes.map { case (src2, n) =>
+      when(lit(n) >= col("stage") && lit(src2) < col("source"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    staged
+      .select((offExpr + rankExpr + 1).cast("bigint").as("global_pos"),
+        col("doc_id"), col("source"), col("stage"), col("n_chars"))
+      .orderBy("global_pos")
+  }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -159,6 +195,38 @@ object QText {
     },
 
     GraftQuery(
+      "q_langid_eval",
+      "Extension (r10): language-ID EVALUATION — the confusion matrix of the stopword " +
+        "heuristic against the gold lang label plus per-gold-class recall, the check a " +
+        "pipeline runs before trusting a classifier to route its mixture (a filter " +
+        "that silently drops a language is a mixture bug, not a quality win). One " +
+        "corpus aggregate to the k×2-row confusion frame; the recall window runs on " +
+        "THAT frame (k rows), never on the corpus.",
+      s"""WITH p AS (SELECT lang,
+         |                  CASE WHEN len(list_filter(string_split(lower(text), ' '),
+         |                                            t -> t IN $EnStop))::DOUBLE
+         |                            / len(string_split(lower(text), ' ')) > 0.02
+         |                       THEN 'en' ELSE 'unk' END AS predicted
+         |           FROM documents),
+         |c AS (SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted, n_docs,
+         |       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 4)
+         |         AS recall
+         |FROM c ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hits = expr(s"size(filter(split(lower(text), ' '), t -> t IN $EnStop))")
+      val n = size(split(lower(col("text")), " "))
+      documents(s, dir)
+        .select(col("lang"),
+          when(hits.cast("double") / n > 0.02, "en").otherwise("unk").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+        .withColumn("recall",
+          round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy("lang")), 4))
+        .orderBy("lang", "predicted")
+    },
+
+    GraftQuery(
       "q_text_quality",
       "Extension: document quality scoring (length / token stats / stopword ratio)",
       s"""SELECT doc_id, length(text) AS n_chars_m,
@@ -288,31 +356,7 @@ object QText {
         |         AS global_pos,
         |       m.doc_id, m.source, m.stage, m.n_chars
         |FROM staged m ORDER BY global_pos""".stripMargin) { (s, dir) =>
-      val base = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
-      // Exact global rank by (source, n_chars, doc_id): contiguous per
-      // source, so stage = rank − (#docs in alphabetically-earlier sources).
-      val ranked = Q.distributedRank(
-        base, Seq(col("source"), col("n_chars"), col("doc_id")), "__grk")
-      val sizes = base.groupBy("source").count()
-        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      val srcOff = sizes.scanLeft(0L)(_ + _._2).init
-        .zip(sizes).map { case (o, (src, _)) => (src, o) }
-      import s.implicits._
-      val offDf = broadcast(srcOff.toSeq.toDF("source", "__soff"))
-      val staged = ranked.join(offDf, "source")
-        .withColumn("stage", col("__grk") - col("__soff"))
-      // global_pos from the k collected (source, size) pairs as LITERALS —
-      // the broadcast-centroid-literal pattern (QVector): a pure projection,
-      // no join, no window, integer math only.
-      val offExpr = sizes.map { case (_, n) =>
-        least(lit(n), col("stage") - 1) }.reduce(_ + _)
-      val rankExpr = sizes.map { case (src2, n) =>
-        when(lit(n) >= col("stage") && lit(src2) < col("source"), 1L).otherwise(0L)
-      }.reduce(_ + _)
-      staged
-        .select((offExpr + rankExpr + 1).cast("bigint").as("global_pos"),
-          col("doc_id"), col("source"), col("stage"), col("n_chars"))
-        .orderBy("global_pos")
+      curriculum(documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")))
     },
 
     GraftQuery(
@@ -659,6 +703,41 @@ object QText {
       t.select(col("source"), col("n_docs"), col("total").cast("bigint").as("total_tokens"),
         round(col("w") / z, 4).as("weight"),
         round(lit(100000) * col("w") / z, 2).as("budget_tokens"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
+      "q_mixture_epochs",
+      "Extension (r10): data-constrained REPETITION PLAN — under a fixed training " +
+        "token budget (1M here) and the α=0.5 temperature mixture, how many epochs " +
+        "each source must repeat to fill its share (epochs = budget·w/z / tokens_s) " +
+        "and whether it crosses the ~4-epoch mark past which repeated data's value " +
+        "decays sharply (the data-constrained-scaling rule of thumb). The report a " +
+        "budget review reads before buying more data vs repeating. Same one k-row " +
+        "aggregate as the mixture keys; z is a driver-side scalar.",
+      """WITH tok AS (SELECT source, sum(len(string_split(text, ' '))) AS total
+        |             FROM documents GROUP BY source),
+        |t AS (SELECT source, total, sqrt(total::DOUBLE) AS w FROM tok),
+        |z AS (SELECT sum(w) AS z FROM t)
+        |SELECT source, CAST(total AS BIGINT) AS total_tokens,
+        |       round(w / (SELECT z FROM z), 4) AS weight,
+        |       round(1000000 * (w / (SELECT z FROM z)) / total, 4) AS epochs,
+        |       round(1000000 * (w / (SELECT z FROM z)) / total, 4) > 4.0
+        |         AS over_repeated
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).as("total"))
+        .withColumn("w", sqrt(col("total").cast("double")))
+        .transform(Q.materialize) // k rows, read twice (z + the report)
+      val z = t.agg(sum(col("w"))).head().getDouble(0)
+      val epochs = lit(1000000) * (col("w") / z) / col("total")
+      t.select(col("source"), col("total").cast("bigint").as("total_tokens"),
+        round(col("w") / z, 4).as("weight"),
+        round(epochs, 4).as("epochs"),
+        // compare the ROUNDED value: the raw double differs by summation-
+        // order ulps between engines (z is a sum), round(4) absorbs them
+        (round(epochs, 4) > 4.0).as("over_repeated"))
         .orderBy("source")
     },
 

@@ -562,6 +562,42 @@ object QVector {
     },
 
     GraftQuery(
+      "q_knn_probe_sweep",
+      "Extension (r10): the ANN TUNING CURVE — recall@5 per probe at every nprobe " +
+        "1..4 against brute-force ground truth, the sweep an IVF deployment reads to " +
+        "pick its probe count (recall rises with probes, scan cost rises linearly — " +
+        "the knee is the operating point). The coarse assignment and probe→centroid " +
+        "distances are computed ONCE and shared; only the top-nprobe cell cut and the " +
+        "per-cell candidate join differ per sweep point. recall5 = hits/5.0 exactly, " +
+        "no cross-engine float summation anywhere.",
+      s"""WITH $dKmeans,
+         |$dKmeansIvf,
+         |$dIvfSweep,
+         |$dPr,
+         |$dBrute
+         |SELECT * FROM (
+         |${(1 to kmeansNprobe).map(np =>
+               s"""SELECT $np AS nprobe, b.probe_id, count(i.neighbor_id) / 5.0 AS recall5
+                  |FROM (SELECT probe_id, neighbor_id FROM brute WHERE rnk <= 5) b
+                  |LEFT JOIN (SELECT probe_id, neighbor_id FROM swivf$np WHERE rnk <= 5) i
+                  |       ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+                  |GROUP BY b.probe_id""".stripMargin).mkString("\nUNION ALL\n")}
+         |) ORDER BY nprobe, probe_id""".stripMargin) { (s, dir) =>
+      val b = Q.materialize(bruteTop(s, dir, 5).select("probe_id", "neighbor_id"))
+      (1 to kmeansNprobe).map { np =>
+        val i = kmeansIvfTop(s, dir, 5, np)
+          .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"))
+        b.join(i,
+            col("probe_id") === col("i_probe") && col("neighbor_id") === col("i_neighbor"),
+            "left")
+          .groupBy("probe_id")
+          .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
+          .select(lit(np).cast("int").as("nprobe"), col("probe_id"), col("recall5"))
+      }.reduce(_ unionByName _)
+        .orderBy("nprobe", "probe_id")
+    },
+
+    GraftQuery(
       "q_embedding_pca",
       "Extension (r10): top principal component of the embedding corpus via QUANTIZED " +
         "power iteration — the whitening/compression direction an embedding pipeline " +
@@ -759,7 +795,8 @@ object QVector {
     * borders). One more probed cell buys the recall back while still
     * pruning half the corpus; the gate in KmeansGateSpec holds the line.
     */
-  private def kmeansIvfTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def kmeansIvfTop(s: SparkSession, dir: String, k: Int,
+      nprobe: Int = kmeansNprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assignedRaw, c1) = kmeansModel(s, dir)
     val assigned = assignedRaw
@@ -773,7 +810,7 @@ object QVector {
     val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
     val sel = probes.crossJoin(broadcast(cents))
       .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
-      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= kmeansNprobe)
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= nprobe)
       .select("probe_id", "pe", "cid")
     val wk = Window.partitionBy("probe_id").orderBy(col("score_raw").desc, col("neighbor_id"))
     sel.join(assigned, col("cluster") === col("cid"))
@@ -811,4 +848,25 @@ object QVector {
        |              row_number() OVER (PARTITION BY probe_id
        |                                 ORDER BY score DESC, neighbor_id) AS rnk
        |       FROM kscored)""".stripMargin
+
+  /** Per-nprobe chains for the probe sweep — kpr/kpc are shared with
+    * [[dKmeansIvf]]; only the top-nprobe cell cut (and everything after
+    * it) varies, so each nprobe gets its own kselN→kcandN→kivfN chain.
+    */
+  private lazy val dIvfSweep: String = (1 to kmeansNprobe).map { np =>
+    // `sw` prefix: dKmeans already owns kcand$j for its seeding chain
+    s"""swsel$np AS (SELECT probe_id, cid FROM kpc
+       |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= $np),
+       |swcand$np AS (SELECT s.probe_id, a2.vec_id FROM swsel$np s JOIN a2 ON a2.cluster = s.cid),
+       |swscored$np AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
+       |                  ${dCos("e.embedding::DOUBLE[]", "kpr.pe")} AS score
+       |           FROM swcand$np c
+       |           JOIN embeddings e ON e.vec_id = c.vec_id
+       |           JOIN kpr ON kpr.probe_id = c.probe_id
+       |           WHERE c.vec_id <> c.probe_id),
+       |swivf$np AS (SELECT probe_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY score DESC, neighbor_id) AS rnk
+       |       FROM swscored$np)""".stripMargin
+  }.mkString(",\n")
 }
