@@ -117,6 +117,46 @@ object Q {
   def distributedRank(df: DataFrame, sort: Seq[Column], out: String): DataFrame =
     rankedWithTotal(df, sort, out)._1
 
+  /** Exact running sums of LONG columns by `sort` (a TOTAL order) without
+    * a single-reducer sort — the generic spelling of q_abc_analysis's
+    * range-partitioned prefix sum: range-partition on `sort`, freeze pids,
+    * per-partition running-sum windows, and the k per-partition totals
+    * come back as broadcast offsets (k = shuffle partitions,
+    * driver-bounded). Long addition is exact and associative, so the
+    * result is bit-identical to `sum(v) OVER (ORDER BY sort ROWS
+    * UNBOUNDED PRECEDING)` while no row ever crosses a SinglePartition
+    * Exchange. `sums` maps input column → output running-sum column.
+    */
+  def distributedCumsum(
+      df: DataFrame, sort: Seq[Column], sums: Seq[(String, String)]): DataFrame = {
+    import df.sparkSession.implicits._
+    val cols = df.columns.toSeq
+    val keyed = df.repartitionByRange(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .transform(materialize) // pid must be identical in both passes
+    val ptots = keyed.groupBy("__pid")
+      .agg(sums.map { case (in, _) => sum(col(in)).as(s"__t_$in") }.head,
+        sums.tail.map { case (in, _) => sum(col(in)).as(s"__t_$in") }: _*)
+      .collect()
+      .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val offs = ptots.scanLeft((0, sums.map(_ => 0L).toIndexedSeq)) {
+      case ((_, acc), (pid, tots)) =>
+        (pid + 1, acc.zip(tots).map { case (a, t) => a + t })
+    }.init.zip(ptots).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = broadcast(offs.toSeq
+      .map { case (pid, off) => (pid, off.toArray) }
+      .toDF("__pid", "__offs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sort: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withSums = sums.zipWithIndex.foldLeft(keyed.join(offDf, "__pid")) {
+      case (d, ((in, out), i)) =>
+        d.withColumn(out, sum(col(in)).over(w) + element_at(col("__offs"), i + 1))
+    }
+    withSums.select((cols ++ sums.map(_._2)).map(col): _*)
+  }
+
   /** The shared two-pass core: range-partition on `sort`, freeze pids,
     * collect the k per-partition counts (k = shuffle partitions,
     * driver-bounded), then per-partition row_number + broadcast prefix

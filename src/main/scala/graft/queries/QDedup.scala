@@ -437,6 +437,56 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_soft_dedup",
+      "Extension (r10): SOFT dedup — instead of DROPPING near-duplicates, each doc " +
+        "gets sampling weight 1/cluster_size (a full cluster sums to one effective " +
+        "doc), and the per-source report shows documents/tokens before vs after " +
+        "down-weighting — the SoftDeDup alternative a mixture review weighs against " +
+        "the hard keep-list when duplicates carry signal (boilerplate vs canon). " +
+        "Weights are FIXED-POINT integers (10000 DIV cluster_size) summed exactly, " +
+        "so no cross-engine float summation exists anywhere; the single float op " +
+        "per row group is one exact division at the end.",
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |sz AS (SELECT cluster, count(*) AS csz FROM cc GROUP BY cluster),
+         |m AS (SELECT d.doc_id, d.source,
+         |             len(string_split(d.text, ' ')) AS tok,
+         |             coalesce(sz.csz, 1) AS csz
+         |      FROM documents d
+         |      LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |      LEFT JOIN sz ON sz.cluster = cc.cluster)
+         |SELECT source, count(*) AS n_docs,
+         |       sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         |       sum(10000 // csz)::BIGINT / 10000.0 AS effective_docs,
+         |       sum(tok)::BIGINT AS n_tokens,
+         |       sum(tok * 10000 // csz)::BIGINT / 10000.0 AS effective_tokens,
+         |       round((sum(tok * 10000 // csz)::BIGINT / 10000.0)
+         |             / sum(tok), 4) AS discount
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val labels = Q.materialize(clusterGroups(s, dir))
+      val sz = labels.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      val m = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(sz, Seq("cluster"), "left")
+        .select(col("source"), col("tok"),
+          coalesce(col("csz"), lit(1L)).as("csz"))
+      m.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(expr("10000 DIV csz")).as("__ed"),
+          sum(col("tok")).as("n_tokens"),
+          sum(expr("tok * 10000 DIV csz")).as("__et"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("__ed") / lit(10000.0)).as("effective_docs"),
+          col("n_tokens"),
+          (col("__et") / lit(10000.0)).as("effective_tokens"),
+          round((col("__et") / lit(10000.0)) / col("n_tokens"), 4).as("discount"))
+        .orderBy("source")
+    },
+
+    GraftQuery(
       "q_pipeline_trainset",
       "Extension: the SHIPPED training-set pipeline — quality gate ∧ exact-dedup ∧ near-dup keep-list → stratified sample, one composed query",
       s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,

@@ -452,6 +452,104 @@ object QText {
     },
 
     GraftQuery(
+      "q_vocab_growth",
+      "Extension (r10): Heaps-law VOCABULARY-GROWTH curve — per doc (ingestion " +
+        "order) the tokens it adds, the types it introduces, and the exact running " +
+        "totals (cum_tokens, cum_vocab) plus the type/token ratio: the curve a " +
+        "corpus build reads to see whether new data still grows the vocabulary or " +
+        "only repeats it (flattening TTR = diminishing lexical return, the " +
+        "token-level twin of q_ngram_novelty). First-seen types via ONE " +
+        "token→min(doc_id) aggregate (word-count shape); the running totals are the " +
+        "range-partitioned two-pass prefix sum (Q.distributedCumsum) — exact long " +
+        "arithmetic, no SinglePartition Exchange, so the curve survives a 10⁹-doc " +
+        "corpus where a global window serializes.",
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+        |f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+        |nv AS (SELECT t.doc_id,
+        |              sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |                AS new_types
+        |       FROM t JOIN f USING (tok) GROUP BY t.doc_id),
+        |j AS (SELECT d.doc_id, len(d.toks) AS n_tokens, nv.new_types
+        |      FROM d JOIN nv USING (doc_id)),
+        |c AS (SELECT doc_id, n_tokens, new_types,
+        |             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |               AS cum_tokens,
+        |             sum(new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |               AS cum_vocab
+        |      FROM j)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(new_types AS BIGINT) AS new_types,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        |       round(cum_vocab::DOUBLE / cum_tokens, 4) AS ttr
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val t = d.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+        .transform(Q.materialize) // feeds the first-seen agg AND the join back
+      val f = t.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      val nv = t.join(f, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("new_types"))
+      val j = d.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+        .join(nv, Seq("doc_id"))
+      Q.distributedCumsum(j, Seq(col("doc_id")),
+          Seq("n_tokens" -> "cum_tokens", "new_types" -> "cum_vocab"))
+        .select(col("doc_id"), col("n_tokens"), col("new_types"),
+          col("cum_tokens"), col("cum_vocab"),
+          round(col("cum_vocab").cast("double") / col("cum_tokens"), 4).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_zipf_fit",
+      "Extension (r10): ZIPF-law fit — the OLS slope of log-frequency vs log-rank " +
+        "over the top-100 corpus tokens, the one-number sanity check that a corpus " +
+        "looks like natural language (slope ≈ −1) rather than boilerplate or " +
+        "machine spam (flat head or cliff). Word-count aggregate → " +
+        "TakeOrderedAndProject top-100 (map-side cut, never a global sort) → the " +
+        "regression runs on the bounded 100-row frame; round(4) absorbs the " +
+        "cross-engine ln/summation-order ulps per the established convention.",
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tc AS (SELECT tok, count(*) AS freq FROM w GROUP BY tok),
+        |top AS (SELECT tok, freq FROM tc ORDER BY freq DESC, tok LIMIT 100),
+        |p AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, tok)::DOUBLE) AS x,
+        |             ln(freq::DOUBLE) AS y
+        |      FROM top)
+        |SELECT count(*)::BIGINT AS n_top,
+        |       round((count(*)*sum(x*y) - sum(x)*sum(y))
+        |             / (count(*)*sum(x*x) - sum(x)*sum(x)), 4) AS zipf_slope,
+        |       round((sum(y) - (count(*)*sum(x*y) - sum(x)*sum(y))
+        |                       / (count(*)*sum(x*x) - sum(x)*sum(x)) * sum(x))
+        |             / count(*), 4) AS intercept
+        |FROM p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      // top-100 via orderBy+limit = TakeOrderedAndProject (partial top-k on
+      // the map side); the window below runs on the LIMIT-bounded frame, so
+      // its single partition holds exactly 100 rows at any corpus size
+      val top = tc.orderBy(col("freq").desc, col("tok")).limit(100)
+      val p = top
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok"))))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+      val n = count(lit(1)).cast("double")
+      val slope = (n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+        (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))
+      p.agg(
+        count(lit(1)).cast("bigint").as("n_top"),
+        round(slope, 4).as("zipf_slope"),
+        round((sum(col("y")) - slope * sum(col("x"))) / n, 4).as("intercept"))
+    },
+
+    GraftQuery(
       "q_quality_ablation",
       "Extension (r10): quality-filter ABLATION sweep — for each candidate " +
         "min-token threshold, the docs and tokens that would survive and the " +

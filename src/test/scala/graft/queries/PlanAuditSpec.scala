@@ -144,7 +144,7 @@ class PlanAuditSpec extends SparkTestBase {
       // crossJoin in knn/array_dot (probe side is ≤5 rows, broadcast).
       if (plan.contains("BroadcastNestedLoopJoin"))
         assert(Set("q_knn_brute", "q_array_dot", "q_quantized_dot", "q_knn_recall",
-            "q_knn_ivf_kmeans", "q_knn_recall_kmeans").contains(q.name),
+            "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep").contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
     }
   }
@@ -281,6 +281,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"curriculum ordering must stay parallel:\n$plan")
     assert(plan.contains("rangepartitioning"),
       s"expected the range-partitioned rank pass:\n$plan")
+  }
+
+  test("q_vocab_growth running totals never funnel through one reducer") {
+    // r10: cum_tokens/cum_vocab are Q.distributedCumsum (range partition +
+    // pid windows + broadcast long offsets); a global running-sum window
+    // would show `Exchange SinglePartition` before the final sort.
+    val plan = planOf("q_vocab_growth")
+    assert(!plan.contains("SinglePartition"),
+      s"vocab-growth prefix sums must stay parallel:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected the range-partitioned cumsum pass:\n$plan")
   }
 
   test("q_corpus_datasheet is two exchanges total (hash window + source aggregate)") {
