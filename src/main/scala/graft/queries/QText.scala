@@ -991,6 +991,61 @@ object QText {
     },
 
     GraftQuery(
+      "q_bigram_logprob",
+      "Extension (r10): BIGRAM-LM quality score — per-doc mean add-one-smoothed " +
+        "conditional log-probability avg(ln(c(w1 w2)+1) − ln(c(w1)+V)), the " +
+        "KenLM/CCNet perplexity filter one order up from q_unigram_logprob (a " +
+        "unigram LM can't see scrambled word order; a bigram LM scores it down). " +
+        "Per-row bigram construction (no shuffle) → two word-count aggregates + " +
+        "two broadcast vocab joins; V is one driver-side long (the scalar rule). " +
+        "At 100 TB the corpus never re-shuffles beyond the count aggregates and " +
+        "the bigram/unigram tables stay the broadcastable side.",
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(lower(text), ' '),
+        |                              t -> t <> '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(toks) - 1),
+        |                                    i -> toks[i+1] || ' ' || toks[i+2])) AS b
+        |       FROM d WHERE len(toks) >= 2),
+        |c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+        |tk AS (SELECT unnest(toks) AS token FROM d),
+        |c1 AS (SELECT token, count(*) AS c1 FROM tk GROUP BY token),
+        |v AS (SELECT count(*) AS v FROM c1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln((c2.c2 + 1)::DOUBLE)
+        |                 - ln((c1.c1 + (SELECT v FROM v))::DOUBLE)), 4) + 0
+        |         AS bigram_logprob
+        |FROM bg JOIN c2 USING (b)
+        |JOIN c1 ON c1.token = string_split(bg.b, ' ')[1]
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Q.fanout(documents(s, dir))
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))
+      val bg = d.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"),
+          concat(col("p.w1"), lit(" "), col("p.w2")).as("b"))
+        .transform(Q.materialize) // feeds the bigram count AND the join back
+      val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      val c1 = d.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+        .transform(Q.materialize) // read twice: V and the join
+      val vSize = c1.count()
+      bg.join(broadcast(c2), Seq("b"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          // `+0` folds IEEE -0.0 (the established rounding convention)
+          (round(avg(log((col("c2") + 1).cast("double"))
+            - log((col("c1") + lit(vSize)).cast("double"))), 4) + lit(0.0))
+            .as("bigram_logprob"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_importance_weights",
       "Extension (r10): DSIR-style IMPORTANCE WEIGHTS — per-doc mean log-ratio of " +
         "target-domain vs whole-corpus unigram probability (add-one smoothed over the " +
