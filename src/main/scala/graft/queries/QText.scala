@@ -1019,19 +1019,27 @@ object QText {
         |FROM bg JOIN c2 USING (b)
         |JOIN c1 ON c1.token = string_split(bg.b, ' ')[1]
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = Q.fanout(documents(s, dir))
+      import org.apache.spark.sql.expressions.Window
+      // Codegen-friendly bigram construction: posexplode + one lead()
+      // window per doc (a single hash shuffle on doc_id; per-partition
+      // state = one row). The interpreted-HOF spelling
+      // (filter/transform/struct lambdas per TOKEN) costs ~µs/element and
+      // was 3× the board's slowest key — the QText.curriculum pitfall.
+      val tk = Q.fanout(documents(s, dir))
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))
-      val bg = d.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"),
-          concat(col("p.w1"), lit(" "), col("p.w2")).as("b"))
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+        .filter(col("token") =!= "")
+        .transform(Q.materialize) // feeds the unigram count AND the bigram pass
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = tk
+        .withColumn("w2", lead("token", 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("token").as("w1"),
+          concat_ws(" ", col("token"), col("w2")).as("b"))
         .transform(Q.materialize) // feeds the bigram count AND the join back
       val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
-      val c1 = d.select(explode(col("toks")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c1 = tk.groupBy("token").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("token", "w1")
         .transform(Q.materialize) // read twice: V and the join
       val vSize = c1.count()
       bg.join(broadcast(c2), Seq("b"))
