@@ -521,6 +521,89 @@ object QVector {
     },
 
     GraftQuery(
+      "q_embedding_outliers",
+      "Extension (r10): embedding OUTLIER report — the 3 farthest members of every " +
+        "k-means cluster by z-scored distance-to-centroid, the mislabeled/anomalous-" +
+        "vector shortlist a data-quality pass reviews before the corpus trains or " +
+        "indexes. Inputs stay exact integers (d2, Σd2, Σd2² are exact long sums), " +
+        "so the z expression is one fixed double op-sequence both engines evaluate " +
+        "bit-identically; the per-cluster top-3 cut ranks by INTEGER d2 (z is " +
+        "monotone in d2 within a cluster), so no FP boundary picks the rows.",
+      s"""WITH $dKmeans,
+         |st AS (SELECT cluster, count(*) AS n,
+         |              sum(d2)::BIGINT AS ssum, sum(d2*d2)::BIGINT AS ssq
+         |       FROM a2 GROUP BY cluster),
+         |z AS (SELECT a2.vec_id, a2.cluster, a2.d2,
+         |             (a2.d2 - st.ssum::DOUBLE / st.n)
+         |               / sqrt(st.ssq::DOUBLE / st.n
+         |                      - (st.ssum::DOUBLE / st.n) * (st.ssum::DOUBLE / st.n))
+         |               AS zv
+         |      FROM a2 JOIN st USING (cluster)
+         |      WHERE st.ssq::DOUBLE / st.n
+         |            - (st.ssum::DOUBLE / st.n) * (st.ssum::DOUBLE / st.n) > 0)
+         |SELECT cluster::BIGINT AS cluster, vec_id, d2::BIGINT AS d2,
+         |       round(zv, 4) + 0 AS zscore
+         |FROM z
+         |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) <= 3
+         |ORDER BY cluster, d2 DESC, vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val a2 = kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("__a2.cid").as("cluster"), col("__a2.d2").as("d2"))
+      val st = a2.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("ssum"),
+          sum(col("d2") * col("d2")).as("ssq"))
+      val mean = col("ssum").cast("double") / col("n")
+      val vr = col("ssq").cast("double") / col("n") - mean * mean
+      val wr = Window.partitionBy("cluster").orderBy(col("d2").desc, col("vec_id"))
+      a2.join(broadcast(st), Seq("cluster"))
+        .filter(vr > 0)
+        .withColumn("zv", (col("d2") - mean) / sqrt(vr))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("cluster").cast("bigint").as("cluster"), col("vec_id"),
+          col("d2").cast("bigint").as("d2"),
+          (round(col("zv"), 4) + lit(0.0)).as("zscore"))
+        .orderBy(col("cluster"), col("d2").desc, col("vec_id"))
+    },
+
+    GraftQuery(
+      "q_knn_label_vote",
+      "Extension (r10): kNN LABEL-VOTE evaluation — each probe's label predicted by " +
+        "majority vote of its 5 brute-force nearest neighbors vs its true label, the " +
+        "end-task check that the embedding space actually clusters by label before " +
+        "anyone ships it behind a retrieval or labeling endpoint. Composes the " +
+        "shared brute-force ranking with one label join + one k-row vote window.",
+      s"""WITH $dPr,
+         |$dBrute,
+         |nb AS (SELECT b.probe_id, e.label FROM brute b
+         |       JOIN embeddings e ON e.vec_id = b.neighbor_id WHERE b.rnk <= 5),
+         |v AS (SELECT probe_id, label, count(*) AS votes FROM nb GROUP BY 1, 2),
+         |p AS (SELECT probe_id, label AS pred, votes FROM v
+         |      QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                                 ORDER BY votes DESC, label) = 1)
+         |SELECT p.probe_id, p.pred::BIGINT AS predicted,
+         |       e.label::BIGINT AS actual, p.votes::BIGINT AS votes,
+         |       (p.pred = e.label) AS correct
+         |FROM p JOIN embeddings e ON e.vec_id = p.probe_id
+         |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lbl = embeddings(s, dir).select(col("vec_id"), col("label"))
+      val nb = bruteTop(s, dir, 5)
+        .join(lbl.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      val wv = Window.partitionBy("probe_id").orderBy(col("votes").desc, col("label"))
+      nb.groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .join(lbl.select(col("vec_id").as("probe_id"), col("label").as("actual")),
+          Seq("probe_id"))
+        .select(col("probe_id"), col("label").cast("bigint").as("predicted"),
+          col("actual").cast("bigint").as("actual"),
+          col("votes").cast("bigint").as("votes"),
+          (col("label") === col("actual")).as("correct"))
+        .orderBy("probe_id")
+    },
+
+    GraftQuery(
       "q_knn_ivf_kmeans",
       "Extension: IVF ANN with a TRAINED k-means coarse quantizer (delivering the 'swap the " +
         "stand-in labels for a trained quantizer' path of q_knn_ivf): probes rank the k " +
