@@ -437,6 +437,46 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_dedup_cross_source",
+      "Extension (r10): cross-source DUPLICATION MATRIX — for every source pair, " +
+        "how many near-dup clusters span them and how many duplicate pairs they " +
+        "share (who mirrors whom): the provenance report that decides which feed " +
+        "gets deduped against which before mixing. Pair counts come from per-" +
+        "(cluster, source) member counts (n_a·n_b cross, n·(n−1)/2 within), so " +
+        "the work after clustering is two k-row aggregates + one tiny self-join — " +
+        "never doc-level pair enumeration.",
+      s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc,
+         |m AS (SELECT cc.doc_id, cc.cluster, d.source
+         |      FROM cc JOIN documents d USING (doc_id)),
+         |cs AS (SELECT cluster, source, count(*) AS n FROM m GROUP BY 1, 2),
+         |px AS (SELECT a.cluster, a.source AS source_a, b.source AS source_b,
+         |              CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+         |                   ELSE a.n * b.n END AS np
+         |       FROM cs a JOIN cs b
+         |         ON a.cluster = b.cluster AND a.source <= b.source)
+         |SELECT source_a, source_b, count(*) AS n_clusters,
+         |       sum(np)::BIGINT AS n_pairs
+         |FROM px WHERE np > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val m = clusterGroups(s, dir)
+        .join(documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      val cs = Q.materialize(
+        m.groupBy("cluster", "source").agg(count(lit(1)).as("n")))
+      val a = cs.toDF("cluster", "source_a", "na")
+      val b = cs.toDF("cluster", "source_b", "nb")
+      a.join(b, Seq("cluster"))
+        .filter(col("source_a") <= col("source_b"))
+        .select(col("cluster"), col("source_a"), col("source_b"),
+          when(col("source_a") === col("source_b"),
+            expr("na * (na - 1) DIV 2")).otherwise(col("na") * col("nb"))
+            .cast("bigint").as("np"))
+        .filter(col("np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("np")).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
+    GraftQuery(
       "q_soft_dedup",
       "Extension (r10): SOFT dedup — instead of DROPPING near-duplicates, each doc " +
         "gets sampling weight 1/cluster_size (a full cluster sums to one effective " +
