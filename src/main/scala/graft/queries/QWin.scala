@@ -179,6 +179,56 @@ object QWin {
     },
 
     GraftQuery(
+      "q_win_bollinger",
+      "Extension (r10): Bollinger bands — rolling 5-point mean ± 2σ per series with " +
+        "breakout flags, the volatility envelope TA dashboards draw around " +
+        "MOVING_AVERAGE (completing the TA set next to RSI/CMO/KER). All window " +
+        "sums run over integer cents (Σc and Σc² exact in both engines), the full " +
+        "window pins n=5 so every band is one fixed double op-sequence from exact " +
+        "integers — the q_embedding_outliers determinism recipe; breakouts compare " +
+        "those same deterministic doubles, so no FP boundary flips a flag.",
+      """WITH b AS (SELECT event_id, event_type, ts,
+        |                  round(value * 100)::BIGINT AS c FROM events),
+        |w AS (SELECT event_id, event_type, c,
+        |             count(*) OVER win AS n,
+        |             sum(c)   OVER win AS s,
+        |             sum(c*c) OVER win AS q
+        |      FROM b WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |       round(c / 100.0, 4) AS v,
+        |       round(s / 500.0, 4) AS mid,
+        |       round(s / 500.0 + 2 * sqrt(greatest(
+        |             q / 50000.0 - (s / 500.0) * (s / 500.0), 0.0)), 4) AS upper,
+        |       round(s / 500.0 - 2 * sqrt(greatest(
+        |             q / 50000.0 - (s / 500.0) * (s / 500.0), 0.0)), 4) + 0 AS lower,
+        |       (c / 100.0 > s / 500.0 + 2 * sqrt(greatest(
+        |             q / 50000.0 - (s / 500.0) * (s / 500.0), 0.0))
+        |        OR c / 100.0 < s / 500.0 - 2 * sqrt(greatest(
+        |             q / 50000.0 - (s / 500.0) * (s / 500.0), 0.0))) AS breakout
+        |FROM w WHERE n = 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val cs = col("s").cast("double"); val cq = col("q").cast("double")
+      val mid = cs / 500.0
+      val sd = sqrt(greatest(cq / 50000.0 - (cs / 500.0) * (cs / 500.0), lit(0.0)))
+      val cv = col("c").cast("double") / 100.0
+      events(s, dir)
+        .withColumn("c", round(col("value") * 100, 0).cast("long"))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("s", sum(col("c")).over(win))
+        .withColumn("q", sum(col("c") * col("c")).over(win))
+        .filter(col("n") === 5)
+        .select(col("event_id"), col("event_type"),
+          round(cv, 4).as("v"),
+          round(mid, 4).as("mid"),
+          round(mid + lit(2) * sd, 4).as("upper"),
+          (round(mid - lit(2) * sd, 4) + lit(0.0)).as("lower"),
+          (cv > mid + lit(2) * sd || cv < mid - lit(2) * sd).as("breakout"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_gap_report",
       "Extension: series gap/offline detection — report intervals where a series went " +
         "silent for > 24 h (the 'PLC stopped reporting' monitoring query). One window " +
