@@ -462,5 +462,53 @@ object QInflux {
           col("alarms"), col("n_points"))
         .orderBy("user_id")
     },
+
+    GraftQuery(
+      "q_macd",
+      "Extension (r10): MACD trend indicator per series — fast(12)/slow(26) EMAs, " +
+        "their difference (MACD line), the 9-period signal EMA of that difference, " +
+        "and the histogram sign-flip count chartists read as trend reversals. All " +
+        "THREE EMA recurrences fused into ONE O(1)-state streaming fold " +
+        "(functions/Macd.scala, the Cusum/TRIX shape): one shuffle on the series " +
+        "key + in-partition sort, no collect_list buffer, so an unbounded series " +
+        "never materializes in one aggregation buffer. Identical left-to-right op " +
+        "order as the recursive-CTE oracle; floor-truncation only at the end.",
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |s(user_id, n, vals, i, ef, es, m, sg, crossings) AS (
+        |  SELECT user_id, n, vals, CAST(1 AS BIGINT),
+        |         vals[1]::DOUBLE, vals[1]::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |         CAST(0 AS BIGINT)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT user_id, n, vals, i + 1, ef2, es2, m2,
+        |         sg + (2.0/10.0) * (m2 - sg),
+        |         crossings + CASE WHEN (m2 - (sg + (2.0/10.0) * (m2 - sg)))
+        |                               * (m - sg) < 0
+        |                          THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT user_id, n, vals, i, m, sg, crossings,
+        |           ef + (2.0/13.0) * (vals[i + 1] - ef) AS ef2,
+        |           es + (2.0/27.0) * (vals[i + 1] - es) AS es2,
+        |           (ef + (2.0/13.0) * (vals[i + 1] - ef))
+        |             - (es + (2.0/27.0) * (vals[i + 1] - es)) AS m2
+        |    FROM s WHERE i < n) t)
+        |SELECT user_id,
+        |       floor(m * 10000) / 10000 AS macd,
+        |       floor(sg * 10000) / 10000 AS signal_line,
+        |       floor((m - sg) * 10000) / 10000 AS histogram,
+        |       crossings, n AS n_points
+        |FROM s WHERE i = n ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.functions.Macd.macdByKey(
+          events(s, dir).select(col("user_id"), col("ts_ns"), col("event_id"), col("value")))
+        .toDF()
+        .select(col("user_id"),
+          (floor(col("macd") * 10000) / 10000).as("macd"),
+          (floor(col("signal_line") * 10000) / 10000).as("signal_line"),
+          (floor(col("histogram") * 10000) / 10000).as("histogram"),
+          col("crossings"), col("n_points"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -254,6 +254,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the repartition + sortWithinPartitions + mapPartitions fold:\n$plan")
   }
 
+  test("q_macd folds all three EMAs in one O(1)-state pass (no collect_list buffer)") {
+    val plan = planOf("q_macd")
+    assert(!plan.contains("collect_list"),
+      s"MACD must stream-fold, not buffer whole series per key:\n$plan")
+    assert(plan.contains("MapPartitions") && plan.toLowerCase.contains("sort"),
+      s"expected the repartition + sortWithinPartitions + mapPartitions fold:\n$plan")
+  }
+
   test("q_abc_analysis cumsum never funnels through one reducer (no SinglePartition Exchange)") {
     // r10: the Pareto running sum is a range-partitioned two-pass prefix sum —
     // per-pid windows + broadcast offsets. The r9 global Window.orderBy would
