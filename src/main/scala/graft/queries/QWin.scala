@@ -229,6 +229,55 @@ object QWin {
     },
 
     GraftQuery(
+      "q_win_stochastic",
+      "Extension (r10): stochastic oscillator — %K = position of the latest sample " +
+        "inside its rolling 5-point [min, max] range, %D = 3-period SMA of %K, the " +
+        "momentum pair next to RSI/Bollinger on a TA panel. Integer-cents min/max " +
+        "make %K one exact-input division; %D is spelled as an EXPLICIT " +
+        "(lag2 + lag1 + k) / 3 chain, not a window avg, so both engines add the " +
+        "same three doubles in the same order. Flat windows (max = min) define " +
+        "%K = 0; %D rows require all three contributing %K rows fully formed.",
+      """WITH b AS (SELECT event_id, event_type, ts,
+        |                  round(value * 100)::BIGINT AS c FROM events),
+        |w AS (SELECT event_id, event_type, ts, c,
+        |             count(*) OVER win AS n,
+        |             min(c) OVER win AS mn,
+        |             max(c) OVER win AS mx
+        |      FROM b WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT event_id, event_type, ts, n,
+        |             CASE WHEN mx > mn THEN 100.0 * (c - mn) / (mx - mn)
+        |                  ELSE 0.0 END AS pk
+        |      FROM w),
+        |d AS (SELECT event_id, event_type, n, pk,
+        |             lag(pk, 1) OVER w2 AS p1, lag(pk, 2) OVER w2 AS p2,
+        |             lag(n, 2) OVER w2 AS n2
+        |      FROM k WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_id, event_type, round(pk, 4) AS pct_k,
+        |       round((p2 + p1 + pk) / 3.0, 4) AS pct_d
+        |FROM d WHERE n = 5 AND n2 = 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val w2 = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("c", round(col("value") * 100, 0).cast("long"))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("mn", min(col("c")).over(win))
+        .withColumn("mx", max(col("c")).over(win))
+        .withColumn("pk", when(col("mx") > col("mn"),
+          lit(100.0) * (col("c") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(lit(0.0)))
+        .withColumn("p1", lag(col("pk"), 1).over(w2))
+        .withColumn("p2", lag(col("pk"), 2).over(w2))
+        .withColumn("n2", lag(col("n"), 2).over(w2))
+        .filter(col("n") === 5 && col("n2") === 5)
+        .select(col("event_id"), col("event_type"),
+          round(col("pk"), 4).as("pct_k"),
+          round((col("p2") + col("p1") + col("pk")) / 3.0, 4).as("pct_d"))
+        .orderBy("event_id")
+    },
+
+    GraftQuery(
       "q_gap_report",
       "Extension: series gap/offline detection — report intervals where a series went " +
         "silent for > 24 h (the 'PLC stopped reporting' monitoring query). One window " +
