@@ -21,6 +21,12 @@ case class CusumSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, va
 case class CusumAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     cusum_pos: Double, cusum_neg: Double)
 
+/** Output of the mixture-drift monitor (T16, r10): one row per (closed
+  * window, source) — observed token share vs the target mixture weight. */
+case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
+    tokens: Long, total_tokens: Long, share: Double, target: Double,
+    drifted: Boolean)
+
 /** Output of the online feature pipeline (T15, r10): one complete training
   * example per sample once the series has warmed up — the live twin of
   * q_lag_features' rows (the batch key also emits the FORWARD target;
@@ -416,6 +422,59 @@ object Pipelines {
         col("measurement") === col("cfg_plc") && col("tag_idx") === col("cfg_idx"))
       .filter(col("active"))                                  // P1
       .select(col("ts"), col("measurement"), col("cfg_alias").as("alias"), col("value"))
+  }
+
+  /** T16 (r10): streaming MIXTURE-DRIFT monitor — the live twin of the
+    * batch mixture keys (q_mixture_sample/temperature/epochs): as docs
+    * stream in, each tumbling event-time window accumulates per-source
+    * token counts in ONE map of state keyed by window start; when the
+    * watermark closes the window (event-time timeout, the deadman
+    * mechanism), it emits one row per source with its observed token
+    * share vs the target mixture weight and a drift flag — the alert a
+    * training-data ingest pipeline pages on when a feed silently dries
+    * up or floods (a mixture bug upstream of every quality metric).
+    * State is O(windows-in-flight × sources), emitted rows are k per
+    * window — both corpus-size-independent. Targeted sources absent
+    * from a window still emit (share 0, drifted if target > tol) —
+    * a vanished feed is exactly the alert that matters.
+    */
+  def mixtureMonitor(stream: DataFrame, targets: Map[String, Double],
+      tol: Double, windowMs: Long = 60000L, watermark: String = "30 seconds")
+      : Dataset[MixtureDrift] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark("ts", watermark)
+      .select(col("ts"), col("source"), col("n_tokens"))
+      .as[(java.sql.Timestamp, String, Long)]
+      // the watermarked ts column must survive into the stateful operator;
+      // the window key is derived in groupByKey, not a projection
+      .groupByKey(r => math.floorDiv(r._1.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (wstart: Long, it: Iterator[(java.sql.Timestamp, String, Long)],
+         state: GroupState[Map[String, Long]]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val total = counts.values.sum
+            (counts.keySet ++ targets.keySet).toSeq.sorted.iterator.map { src =>
+              val tok = counts.getOrElse(src, 0L)
+              val share = if (total == 0) 0.0 else tok.toDouble / total
+              val target = targets.getOrElse(src, 0.0)
+              MixtureDrift(new java.sql.Timestamp(wstart), src, tok, total,
+                share, target, math.abs(share - target) > tol)
+            }
+          } else {
+            val merged = it.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              case (m, (_, src, tok)) => m.updated(src, m.getOrElse(src, 0L) + tok)
+            }
+            state.update(merged)
+            // close when the watermark passes window end; a window first
+            // seen already past its end closes next batch
+            state.setTimeoutTimestamp(
+              math.max(wstart + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
   }
 
   /** T2: per-interval query fan-out. Groups active tags by interval (ref
