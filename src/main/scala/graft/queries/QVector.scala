@@ -645,6 +645,42 @@ object QVector {
     },
 
     GraftQuery(
+      "q_knn_mrr",
+      "Extension (r10): MRR retrieval eval — the reciprocal rank of each probe's " +
+        "TRUE nearest neighbor (brute-force top-1) inside the trained-IVF top-10 " +
+        "list, the rank-sensitive quality number recall@k can't see (an index that " +
+        "always buries the true hit at rank 9 still scores recall@10 = 1). rr is " +
+        "1/rank from an INTEGER rank (0 when the index misses the hit entirely), " +
+        "so nothing float crosses engines unrounded.",
+      s"""WITH $dKmeans,
+         |$dKmeansIvf,
+         |$dPr,
+         |$dBrute,
+         |t1 AS (SELECT probe_id, neighbor_id AS true_top1 FROM brute WHERE rnk = 1),
+         |r AS (SELECT t1.probe_id, t1.true_top1, i.rnk AS ivf_rank
+         |      FROM t1 LEFT JOIN (SELECT probe_id, neighbor_id, rnk
+         |                         FROM kivf WHERE rnk <= 10) i
+         |        ON i.probe_id = t1.probe_id AND i.neighbor_id = t1.true_top1)
+         |SELECT probe_id, true_top1,
+         |       coalesce(ivf_rank, 0)::BIGINT AS ivf_rank,
+         |       round(CASE WHEN ivf_rank IS NULL THEN 0.0
+         |                  ELSE 1.0 / ivf_rank END, 4) AS rr
+         |FROM r ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val t1 = bruteTop(s, dir, 1)
+        .select(col("probe_id"), col("neighbor_id").as("true_top1"))
+      val i = kmeansIvfTop(s, dir, 10)
+        .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"),
+          col("rnk"))
+      t1.join(i, col("probe_id") === col("i_probe") &&
+          col("true_top1") === col("i_neighbor"), "left")
+        .select(col("probe_id"), col("true_top1"),
+          coalesce(col("rnk"), lit(0L)).cast("bigint").as("ivf_rank"),
+          round(when(col("rnk").isNull, 0.0).otherwise(lit(1.0) / col("rnk")), 4)
+            .as("rr"))
+        .orderBy("probe_id")
+    },
+
+    GraftQuery(
       "q_knn_probe_sweep",
       "Extension (r10): the ANN TUNING CURVE — recall@5 per probe at every nprobe " +
         "1..4 against brute-force ground truth, the sweep an IVF deployment reads to " +

@@ -144,7 +144,7 @@ class PlanAuditSpec extends SparkTestBase {
       // crossJoin in knn/array_dot (probe side is ≤5 rows, broadcast).
       if (plan.contains("BroadcastNestedLoopJoin"))
         assert(Set("q_knn_brute", "q_array_dot", "q_quantized_dot", "q_knn_recall",
-            "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep",
+            "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep", "q_knn_mrr",
             "q_knn_label_vote").contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
     }
