@@ -64,4 +64,38 @@ class MixtureMonitorSpec extends SparkTestBase {
       MixtureDrift(ts(4), "src0", 20L, 20L, 1.0, 0.5, drifted = true),
       MixtureDrift(ts(4), "src1", 0L, 20L, 0.0, 0.5, drifted = true)))
   }
+
+  test("in-flight window state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("mixckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("mixout").toString
+    val ms = MemoryStream[DocEv]
+    def start() = Pipelines.mixtureMonitor(ms.toDF(), Map("src0" -> 0.5, "src1" -> 0.5),
+        tol = 0.1, windowMs = 60000L, watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1 accumulates window 0 (still open: watermark inside it), stops
+    val q1 = start()
+    ms.addData(DocEv(ts(0, 10), "src0", 90L), DocEv(ts(0, 20), "src1", 10L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2 resumes from the checkpoint; new data closes window 0, whose
+    // counts were accumulated entirely before the restart
+    val q2 = start()
+    ms.addData(DocEv(ts(2, 0), "src0", 5L))
+    q2.processAllAvailable()
+    ms.addData(DocEv(ts(2, 1), "src0", 5L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val w0 = spark.read.parquet(out).as[MixtureDrift].collect().toList
+      .filter(_.window_start == ts(0)).sortBy(_.source)
+    assert(w0 === List(
+      MixtureDrift(ts(0), "src0", 90L, 100L, 0.9, 0.5, drifted = true),
+      MixtureDrift(ts(0), "src1", 10L, 100L, 0.1, 0.5, drifted = true)))
+  }
 }
