@@ -398,7 +398,7 @@ object InfluxQLParser {
     "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
     "exponential_moving_average", "double_exponential_moving_average",
     "triple_exponential_moving_average", "triple_exponential_derivative",
-    "kaufmans_adaptive_moving_average")
+    "kaufmans_adaptive_moving_average", "macd")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
@@ -1169,9 +1169,20 @@ object InfluxQLParser {
                   "integer 2 <= S <= 10000 (additive seasonal)")
             if (param.get < 1)
               throw InfluxQLParseException("HOLT_WINTERS needs N >= 1 forecast steps")
-          } else if (param2.isDefined)
+          } else if (param2.isDefined && fn != "macd")
             throw InfluxQLParseException(s"$name takes at most one parameter")
-          if (Technical(fn)) {
+          if (fn == "macd") {
+            // MACD(aggregate, fast, slow): two EMA periods (the 9-period
+            // signal line stays a batch-side concern — the transform
+            // returns the MACD line, fast EMA − slow EMA)
+            if (param.isEmpty || param2.isEmpty)
+              throw InfluxQLParseException(
+                "MACD takes (aggregate, fast, slow): two integer EMA periods")
+            val (f2, s2) = (param.get, param2.get)
+            if (f2 < 1 || f2 != f2.floor || s2 != s2.floor || s2 > 100000 || f2 >= s2)
+              throw InfluxQLParseException(
+                "MACD needs integer periods 1 <= fast < slow <= 100000")
+          } else if (Technical(fn)) {
             val n = param.getOrElse(throw InfluxQLParseException(
               s"$name takes (aggregate, N): an integer period is required"))
             // the cap keeps the planner's Int arithmetic exact (EMA's

@@ -1598,7 +1598,8 @@ object InfluxQLPlanner {
 
   /** Every recursive TA transform (fold state bounded by the bucket grid →
     * they all require a bounded WHERE time range). */
-  private val RecursiveTa = EmaFamily + "kaufmans_adaptive_moving_average"
+  private val RecursiveTa =
+    EmaFamily + "kaufmans_adaptive_moving_average" + "macd"
 
   /** Technical-analysis transforms over the bucketed aggregate:
     * RELATIVE_STRENGTH_INDEX / CHANDE_MOMENTUM_OSCILLATOR /
@@ -1702,6 +1703,35 @@ object InfluxQLPlanner {
                |  (acc, x) -> named_struct(
                |    'km', acc.km + $scSq * (x.__v - acc.km),
                |    'out', array_append(acc.out, acc.km + $scSq * (x.__v - acc.km))),
+               |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
+          .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
+          .withColumn(name, floor(col("__ev") * 10000) / 10000)
+      case "macd" =>
+        // MACD line = EMA_fast − EMA_slow, both recurrences fused in ONE
+        // fold over the bucket array (the EmaFamily single-pass rule —
+        // separate folds would re-inline quadratically under
+        // CollapseProject). Both EMAs seed at the first bucket, so the
+        // first output is exactly 0; αf = 2/(fast+1), αs = 2/(slow+1)
+        // spelled as literal divisions, the op order the recursive-CTE
+        // oracle retraces bit-identically.
+        val slow = t.param2.get.toInt
+        val af = s"(CAST(2 AS DOUBLE) / ${n + 1})"
+        val asl = s"(CAST(2 AS DOUBLE) / ${slow + 1})"
+        val efn = s"($af * x.__v + (1.0 - $af) * acc.ef)"
+        val esn = s"($asl * x.__v + (1.0 - $asl) * acc.es)"
+        val grouped = kept.groupBy(tags.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+        grouped.select(
+          tags.map(col) :+ col("s") :+ posexplode(expr(
+            s"""aggregate(
+               |  slice(s, 2, greatest(size(s) - 1, 0)),
+               |  named_struct(
+               |    'ef', CAST(element_at(s, 1).__v AS DOUBLE),
+               |    'es', CAST(element_at(s, 1).__v AS DOUBLE),
+               |    'out', array(CAST(0.0 AS DOUBLE))),
+               |  (acc, x) -> named_struct(
+               |    'ef', $efn, 'es', $esn,
+               |    'out', array_append(acc.out, $efn - $esn)),
                |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
           .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
           .withColumn(name, floor(col("__ev") * 10000) / 10000)

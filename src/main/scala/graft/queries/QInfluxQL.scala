@@ -782,6 +782,42 @@ object QInfluxQL {
         |GROUP BY time(1h), user_id""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_macd",
+      "IQL71 (r10): MACD(MEAN(value), 12, 26) — the MACD line (fast EMA − slow EMA) " +
+        "over the bucket grid, both recurrences fused in one fold (the EmaFamily " +
+        "single-pass rule); first bucket = 0 exactly (both EMAs seed there)",
+      """WITH RECURSIVE a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, array_agg(m ORDER BY t) AS vals,
+        |         array_agg(t ORDER BY t) AS ts_, count(*) AS n
+        |  FROM a GROUP BY user_id),
+        |s(user_id, vals, ts_, n, k, ef, es, ml) AS (
+        |  SELECT user_id, vals, ts_, n, CAST(1 AS BIGINT),
+        |         vals[1]::DOUBLE, vals[1]::DOUBLE, 0.0::DOUBLE FROM o
+        |  UNION ALL
+        |  SELECT user_id, vals, ts_, n, k + 1,
+        |         (CAST(2 AS DOUBLE) / 13) * vals[k + 1]
+        |           + (1.0 - (CAST(2 AS DOUBLE) / 13)) * ef,
+        |         (CAST(2 AS DOUBLE) / 27) * vals[k + 1]
+        |           + (1.0 - (CAST(2 AS DOUBLE) / 27)) * es,
+        |         ((CAST(2 AS DOUBLE) / 13) * vals[k + 1]
+        |           + (1.0 - (CAST(2 AS DOUBLE) / 13)) * ef)
+        |           - ((CAST(2 AS DOUBLE) / 27) * vals[k + 1]
+        |           + (1.0 - (CAST(2 AS DOUBLE) / 27)) * es)
+        |  FROM s WHERE k < n)
+        |SELECT strftime(ts_[k], '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       floor(ml * 10000) / 10000 AS macd
+        |FROM s ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT MACD(MEAN(value), 12, 26) AS macd FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_kama",
       "IQL69 (r9): KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) — er/sc from the KER " +
         "windows (first 9 buckets drop), then kama_k = kama_{k-1} + sc²·(v_k − kama_{k-1}) " +
