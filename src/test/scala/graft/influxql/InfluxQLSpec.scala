@@ -155,6 +155,23 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
   }
 
+  test("MACD parses with two periods; bad periods and missing args reject") {
+    val q = InfluxQLParser.parseSelect(
+      "SELECT MACD(MEAN(value), 12, 26) AS m FROM events GROUP BY time(1h)")
+    assert(q.fields == Seq(TransformField("macd",
+      FnField("mean", "value", None, None), Some(12.0), Some("m"), Some(26.0))))
+    // fast must be strictly below slow, both integers, both present
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT MACD(MEAN(value), 26, 12) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT MACD(MEAN(value), 12) FROM events GROUP BY time(1h)"))
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT MACD(MEAN(value), 12.5, 26) FROM events GROUP BY time(1h)"))
+    // a second parameter on a one-param technical transform still rejects
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9, 2) FROM events GROUP BY time(1h)"))
+  }
+
   test("field arithmetic parses with precedence; division lexes next to a regex") {
     val q = InfluxQLParser.parseSelect(
       """SELECT MEAN(value) * 100 + 5 AS scaled, SUM(value) / COUNT(value) AS ratio
