@@ -29,6 +29,24 @@ class KmeansGateSpec extends SparkTestBase {
     assert(mean >= 0.9, f"mean recall@5 $mean%.2f fell below the 0.9 gate")
   }
 
+  test("IVF rank discipline: a found true top-1 ALWAYS ranks #1; mean RR holds 0.6") {
+    // Two gates. (1) Structural: IVF rescores candidates with EXACT cosine,
+    // so whenever the true global top-1 is in a probed cell, nothing can
+    // outscore it — found ⇒ rank 1, at any SF, by construction. (2) The
+    // measured floor: at sf0.001 probes 2 and 3's true neighbors straddle
+    // non-probed cells (the same degenerate-corpus effect the recall gate
+    // documents), giving mean RR 0.6 — hold that line (sf0.01 measures 1.0).
+    val rows = Registry.byName("q_knn_mrr").run(spark, dir).collect()
+    assert(rows.length === 5, "5 probes expected")
+    rows.foreach { r =>
+      val rank = r.getLong(2)
+      assert(rank == 0L || rank == 1L,
+        s"probe ${r.getLong(0)}: found true top-1 at rank $rank — exact rescore broke")
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.6, f"mean reciprocal rank $mean%.2f fell below the 0.6 floor")
+  }
+
   test("all 8 k-means cells are populated and no cell dominates (max <= 3x min)") {
     val rows = Registry.byName("q_kmeans_inertia").run(spark, dir).collect()
     assert(rows.length === 8, s"expected 8 populated clusters, got ${rows.length}")
