@@ -398,7 +398,7 @@ object InfluxQLParser {
     "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
     "exponential_moving_average", "double_exponential_moving_average",
     "triple_exponential_moving_average", "triple_exponential_derivative",
-    "kaufmans_adaptive_moving_average", "macd")
+    "kaufmans_adaptive_moving_average", "macd", "bollinger_width")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",

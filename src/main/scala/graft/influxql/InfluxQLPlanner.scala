@@ -1706,6 +1706,26 @@ object InfluxQLPlanner {
                |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
           .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
           .withColumn(name, floor(col("__ev") * 10000) / 10000)
+      case "bollinger_width" =>
+        // Bollinger BANDWIDTH = (upper − lower)/mid = 4σ/μ over the last n
+        // buckets (k = 2), the volatility-squeeze indicator. The bucket
+        // aggregate is already round(4), so c = round(m·10⁴) is an EXACT
+        // integer: Σc and Σc² are order-independent exact sums (DuckDB's
+        // segment-tree window and Spark's left-to-right frame scan agree
+        // bit-for-bit), and the band math is one fixed double op-sequence
+        // from exact integers — the q_win_bollinger determinism recipe.
+        val cs2 = col("__s").cast("double")
+        val cq2 = col("__q").cast("double")
+        val mid = cs2 / lit(n * 10000.0)
+        val vr = cq2 / lit(n * 100000000.0) - mid * mid
+        val sd = sqrt(greatest(vr, lit(0.0)))
+        kept.withColumn("__c", round(v * 10000, 0).cast("long"))
+          .withColumn("__n", count(lit(1)).over(wf))
+          .withColumn("__s", sum(col("__c")).over(wf))
+          .withColumn("__q", sum(col("__c") * col("__c")).over(wf))
+          .filter(col("__n") === n)
+          .withColumn(name, when(mid === 0.0, 0.0)
+            .otherwise(round(lit(4) * sd / mid, 4) + lit(0.0)))
       case "macd" =>
         // MACD line = EMA_fast − EMA_slow, both recurrences fused in ONE
         // fold over the bucket array (the EmaFamily single-pass rule —

@@ -818,6 +818,34 @@ object QInfluxQL {
         |GROUP BY time(1h), user_id""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_bollinger",
+      "IQL72 (r10): BOLLINGER_WIDTH(MEAN(value), 5) — rolling-5-bucket band width " +
+        "4σ/μ (k=2), the volatility-squeeze indicator; integer-scaled bucket values " +
+        "make both engines' window sums exact regardless of summation order",
+      """WITH a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |w AS (SELECT user_id, t, round(m * 10000)::BIGINT AS c FROM a),
+        |f AS (SELECT user_id, t,
+        |             count(*) OVER win AS n,
+        |             sum(c)   OVER win AS s,
+        |             sum(c*c) OVER win AS q
+        |      FROM w WINDOW win AS (PARTITION BY user_id ORDER BY t
+        |                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       CASE WHEN s / 50000.0 = 0.0 THEN 0.0
+        |            ELSE round(4 * sqrt(greatest(
+        |                   q / 500000000.0 - (s / 50000.0) * (s / 50000.0), 0.0))
+        |                 / (s / 50000.0), 4) + 0 END AS bw
+        |FROM f WHERE n = 5 ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT BOLLINGER_WIDTH(MEAN(value), 5) AS bw FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_kama",
       "IQL69 (r9): KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) — er/sc from the KER " +
         "windows (first 9 buckets drop), then kama_k = kama_{k-1} + sc²·(v_k − kama_{k-1}) " +
