@@ -30,32 +30,19 @@ object Cusum {
     * DOUBLE. Output is keyed by `user_id` to match the q_cusum registry
     * shape; callers with a different key name re-alias afterwards.
     */
+  /** (s⁺, s⁻, alarms) — the whole per-series fold state. */
+  private final case class St(sp: Double, sn: Double, alarms: Long)
+
   def cusumByKey(df: DataFrame, target: Double, slack: Double, band: Double): Dataset[CusumRow] = {
-    implicit val inEnc  = Encoders.product[(Long, Long, Long, Double)]
     implicit val outEnc = Encoders.product[CusumRow]
-    df.toDF("k", "t", "i", "v")
-      .repartition(col("k"))
-      .sortWithinPartitions("k", "t", "i")
-      .as[(Long, Long, Long, Double)]
-      .mapPartitions { it =>
-        // Group-adjacent streaming fold: each next() consumes one whole
-        // series run and emits its terminal state — nothing is buffered.
-        val rows = it.buffered
-        new Iterator[CusumRow] {
-          override def hasNext: Boolean = rows.hasNext
-          override def next(): CusumRow = {
-            val k = rows.head._1
-            var sp = 0.0; var sn = 0.0; var alarms = 0L; var n = 0L
-            while (rows.hasNext && rows.head._1 == k) {
-              val v = rows.next()._4
-              sp = math.max(0.0, sp + (v - target) - slack)
-              sn = math.max(0.0, sn - (v - target) - slack)
-              if (sp > band || sn > band) alarms += 1
-              n += 1
-            }
-            CusumRow(k, sp, sn, alarms, n)
-          }
-        }
-      }
+    def step(s: St, v: Double): St = {
+      val sp = math.max(0.0, s.sp + (v - target) - slack)
+      val sn = math.max(0.0, s.sn - (v - target) - slack)
+      St(sp, sn, s.alarms + (if (sp > band || sn > band) 1L else 0L))
+    }
+    // the recurrence updates on EVERY row, so the seed folds the first
+    // sample into the zero state (vs EMA/MACD, which anchor at it)
+    SeriesFold.foldByKey(df)(v => step(St(0.0, 0.0, 0L), v))(step)(
+      (k, s, n) => CusumRow(k, s.sp, s.sn, s.alarms, n))
   }
 }

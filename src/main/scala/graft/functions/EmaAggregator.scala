@@ -57,28 +57,12 @@ object Ema {
     */
   def emaByKey(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)], alpha: Double)
       : org.apache.spark.sql.Dataset[(Long, Double)] = {
-    import org.apache.spark.sql.functions.col
     implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Double)]
-    implicit val inEnc = org.apache.spark.sql.Encoders.product[(Long, Long, Long, Double)]
-    // toDF: the input Dataset may carry arbitrary column names (a typed
-    // view over named columns keeps them) — normalize before repartition.
-    ds.toDF("k", "t", "i", "v")
-      .repartition(col("k"))
-      .sortWithinPartitions("k", "t", "i")
-      .as[(Long, Long, Long, Double)]
-      .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        var curKey = 0L
-        var ema = 0.0
-        var open = false
-        for ((k, _, _, v) <- it) {
-          if (!open || k != curKey) {
-            if (open) out += ((curKey, ema))
-            curKey = k; ema = v; open = true
-          } else ema = alpha * v + (1 - alpha) * ema
-        }
-        if (open) out += ((curKey, ema))
-        out.iterator
-      }
+    // seed = first value (ema₁ = v₁), then the standard recursion — the
+    // shared SeriesFold scaffolding (one shuffle + in-partition sort +
+    // group-adjacent fold, O(1) state per series).
+    SeriesFold.foldByKey(ds.toDF())(v => v)(
+      (e, v) => alpha * v + (1 - alpha) * e)(
+      (k, e, _) => (k, e))
   }
 }

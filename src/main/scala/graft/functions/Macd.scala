@@ -38,38 +38,24 @@ object Macd {
   case class MacdRow(user_id: Long, macd: Double, signal_line: Double,
                      histogram: Double, crossings: Long, n_points: Long)
 
+  /** (ef, es, m, sg, crossings) — the whole per-series fold state. */
+  private final case class St(ef: Double, es: Double, m: Double, sg: Double,
+                              crossings: Long)
+
   /** Input columns (any names): key LONG, orderTs LONG, tieId LONG, value
     * DOUBLE. Series with one sample report macd=signal=histogram=0.
     */
   def macdByKey(df: DataFrame): Dataset[MacdRow] = {
-    implicit val inEnc  = Encoders.product[(Long, Long, Long, Double)]
     implicit val outEnc = Encoders.product[MacdRow]
-    df.toDF("k", "t", "i", "v")
-      .repartition(col("k"))
-      .sortWithinPartitions("k", "t", "i")
-      .as[(Long, Long, Long, Double)]
-      .mapPartitions { it =>
-        val rows = it.buffered
-        new Iterator[MacdRow] {
-          override def hasNext: Boolean = rows.hasNext
-          override def next(): MacdRow = {
-            val k = rows.head._1
-            val v0 = rows.next()._4
-            var ef = v0; var es = v0; var m = 0.0; var sg = 0.0
-            var crossings = 0L; var n = 1L
-            while (rows.hasNext && rows.head._1 == k) {
-              val v = rows.next()._4
-              ef = ef + AlphaFast * (v - ef)
-              es = es + AlphaSlow * (v - es)
-              val m2 = ef - es
-              val sg2 = sg + AlphaSig * (m2 - sg)
-              if ((m2 - sg2) * (m - sg) < 0) crossings += 1
-              m = m2; sg = sg2
-              n += 1
-            }
-            MacdRow(k, m, sg, m - sg, crossings, n)
-          }
-        }
-      }
+    SeriesFold.foldByKey(df)(v0 => St(v0, v0, 0.0, 0.0, 0L))(
+      (s, v) => {
+        val ef = s.ef + AlphaFast * (v - s.ef)
+        val es = s.es + AlphaSlow * (v - s.es)
+        val m2 = ef - es
+        val sg2 = s.sg + AlphaSig * (m2 - s.sg)
+        St(ef, es, m2, sg2,
+          s.crossings + (if ((m2 - sg2) * (s.m - s.sg) < 0) 1L else 0L))
+      })(
+      (k, s, n) => MacdRow(k, s.m, s.sg, s.m - s.sg, s.crossings, n))
   }
 }

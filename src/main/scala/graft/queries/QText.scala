@@ -485,17 +485,20 @@ object QText {
         |       CAST(cum_vocab AS BIGINT) AS cum_vocab,
         |       round(cum_vocab::DOUBLE / cum_tokens, 4) AS ttr
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = documents(s, dir)
+      // ONE corpus scan: n_tokens rides the distinct-token explode as a
+      // carried column, so the tokenization never re-runs and no join
+      // back to the documents frame is needed (review r10 finding).
+      val t = documents(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      val t = d.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-        .transform(Q.materialize) // feeds the first-seen agg AND the join back
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+          explode(array_distinct(col("toks"))).as("tok"))
+        .transform(Q.materialize) // feeds the first-seen agg AND the per-doc agg
       val f = t.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
-      val nv = t.join(f, Seq("tok"))
+      val j = t.join(f, Seq("tok"))
         .groupBy("doc_id")
-        .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("new_types"))
-      val j = d.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
-        .join(nv, Seq("doc_id"))
+        .agg(first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("new_types"))
       Q.distributedCumsum(j, Seq(col("doc_id")),
           Seq("n_tokens" -> "cum_tokens", "new_types" -> "cum_vocab"))
         .select(col("doc_id"), col("n_tokens"), col("new_types"),
@@ -997,9 +1000,11 @@ object QText {
         "KenLM/CCNet perplexity filter one order up from q_unigram_logprob (a " +
         "unigram LM can't see scrambled word order; a bigram LM scores it down). " +
         "Per-row bigram construction (no shuffle) → two word-count aggregates + " +
-        "two broadcast vocab joins; V is one driver-side long (the scalar rule). " +
-        "At 100 TB the corpus never re-shuffles beyond the count aggregates and " +
-        "the bigram/unigram tables stay the broadcastable side.",
+        "two count-table joins; V is one driver-side long (the scalar rule). " +
+        "At 100 TB the corpus never re-shuffles beyond the count aggregates; the " +
+        "joins are UNHINTED so AQE broadcasts the count tables while small and " +
+        "degrades to shuffle joins when the bigram vocabulary outgrows the " +
+        "broadcast cap (it grows near-linearly with corpus tokens).",
       """WITH d AS (SELECT doc_id,
         |                  list_filter(string_split(lower(text), ' '),
         |                              t -> t <> '') AS toks
@@ -1037,13 +1042,18 @@ object QText {
         .select(col("doc_id"), col("token").as("w1"),
           concat_ws(" ", col("token"), col("w2")).as("b"))
         .transform(Q.materialize) // feeds the bigram count AND the join back
+      // No broadcast HINTS on the count tables: the distinct-bigram side
+      // grows near-linearly with corpus tokens (the Heaps-law point), so a
+      // pinned BroadcastHashJoin would OOM past the 8 GB relation cap at
+      // large SF — let AQE broadcast while small and degrade to a shuffle
+      // join when it isn't (review r10 finding).
       val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
       val c1 = tk.groupBy("token").agg(count(lit(1)).as("c1"))
         .withColumnRenamed("token", "w1")
         .transform(Q.materialize) // read twice: V and the join
       val vSize = c1.count()
-      bg.join(broadcast(c2), Seq("b"))
-        .join(broadcast(c1), Seq("w1"))
+      bg.join(c2, Seq("b"))
+        .join(c1, Seq("w1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           // `+0` folds IEEE -0.0 (the established rounding convention)
