@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
 
 /** Tabular CUSUM control chart, streamed (SURVEY.md §2 W13 — the SPC drift
   * detector behind the reference's alarm panels, ref README.md:3 Grafana

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
 
 /** MACD (moving-average convergence/divergence), streamed — the TA panel's
   * trend indicator next to EMA/RSI/KAMA (SURVEY.md §2 extension): fast and
