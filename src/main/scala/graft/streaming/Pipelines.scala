@@ -21,7 +21,7 @@ case class CusumSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, va
 case class CusumAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     cusum_pos: Double, cusum_neg: Double)
 
-/** Output of the mixture-drift monitor (T16, r10): one row per (closed
+/** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
     tokens: Long, total_tokens: Long, share: Double, target: Double,
@@ -424,7 +424,7 @@ object Pipelines {
       .select(col("ts"), col("measurement"), col("cfg_alias").as("alias"), col("value"))
   }
 
-  /** T16 (r10): streaming MIXTURE-DRIFT monitor — the live twin of the
+  /** T17 (r10): streaming MIXTURE-DRIFT monitor — the live twin of the
     * batch mixture keys (q_mixture_sample/temperature/epochs): as docs
     * stream in, each tumbling event-time window accumulates per-source
     * token counts in ONE map of state keyed by window start; when the
