@@ -359,6 +359,57 @@ object QDedup {
     },
 
     GraftQuery(
+      "q_dedup_threshold_sweep",
+      "Extension (r10): dedup AGGRESSIVENESS sweep — for every candidate minhash-" +
+        "agreement cut m_min (0..8, est. Jaccard m/8): surviving candidate pairs, " +
+        "docs implicated, and the corpus fraction at stake. The probe-sweep twin " +
+        "for the NEAR-DUP threshold: q_minhash_calibration says how honest the " +
+        "estimator is, this says what each cut would actually do — the two curves " +
+        "a dedup rollout reads before moving the m >= 4 default. Each pair " +
+        "explodes to its satisfied thresholds (pairs are the rare LSH-bounded " +
+        "slice, so the 9× fan-out is tiny); corpus total is a driver scalar.",
+      {
+        val bands = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
+          .mkString(" UNION ALL ")
+        val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $duckBase, $duckSig,
+           |bands AS ($bands),
+           |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |          FROM bands x JOIN bands y
+           |            ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+           |pm AS (SELECT p.doc_a, p.doc_b, ($est) AS m
+           |       FROM pairs p JOIN sig a ON p.doc_a = a.doc_id
+           |       JOIN sig b ON p.doc_b = b.doc_id),
+           |ex AS (SELECT doc_a, doc_b, unnest(range(0, m + 1)) AS m_min FROM pm),
+           |np AS (SELECT m_min, count(*) AS n_pairs FROM ex GROUP BY m_min),
+           |xd AS (SELECT m_min, doc_a AS d FROM ex
+           |       UNION ALL SELECT m_min, doc_b FROM ex),
+           |nd AS (SELECT m_min, count(DISTINCT d) AS n_docs FROM xd GROUP BY m_min)
+           |SELECT CAST(np.m_min AS INT) AS m_min,
+           |       round(np.m_min / 8.0, 4) AS est_sim,
+           |       np.n_pairs, nd.n_docs,
+           |       round(nd.n_docs::DOUBLE / (SELECT count(*) FROM documents), 4)
+           |         AS pct_docs
+           |FROM np JOIN nd USING (m_min) ORDER BY m_min""".stripMargin
+      }) { (s, dir) =>
+      val total = documents(s, dir).count().toDouble
+      val ex = Q.materialize(candidatePairs(s, dir)
+        .select(col("doc_a"), col("doc_b"),
+          explode(expr("sequence(0, m)")).as("m_min")))
+      val np = ex.groupBy("m_min").agg(count(lit(1)).as("n_pairs"))
+      val nd = ex
+        .select(col("m_min"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("m_min").agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, Seq("m_min"))
+        .select(col("m_min").cast("int").as("m_min"),
+          round(col("m_min") / 8.0, 4).as("est_sim"),
+          col("n_pairs"), col("n_docs"),
+          round(col("n_docs").cast("double") / total, 4).as("pct_docs"))
+        .orderBy("m_min")
+    },
+
+    GraftQuery(
       "q_dedup_groups",
       "Extension: near-dup CLUSTERS — connected components over LSH candidate pairs (min-label propagation), canonical doc per cluster",
       s"""WITH RECURSIVE $duckBase, $duckSig, $duckCc
