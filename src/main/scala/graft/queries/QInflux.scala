@@ -464,6 +464,51 @@ object QInflux {
     },
 
     GraftQuery(
+      "q_ewma_chart",
+      "Extension (r10): EWMA control chart per series — the SPC sibling of CUSUM " +
+        "(W13) for small sustained shifts: z_i = λ·v_i + (1−λ)·z_{i−1} (λ = 0.2, " +
+        "seeded at the target 50.0), alarm when |z − 50| exceeds L·σ_z with L = 3 " +
+        "and σ_z the asymptotic EWMA σ·sqrt(λ/(2−λ)) for spec'd σ = 10 (fixed " +
+        "constants keep the fold oracle-checkable, the q_cusum convention). " +
+        "Fourth consumer of the shared SeriesFold O(1)-state pass — one shuffle " +
+        "on the series key, no collect_list buffer. The alarm band is a constant " +
+        "both engines fold identically; only the terminal z is floor-truncated.",
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |s(user_id, n, vals, i, z, alarms) AS (
+        |  SELECT user_id, n, vals, CAST(0 AS BIGINT), 50.0::DOUBLE, CAST(0 AS BIGINT)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT user_id, n, vals, i + 1,
+        |         0.2 * vals[i + 1] + 0.8 * z,
+        |         alarms + CASE WHEN abs(0.2 * vals[i + 1] + 0.8 * z - 50.0)
+        |                            > 3.0 * (10.0 * sqrt(0.2 / 1.8))
+        |                       THEN 1 ELSE 0 END
+        |  FROM s WHERE i < n)
+        |SELECT user_id,
+        |       floor(z * 10000) / 10000 AS ewma,
+        |       alarms, n AS n_points
+        |FROM s WHERE i = n ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[(Long, Double, Long, Long)]
+      val band = 3.0 * (10.0 * math.sqrt(0.2 / 1.8))
+      graft.functions.SeriesFold.foldByKey(
+          events(s, dir).select(col("user_id"), col("ts_ns"), col("event_id"), col("value")))(
+          v => { val z = 0.2 * v + 0.8 * 50.0
+                 (z, if (math.abs(z - 50.0) > band) 1L else 0L) })(
+          { case ((z, a), v) =>
+              val z2 = 0.2 * v + 0.8 * z
+              (z2, a + (if (math.abs(z2 - 50.0) > band) 1L else 0L)) })(
+          (k, st, n) => (k, st._1, st._2, n))
+        .toDF("user_id", "z", "alarms", "n_points")
+        .select(col("user_id"),
+          (floor(col("z") * 10000) / 10000).as("ewma"),
+          col("alarms"), col("n_points"))
+        .orderBy("user_id")
+    },
+
+    GraftQuery(
       "q_macd",
       "Extension (r10): MACD trend indicator per series — fast(12)/slow(26) EMAs, " +
         "their difference (MACD line), the 9-period signal EMA of that difference, " +

@@ -242,6 +242,41 @@ object QJoin {
     },
 
     GraftQuery(
+      "q_gini_revenue",
+      "Extension (r10): Gini COEFFICIENT of per-part revenue — the one-number " +
+        "concentration measure next to q_abc_analysis's classed Pareto curve " +
+        "(G→0 revenue spread evenly, G→1 a handful of parts carry it). " +
+        "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted revenues: the rank " +
+        "is Q.distributedRank (range-partitioned, no SinglePartition Exchange) " +
+        "and both Σ run as exact DECIMAL(38) integers (cents), so the only " +
+        "doubles are one fixed op-sequence from two exact big integers.",
+      """WITH r AS (SELECT l_partkey,
+        |                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100
+        |                       AS HUGEINT) AS rc
+        |           FROM lineitem GROUP BY l_partkey),
+        |k AS (SELECT rc, row_number() OVER (ORDER BY rc, l_partkey) AS i FROM r),
+        |a AS (SELECT count(*) AS n, sum(rc) AS sx, sum(i * rc) AS six FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_parts,
+        |       round(2.0 * six::DOUBLE / (n * sx::DOUBLE) - (n + 1.0) / n, 4)
+        |         AS gini
+        |FROM a""".stripMargin) { (s, dir) =>
+      val r = lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          * 100).cast("decimal(38,0)").as("rc"))
+      Q.distributedRank(r, Seq(col("rc"), col("l_partkey")), "i")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rc")).as("sx"),
+          sum(col("i") * col("rc")).as("six"))
+        .select(col("n").cast("bigint").as("n_parts"),
+          round(lit(2.0) * col("six").cast("double")
+              / (col("n") * col("sx").cast("double"))
+            - (col("n") + lit(1.0)) / col("n"), 4).as("gini"))
+    },
+
+    GraftQuery(
       "q_abc_analysis",
       "Extension: ABC / Pareto revenue classification — rank parts by revenue, classify by " +
         "cumulative share (A ≤ 80%, B ≤ 95%, C rest). Revenue aggregates per part FIRST " +
