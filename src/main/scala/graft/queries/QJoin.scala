@@ -277,6 +277,52 @@ object QJoin {
     },
 
     GraftQuery(
+      "q_lorenz_curve",
+      "Extension (r10): Lorenz curve by revenue decile — cumulative revenue share " +
+        "per ascending-revenue decile of parts, the 10-point curve whose area " +
+        "deficit IS q_gini_revenue's number (a report shows both). Deciles come " +
+        "from Q.distributedNtile (range-partitioned exact ntile, no " +
+        "SinglePartition Exchange); the cumulative share runs on the 10-row " +
+        "decile frame, never on parts; sums stay exact DECIMAL(38) cents and the " +
+        "share is one exact division + round(4).",
+      """WITH r AS (SELECT l_partkey,
+        |                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100
+        |                       AS HUGEINT) AS rc
+        |           FROM lineitem GROUP BY l_partkey),
+        |k AS (SELECT rc, ntile(10) OVER (ORDER BY rc, l_partkey) AS decile FROM r),
+        |d AS (SELECT decile, count(*) AS n_parts, sum(rc) AS rev FROM k GROUP BY decile),
+        |t AS (SELECT sum(rev) AS total FROM d)
+        |SELECT CAST(decile AS INT) AS decile, n_parts,
+        |       round(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+        |       round(CAST(sum(rev) OVER (ORDER BY decile
+        |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / CAST((SELECT total FROM t) AS DOUBLE), 4) AS cum_share
+        |FROM d ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          * 100).cast("decimal(38,0)").as("rc"))
+      val d = Q.distributedNtile(r, 10, Seq(col("rc"), col("l_partkey")), "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev"))
+        .transform(Q.materialize) // 10 rows, read for total AND the curve
+      // driver-side grand total (the scalar-subquery rule); decimal sum of
+      // the same 10 exact values is bit-identical to a direct corpus sum
+      val total = d.agg(sum(col("rev"))).head().getDecimal(0)
+      // the cumulative window runs on the 10-row decile frame — a
+      // SinglePartition over 10 rows is bounded by construction
+      val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      d.select(col("decile").cast("int").as("decile"), col("n_parts"),
+          round(col("rev").cast("double") / 100, 2).as("revenue"),
+          round(sum(col("rev")).over(wc).cast("double")
+            / lit(total).cast("double"), 4).as("cum_share"))
+        .orderBy("decile")
+    },
+
+    GraftQuery(
       "q_abc_analysis",
       "Extension: ABC / Pareto revenue classification — rank parts by revenue, classify by " +
         "cumulative share (A ≤ 80%, B ≤ 95%, C rest). Revenue aggregates per part FIRST " +
