@@ -514,6 +514,47 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_top_movers",
+      "Extension (r10): period-over-period TOP MOVERS — per series, the mean value " +
+        "before vs after a boundary and the percent change, ranked by the change " +
+        "(the 'what shifted this week' panel next to the drift detectors: PSI/CUSUM " +
+        "say THAT a distribution moved, this says WHICH series and BY HOW MUCH). " +
+        "One conditional aggregation over one scan — both halves share the " +
+        "shuffle; the rank runs on the k-series aggregate frame. The rank orders " +
+        "by the ROUNDED change (ties to the series key), so no cross-engine ulp " +
+        "can reorder it.",
+      """WITH h AS (SELECT event_type,
+        |                  avg(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |                           THEN value END) AS a,
+        |                  avg(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |                           THEN value END) AS b
+        |           FROM events GROUP BY event_type),
+        |p AS (SELECT event_type, round(a, 4) AS avg_before, round(b, 4) AS avg_after,
+        |             round((b - a) / a * 100, 4) + 0 AS pct_change
+        |      FROM h)
+        |SELECT CAST(row_number() OVER (ORDER BY pct_change DESC, event_type)
+        |            AS INT) AS mover_rank,
+        |       event_type, avg_before, avg_after, pct_change
+        |FROM p ORDER BY mover_rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit("2024-01-15").cast("timestamp")
+      val h = events(s, dir).groupBy("event_type").agg(
+        avg(when(col("ts") < cut, col("value"))).as("a"),
+        avg(when(col("ts") >= cut, col("value"))).as("b"))
+      val p = h.select(col("event_type"),
+        round(col("a"), 4).as("avg_before"),
+        round(col("b"), 4).as("avg_after"),
+        (round((col("b") - col("a")) / col("a") * 100, 4) + lit(0.0)).as("pct_change"))
+      // the rank window runs on the k-series aggregate frame (k = distinct
+      // event types), bounded by construction like the Markov totals
+      val wr = Window.orderBy(col("pct_change").desc, col("event_type"))
+      p.withColumn("mover_rank", row_number().over(wr))
+        .select(col("mover_rank"), col("event_type"),
+          col("avg_before"), col("avg_after"), col("pct_change"))
+        .orderBy("mover_rank")
+    },
+
+    GraftQuery(
       "q_rfm_segments",
       "A15 (r9): RFM customer segmentation over the orders star — recency/frequency/monetary " +
         "quintile scores + named segments, the classic marketing-analytics rollup. One " +
