@@ -1459,6 +1459,10 @@ object InfluxQLPlanner {
       .groupBy(("__t" +: tags).map(col): _*).agg(inner)
     val series = agg.groupBy(tags.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+      // an UNGROUPED aggregate over an empty frame yields ONE row with an
+      // EMPTY array (tags=[] + a range with no surviving buckets) — the
+      // fold seeds index element 1, so drop it: no buckets, no series
+      .filter(size(col("s")) >= 1)
     // Holt fold: init l=v2, b=v2-v1, then fold elements 3..n. The lambda
     // reads only the OLD accumulator (Spark named_struct semantics), the
     // same op order as the recursive-CTE oracle — bit-identical doubles.
@@ -1474,18 +1478,18 @@ object InfluxQLPlanner {
         """aggregate(
           |  slice(s, 3, greatest(size(s) - 2, 0)),
           |  named_struct(
-          |    'l', CAST(element_at(s, least(size(s), 2)).__v AS DOUBLE),
-          |    'b', CAST(element_at(s, least(size(s), 2)).__v
-          |           - element_at(s, 1).__v AS DOUBLE),
-          |    'out', slice(array(CAST(element_at(s, 1).__v AS DOUBLE),
-          |                       CAST(element_at(s, least(size(s), 2)).__v AS DOUBLE)),
+          |    'l', CAST(try_element_at(s, least(size(s), 2)).__v AS DOUBLE),
+          |    'b', CAST(try_element_at(s, least(size(s), 2)).__v
+          |           - try_element_at(s, 1).__v AS DOUBLE),
+          |    'out', slice(array(CAST(try_element_at(s, 1).__v AS DOUBLE),
+          |                       CAST(try_element_at(s, least(size(s), 2)).__v AS DOUBLE)),
           |                 1, least(size(s), 2))),
           |  (acc, x) -> named_struct(
           |    'l', 0.5 * x.__v + 0.5 * (acc.l + acc.b),
           |    'b', 0.3 * ((0.5 * x.__v + 0.5 * (acc.l + acc.b)) - acc.l)
           |           + 0.7 * acc.b,
           |    'out', array_append(acc.out, acc.l + acc.b)))""".stripMargin))
-      .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
+      .withColumn("__lastT", try_element_at(col("s"), size(col("s"))).getField("__t"))
     // A single-bucket series has no trend to extrapolate: InfluxDB's fitter
     // needs >= 2 points, and the recursive-CTE oracles only seed at n >= 2 —
     // emit no forecast rows for it (in fit mode it still gets its one
@@ -1550,6 +1554,10 @@ object InfluxQLPlanner {
       .groupBy(("__t" +: tags).map(col): _*).agg(aggCol(t.inner).as("__v"))
     val series = agg.groupBy(tags.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+      // an UNGROUPED aggregate over an empty frame yields ONE row with an
+      // EMPTY array (tags=[] + a range with no surviving buckets) — the
+      // fold seeds index element 1, so drop it: no buckets, no series
+      .filter(size(col("s")) >= 1)
       .filter(size(col("s")) >= S + 1)
     val lp = s"(0.5D * (x.__v - element_at(acc.sa, CAST(acc.i % $S AS INT) + 1))" +
       s" + 0.5D * (acc.l + acc.b))"
@@ -1560,11 +1568,11 @@ object InfluxQLPlanner {
            |  slice(s, ${S + 1}, greatest(size(s) - $S, 0)),
            |  named_struct(
            |    'i', CAST($S AS BIGINT),
-           |    'l', CAST(element_at(s, $S).__v AS DOUBLE),
-           |    'b', CAST((element_at(s, $S).__v - element_at(s, 1).__v)
+           |    'l', CAST(try_element_at(s, $S).__v AS DOUBLE),
+           |    'b', CAST((try_element_at(s, $S).__v - try_element_at(s, 1).__v)
            |           / ${S - 1}.0D AS DOUBLE),
            |    'sa', transform(slice(s, 1, $S),
-           |            e -> CAST(e.__v - element_at(s, $S).__v AS DOUBLE))),
+           |            e -> CAST(e.__v - try_element_at(s, $S).__v AS DOUBLE))),
            |  (acc, x) -> named_struct(
            |    'i', acc.i + 1L,
            |    'l', $lp,
@@ -1572,7 +1580,7 @@ object InfluxQLPlanner {
            |    'sa', transform(acc.sa, (v, j) ->
            |            IF(j = CAST(acc.i % $S AS INT),
            |               0.2D * (x.__v - $lp) + 0.8D * v, v))))""".stripMargin))
-      .withColumn("__lastT", element_at(col("s"), size(col("s"))).getField("__t"))
+      .withColumn("__lastT", try_element_at(col("s"), size(col("s"))).getField("__t"))
     val out = folded.select(
       tags.map(col) :+ col("__n") :+ col("__acc") :+ col("__lastT") :+
         explode(expr(s"sequence(1, $steps)")).as("__h"): _*)
@@ -1693,13 +1701,14 @@ object InfluxQLPlanner {
             .otherwise(col("__chg") / col("__vol")))
         val kgrouped = prepared.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v"), col("__er")))).as("s"))
+          .filter(size(col("s")) >= 1) // empty-global-group guard (see above)
         kgrouped.select(
           tags.map(col) :+ col("s") :+ posexplode(expr(
             s"""aggregate(
                |  slice(s, 2, greatest(size(s) - 1, 0)),
                |  named_struct(
-               |    'km', CAST(element_at(s, 1).__v AS DOUBLE),
-               |    'out', array(CAST(element_at(s, 1).__v AS DOUBLE))),
+               |    'km', CAST(try_element_at(s, 1).__v AS DOUBLE),
+               |    'out', array(CAST(try_element_at(s, 1).__v AS DOUBLE))),
                |  (acc, x) -> named_struct(
                |    'km', acc.km + $scSq * (x.__v - acc.km),
                |    'out', array_append(acc.out, acc.km + $scSq * (x.__v - acc.km))),
@@ -1741,13 +1750,17 @@ object InfluxQLPlanner {
         val esn = s"($asl * x.__v + (1.0 - $asl) * acc.es)"
         val grouped = kept.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+      // an UNGROUPED aggregate over an empty frame yields ONE row with an
+      // EMPTY array (tags=[] + a range with no surviving buckets) — the
+      // fold seeds index element 1, so drop it: no buckets, no series
+      .filter(size(col("s")) >= 1)
         grouped.select(
           tags.map(col) :+ col("s") :+ posexplode(expr(
             s"""aggregate(
                |  slice(s, 2, greatest(size(s) - 1, 0)),
                |  named_struct(
-               |    'ef', CAST(element_at(s, 1).__v AS DOUBLE),
-               |    'es', CAST(element_at(s, 1).__v AS DOUBLE),
+               |    'ef', CAST(try_element_at(s, 1).__v AS DOUBLE),
+               |    'es', CAST(try_element_at(s, 1).__v AS DOUBLE),
                |    'out', array(CAST(0.0 AS DOUBLE))),
                |  (acc, x) -> named_struct(
                |    'ef', $efn, 'es', $esn,
@@ -1792,16 +1805,20 @@ object InfluxQLPlanner {
         // empty and the first output lands on bucket 2 (__k0)
         val outSeed =
           if (isTrix) "CAST(array() AS ARRAY<DOUBLE>)"
-          else "array(CAST(element_at(s, 1).__v AS DOUBLE))"
+          else "array(CAST(try_element_at(s, 1).__v AS DOUBLE))"
         val grouped = kept.groupBy(tags.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__t"), col("__v")))).as("s"))
+      // an UNGROUPED aggregate over an empty frame yields ONE row with an
+      // EMPTY array (tags=[] + a range with no surviving buckets) — the
+      // fold seeds index element 1, so drop it: no buckets, no series
+      .filter(size(col("s")) >= 1)
         val staged = grouped.withColumn("__out", expr(
           s"""aggregate(
              |  slice(s, 2, greatest(size(s) - 1, 0)),
              |  named_struct(
-             |    'e1', CAST(element_at(s, 1).__v AS DOUBLE),
-             |    'e2', CAST(element_at(s, 1).__v AS DOUBLE),
-             |    'e3', CAST(element_at(s, 1).__v AS DOUBLE),
+             |    'e1', CAST(try_element_at(s, 1).__v AS DOUBLE),
+             |    'e2', CAST(try_element_at(s, 1).__v AS DOUBLE),
+             |    'e3', CAST(try_element_at(s, 1).__v AS DOUBLE),
              |    'out', $outSeed),
              |  (acc, x) -> named_struct(
              |    'e1', $e1n, 'e2', $e2n, 'e3', $e3n,

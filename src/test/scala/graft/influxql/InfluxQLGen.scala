@@ -155,8 +155,41 @@ object InfluxQLGen {
   } yield Select(Seq(FnField(fn, "value", Some(k.toDouble), Some("t0"))),
     "events", where, None, tags, FillMissing, orderDesc = false, None, None)
 
+  /** Technical-analysis transforms (RSI/CMO/KER/EMA family/KAMA/MACD/
+    * BOLLINGER_WIDTH): must be the SELECT's only field, need GROUP BY
+    * time, and the recursive ones need a bounded WHERE — generate the
+    * whole Select shape directly. Grids stay ≥ 1 m over ≤ 2-day ranges
+    * so the per-series folds are bucket-bounded.
+    */
+  val genTechnicalSelect: Gen[Select] = for {
+    fn <- Gen.oneOf("relative_strength_index", "chande_momentum_oscillator",
+      "kaufmans_efficiency_ratio", "exponential_moving_average",
+      "double_exponential_moving_average", "triple_exponential_moving_average",
+      "triple_exponential_derivative", "kaufmans_adaptive_moving_average",
+      "macd", "bollinger_width")
+    // map, don't filter (the genSelect convention): INTEGRAL is context-
+    // bound (needs raw point order) and refuses inside a transform by
+    // documented design — swap it for SUM instead of discarding the case
+    inner <- genAgg(None).map(f =>
+      if (f.fn == "integral") f.copy(fn = "sum", param = None) else f)
+    n <- Gen.choose(2, 9)
+    p2 <- if (fn == "macd") Gen.choose(10, 30).map(s => Some(s.toDouble))
+          else Gen.const(None)
+    gbTime <- Gen.oneOf(60000000000L, 300000000000L, 3600000000000L)
+    lo <- Gen.choose(1704067200000000000L, 1704153600000000000L)
+    span <- Gen.choose(3600000000000L, 172800000000000L)
+    tags <- Gen.oneOf(Seq.empty[String], Seq("user_id"), Seq("event_type"))
+    (desc, limit, offset) <- genTail
+  } yield Select(
+    fields = Seq(TransformField(fn, inner, Some(n.toDouble), Some("t0"), p2)),
+    measurement = "events",
+    where = Seq(TimeCond(">=", lo), TimeCond("<", lo + span)),
+    groupTimeNs = Some(gbTime), groupTags = tags, fill = FillMissing,
+    orderDesc = desc, limit = limit, offset = offset)
+
   val genSelect: Gen[Select] =
-    Gen.frequency(6 -> genAggSelect, 3 -> genRawSelect, 1 -> genTop)
+    Gen.frequency(6 -> genAggSelect, 3 -> genRawSelect, 1 -> genTop,
+      2 -> genTechnicalSelect)
 
   val genDelete: Gen[Statement] = for {
     m <- Gen.oneOf("events", "plc1")

@@ -155,6 +155,28 @@ class InfluxQLSpec extends SparkTestBase {
       InfluxQLParser.parseSelect("SELECT DERIVATIVE(value) FROM events GROUP BY time(1h)"))
   }
 
+  test("TA folds over empty/warm-up-starved series return empty, not a crash") {
+    // fuzz-found (r10): an UNGROUPED aggregate over an empty frame yields
+    // one row with an EMPTY bucket array, and every fold seed indexes
+    // element 1 — KAMA with warm-up >= buckets and any recursive TA over a
+    // no-data range crashed with INVALID_ARRAY_INDEX before the guard.
+    val dir = "/root/testdata/sf0.001"
+    // 2 hourly buckets, warm-up 9 > 2, NO tags → the empty-global case
+    assert(InfluxQLPlanner.sql(spark, dir,
+      """SELECT KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) AS k FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-01T02:00:00Z'
+        |GROUP BY time(1h)""".stripMargin).count() === 0L)
+    // a range with no data at all, recursive EMA family, no tags
+    assert(InfluxQLPlanner.sql(spark, dir,
+      """SELECT DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 3) AS d FROM events
+        |WHERE time >= '2030-01-01' AND time < '2030-01-02'
+        |GROUP BY time(1h)""".stripMargin).count() === 0L)
+    assert(InfluxQLPlanner.sql(spark, dir,
+      """SELECT HOLT_WINTERS(MEAN(value), 2, 0) AS h FROM events
+        |WHERE time >= '2030-01-01' AND time < '2030-01-02'
+        |GROUP BY time(1h)""".stripMargin).count() === 0L)
+  }
+
   test("MACD parses with two periods; bad periods and missing args reject") {
     val q = InfluxQLParser.parseSelect(
       "SELECT MACD(MEAN(value), 12, 26) AS m FROM events GROUP BY time(1h)")
