@@ -21,6 +21,17 @@ case class CusumSample(event_id: Long, user_id: Long, ts: java.sql.Timestamp, va
 case class CusumAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     cusum_pos: Double, cusum_neg: Double)
 
+/** Output of the streaming MACD pipeline (T18, r11): a histogram sign
+  * flip — the trend reversal chartists act on. Emitted WITH the full MACD
+  * state at the flip so the alert is self-describing. */
+case class MacdCross(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    macd: Double, signal_line: Double, histogram: Double)
+
+/** Output of the streaming EWMA control chart (T19, r11): the smoothed
+  * statistic left the ±L·σ_z band around the target. */
+case class EwmaAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    ewma: Double)
+
 /** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
@@ -201,6 +212,83 @@ object Pipelines {
             } else None
           }
           state.update((sp, sn, alarms))
+          out.iterator
+        })
+  }
+
+  /** T18 (r11): streaming MACD trend-flip alerts — the LIVE twin of the
+    * batch q_macd fold ([[graft.functions.Macd.macdByKey]]): identical
+    * recurrence and constants (12/26/9-period EMAs, both fast EMAs seeded
+    * at the series' first value), all three EMAs carried in ONE
+    * checkpointed state tuple — O(1) per series, the SeriesFold contract
+    * live. A row is EMITTED only when the histogram changes sign after an
+    * update (crossings ≪ samples, the cusumAlerts shape). Rows inside one
+    * micro-batch group fold in (ts, event_id) order, so a stream fed in
+    * event-time order reproduces the batch fold exactly; MacdStreamSpec
+    * pins crossing counts and crossing-point state against the batch fold
+    * across multi-batch feeds, including a checkpointed restart.
+    *
+    * State: (ef, es, m, sg, n). n distinguishes "no samples yet" (seed the
+    * EMAs at the first value) from "warm" — the batch seed convention.
+    */
+  def macdCrossings(stream: DataFrame): Dataset[MacdCross] = {
+    import graft.functions.Macd.{AlphaFast, AlphaSlow, AlphaSig}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").cast("double").as("value"))
+      .as[CusumSample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Double, Double, Double, Long)]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (ef, es, m, sg, n) = state.getOption.getOrElse((0.0, 0.0, 0.0, 0.0, 0L))
+          val out = sorted.flatMap { e =>
+            if (n == 0L) { ef = e.value; es = e.value; m = 0.0; sg = 0.0; n = 1L; None }
+            else {
+              ef += AlphaFast * (e.value - ef)
+              es += AlphaSlow * (e.value - es)
+              val m2 = ef - es
+              val sg2 = sg + AlphaSig * (m2 - sg)
+              val crossed = (m2 - sg2) * (m - sg) < 0
+              m = m2; sg = sg2; n += 1
+              if (crossed) Some(MacdCross(e.event_id, uid, e.ts, m, sg, m - sg)) else None
+            }
+          }
+          state.update((ef, es, m, sg, n))
+          out.iterator
+        })
+  }
+
+  /** T19 (r11): streaming EWMA control chart — the LIVE twin of the batch
+    * q_ewma_chart fold (QInflux.scala): z ← λ·v + (1−λ)·z with λ = 0.2
+    * seeded at the target 50.0 (so the FIRST sample already updates z, the
+    * batch seed convention), alarm when |z − 50| > L·σ_z for L = 3,
+    * σ_z = σ·sqrt(λ/(2−λ)), σ = 10. One (z, alarms) tuple of checkpointed
+    * state per series; rows emit only on alarm. EwmaStreamSpec pins alarm
+    * counts and alarm-point z against the batch fold across multi-batch
+    * feeds.
+    */
+  def ewmaAlerts(stream: DataFrame, lambda: Double = 0.2, target: Double = 50.0,
+      band: Double = 3.0 * (10.0 * math.sqrt(0.2 / 1.8))): Dataset[EwmaAlarm] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").cast("double").as("value"))
+      .as[CusumSample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Long)]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (z, alarms) = state.getOption.getOrElse((target, 0L))
+          val out = sorted.flatMap { e =>
+            z = lambda * e.value + (1.0 - lambda) * z
+            if (math.abs(z - target) > band) {
+              alarms += 1
+              Some(EwmaAlarm(e.event_id, uid, e.ts, z))
+            } else None
+          }
+          state.update((z, alarms))
           out.iterator
         })
   }
