@@ -42,6 +42,12 @@ object QVector {
     * interpolate it at object init. */
   private val kmeansNprobe = 4
 
+  /** The probe sweep's range (r11): swept to the FULL probe count — the
+    * last point probes every cell, so the curve visibly converges to the
+    * brute-force recall 1.0 limit (= KmeansK; declared here because the
+    * oracle fragments interpolate it at object init). */
+  private val sweepMaxNprobe = 8
+
   /** Every QVector query reads embeddings through this hook, which also
     * registers the native vec_dot/vec_cos/vec_l2sq expressions (see
     * [[graft.functions.VectorMath]]: same left-to-right double arithmetic
@@ -682,8 +688,9 @@ object QVector {
 
     GraftQuery(
       "q_knn_probe_sweep",
-      "Extension (r10): the ANN TUNING CURVE — recall@5 per probe at every nprobe " +
-        "1..4 against brute-force ground truth, the sweep an IVF deployment reads to " +
+      "Extension (r10, widened r11): the ANN TUNING CURVE — recall@5 per probe at " +
+        "every nprobe 1..8 (the full-probe limit, where the curve must hit the exact " +
+        "1.0) against brute-force ground truth, the sweep an IVF deployment reads to " +
         "pick its probe count (recall rises with probes, scan cost rises linearly — " +
         "the knee is the operating point). The coarse assignment and probe→centroid " +
         "distances are computed ONCE and shared; only the top-nprobe cell cut and the " +
@@ -695,7 +702,7 @@ object QVector {
          |$dPr,
          |$dBrute
          |SELECT * FROM (
-         |${(1 to kmeansNprobe).map(np =>
+         |${(1 to sweepMaxNprobe).map(np =>
                s"""SELECT $np AS nprobe, b.probe_id, count(i.neighbor_id) / 5.0 AS recall5
                   |FROM (SELECT probe_id, neighbor_id FROM brute WHERE rnk <= 5) b
                   |LEFT JOIN (SELECT probe_id, neighbor_id FROM swivf$np WHERE rnk <= 5) i
@@ -703,7 +710,7 @@ object QVector {
                   |GROUP BY b.probe_id""".stripMargin).mkString("\nUNION ALL\n")}
          |) ORDER BY nprobe, probe_id""".stripMargin) { (s, dir) =>
       val b = Q.materialize(bruteTop(s, dir, 5).select("probe_id", "neighbor_id"))
-      (1 to kmeansNprobe).map { np =>
+      (1 to sweepMaxNprobe).map { np =>
         val i = kmeansIvfTop(s, dir, 5, np)
           .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"))
         b.join(i,
@@ -972,7 +979,7 @@ object QVector {
     * [[dKmeansIvf]]; only the top-nprobe cell cut (and everything after
     * it) varies, so each nprobe gets its own kselN→kcandN→kivfN chain.
     */
-  private lazy val dIvfSweep: String = (1 to kmeansNprobe).map { np =>
+  private lazy val dIvfSweep: String = (1 to sweepMaxNprobe).map { np =>
     // `sw` prefix: dKmeans already owns kcand$j for its seeding chain
     s"""swsel$np AS (SELECT probe_id, cid FROM kpc
        |        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= $np),

