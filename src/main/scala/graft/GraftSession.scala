@@ -38,4 +38,21 @@ object GraftSession {
     spark.udf.register("ema", udaf(new EmaAggregator(0.3)))
     spark
   }
+
+  /** ANN through the SQL front door (r11, VERDICT r10 #4): run an exact-
+    * cosine top-k over the `nprobe` nearest cells of a
+    * [[graft.sinks.VectorIndexStore]] index and register the result as the
+    * temp view `viewName` — after this one call a SQL-first user reads
+    * neighbors with plain `spark.sql("SELECT * FROM ann_search")` (and
+    * joins them against any other registered view). The HTTP twin is
+    * `GET /ann/query` on the served store. Returns the same DataFrame
+    * (vec_id, score, cluster).
+    */
+  def annSearch(spark: SparkSession, indexDir: String, probe: Seq[Double],
+      topK: Int = 10, nprobe: Int = 3,
+      viewName: String = "ann_search"): org.apache.spark.sql.DataFrame = {
+    val df = graft.sinks.VectorIndexStore.search(spark, indexDir, probe, topK, nprobe)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
 }

@@ -190,6 +190,12 @@ object InfluxQLHttp {
     writeStore.foreach { store =>
       server.createContext("/write", (ex: HttpExchange) =>
         handleWrite(ex, spark, store, nowNs, lock, auth, jwtSecret))
+      // the ANN front door (r11): vectors in, probed-cell top-k out —
+      // the VectorIndexStore lifecycle behind the same HTTP surface
+      server.createContext("/ann/write", (ex: HttpExchange) =>
+        handleAnnWrite(ex, spark, store, lock, auth, jwtSecret))
+      server.createContext("/ann/query", (ex: HttpExchange) =>
+        handleAnnQuery(ex, spark, store, lock, auth, jwtSecret))
     }
     server.createContext("/ping", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
@@ -219,6 +225,11 @@ object InfluxQLHttp {
             val now = nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
             CqRunner.runDue(spark, store, now): Unit
             graft.sinks.PointStoreDirect.compact(spark, store): Unit
+            // vector-index maintenance rides the same tick: bootstrap the
+            // index from the first appended vectors, or fold the delta
+            // (VectorIndexStore.maintain is a no-op when nothing is
+            // pending — the exists() checks are cheap)
+            graft.sinks.VectorIndexStore.maintain(spark, annIndexDir(store)): Unit
             // the retention service: expired date-partitions drop on the
             // same cadence (StoreMeta.enforceRetention — default-RP driven)
             StoreMeta.enforceRetention(store, java.time.LocalDate.ofInstant(
@@ -446,6 +457,127 @@ object InfluxQLHttp {
       // ack, off-thread, credentials stripped, scoped to the write's
       // (db, rp) (see forwardToSubscriptions)
       forwardToSubscriptions(storeDir, wparams, body)
+    } catch {
+      case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
+    }
+  }
+
+  /** The served store's vector index lives INSIDE the store directory
+    * (invisible to the measurement catalog, which only lists
+    * `measurement=` dirs) so one daemon tick maintains both artifacts. */
+  private[influxql] def annIndexDir(storeDir: String) = s"$storeDir/_vector_index"
+
+  /** POST /ann/write — the vector-ingest twin of /write (r11, VERDICT r10
+    * #4): one `vec_id v1,v2,…,vd` line per vector. Lands in the index's
+    * `delta/` via [[graft.sinks.VectorIndexStore.append]] — NO index work
+    * on the ingest path (the lazy-invalidation contract); the daemon tick
+    * bootstraps or folds it ([[graft.sinks.VectorIndexStore.maintain]]).
+    * Mutating the one store-global index is admin-gated when auth is
+    * configured (the subscription precedent). 204 on success.
+    */
+  private def handleAnnWrite(ex: HttpExchange, spark: SparkSession,
+      storeDir: String,
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock,
+      auth: Option[(String, String)],
+      jwtSecret: Option[String]): Unit = {
+    try {
+      val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val who = authUser(ex, params, auth, Some(storeDir), jwtSecret) match {
+        case None => respond(ex, 401, errJson("authorization failed")); return
+        case Some(w) => w
+      }
+      if (!isAdminUser(who, auth, Some(storeDir))) {
+        respond(ex, 403, errJson(
+          s"""user "${who.get}" is not authorized to modify the vector index""")); return
+      }
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, errJson("/ann/write accepts POST only")); return
+      }
+      val maxBody = 25 * 1024 * 1024
+      val bytes = ex.getRequestBody.readNBytes(maxBody + 1)
+      if (bytes.length > maxBody) {
+        respond(ex, 413, errJson(s"request body too large (limit $maxBody bytes)")); return
+      }
+      val lines = new String(bytes, StandardCharsets.UTF_8)
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty) { respond(ex, 400, errJson("empty write body")); return }
+      val parsed = lines.map { line =>
+        val sp = line.indexOf(' ')
+        if (sp <= 0) Left(line)
+        else try Right((line.substring(0, sp).toLong,
+          line.substring(sp + 1).split(',').map(_.trim.toFloat)))
+        catch { case _: NumberFormatException => Left(line) }
+      }
+      parsed.collectFirst { case Left(bad) => bad } match {
+        case Some(bad) =>
+          respond(ex, 400, errJson(
+            s"unable to parse vector line: '$bad' (expected: vec_id v1,v2,…)")); return
+        case None => ()
+      }
+      val rows = parsed.collect { case Right(r) => r }
+      val dims = rows.map(_._2.length).distinct
+      if (dims.size > 1) {
+        respond(ex, 400, errJson(
+          s"inconsistent vector dimensions in one write: ${dims.mkString(",")}")); return
+      }
+      val sq = spark; import sq.implicits._
+      val df = rows.toDF("vec_id", "embedding")
+      // read side: delta appends only ADD files (the /write argument);
+      // the tick's build/fold holds the write side
+      lock.readLock.lock()
+      try graft.sinks.VectorIndexStore.append(spark, df, annIndexDir(storeDir))
+      finally lock.readLock.unlock()
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+    } catch {
+      case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
+    }
+  }
+
+  /** GET /ann/query?probe=v1,v2,…[&k=10][&nprobe=3] — exact-cosine top-k
+    * over the nprobe nearest IVF cells ([[graft.sinks.VectorIndexStore
+    * .search]]: the cluster predicate prunes the partitioned lists at
+    * file-listing level). Returns `{"results":[{"vec_id":…,"score":…,
+    * "cluster":…}…],"stale":n}` where `stale` counts vectors appended but
+    * not yet folded by a tick (the documented staleness window). 503
+    * until the first tick builds the index.
+    */
+  private def handleAnnQuery(ex: HttpExchange, spark: SparkSession,
+      storeDir: String,
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock,
+      auth: Option[(String, String)],
+      jwtSecret: Option[String]): Unit = {
+    try {
+      val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      authUser(ex, params, auth, Some(storeDir), jwtSecret) match {
+        case None => respond(ex, 401, errJson("authorization failed")); return
+        case Some(_) => ()
+      }
+      val probe = params.get("probe").map(_.split(',').toSeq.map(_.trim.toDouble))
+        .getOrElse { respond(ex, 400, errJson("missing probe=v1,v2,… param")); return }
+      val k = params.get("k").map(_.toInt).getOrElse(10)
+      val nprobe = params.get("nprobe").map(_.toInt).getOrElse(3)
+      if (k <= 0 || k > 1000 || nprobe <= 0) {
+        respond(ex, 400, errJson("k must be in [1,1000] and nprobe >= 1")); return
+      }
+      val idx = annIndexDir(storeDir)
+      lock.readLock.lock()
+      val out = try {
+        if (!new java.io.File(s"$idx/lists").exists()) {
+          val stale = graft.sinks.VectorIndexStore.staleCount(spark, idx)
+          respond(ex, 503, errJson(
+            s"vector index not built yet ($stale vectors pending the next tick)")); return
+        }
+        val hits = graft.sinks.VectorIndexStore.search(spark, idx, probe, k, nprobe)
+          .collect()
+        val stale = graft.sinks.VectorIndexStore.staleCount(spark, idx)
+        val items = hits.map { r =>
+          s"""{"vec_id":${r.getLong(0)},"score":${r.getDouble(1)},"cluster":${r.getInt(2)}}"""
+        }.mkString(",")
+        s"""{"results":[$items],"stale":$stale}"""
+      } finally lock.readLock.unlock()
+      respond(ex, 200, out)
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
     }

@@ -190,6 +190,33 @@ object VectorIndexStore {
     (nDelta, retrain)
   }
 
+  /** Daemon-tick entry for a SERVED index (r11 — the HTTP front door's
+    * maintenance hook): if the index has never been built and vectors are
+    * waiting in `delta/`, BOOTSTRAP it from them (train + write lists);
+    * otherwise run the normal incremental [[tick]]. The bootstrap reuses
+    * the tick's marker discipline — delta is renamed to `delta.folding`
+    * BEFORE the build, so a crash after the staged build commits but
+    * before the marker clears is healed by [[recoverFolding]]'s anti-join
+    * (every pending vector is already in the lists → fold nothing, clear
+    * the marker). Returns (vectorsIndexed, builtOrRetrained).
+    */
+  def maintain(spark: SparkSession, indexDir: String,
+      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5): (Long, Boolean) = {
+    if (new java.io.File(listsDir(indexDir)).exists())
+      return tick(spark, indexDir, retrainFraction, k, iters)
+    val dDir = new java.io.File(deltaDir(indexDir))
+    if (!dDir.exists()) return (0L, false)
+    val fDir = new java.io.File(foldingDir(indexDir))
+    if (!fDir.exists() && !dDir.renameTo(fDir))
+      throw new IllegalStateException(s"cannot stage $dDir -> $fDir for bootstrap")
+    val corpus = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
+    val n = corpus.count()
+    if (n == 0L) { rm(fDir); return (0L, false) }
+    build(spark, corpus, indexDir, k, iters)
+    rm(fDir)
+    (n, true)
+  }
+
   /** Batched search — the realistic serving call: a whole probe FRAME
     * (probe_id, embedding) against the index in one plan. Cells are
     * selected per probe against the broadcast centroid table (integer d2,
