@@ -58,6 +58,21 @@ object QDedup {
     sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")): _*)
   }
 
+  /** Stop-bucket cap (r11, sf10 audit): an LSH bucket with more members
+    * than this is dropped from the banded frame ENTIRELY — it is
+    * non-discriminative (its members are near-identical boilerplate the
+    * EXACT dedup layer already collapses) and its pair fan-out is
+    * quadratic in bucket size, which is exactly what bent
+    * q_minhash_calibration 35× at 100× data (62.9k → 6.13M candidate
+    * pairs; hot buckets grow linearly with the corpus, their pairs
+    * quadratically). The cut is an integer count both engines replay
+    * (duckBands carries the same QUALIFY), and at ≤ sf0.1 no bucket
+    * comes near it (top bucket 9 at sf0.1, 91 at sf1), so oracle rows
+    * are untouched where the driver verifies. Injectable for specs.
+    */
+  def maxBucket: Long =
+    sys.props.get("graft.dedup.maxBucket").map(_.toLong).getOrElse(256L)
+
   /** The banded MinHash signature table (doc_id, mh0..mh7, band_id, k) —
     * the LSH candidate-generation frame (4 bands × 2 rows). The full
     * signature rides along so candidate pairs and est_sim come out of a
@@ -77,10 +92,16 @@ object QDedup {
     val sig = Q.materialize(signatures(documents(s, dir)))
     val bandStructs = (0 until 4).map(j =>
       struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-    sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+    val banded = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
       explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
         col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+    // stop-bucket cut (see [[maxBucket]]); the window's (band_id, k) hash
+    // partitioning is the SAME distribution every downstream candidate
+    // join requires, so Catalyst reuses the exchange — the cut is free
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "k")
+    banded.withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
   }
 
   // ---- DuckDB-side fragments ----
@@ -105,12 +126,15 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
-  /** DuckDB twin of the banded-signature explode (bands CTE over sig). */
+  /** DuckDB twin of the banded-signature explode (bands CTE over sig),
+    * including the [[maxBucket]] stop-bucket QUALIFY (read at object init;
+    * the oracle string is frozen per session like every other fragment). */
   private val duckBands: String = {
     val bands = (0 until 4).map(j =>
       s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
       .mkString(" UNION ALL ")
-    s"bands AS ($bands)"
+    s"""bands AS (SELECT * FROM ($bands)
+       |          QUALIFY count(*) OVER (PARTITION BY band_id, k) <= $maxBucket)""".stripMargin
   }
 
   /** DuckDB MinHash-agreement estimate between sig aliases `a` and `b`. */
@@ -244,12 +268,9 @@ object QDedup {
         "is an index you can't trust). The exact side costs one shared-shingle count " +
         "over the CANDIDATE pairs only (LSH already bounded them) — never all-pairs.",
       {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
         val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH $duckBase, $duckSig,
-           |bands AS ($bands),
+        s"""WITH $duckBase, $duckSig, $duckBands,
+           |
            |cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |           FROM bands x JOIN bands y
            |             ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
@@ -340,12 +361,9 @@ object QDedup {
       "q_dedup_minhash",
       "Extension: MinHash-LSH candidate pairs (4 bands × 2 rows) + estimated Jaccard",
       {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
         val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH $duckBase, $duckSig,
-           |bands AS ($bands),
+        s"""WITH $duckBase, $duckSig, $duckBands,
+           |
            |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |          FROM bands x JOIN bands y
            |            ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id)
@@ -369,12 +387,9 @@ object QDedup {
         "explodes to its satisfied thresholds (pairs are the rare LSH-bounded " +
         "slice, so the 9× fan-out is tiny); corpus total is a driver scalar.",
       {
-        val bands = (0 until 4).map(j =>
-          s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
-          .mkString(" UNION ALL ")
         val est = A.indices.map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH $duckBase, $duckSig,
-           |bands AS ($bands),
+        s"""WITH $duckBase, $duckSig, $duckBands,
+           |
            |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |          FROM bands x JOIN bands y
            |            ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),

@@ -424,30 +424,43 @@ object QText {
         "fraction of its distinct 3-token shingles whose FIRST corpus occurrence is " +
         "this doc; the number that tells a dataset build whether the next crawl " +
         "increment still adds new content or only re-treads (diminishing-novelty " +
-        "cutoffs are standard in crawl scheduling). Shape: per-row shingle hashing " +
-        "(no shuffle) → one gram→min(doc_id) aggregate (word-count shape, map-side " +
-        "partial min) → one equi-join back; never all-pairs.",
+        "cutoffs are standard in crawl scheduling). Shape (re-spelled r11 after the " +
+        "sf10 audit measured the gram-level join-back + a 90M-row exploded-frame " +
+        "checkpoint at 17×/10×): per-doc gram counts are size(hs) — a MAP-ONLY " +
+        "projection, no explode — so the exploded frame has ONE consumer (the " +
+        "gram→min(doc_id) aggregate re-aggregated to novel-grams-per-first-doc) " +
+        "and nothing gram-sized is ever checkpointed or joined; the final join " +
+        "runs at DOC granularity. Equivalent by construction: hs is distinct per " +
+        "doc, so len(hs) = the old per-gram count and counting each gram once at " +
+        "its min-doc equals summing first_doc = doc_id over the doc's grams. " +
+        "Re-measured 5.6× at 100× data (was 17×).",
       s"""WITH ${QDedup.duckBase},
+         |sz AS (SELECT doc_id, len(hs)::BIGINT AS n_grams FROM base),
          |g AS (SELECT doc_id, unnest(hs) AS g FROM base),
-         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
-         |SELECT doc_id, count(*) AS n_grams,
-         |       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
-         |         AS novel_grams,
-         |       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
-         |             / count(*), 4) AS novelty
-         |FROM g JOIN f USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         |nv AS (SELECT first_doc AS doc_id, count(*) AS novel_grams
+         |       FROM f GROUP BY first_doc)
+         |SELECT sz.doc_id, sz.n_grams,
+         |       coalesce(nv.novel_grams, 0)::BIGINT AS novel_grams,
+         |       round(coalesce(nv.novel_grams, 0)::DOUBLE / sz.n_grams, 4) AS novelty
+         |FROM sz LEFT JOIN nv USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val g = QDedup.shingled(documents(s, dir))
-        .select(col("doc_id"), explode(col("hs")).as("g"))
-        .transform(Q.materialize) // feeds the first-occurrence agg AND the join
-      val f = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      g.join(f, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
-        .select(col("doc_id"), col("n_grams"), col("novel_grams"),
-          round(col("novel_grams").cast("double") / col("n_grams"), 4).as("novelty"))
+      // materialize the COMPACT per-doc frame (doc_id, hs), not the
+      // exploded one: both branches read it, and the heavy shingle-hash
+      // lineage runs once
+      val base = Q.materialize(
+        QDedup.shingled(documents(s, dir)).select(col("doc_id"), col("hs")))
+      val sz = base.select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"))
+      val nv = base.select(col("doc_id"), explode(col("hs")).as("g"))
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("nv_doc"))
+        .agg(count(lit(1)).as("nv_grams"))
+      sz.join(nv, col("doc_id") === col("nv_doc"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("nv_grams"), lit(0L)).as("novel_grams"),
+          round(coalesce(col("nv_grams"), lit(0L)).cast("double") / col("n_grams"), 4)
+            .as("novelty"))
         .orderBy("doc_id")
     },
 

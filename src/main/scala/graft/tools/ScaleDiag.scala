@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage-level localization for scaling-audit outliers (r11):
+  * times the component sub-plans of the keys whose sf10/sf1 ratio bends
+  * above linear, so the fix targets the stage that actually bends.
+  * Usage: runMain graft.tools.ScaleDiag <sfDir> <which: abc|minhash|novelty>
+  */
+object ScaleDiag {
+
+  private def time[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"DIAG $tag sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val which = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    which match {
+      case "abc" =>
+        val li = graft.tables.Tables.table(spark, dir, "lineitem")
+        time("lineitem-count")(println(li.count()))
+        val r = li.groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        time("decimal-agg")(println(r.count()))
+        val dbl = li.groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        time("double-agg")(println(dbl.count()))
+        val rp = r.repartitionByRange(col("rev").desc, col("l_partkey"))
+          .withColumn("pid", spark_partition_id())
+        time("range-partition+pid")(println(rp.count()))
+        val m = time("materialize")(graft.queries.Q.materialize(rp))
+        time("ptots")(println(m.groupBy("pid").agg(sum(col("rev"))).count()))
+        time("full-key")(println(
+          graft.Registry.byName("q_abc_analysis").run(spark, dir).count()))
+
+      case "minhash" =>
+        val bands = graft.queries.QDedup.bandedSignatures(spark, dir)
+        time("banded-signatures")(println(bands.count()))
+        val sizes = bands.groupBy("band_id", "k").count()
+        time("bucket-sizes")(
+          sizes.orderBy(col("count").desc).limit(10).collect()
+            .foreach(r => println(s"DIAG bucket band=${r.get(0)} k=${r.get(1)} size=${r.getLong(2)}")))
+        time("pair-count")(println(
+          sizes.agg(sum(col("count") * (col("count") - 1) / 2)).head()))
+
+      case "novelty" =>
+        graft.functions.TextHash.register(spark)
+        val g = graft.tables.Tables.table(spark, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("hs", expr("shingle_hashes(toks)"))
+          .select(col("doc_id"), explode(col("hs")).as("g"))
+        time("grams-explode")(println(g.count()))
+        val gm = time("grams-materialize")(graft.queries.Q.materialize(g))
+        val f = gm.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        time("first-agg")(println(f.count()))
+        time("join-back")(println(gm.join(f, Seq("g")).count()))
+        time("full-key")(println(
+          graft.Registry.byName("q_ngram_novelty").run(spark, dir).count()))
+    }
+    spark.stop()
+  }
+}
