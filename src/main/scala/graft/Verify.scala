@@ -17,6 +17,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev knob (VERDICT r10 #7): SPARK_GRAFT_RELIABLE_CKPT=1 runs the whole
+    // sweep through Q.materialize's DURABLE tier — reliable checkpoint to a
+    // scratch dir instead of localCheckpoint — so the at-scale branch gets
+    // exercised and timed over the full board, not just its parity spec.
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").exists(_ == "1")) {
+      val d = Files.createTempDirectory("graft-reliable-ckpt").toString
+      spark.sparkContext.setCheckpointDir(d)
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      System.err.println(s"[verify] reliable checkpoint tier ON -> $d")
+    }
     new java.io.File(outDir).mkdirs()
     var sinceGc = 0
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -123,17 +123,18 @@ object AlertLatency {
       def drifted() = spark.table("lat_mixture").filter(col("drifted")).count()
       var lastAlerts = 0L
       val lat = scala.collection.mutable.ArrayBuffer.empty[Long]
-      for (r <- 0 until rounds + 1) {
+      for (r <- 0 until rounds + 2) {
         val w = t0 + r * 60000L
-        // every window is SKEWED (web-only) → its close emits drift rows;
-        // round r's batch closes window r−1
+        // every window is SKEWED (web-only) → its close emits drift rows.
+        // A round's rows reach ts w+19999, so the watermark (−30 s) passes
+        // window r's end only in round r+2 — that batch fires the close.
         val rows = (0 until load).map(i => (new Timestamp(w + i % 60000), "web", 100L))
         val before = drifted()
         val start = System.nanoTime()
         ms.addData(rows)
         q.processAllAvailable()
         val elapsed = (System.nanoTime() - start) / 1000000L
-        if (r > 0) {
+        if (r > 1) {
           require(drifted() > before, s"mixture round $r: window close emitted no drift")
           lat += elapsed
         }
