@@ -622,5 +622,87 @@ object QAgg {
             .otherwise("regular").as("segment"))
         .orderBy("o_custkey")
     },
+
+    GraftQuery(
+      "q_hll_sketch",
+      "A18 (r11): HyperLogLog distinct-user sketch per event type, REPLAYED " +
+        "bit-for-bit by the oracle — the 100 TB distinct-counting operator " +
+        "(a sketch shuffles 64 registers per group where count(DISTINCT) " +
+        "shuffles every key) built from engine-portable arithmetic: LCG hash " +
+        "mod 1e9+7, register = h % 64, rank = trailing-zero ladder (a " +
+        "generated integer CASE both engines fold identically), one " +
+        "max-per-register aggregate, then the standard m=64 estimator " +
+        "(alpha 0.709, linear-counting branch below 2.5m) next to the exact " +
+        "count and the relative error — the estimator-honesty shape of " +
+        "q_knn_recall/q_minhash_calibration for cardinality. The hash is a " +
+        "31-bit xor-shift avalanche (two multiply-mod-2^31 + xor-of-" +
+        "high-bits rounds — a single LCG left registers too regular: 0 " +
+        "empties at n = 2.3m where Poisson expects 6, blocking linear " +
+        "counting); measured 5.6% error at n=150 (LC branch) and 2.6% at " +
+        "n=1500 (raw branch). The register sum is 64 dyadic doubles (exact " +
+        "in any order); only ln() crosses libms, absorbed by round(4).",
+      {
+        s"""WITH x1 AS (SELECT event_type,
+           |              (user_id * 2654435761) % 2147483648 AS x1 FROM events),
+           |x2 AS (SELECT event_type, xor(x1, x1 // 32768) AS x2 FROM x1),
+           |x3 AS (SELECT event_type, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
+           |b AS (SELECT event_type,
+           |             xor(x3, x3 // 8192) % 64 AS reg,
+           |             xor(x3, x3 // 8192) // 64 AS h2
+           |      FROM x3),
+           |r AS (SELECT event_type, reg, max($rankLadder) AS m
+           |      FROM b GROUP BY event_type, reg),
+           |a AS (SELECT event_type, count(*) AS present,
+           |             sum(1.0 / (1::BIGINT << m)) AS sp
+           |      FROM r GROUP BY event_type),
+           |e AS (SELECT event_type,
+           |             sp + (64 - present) AS s, 64 - present AS zeros FROM a),
+           |est AS (SELECT event_type,
+           |               CASE WHEN 0.709 * 4096.0 / s <= 160.0 AND zeros > 0
+           |                    THEN 64.0 * ln(64.0 / zeros)
+           |                    ELSE 0.709 * 4096.0 / s END AS est
+           |        FROM e),
+           |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           |      FROM events GROUP BY event_type)
+           |SELECT x.event_type, x.n_exact, round(est.est, 4) AS hll_est,
+           |       round(abs(est.est - x.n_exact) / x.n_exact, 4) AS rel_err
+           |FROM x JOIN est USING (event_type) ORDER BY event_type""".stripMargin
+      }) { (s, dir) =>
+      val b = events(s, dir)
+        .withColumn("x1", expr("(user_id * 2654435761L) % 2147483648L"))
+        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
+        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
+        .withColumn("g", expr("x3 ^ (x3 div 8192)"))
+        .select(col("event_type"),
+          expr("g % 64").as("reg"), expr("g div 64").as("h2"))
+      val r = b.withColumn("rank", expr(rankLadder))
+        .groupBy("event_type", "reg").agg(max(col("rank")).as("m"))
+      val e = r.groupBy("event_type")
+        .agg(count(lit(1)).as("present"),
+          sum(expr("1.0D / CAST(shiftleft(1L, m) AS DOUBLE)")).as("sp"))
+        .select(col("event_type"),
+          (col("sp") + (lit(64) - col("present"))).as("s"),
+          (lit(64) - col("present")).as("zeros"))
+        .select(col("event_type"),
+          when(lit(0.709) * 4096.0 / col("s") <= 160.0 && col("zeros") > 0,
+            lit(64.0) * log(lit(64.0) / col("zeros")))
+            .otherwise(lit(0.709) * 4096.0 / col("s")).as("est"))
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(e, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          round(col("est"), 4).as("hll_est"),
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        .orderBy("event_type")
+    },
   )
+
+  /** Trailing-zeros-plus-one rank of h2 (HLL register rank), as ONE CASE
+    * ladder string both engines parse and fold identically — h2 = 0 falls
+    * through every branch to the 25 cap (h < 1e9+7 / 64 < 2^24).
+    * lazy: declared after `all`, which interpolates it at object init. */
+  private lazy val rankLadder: String =
+    (1 to 24).map(i =>
+      s"WHEN h2 % ${1L << i} = ${1L << (i - 1)} THEN $i").mkString(
+      "CASE ", " ", " ELSE 25 END")
 }

@@ -86,21 +86,28 @@ object QDedup {
     * candidate self-join then runs bucket-to-bucket with NO shuffle
     * (pinned by BucketedJoinSpec "LSH band table").
     */
-  def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The UNCUT banded frame — q_dedup_stopbuckets reports the bucket-size
+    * histogram over this (including what the cut drops); every candidate
+    * join goes through the capped [[bandedSignatures]] instead. */
+  private[queries] def bandedSignaturesRaw(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // eager localCheckpoint: the signature is reused by both join sides;
     // without it the higher-order-fn lineage is recomputed per branch.
     val sig = Q.materialize(signatures(documents(s, dir)))
     val bandStructs = (0 until 4).map(j =>
       struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
-    val banded = sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
+    sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
       explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
         col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
+  }
+
+  def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // stop-bucket cut (see [[maxBucket]]); the window's (band_id, k) hash
     // partitioning is the SAME distribution every downstream candidate
     // join requires, so Catalyst reuses the exchange — the cut is free
     val wb = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "k")
-    banded.withColumn("__bn", count(lit(1)).over(wb))
+    bandedSignaturesRaw(s, dir).withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucket).drop("__bn")
   }
 
@@ -126,16 +133,21 @@ object QDedup {
     s"sig AS (SELECT doc_id, $cols FROM base)"
   }
 
-  /** DuckDB twin of the banded-signature explode (bands CTE over sig),
-    * including the [[maxBucket]] stop-bucket QUALIFY (read at object init;
-    * the oracle string is frozen per session like every other fragment). */
-  private val duckBands: String = {
+  /** DuckDB twin of the UNCUT banded-signature explode (braw CTE). */
+  private val duckBandsRaw: String = {
     val bands = (0 until 4).map(j =>
       s"SELECT doc_id, $j AS band_id, mh${2 * j} * $P + mh${2 * j + 1} AS k FROM sig")
       .mkString(" UNION ALL ")
-    s"""bands AS (SELECT * FROM ($bands)
-       |          QUALIFY count(*) OVER (PARTITION BY band_id, k) <= $maxBucket)""".stripMargin
+    s"braw AS ($bands)"
   }
+
+  /** DuckDB twin of [[bandedSignatures]] (bands CTE over sig), including
+    * the [[maxBucket]] stop-bucket QUALIFY (read at object init; the
+    * oracle string is frozen per session like every other fragment). */
+  private val duckBands: String =
+    s"""$duckBandsRaw,
+       |bands AS (SELECT * FROM braw
+       |          QUALIFY count(*) OVER (PARTITION BY band_id, k) <= $maxBucket)""".stripMargin
 
   /** DuckDB MinHash-agreement estimate between sig aliases `a` and `b`. */
   private def duckEst(a: String, b: String): String =
@@ -422,6 +434,35 @@ object QDedup {
           col("n_pairs"), col("n_docs"),
           round(col("n_docs").cast("double") / total, 4).as("pct_docs"))
         .orderBy("m_min")
+    },
+
+    GraftQuery(
+      "q_dedup_stopbuckets",
+      "Extension (r11): LSH bucket-size HISTOGRAM per band over the UNCUT banded " +
+        "frame — the observability twin of the stop-bucket cut the sf10 audit " +
+        "forced (hot buckets grow linearly with the corpus, their candidate pairs " +
+        "quadratically): per (band, bucket size) the bucket count, the pair " +
+        "fan-out those buckets would generate, and whether the cut drops them. " +
+        "The report a dedup rollout reads to site graft.dedup.maxBucket — and the " +
+        "first place a corpus full of boilerplate shows up. Integer-only.",
+      s"""WITH $duckBase, $duckSig, $duckBandsRaw,
+         |bs AS (SELECT band_id, k, count(*) AS sz FROM braw GROUP BY band_id, k)
+         |SELECT CAST(band_id AS INT) AS band_id, sz AS bucket_size,
+         |       count(*) AS n_buckets,
+         |       (count(*) * (sz * (sz - 1) / 2))::BIGINT AS pair_fanout,
+         |       CAST(CASE WHEN sz > $maxBucket THEN 1 ELSE 0 END AS INT) AS dropped
+         |FROM bs GROUP BY band_id, sz ORDER BY band_id, sz""".stripMargin
+    ) { (s, dir) =>
+      bandedSignaturesRaw(s, dir)
+        .groupBy("band_id", "k").agg(count(lit(1)).as("sz"))
+        .groupBy("band_id", "sz")
+        .agg(count(lit(1)).as("n_buckets"))
+        .select(col("band_id").cast("int").as("band_id"),
+          col("sz").as("bucket_size"), col("n_buckets"),
+          (col("n_buckets") * (col("sz") * (col("sz") - 1) / lit(2)))
+            .cast("bigint").as("pair_fanout"),
+          when(col("sz") > maxBucket, 1).otherwise(0).cast("int").as("dropped"))
+        .orderBy("band_id", "bucket_size")
     },
 
     GraftQuery(
