@@ -695,7 +695,58 @@ object QAgg {
           round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
         .orderBy("event_type")
     },
+
+    GraftQuery(
+      "q_heavy_hitters_cms",
+      "A19 (r11): Count-Min-sketch heavy hitters — the mergeable counting sketch " +
+        "next to A18's cardinality sketch: a 4x512 integer counter grid (four " +
+        "independent mod-1e9+7 hash rows), per-key estimate = min over the four " +
+        "cells, reported for the exact top-10 series keys with the exact count " +
+        "and the sketch's overestimate (CMS error is one-sided — est >= exact " +
+        "ALWAYS, a structural invariant the oracle hash-pins). At 100 TB the " +
+        "sketch is 2048 longs per partition merged associatively where an exact " +
+        "per-key count shuffles every key; every step here is integer, so both " +
+        "engines replay it bit-for-bit — no rounding convention needed at all.",
+      {
+        val hs = CmsA.indices.map(i =>
+          s"((${CmsA(i)} * user_id + ${CmsB(i)}) % 1000000007) % 512")
+        s"""WITH cells AS (${hs.zipWithIndex.map { case (h, i) =>
+             s"SELECT $i AS r, $h AS c FROM events" }.mkString(" UNION ALL ")},
+           |),
+           |sk AS (SELECT r, c, count(*) AS n FROM cells GROUP BY r, c),
+           |ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+           |       ORDER BY exact_n DESC, user_id LIMIT 10),
+           |cand AS (${hs.zipWithIndex.map { case (h, i) =>
+             s"SELECT user_id, exact_n, $i AS r, $h AS c FROM ex" }.mkString(" UNION ALL ")}
+           |),
+           |est AS (SELECT cand.user_id, cand.exact_n, min(sk.n) AS cms_est
+           |        FROM cand JOIN sk USING (r, c) GROUP BY 1, 2)
+           |SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overestimate
+           |FROM est ORDER BY exact_n DESC, user_id""".stripMargin
+      }) { (s, dir) =>
+      val ev = events(s, dir)
+      def cellCol(i: Int) =
+        expr(s"((${CmsA(i)}L * user_id + ${CmsB(i)}L) % 1000000007L) % 512")
+      val cells = ev.select(posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+      val sk = cells.groupBy("r", "c").agg(count(lit(1)).as("n"))
+      val ex = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      val cand = ex.select(col("user_id"), col("exact_n"),
+        posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+      // the sketch is <= 2048 rows by construction — broadcast the probe join
+      cand.join(broadcast(sk), Seq("r", "c"))
+        .groupBy("user_id", "exact_n").agg(min(col("n")).as("cms_est"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    },
   )
+
+  /** Count-Min hash-row constants (pairwise-independent-enough LCGs over
+    * the shared mod-1e9+7 convention); declared before use in `all` via
+    * lazy — see [[rankLadder]]. */
+  private lazy val CmsA = Seq(1103515245L, 1000003L, 2654435761L, 2246822519L)
+  private lazy val CmsB = Seq(12345L, 54321L, 7L, 99991L)
 
   /** Trailing-zeros-plus-one rank of h2 (HLL register rank), as ONE CASE
     * ladder string both engines parse and fold identically — h2 = 0 falls

@@ -32,6 +32,11 @@ case class MacdCross(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
 case class EwmaAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     ewma: Double)
 
+/** Output of the streaming HLL cardinality monitor (T20, r11): the live
+  * distinct-count estimate for one series group after a micro-batch. */
+case class HllEstimate(event_type: String, n_rows: Long, zeros: Int,
+    hll_est: Double)
+
 /** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
@@ -290,6 +295,51 @@ object Pipelines {
           }
           state.update((z, alarms))
           out.iterator
+        })
+  }
+
+  /** T20 (r11): streaming HLL cardinality monitor — the LIVE twin of the
+    * batch q_hll_sketch (A18): per series group, 64 HyperLogLog registers
+    * carried in checkpointed state (the whole point of a sketch: the live
+    * distinct-user panel costs 64 bytes per group FOREVER, where a
+    * streaming COUNT(DISTINCT) grows state with every new key), updated
+    * with the SAME xor-shift avalanche hash and trailing-zero ranks, one
+    * estimate row emitted per (group, micro-batch). HllStreamSpec pins the
+    * terminal estimate bit-equal to the batch key over the same rows.
+    * Input columns: event_type STRING, user_id LONG.
+    */
+  def hllMonitor(stream: DataFrame): Dataset[HllEstimate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, it: Iterator[(String, Long)], state: GroupState[(Array[Int], Long)]) => {
+          var (regs, n) = state.getOption.getOrElse((new Array[Int](64), 0L))
+          for ((_, u) <- it) {
+            // EXACTLY the q_hll_sketch arithmetic (QAgg.scala): two
+            // multiply-mod-2^31 rounds with xor-of-high-bits between
+            val x1 = (u * 2654435761L) % 2147483648L
+            val x2 = x1 ^ (x1 / 32768L)
+            val x3 = (x2 * 2246822519L) % 2147483648L
+            val g = x3 ^ (x3 / 8192L)
+            val reg = (g % 64L).toInt
+            val h2 = g / 64L
+            val rank =
+              if (h2 == 0L) 25
+              else math.min(java.lang.Long.numberOfTrailingZeros(h2) + 1, 25)
+            if (rank > regs(reg)) regs(reg) = rank
+            n += 1
+          }
+          state.update((regs, n))
+          val zeros = regs.count(_ == 0)
+          val sp = regs.filter(_ > 0).map(m => 1.0 / (1L << m)).sum
+          val s = sp + zeros
+          val estRaw = 0.709 * 4096.0 / s
+          val est = if (estRaw <= 160.0 && zeros > 0) 64.0 * math.log(64.0 / zeros)
+                    else estRaw
+          Iterator.single(HllEstimate(etype, n, zeros, est))
         })
   }
 
