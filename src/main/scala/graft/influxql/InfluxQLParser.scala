@@ -398,7 +398,7 @@ object InfluxQLParser {
     "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
     "exponential_moving_average", "double_exponential_moving_average",
     "triple_exponential_moving_average", "triple_exponential_derivative",
-    "kaufmans_adaptive_moving_average", "macd", "bollinger_width")
+    "kaufmans_adaptive_moving_average", "macd", "bollinger_width", "zscore")
 
   private val Transforms = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
@@ -1190,6 +1190,9 @@ object InfluxQLParser {
             if (n < 1 || n != n.floor || n > 100000)
               throw InfluxQLParseException(
                 s"$name needs an integer period 1 <= N <= 100000")
+            // sample variance divides by n−1: a 1-bucket window has no spread
+            if (fn == "zscore" && n < 2)
+              throw InfluxQLParseException("ZSCORE needs N >= 2 (sample variance)")
           }
           val f = TransformField(fn, inner, param, None, param2)
           eatOp(")")

@@ -1715,6 +1715,27 @@ object InfluxQLPlanner {
                |  acc -> acc.out)""".stripMargin)).as(Seq("__i", "__ev")): _*)
           .withColumn("__t", element_at(col("s"), col("__i") + 1).getField("__t"))
           .withColumn(name, floor(col("__ev") * 10000) / 10000)
+      case "zscore" =>
+        // IQL73 (r11): rolling z-score over the last n buckets — the live
+        // anomaly panel's normalized deviation (the windowed sibling of
+        // W6's whole-series z). Exactness: the bollinger recipe — integer
+        // c = round(v·10⁴), order-independent Σc/Σc², then one fixed
+        // double op-sequence; sample variance (n−1). Warm-up: incomplete
+        // windows drop (count < n); zero variance reports 0.0 (+0.0 folds
+        // IEEE −0.0, the q_win_zscore rule).
+        val zs = col("__s").cast("double")
+        val zq = col("__q").cast("double")
+        val zv = col("__c").cast("double")
+        val znum = zv - zs / lit(n.toDouble)
+        val zvar = (zq - zs * zs / lit(n.toDouble)) / lit((n - 1).toDouble)
+        val zsd = sqrt(greatest(zvar, lit(0.0)))
+        kept.withColumn("__c", round(v * 10000, 0).cast("long"))
+          .withColumn("__n", count(lit(1)).over(wf))
+          .withColumn("__s", sum(col("__c")).over(wf))
+          .withColumn("__q", sum(col("__c") * col("__c")).over(wf))
+          .filter(col("__n") === n)
+          .withColumn(name, when(zsd === 0.0, 0.0)
+            .otherwise(round(znum / zsd, 4) + lit(0.0)))
       case "bollinger_width" =>
         // Bollinger BANDWIDTH = (upper − lower)/mid = 4σ/μ over the last n
         // buckets (k = 2), the volatility-squeeze indicator. The bucket

@@ -846,6 +846,38 @@ object QInfluxQL {
         |GROUP BY time(1h), user_id""".stripMargin)),
 
     GraftQuery(
+      "q_influxql_zscore",
+      "IQL73 (r11): ZSCORE(MEAN(value), 12) — rolling z-score over the last 12 " +
+        "buckets, the live anomaly panel's normalized deviation (windowed sibling " +
+        "of W6). Bollinger exactness recipe: integer-scaled bucket values make " +
+        "both engines' window sums exact in any order; z is one fixed double " +
+        "op-sequence (sample variance, n-1); incomplete windows drop; zero " +
+        "variance reports 0.0 with the +0 fold",
+      """WITH a AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS t,
+        |         round(avg(value), 4) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |w AS (SELECT user_id, t, round(m * 10000)::BIGINT AS c FROM a),
+        |f AS (SELECT user_id, t, c,
+        |             count(*) OVER win AS n,
+        |             sum(c)   OVER win AS s,
+        |             sum(c*c) OVER win AS q
+        |      FROM w WINDOW win AS (PARTITION BY user_id ORDER BY t
+        |                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, user_id,
+        |       CASE WHEN sqrt(greatest((q::DOUBLE - s::DOUBLE * s::DOUBLE / 12.0)
+        |                               / 11.0, 0.0)) = 0.0 THEN 0.0
+        |            ELSE round((c::DOUBLE - s::DOUBLE / 12.0)
+        |                       / sqrt(greatest((q::DOUBLE - s::DOUBLE * s::DOUBLE / 12.0)
+        |                                       / 11.0, 0.0)), 4) + 0 END AS z
+        |FROM f WHERE n = 12 ORDER BY time, user_id""".stripMargin)(influx(
+      """SELECT ZSCORE(MEAN(value), 12) AS z FROM events
+        |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+        |GROUP BY time(1h), user_id""".stripMargin)),
+
+    GraftQuery(
       "q_influxql_kama",
       "IQL69 (r9): KAUFMANS_ADAPTIVE_MOVING_AVERAGE(MEAN(value), 9) — er/sc from the KER " +
         "windows (first 9 buckets drop), then kama_k = kama_{k-1} + sc²·(v_k − kama_{k-1}) " +

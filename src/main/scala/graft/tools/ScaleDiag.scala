@@ -58,6 +58,45 @@ object ScaleDiag {
         time("pair-count")(println(
           sizes.agg(sum(col("count") * (col("count") - 1) / 2)).head()))
 
+      case "ann" =>
+        // the corpus-scaled IVF store at this SF: build (auto k = cellsFor),
+        // then the recall/latency curve of searchBatch vs brute force
+        import org.apache.spark.sql.expressions.Window
+        import graft.sinks.VectorIndexStore
+        graft.functions.VectorMath.register(spark)
+        val emb = graft.tables.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val n = emb.count()
+        val k = graft.functions.Kmeans.cellsFor(n)
+        println(s"DIAG ann corpus=$n cellsFor=$k")
+        val idx = java.nio.file.Files.createTempDirectory("annsf").toFile.getPath
+        time("build")(VectorIndexStore.build(spark, emb, idx))
+        val cells = spark.read.parquet(s"$idx/lists").select("cluster").distinct().count()
+        println(s"DIAG ann populated_cells=$cells")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val wB = Window.partitionBy("probe_id").orderBy(col("s").desc, col("vec_id"))
+        val truth = time("brute-truth")(probes.crossJoin(emb)
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("s", expr("vec_cos(embedding, pe)"))
+          .withColumn("r", org.apache.spark.sql.functions.row_number().over(wB))
+          .filter(col("r") <= 5)
+          .select("probe_id", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap)
+        for (np <- Seq(1, k / 32, k / 8, k / 2).map(math.max(_, 1)).distinct) {
+          val t0 = System.nanoTime()
+          val got = VectorIndexStore.searchBatch(spark, idx,
+              probes.select(col("probe_id"), col("pe").as("embedding")),
+              topK = 6, nprobe = np)
+            .filter(col("vec_id") =!= col("probe_id")).filter(col("rnk") <= 6)
+            .select("probe_id", "vec_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).take(5).toSet).toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rec = truth.keys.toSeq.map { p =>
+            (truth(p) intersect got.getOrElse(p, Set.empty)).size.toDouble / 5.0
+          }.sum / truth.size
+          println(f"DIAG ann nprobe=$np%d frac_read=${np.toDouble / k}%.3f recall5=$rec%.2f sec=$sec%.1f")
+        }
+
       case "novelty" =>
         graft.functions.TextHash.register(spark)
         val g = graft.tables.Tables.table(spark, dir, "documents")

@@ -194,6 +194,22 @@ class InfluxQLSpec extends SparkTestBase {
       "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 9, 2) FROM events GROUP BY time(1h)"))
   }
 
+  test("ZSCORE parses with one period >= 2; N = 1, raw inner, and durations reject") {
+    val q = InfluxQLParser.parseSelect(
+      "SELECT ZSCORE(MEAN(value), 12) AS z FROM events GROUP BY time(1h)")
+    assert(q.fields == Seq(TransformField("zscore",
+      FnField("mean", "value", None, None), Some(12.0), Some("z"))))
+    // sample variance needs n >= 2
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT ZSCORE(MEAN(value), 1) FROM events GROUP BY time(1h)"))
+    // TA transforms require a nested aggregate
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT ZSCORE(value, 12) FROM events GROUP BY time(1h)"))
+    // bucket COUNTS, not durations
+    intercept[InfluxQLParseException](InfluxQLParser.parseSelect(
+      "SELECT ZSCORE(MEAN(value), 1h) FROM events GROUP BY time(1h)"))
+  }
+
   test("field arithmetic parses with precedence; division lexes next to a regex") {
     val q = InfluxQLParser.parseSelect(
       """SELECT MEAN(value) * 100 + 5 AS scaled, SUM(value) / COUNT(value) AS ratio
