@@ -520,12 +520,12 @@ object InfluxQLHttp {
         respond(ex, 400, errJson(
           s"inconsistent vector dimensions in one write: ${dims.mkString(",")}")); return
       }
-      val sq = spark; import sq.implicits._
-      val df = rows.toDF("vec_id", "embedding")
-      // read side: delta appends only ADD files (the /write argument);
-      // the tick's build/fold holds the write side
+      // read side: delta appends only ADD files (the /write argument) and
+      // the DIRECT writer gives each POST its own UUID file — concurrent
+      // appends never share staging state (AnnChaosSpec pins this); the
+      // tick's build/fold holds the write side
       lock.readLock.lock()
-      try graft.sinks.VectorIndexStore.append(spark, df, annIndexDir(storeDir))
+      try graft.sinks.VectorIndexStore.appendLocal(rows, annIndexDir(storeDir))
       finally lock.readLock.unlock()
       ex.getResponseHeaders.set("X-Influxdb-Version", "1.7-graft")
       ex.sendResponseHeaders(204, -1)

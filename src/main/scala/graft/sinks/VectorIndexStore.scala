@@ -92,9 +92,57 @@ object VectorIndexStore {
     rm(lists); new java.io.File(listsBuilding(indexDir)).renameTo(lists): Unit
   }
 
-  /** Land new vectors unindexed — the ingest path does NO index work. */
+  /** Land new vectors unindexed — the ingest path does NO index work.
+    * NOTE: Spark's parquet append shares one `_temporary` staging dir per
+    * target, so CONCURRENT callers of this DataFrame path abort each
+    * other's task files — single-writer lifecycle code only. Concurrent
+    * ingest (the HTTP front door) goes through [[appendLocal]].
+    */
   def append(spark: SparkSession, emb: DataFrame, indexDir: String): Unit =
     emb.select("vec_id", "embedding").write.mode("append").parquet(deltaDir(indexDir))
+
+  private lazy val deltaSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64).named("vec_id")
+      .optionalGroup().as(LogicalTypeAnnotation.listType())
+        .repeatedGroup()
+          .optional(PrimitiveTypeName.FLOAT).named("element")
+        .named("list")
+      .named("embedding")
+      .named("spark_schema")
+  }
+
+  /** Driver-direct delta append for CONCURRENT writers (r11 — AnnChaosSpec
+    * caught racing /ann/write POSTs aborting each other through Spark's
+    * shared `_temporary` staging): one UUID-named parquet file written with
+    * parquet-mr, the [[PointStoreDirect.append]] discipline, in Spark's
+    * standard 3-level LIST encoding so scans merge it with Spark-written
+    * delta files seamlessly. No Spark job on the ingest path at all.
+    */
+  def appendLocal(rows: Seq[(Long, Array[Float])], indexDir: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val dir = new java.io.File(deltaDir(indexDir))
+    dir.mkdirs()
+    val file = new java.io.File(dir, s"part-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val writer = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(file.getPath))
+      .withType(deltaSchema)
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(deltaSchema)
+    try rows.foreach { case (id, emb) =>
+      val g = gf.newGroup()
+      g.add("vec_id", id)
+      val lst = g.addGroup("embedding")
+      emb.foreach(v => lst.addGroup("list").add("element", v))
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** Vectors appended since the last tick (the staleness window). */
   def staleCount(spark: SparkSession, indexDir: String): Long =
