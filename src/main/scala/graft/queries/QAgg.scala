@@ -745,8 +745,8 @@ object QAgg {
   /** Count-Min hash-row constants (pairwise-independent-enough LCGs over
     * the shared mod-1e9+7 convention); declared before use in `all` via
     * lazy — see [[rankLadder]]. */
-  private lazy val CmsA = Seq(1103515245L, 1000003L, 2654435761L, 2246822519L)
-  private lazy val CmsB = Seq(12345L, 54321L, 7L, 99991L)
+  private[graft] lazy val CmsA = Seq(1103515245L, 1000003L, 2654435761L, 2246822519L)
+  private[graft] lazy val CmsB = Seq(12345L, 54321L, 7L, 99991L)
 
   /** Trailing-zeros-plus-one rank of h2 (HLL register rank), as ONE CASE
     * ladder string both engines parse and fold identically — h2 = 0 falls

@@ -37,6 +37,11 @@ case class EwmaAlarm(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
 case class HllEstimate(event_type: String, n_rows: Long, zeros: Int,
     hll_est: Double)
 
+/** Output of the streaming Count-Min monitor (T21, r11): the live count
+  * estimate for one watched key in one series group after a micro-batch. */
+case class CmsEstimate(event_type: String, user_id: Long, cms_est: Long,
+    n_rows: Long)
+
 /** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
@@ -340,6 +345,46 @@ object Pipelines {
           val est = if (estRaw <= 160.0 && zeros > 0) 64.0 * math.log(64.0 / zeros)
                     else estRaw
           Iterator.single(HllEstimate(etype, n, zeros, est))
+        })
+  }
+
+  /** T21 (r11): streaming Count-Min watch-list monitor — the LIVE twin of
+    * the batch q_heavy_hitters_cms (A19): per series group, a 4×512
+    * integer counter grid carried in checkpointed state (8 KB per group
+    * forever — an exact per-key streaming count grows state with every
+    * new key), updated with the SAME four hash rows as the batch sketch,
+    * and the current min-cell estimate for each key on the caller's
+    * WATCH LIST emitted every micro-batch (the panel shape: "show me
+    * these 10 devices' live event counts"). CMS error stays one-sided
+    * (est ≥ true count) across batch boundaries because the grid is
+    * merged by addition. CmsStreamSpec pins terminal estimates bit-equal
+    * to the batch sketch over the same rows.
+    * Input columns: event_type STRING, user_id LONG.
+    */
+  def cmsMonitor(stream: DataFrame, watch: Seq[Long]): Dataset[CmsEstimate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.queries.QAgg.{CmsA, CmsB}
+    def cells(u: Long): Array[Int] =
+      CmsA.indices.map(i => (((CmsA(i) * u + CmsB(i)) % 1000000007L) % 512L).toInt).toArray
+    stream.select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, it: Iterator[(String, Long)], state: GroupState[(Array[Long], Long)]) => {
+          var (grid, n) = state.getOption.getOrElse((new Array[Long](4 * 512), 0L))
+          for ((_, u) <- it) {
+            val cs = cells(u)
+            var i = 0
+            while (i < 4) { grid(i * 512 + cs(i)) += 1L; i += 1 }
+            n += 1
+          }
+          state.update((grid, n))
+          watch.iterator.map { u =>
+            val cs = cells(u)
+            val est = CmsA.indices.map(i => grid(i * 512 + cs(i))).min
+            CmsEstimate(etype, u, est, n)
+          }
         })
   }
 
