@@ -740,6 +740,58 @@ object QAgg {
           (col("cms_est") - col("exact_n")).as("overestimate"))
         .orderBy(col("exact_n").desc, col("user_id"))
     },
+
+    GraftQuery(
+      "q_cms_width_sweep",
+      "A20 (r11): Count-Min WIDTH tuning curve — the sketch-sizing twin of " +
+        "q_knn_probe_sweep/q_dedup_threshold_sweep: for width w in {64, 256, " +
+        "1024}, the total and worst overestimate across the exact top-10 keys " +
+        "(memory 4·w counters vs error ~ N/w — the curve a deployment reads to " +
+        "size the sketch before the stream starts). ALL-integer like A19: both " +
+        "engines replay every counter exactly, no rounding convention at all.",
+      {
+        val widths = Seq(64, 256, 1024)
+        val perW = widths.map { wd =>
+          val hs = CmsA.indices.map(i =>
+            s"((${CmsA(i)} * user_id + ${CmsB(i)}) % 1000000007) % $wd")
+          s"""sk$wd AS (SELECT r, c, count(*) AS n FROM (${hs.zipWithIndex.map {
+               case (h, i) => s"SELECT $i AS r, $h AS c FROM events" }.mkString(" UNION ALL ")}
+             |        ) GROUP BY r, c),
+             |cand$wd AS (${hs.zipWithIndex.map { case (h, i) =>
+               s"SELECT user_id, exact_n, $i AS r, $h AS c FROM ex" }.mkString(" UNION ALL ")}
+             |),
+             |est$wd AS (SELECT $wd AS width, cand$wd.user_id,
+             |                  min(sk$wd.n) - max(cand$wd.exact_n) AS over_n
+             |           FROM cand$wd JOIN sk$wd USING (r, c) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+           |            ORDER BY exact_n DESC, user_id LIMIT 10),
+           |${perW.mkString(",\n")}
+           |SELECT CAST(width AS INT) AS width, sum(over_n)::BIGINT AS total_over,
+           |       max(over_n)::BIGINT AS max_over
+           |FROM (${widths.map(wd => s"SELECT * FROM est$wd").mkString(" UNION ALL ")})
+           |GROUP BY width ORDER BY width""".stripMargin
+      }) { (s, dir) =>
+      val ev = events(s, dir)
+      val ex = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        .transform(Q.materialize) // 10 rows, probed once per width
+      Seq(64, 256, 1024).map { wd =>
+        def cellCol(i: Int) =
+          expr(s"((${CmsA(i)}L * user_id + ${CmsB(i)}L) % 1000000007L) % $wd")
+        val sk = ev.select(posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+          .groupBy("r", "c").agg(count(lit(1)).as("n"))
+        val cand = ex.select(col("user_id"), col("exact_n"),
+          posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+        cand.join(broadcast(sk), Seq("r", "c"))
+          .groupBy("user_id", "exact_n")
+          .agg((min(col("n")) - first(col("exact_n"))).as("over_n"))
+          .agg(sum(col("over_n")).as("total_over"), max(col("over_n")).as("max_over"))
+          .select(lit(wd).cast("int").as("width"),
+            col("total_over").cast("bigint").as("total_over"),
+            col("max_over").cast("bigint").as("max_over"))
+      }.reduce(_ unionByName _).orderBy("width")
+    },
   )
 
   /** Count-Min hash-row constants (pairwise-independent-enough LCGs over
