@@ -171,9 +171,14 @@ object PointStoreDirect {
           ExternalCatalogUtils.getPartitionPathString("measurement", measurement)),
           ExternalCatalogUtils.getPartitionPathString("date", date))
         partDir.mkdirs()
-        val file = new java.io.File(partDir,
-          s"part-${java.util.UUID.randomUUID()}.snappy.parquet")
-        val writer = ExampleParquetWriter.builder(new Path(file.getPath))
+        // dot-prefixed while writing (hidden from Spark's listing, so a
+        // concurrent scan under the shared read lock can never read a
+        // half-written footer), renamed into place after close — the r11
+        // torn-read hardening shared with VectorIndexStore.appendLocal
+        val id8 = java.util.UUID.randomUUID()
+        val tmp = new java.io.File(partDir, s".part-$id8.inprogress")
+        val file = new java.io.File(partDir, s"part-$id8.snappy.parquet")
+        val writer = ExampleParquetWriter.builder(new Path(tmp.getPath))
           .withType(schema)
           .withConf(conf)
           .withCompressionCodec(CompressionCodecName.SNAPPY)
@@ -187,5 +192,7 @@ object PointStoreDirect {
           p.tags.foreach(g.add("tags", _)) // optional — null when untagged
           writer.write(g)
         } finally writer.close()
+        if (!tmp.renameTo(file))
+          throw new java.io.IOException(s"cannot commit $tmp -> $file")
     }
 }

@@ -46,6 +46,14 @@ object VectorIndexStore {
   private def listsBuilding(d: String) = s"$d/lists.building"
   private def centBuilding(d: String) = s"$d/centroids.building.parquet"
 
+  /** Does `d` hold at least one COMMITTED (visible) data file? A dir that
+    * exists but lists only dot/underscore names (an appendLocal write in
+    * flight, or its crash orphan) must read as EMPTY — spark.read.parquet
+    * on it throws UNABLE_TO_INFER_SCHEMA (the r11 chaos-found 500). */
+  private def hasVisibleFiles(d: java.io.File): Boolean =
+    Option(d.listFiles()).getOrElse(Array.empty).exists(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
     f.delete(): Unit
@@ -127,9 +135,16 @@ object VectorIndexStore {
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     val dir = new java.io.File(deltaDir(indexDir))
     dir.mkdirs()
-    val file = new java.io.File(dir, s"part-${java.util.UUID.randomUUID()}.snappy.parquet")
+    // Write under a DOT-prefixed name — Spark's file listing skips hidden
+    // files, so a concurrent delta scan (staleCount / tick under the shared
+    // read lock) can never see a half-written footer — then rename into
+    // place (atomic within one directory). A crash mid-write leaves only an
+    // invisible orphan.
+    val id8 = java.util.UUID.randomUUID()
+    val tmp = new java.io.File(dir, s".part-$id8.inprogress")
+    val fin = new java.io.File(dir, s"part-$id8.snappy.parquet")
     val writer = ExampleParquetWriter.builder(
-        new org.apache.hadoop.fs.Path(file.getPath))
+        new org.apache.hadoop.fs.Path(tmp.getPath))
       .withType(deltaSchema)
       .withConf(new org.apache.hadoop.conf.Configuration())
       .withCompressionCodec(CompressionCodecName.SNAPPY)
@@ -142,11 +157,13 @@ object VectorIndexStore {
       emb.foreach(v => lst.addGroup("list").add("element", v))
       writer.write(g)
     } finally writer.close()
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"cannot commit $tmp -> $fin")
   }
 
   /** Vectors appended since the last tick (the staleness window). */
   def staleCount(spark: SparkSession, indexDir: String): Long =
-    if (!new java.io.File(deltaDir(indexDir)).exists()) 0L
+    if (!hasVisibleFiles(new java.io.File(deltaDir(indexDir)))) 0L
     else spark.read.parquet(deltaDir(indexDir)).count()
 
   /** Crash recovery: an orphaned `delta.folding/` means a prior tick died
@@ -181,6 +198,7 @@ object VectorIndexStore {
     else if (cb.exists()) rm(cb)
     else if (lb.exists()) { rm(lists); lb.renameTo(lists): Unit }
     if (!fDir.exists()) return
+    if (!hasVisibleFiles(fDir)) { rm(fDir); return } // crash orphan only
     val pending = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
       .join(spark.read.parquet(listsDir(indexDir)).select("vec_id"),
         Seq("vec_id"), "left_anti")
@@ -209,6 +227,7 @@ object VectorIndexStore {
     recoverFolding(spark, indexDir)
     val dDir = new java.io.File(deltaDir(indexDir))
     if (!dDir.exists()) return (0L, false)
+    if (!hasVisibleFiles(dDir)) return (0L, false) // only an in-flight write
     val fDir = new java.io.File(foldingDir(indexDir))
     if (!dDir.renameTo(fDir))
       throw new IllegalStateException(s"cannot stage $dDir -> $fDir for folding")
@@ -255,8 +274,12 @@ object VectorIndexStore {
     val dDir = new java.io.File(deltaDir(indexDir))
     if (!dDir.exists()) return (0L, false)
     val fDir = new java.io.File(foldingDir(indexDir))
-    if (!fDir.exists() && !dDir.renameTo(fDir))
-      throw new IllegalStateException(s"cannot stage $dDir -> $fDir for bootstrap")
+    if (!fDir.exists()) {
+      if (!hasVisibleFiles(dDir)) return (0L, false) // only an in-flight write
+      if (!dDir.renameTo(fDir))
+        throw new IllegalStateException(s"cannot stage $dDir -> $fDir for bootstrap")
+    }
+    if (!hasVisibleFiles(fDir)) { rm(fDir); return (0L, false) } // crash orphan
     val corpus = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
     val n = corpus.count()
     if (n == 0L) { rm(fDir); return (0L, false) }

@@ -16,7 +16,10 @@ import java.util.concurrent.atomic.AtomicInteger
 class AnnChaosSpec extends SparkTestBase {
 
   private def http(port: Int, method: String, path: String,
-      body: Option[String]): Int = {
+      body: Option[String]): Int = httpB(port, method, path, body)._1
+
+  private def httpB(port: Int, method: String, path: String,
+      body: Option[String]): (Int, String) = {
     val conn = new URI(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
@@ -25,9 +28,14 @@ class AnnChaosSpec extends SparkTestBase {
       conn.getOutputStream.write(b.getBytes("UTF-8"))
     }
     val c = conn.getResponseCode
+    val out = new StringBuilder
     try { val s = if (c < 400) conn.getInputStream else conn.getErrorStream
-      if (s != null) { while (s.read() != -1) {}; s.close() } } catch { case _: Exception => }
-    conn.disconnect(); c
+      if (s != null) {
+        var b = s.read()
+        while (b != -1) { if (out.length < 400) out.append(b.toChar); b = s.read() }
+        s.close()
+      } } catch { case _: Exception => }
+    conn.disconnect(); (c, out.toString)
   }
 
   private def vec(i: Int): Seq[Double] =
@@ -47,22 +55,31 @@ class AnnChaosSpec extends SparkTestBase {
           val id = t * perWriter + i
           val code = http(port, "POST", "/ann/write",
             Some(s"$id ${vec(id).mkString(",")}"))
-          if (code != 204) bad.incrementAndGet(): Unit
+          if (code != 204) {
+            println(s"CHAOS-BAD ann/write id=$id code=$code")
+            bad.incrementAndGet(): Unit
+          }
         })
       }
       val pointWriters = (0 until 2).map { t =>
         new Thread(() => (0 until 30).foreach { i =>
-          if (http(port, "POST", "/write?db=plc",
-              Some(s"m,alias=p$t value=$i.0 ${1704067200000000000L + (t * 30 + i) * 1000000L}")) != 204)
+          val wc = http(port, "POST", "/write?db=plc",
+            Some(s"m,alias=p$t value=$i.0 ${1704067200000000000L + (t * 30 + i) * 1000000L}"))
+          if (wc != 204) {
+            println(s"CHAOS-BAD write t=$t i=$i code=$wc")
             bad.incrementAndGet(): Unit
+          }
         })
       }
       val readers = (0 until 3).map { _ =>
         new Thread(() => while (!stopReaders.get()) {
           // 503 (not built yet) and 200 are both legal mid-chaos; 5xx is not
-          val c = http(port, "GET",
+          val (c, b) = httpB(port, "GET",
             s"/ann/query?probe=${vec(7).mkString(",")}&k=3&nprobe=2", None)
-          if (c != 200 && c != 503) bad.incrementAndGet()
+          if (c != 200 && c != 503) {
+            println(s"CHAOS-BAD ann/query code=$c body=$b")
+            bad.incrementAndGet()
+          }
           Thread.sleep(20)
         })
       }
