@@ -520,6 +520,12 @@ object InfluxQLHttp {
         respond(ex, 400, errJson(
           s"inconsistent vector dimensions in one write: ${dims.mkString(",")}")); return
       }
+      // one dimension per index, enforced BEFORE anything lands (r11):
+      // the first accepted write fixes it, later mismatches 400
+      try graft.sinks.VectorIndexStore.checkDim(annIndexDir(storeDir), dims.head)
+      catch { case e: IllegalArgumentException =>
+        respond(ex, 400, errJson(e.getMessage)); return
+      }
       // read side: delta appends only ADD files (the /write argument) and
       // the DIRECT writer gives each POST its own UUID file — concurrent
       // appends never share staging state (AnnChaosSpec pins this); the
@@ -562,6 +568,14 @@ object InfluxQLHttp {
         respond(ex, 400, errJson("k must be in [1,1000] and nprobe >= 1")); return
       }
       val idx = annIndexDir(storeDir)
+      // a probe of the wrong dimensionality can never match — reject it
+      // as a client error instead of letting a distance call blow up
+      graft.sinks.VectorIndexStore.dimOf(idx).foreach { d =>
+        if (probe.size != d) {
+          respond(ex, 400, errJson(
+            s"probe has ${probe.size} dimensions; the index holds $d")); return
+        }
+      }
       lock.readLock.lock()
       val out = try {
         if (!new java.io.File(s"$idx/lists").exists()) {

@@ -46,6 +46,43 @@ object VectorIndexStore {
   private def listsBuilding(d: String) = s"$d/lists.building"
   private def centBuilding(d: String) = s"$d/centroids.building.parquet"
 
+  private def dimPath(d: String) = s"$d/dim"
+
+  /** Enforce ONE embedding dimension per index (r11 — the ANN fuzz showed
+    * that two dimension-inconsistent appends poison the next build: the
+    * quantizer folds arrays of different lengths and every distance call
+    * after that is undefined). First caller records the dimension
+    * (atomic createNewFile); every later caller must match — mismatches
+    * throw IllegalArgumentException, which the HTTP front door maps to a
+    * 400 BEFORE anything lands in delta.
+    */
+  def checkDim(indexDir: String, dim: Int): Unit = {
+    val f = new java.io.File(dimPath(indexDir))
+    f.getParentFile.mkdirs()
+    if (f.createNewFile()) {
+      java.nio.file.Files.writeString(f.toPath, dim.toString): Unit
+    }
+    // the creator writes right after the atomic create; a concurrent
+    // reader can land in that gap — poll briefly instead of failing
+    var content = ""
+    var tries = 0
+    while (content.isEmpty && tries < 100) {
+      content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      if (content.isEmpty) { Thread.sleep(5); tries += 1 }
+    }
+    if (content.nonEmpty && content.toInt != dim)
+      throw new IllegalArgumentException(
+        s"vector dimension $dim does not match the index dimension $content")
+  }
+
+  /** The index's recorded dimension, if any vector ever landed. */
+  def dimOf(indexDir: String): Option[Int] = {
+    val f = new java.io.File(dimPath(indexDir))
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+      .filter(_.nonEmpty).map(_.toInt)
+  }
+
   /** Does `d` hold at least one COMMITTED (visible) data file? A dir that
     * exists but lists only dot/underscore names (an appendLocal write in
     * flight, or its crash orphan) must read as EMPTY — spark.read.parquet
