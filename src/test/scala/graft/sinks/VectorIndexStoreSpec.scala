@@ -153,4 +153,53 @@ class VectorIndexStoreSpec extends SparkTestBase {
     val n = spark.read.parquet(s"$dir/lists").count()
     assert(n === corpus.count())
   }
+
+  test("checkDim is crash-atomic: records once, rejects mismatches, fails loud on a corrupt empty marker (ADVICE r11)") {
+    val dir = freshDir()
+    VectorIndexStore.checkDim(dir, 8)   // first caller records
+    VectorIndexStore.checkDim(dir, 8)   // same dim passes
+    assert(VectorIndexStore.dimOf(dir) === Some(8))
+    intercept[IllegalArgumentException](VectorIndexStore.checkDim(dir, 16))
+    // a pre-fix crash orphan (empty marker) must throw, not silently
+    // disable enforcement
+    val dim = new java.io.File(dir, "dim")
+    java.nio.file.Files.writeString(dim.toPath, ""): Unit
+    intercept[IllegalStateException](VectorIndexStore.checkDim(dir, 8))
+    // no stray temp files left behind by the link-into-place protocol
+    val strays = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp"))
+    assert(strays.isEmpty, strays.mkString(","))
+  }
+
+  test("centroid cache: a retrain bumps the generation and searches see the NEW centroids (r12, VERDICT r11 #2)") {
+    val dir = freshDir()
+    val half = corpus.filter(col("vec_id") < 250L)
+    val rest = corpus.filter(col("vec_id") >= 250L)
+    VectorIndexStore.build(spark, half, dir)
+    assert(VectorIndexStore.generation(dir) === 1L)
+    // warm the driver-side cache with generation-1 centroids
+    val donor = corpus.filter(col("vec_id") === 400L).head().getSeq[Float](1)
+    val probe = donor.map(_.toDouble)
+    VectorIndexStore.search(spark, dir, probe, topK = 3).collect(): Unit
+    val centsG1 = centroids(dir)
+    // retrain from a corpus 3x the indexed half — centroids move
+    VectorIndexStore.append(spark, rest, dir)
+    val (_, retrained) = VectorIndexStore.tick(spark, dir)
+    assert(retrained)
+    assert(VectorIndexStore.generation(dir) === 2L,
+      "retrain commit must bump the generation marker")
+    assert(centroids(dir) !== centsG1, "retrain over 3x the corpus must move centroids")
+    // a stale cache would probe gen-1 cells against gen-2 lists: vector
+    // 400 (only in the retrained corpus) must now be its own top hit —
+    // proof the search went through the NEW centroid table
+    val post = VectorIndexStore.search(spark, dir, probe, topK = 3).collect()
+    assert(post.head.getLong(0) === 400L && math.abs(post.head.getDouble(1) - 1.0) < 1e-9,
+      s"post-retrain search must find vec 400 via the new centroids, got ${post.toSeq}")
+    // incremental ticks do NOT bump the generation (centroids untouched)
+    val sq = spark; import sq.implicits._
+    VectorIndexStore.append(spark,
+      Seq((300001L, donor)).toDF("vec_id", "embedding"), dir)
+    assert(VectorIndexStore.tick(spark, dir) === ((1L, false)))
+    assert(VectorIndexStore.generation(dir) === 2L)
+  }
 }
