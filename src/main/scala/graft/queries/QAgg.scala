@@ -623,78 +623,34 @@ object QAgg {
         .orderBy("o_custkey")
     },
 
-    GraftQuery(
-      "q_hll_sketch",
+    hllSketch("q_hll_sketch", 64, "0.709",
       "A18 (r11): HyperLogLog distinct-user sketch per event type, REPLAYED " +
         "bit-for-bit by the oracle — the 100 TB distinct-counting operator " +
-        "(a sketch shuffles 64 registers per group where count(DISTINCT) " +
+        "(a sketch shuffles m registers per group where count(DISTINCT) " +
         "shuffles every key) built from engine-portable arithmetic: LCG hash " +
-        "mod 1e9+7, register = h % 64, rank = trailing-zero ladder (a " +
+        "mod 1e9+7, register = h % m, rank = trailing-zero ladder (a " +
         "generated integer CASE both engines fold identically), one " +
-        "max-per-register aggregate, then the standard m=64 estimator " +
-        "(alpha 0.709, linear-counting branch below 2.5m) next to the exact " +
-        "count and the relative error — the estimator-honesty shape of " +
+        "max-per-register aggregate, then the standard estimator " +
+        "(alpha_64 = 0.709, linear-counting branch below 2.5m) next to the " +
+        "exact count and the relative error — the estimator-honesty shape of " +
         "q_knn_recall/q_minhash_calibration for cardinality. The hash is a " +
         "31-bit xor-shift avalanche (two multiply-mod-2^31 + xor-of-" +
         "high-bits rounds — a single LCG left registers too regular: 0 " +
         "empties at n = 2.3m where Poisson expects 6, blocking linear " +
         "counting); measured 5.6% error at n=150 (LC branch) and 2.6% at " +
-        "n=1500 (raw branch). The register sum is 64 dyadic doubles (exact " +
-        "in any order); only ln() crosses libms, absorbed by round(4).",
-      {
-        s"""WITH x1 AS (SELECT event_type,
-           |              (user_id * 2654435761) % 2147483648 AS x1 FROM events),
-           |x2 AS (SELECT event_type, xor(x1, x1 // 32768) AS x2 FROM x1),
-           |x3 AS (SELECT event_type, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
-           |b AS (SELECT event_type,
-           |             xor(x3, x3 // 8192) % 64 AS reg,
-           |             xor(x3, x3 // 8192) // 64 AS h2
-           |      FROM x3),
-           |r AS (SELECT event_type, reg, max($rankLadder) AS m
-           |      FROM b GROUP BY event_type, reg),
-           |a AS (SELECT event_type, count(*) AS present,
-           |             sum(1.0 / (1::BIGINT << m)) AS sp
-           |      FROM r GROUP BY event_type),
-           |e AS (SELECT event_type,
-           |             sp + (64 - present) AS s, 64 - present AS zeros FROM a),
-           |est AS (SELECT event_type,
-           |               CASE WHEN 0.709 * 4096.0 / s <= 160.0 AND zeros > 0
-           |                    THEN 64.0 * ln(64.0 / zeros)
-           |                    ELSE 0.709 * 4096.0 / s END AS est
-           |        FROM e),
-           |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-           |      FROM events GROUP BY event_type)
-           |SELECT x.event_type, x.n_exact, round(est.est, 4) AS hll_est,
-           |       round(abs(est.est - x.n_exact) / x.n_exact, 4) AS rel_err
-           |FROM x JOIN est USING (event_type) ORDER BY event_type""".stripMargin
-      }) { (s, dir) =>
-      val b = events(s, dir)
-        .withColumn("x1", expr("(user_id * 2654435761L) % 2147483648L"))
-        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
-        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
-        .withColumn("g", expr("x3 ^ (x3 div 8192)"))
-        .select(col("event_type"),
-          expr("g % 64").as("reg"), expr("g div 64").as("h2"))
-      val r = b.withColumn("rank", expr(rankLadder))
-        .groupBy("event_type", "reg").agg(max(col("rank")).as("m"))
-      val e = r.groupBy("event_type")
-        .agg(count(lit(1)).as("present"),
-          sum(expr("1.0D / CAST(shiftleft(1L, m) AS DOUBLE)")).as("sp"))
-        .select(col("event_type"),
-          (col("sp") + (lit(64) - col("present"))).as("s"),
-          (lit(64) - col("present")).as("zeros"))
-        .select(col("event_type"),
-          when(lit(0.709) * 4096.0 / col("s") <= 160.0 && col("zeros") > 0,
-            lit(64.0) * log(lit(64.0) / col("zeros")))
-            .otherwise(lit(0.709) * 4096.0 / col("s")).as("est"))
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-        .join(e, "event_type")
-        .select(col("event_type"), col("n_exact"),
-          round(col("est"), 4).as("hll_est"),
-          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
-        .orderBy("event_type")
-    },
+        "n=1500 (raw branch). The register sum is m dyadic doubles (exact " +
+        "in any order); only ln() crosses libms, absorbed by round(4)."),
+
+    hllSketch("q_hll_sketch_w256", 256, "0.7183",
+      "A21 (r12, VERDICT r11 #8): the WIDTH-parameterized HLL — same " +
+        "avalanche hash and rank ladder at m = 256 registers (standard " +
+        "error 1.04/sqrt(m) ≈ 6.5% vs 13% at m = 64; alpha_256 = " +
+        "0.7213/(1 + 1.079/256) rounded to 0.7183, an identical literal in " +
+        "both engines). The m = 64 key stays the compact demo; deployments " +
+        "size m from the error budget (1024+ for sub-3.3% at 100 TB — " +
+        "still just 1 KB of mergeable state per group) and " +
+        "HllWidthGateSpec pins the measured error against each width's " +
+        "theoretical band."),
 
     GraftQuery(
       "q_heavy_hitters_cms",
@@ -793,6 +749,79 @@ object QAgg {
       }.reduce(_ unionByName _).orderBy("width")
     },
   )
+
+  /** Width-parameterized HyperLogLog key builder (A18 at m = 64, A21 at
+    * m = 256 — r12, VERDICT r11 #8): identical avalanche hash and
+    * trailing-zero rank ladder at any power-of-two register count.
+    * `alphaStr` is the bias-correction constant interpolated VERBATIM
+    * into both engines (decimal-literal → nearest double is IEEE-identical
+    * parsing), so the whole estimator stays textually replayable; the
+    * linear-counting threshold 2.5m and alpha·m² are derived integers.
+    * State per group is m longs — the error/memory dial a deployment
+    * turns (1.04/√m standard error), with the shuffle volume still
+    * constant in corpus size.
+    */
+  private def hllSketch(name: String, m: Int, alphaStr: String,
+      desc: String): GraftQuery = {
+    require(Integer.bitCount(m) == 1, s"HLL register count must be a power of two, got $m")
+    val m2 = m.toLong * m         // alpha·m² numerator
+    val lc = (5L * m) / 2         // 2.5m linear-counting threshold (exact)
+    val alpha = alphaStr.toDouble
+    GraftQuery(name, desc,
+      s"""WITH x1 AS (SELECT event_type,
+         |              (user_id * 2654435761) % 2147483648 AS x1 FROM events),
+         |x2 AS (SELECT event_type, xor(x1, x1 // 32768) AS x2 FROM x1),
+         |x3 AS (SELECT event_type, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
+         |b AS (SELECT event_type,
+         |             xor(x3, x3 // 8192) % $m AS reg,
+         |             xor(x3, x3 // 8192) // $m AS h2
+         |      FROM x3),
+         |r AS (SELECT event_type, reg, max($rankLadder) AS m
+         |      FROM b GROUP BY event_type, reg),
+         |a AS (SELECT event_type, count(*) AS present,
+         |             sum(1.0 / (1::BIGINT << m)) AS sp
+         |      FROM r GROUP BY event_type),
+         |e AS (SELECT event_type,
+         |             sp + ($m - present) AS s, $m - present AS zeros FROM a),
+         |est AS (SELECT event_type,
+         |               CASE WHEN $alphaStr * $m2.0 / s <= $lc.0 AND zeros > 0
+         |                    THEN $m.0 * ln($m.0 / zeros)
+         |                    ELSE $alphaStr * $m2.0 / s END AS est
+         |        FROM e),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.n_exact, round(est.est, 4) AS hll_est,
+         |       round(abs(est.est - x.n_exact) / x.n_exact, 4) AS rel_err
+         |FROM x JOIN est USING (event_type) ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val b = events(s, dir)
+        .withColumn("x1", expr("(user_id * 2654435761L) % 2147483648L"))
+        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
+        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
+        .withColumn("g", expr("x3 ^ (x3 div 8192)"))
+        .select(col("event_type"),
+          expr(s"g % $m").as("reg"), expr(s"g div $m").as("h2"))
+      val r = b.withColumn("rank", expr(rankLadder))
+        .groupBy("event_type", "reg").agg(max(col("rank")).as("m"))
+      val e = r.groupBy("event_type")
+        .agg(count(lit(1)).as("present"),
+          sum(expr("1.0D / CAST(shiftleft(1L, m) AS DOUBLE)")).as("sp"))
+        .select(col("event_type"),
+          (col("sp") + (lit(m) - col("present"))).as("s"),
+          (lit(m) - col("present")).as("zeros"))
+        .select(col("event_type"),
+          when(lit(alpha) * m2.toDouble / col("s") <= lc.toDouble && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+            .otherwise(lit(alpha) * m2.toDouble / col("s")).as("est"))
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(e, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          round(col("est"), 4).as("hll_est"),
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        .orderBy("event_type")
+    }
+  }
 
   /** Count-Min hash-row constants (pairwise-independent-enough LCGs over
     * the shared mod-1e9+7 convention); declared before use in `all` via

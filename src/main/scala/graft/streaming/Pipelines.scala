@@ -313,15 +313,28 @@ object Pipelines {
     * terminal estimate bit-equal to the batch key over the same rows.
     * Input columns: event_type STRING, user_id LONG.
     */
-  def hllMonitor(stream: DataFrame): Dataset[HllEstimate] = {
+  /** `minRelDelta` (r12, VERDICT r11 #7) bounds the EMIT volume: a row
+    * emits only when the estimate moved by more than
+    * `minRelDelta · max(lastEmitted, 1)` since the last emission (a
+    * group's first estimate always emits). At the default 0.0 that means
+    * "emit on any change": a micro-batch of already-seen users leaves
+    * every register untouched and emits NOTHING — a quiet panel no longer
+    * accretes one sink row per group per micro-batch forever. The
+    * terminal-estimate parity contract is unchanged: the last emitted row
+    * always carries the current estimate (no change since = nothing
+    * withheld).
+    */
+  def hllMonitor(stream: DataFrame, minRelDelta: Double = 0.0): Dataset[HllEstimate] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col("event_type"), col("user_id").cast("long").as("user_id"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (etype: String, it: Iterator[(String, Long)], state: GroupState[(Array[Int], Long)]) => {
-          var (regs, n) = state.getOption.getOrElse((new Array[Int](64), 0L))
+        (etype: String, it: Iterator[(String, Long)],
+         state: GroupState[(Array[Int], Long, Double)]) => {
+          // lastEst < 0 marks "never emitted" (estimates are always ≥ 0)
+          var (regs, n, lastEst) = state.getOption.getOrElse((new Array[Int](64), 0L, -1.0))
           for ((_, u) <- it) {
             // EXACTLY the q_hll_sketch arithmetic (QAgg.scala): two
             // multiply-mod-2^31 rounds with xor-of-high-bits between
@@ -337,14 +350,21 @@ object Pipelines {
             if (rank > regs(reg)) regs(reg) = rank
             n += 1
           }
-          state.update((regs, n))
           val zeros = regs.count(_ == 0)
           val sp = regs.filter(_ > 0).map(m => 1.0 / (1L << m)).sum
           val s = sp + zeros
           val estRaw = 0.709 * 4096.0 / s
           val est = if (estRaw <= 160.0 && zeros > 0) 64.0 * math.log(64.0 / zeros)
                     else estRaw
-          Iterator.single(HllEstimate(etype, n, zeros, est))
+          val moved = lastEst < 0.0 ||
+            math.abs(est - lastEst) > minRelDelta * math.max(lastEst, 1.0)
+          if (moved && est != lastEst) {
+            state.update((regs, n, est))
+            Iterator.single(HllEstimate(etype, n, zeros, est))
+          } else {
+            state.update((regs, n, lastEst))
+            Iterator.empty
+          }
         })
   }
 
@@ -361,7 +381,18 @@ object Pipelines {
     * to the batch sketch over the same rows.
     * Input columns: event_type STRING, user_id LONG.
     */
-  def cmsMonitor(stream: DataFrame, watch: Seq[Long]): Dataset[CmsEstimate] = {
+  /** `minRelDelta` (r12, VERDICT r11 #7): a watched key emits only when
+    * its estimate moved by more than `minRelDelta · max(lastEmitted, 1)`
+    * since its last emission (first sight always emits) — at the default
+    * 0.0, "emit on any change": a micro-batch whose rows touch none of a
+    * watched key's four cells emits nothing for it, so background traffic
+    * no longer replays the whole watch list every batch. The last emitted
+    * estimate per key is always current (unchanged since = withheld
+    * nothing); the one-sided est ≥ exact invariant is per-emission as
+    * before.
+    */
+  def cmsMonitor(stream: DataFrame, watch: Seq[Long],
+      minRelDelta: Double = 0.0): Dataset[CmsEstimate] = {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.queries.QAgg.{CmsA, CmsB}
@@ -371,20 +402,28 @@ object Pipelines {
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (etype: String, it: Iterator[(String, Long)], state: GroupState[(Array[Long], Long)]) => {
-          var (grid, n) = state.getOption.getOrElse((new Array[Long](4 * 512), 0L))
+        (etype: String, it: Iterator[(String, Long)],
+         state: GroupState[(Array[Long], Long, Array[Long])]) => {
+          // lastEmit aligns with the watch list; -1 marks "never emitted"
+          var (grid, n, lastEmit) = state.getOption.getOrElse(
+            (new Array[Long](4 * 512), 0L, Array.fill(watch.size)(-1L)))
           for ((_, u) <- it) {
             val cs = cells(u)
             var i = 0
             while (i < 4) { grid(i * 512 + cs(i)) += 1L; i += 1 }
             n += 1
           }
-          state.update((grid, n))
-          watch.iterator.map { u =>
+          val out = watch.zipWithIndex.flatMap { case (u, wi) =>
             val cs = cells(u)
             val est = CmsA.indices.map(i => grid(i * 512 + cs(i))).min
-            CmsEstimate(etype, u, est, n)
+            val last = lastEmit(wi)
+            val moved = last < 0L ||
+              math.abs(est - last).toDouble > minRelDelta * math.max(last, 1L).toDouble
+            if (moved && est != last) { lastEmit(wi) = est; Some(CmsEstimate(etype, u, est, n)) }
+            else None
           }
+          state.update((grid, n, lastEmit))
+          out.iterator
         })
   }
 

@@ -60,6 +60,30 @@ class CmsStreamSpec extends SparkTestBase {
     }
   }
 
+  test("a micro-batch that touches none of a watched key's cells emits nothing for it (r12)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val watched = 42L
+    val wc = cells(watched)
+    // a background key whose four cells are row-wise disjoint from the
+    // watched key's — its traffic cannot move the watched estimate
+    val quietKey = (1000L to 5000L).find { u =>
+      val cs = cells(u); CmsA.indices.forall(i => cs(i) != wc(i))
+    }.get
+    val ms = MemoryStream[(String, Long)]
+    val q = Pipelines.cmsMonitor(ms.toDF().toDF("event_type", "user_id"), Seq(watched))
+      .writeStream.format("memory").queryName("cms_quiet").outputMode("append").start()
+    ms.addData(Seq(("m", watched), ("m", watched))); q.processAllAvailable()
+    assert(spark.table("cms_quiet").count() === 1L) // first estimate emits
+    ms.addData((0 until 50).map(_ => ("m", quietKey))); q.processAllAvailable()
+    assert(spark.table("cms_quiet").count() === 1L,
+      "background traffic off the watched cells must not replay the watch list")
+    // watched traffic moves the estimate again → emits
+    ms.addData(Seq(("m", watched))); q.processAllAvailable()
+    assert(spark.table("cms_quiet").count() === 2L)
+    q.stop()
+  }
+
   test("watched key absent from the stream reports its collision floor, never negative") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -14,7 +14,7 @@ class HllStreamSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("multi-batch terminal estimates match the batch q_hll_sketch bit-for-bit") {
+  test("multi-batch terminal estimates match the batch q_hll_sketch bit-for-bit; duplicate batches emit nothing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = graft.tables.Tables.events(spark, dir)
@@ -25,8 +25,16 @@ class HllStreamSpec extends SparkTestBase {
     rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
       ms.addData(chunk); q.processAllAvailable()
     }
+    val emitted = spark.table("hll_out").count()
+    // the emit-volume bound (r12, VERDICT r11 #7): replaying the ENTIRE
+    // corpus changes no register, so the no-change micro-batch emits ZERO
+    // rows — a quiet panel stops accreting sink rows
+    ms.addData(rows); q.processAllAvailable()
+    assert(spark.table("hll_out").count() === emitted,
+      "a micro-batch with no new distinct keys must emit nothing")
     q.stop()
-    // terminal = the LAST emitted row per group (largest n_rows)
+    // terminal = the LAST emitted row per group (largest n_rows); emit-on-
+    // change keeps it current — nothing is ever withheld at quiescence
     val streamed = spark.table("hll_out").as[HllEstimate].collect()
       .groupBy(_.event_type).view.mapValues(_.maxBy(_.n_rows)).toMap
     val batch = graft.Registry.byName("q_hll_sketch").run(spark, dir).collect()
@@ -37,9 +45,24 @@ class HllStreamSpec extends SparkTestBase {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got === est, s"$etype: streamed $got vs batch $est")
     }
-    // per-row totals add up across batches
-    val nTotal = streamed.values.map(_.n_rows).sum
-    assert(nTotal === rows.size.toLong)
+  }
+
+  test("minRelDelta band: small cardinality drift stays silent, a jump emits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = Pipelines.hllMonitor(ms.toDF().toDF("event_type", "user_id"), minRelDelta = 0.2)
+      .writeStream.format("memory").queryName("hll_band").outputMode("append").start()
+    ms.addData((0 until 1000).map(i => ("m", i.toLong))); q.processAllAvailable()
+    assert(spark.table("hll_band").count() === 1L) // first estimate always emits
+    // +10 new keys on ~1000: far inside the 20% band — silent
+    ms.addData((1000 until 1010).map(i => ("m", i.toLong))); q.processAllAvailable()
+    assert(spark.table("hll_band").count() === 1L,
+      "a sub-band cardinality move must not emit")
+    // +3000 new keys: way past the band — emits
+    ms.addData((2000 until 5000).map(i => ("m", i.toLong))); q.processAllAvailable()
+    assert(spark.table("hll_band").count() === 2L)
+    q.stop()
   }
 
   test("estimates refine monotonically in n_rows and state stays 64 registers") {
