@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+/** Real pure-JVM image codec for the multimodal binary-column keys (r12,
+  * VERDICT r11 #5 — retires the deterministic stand-in decode).
+  *
+  * The ENCODE side is test scaffolding, like the S7 buffer encoders in
+  * q_decode_s7: it renders a deterministic grayscale test card (pixel
+  * `(docId*31 + x*7 + y*13) % 256`) and writes genuine PNG or BMP bytes via
+  * `javax.imageio` — zlib/CRC/filters and BMP headers are the real formats,
+  * not a fake container. The DECODE side is the operator under test: it
+  * sniffs the format from the bytes alone, decodes with the matching
+  * ImageIO reader, and reads pixels back out of the decoded raster. The
+  * DuckDB oracle reproduces dimensions and pixel statistics by pure integer
+  * arithmetic, so any unfaithfulness in either codec direction (or in the
+  * format sniff) breaks hash parity.
+  *
+  * Everything here runs executor-side inside mapPartitions — one image per
+  * row, no driver involvement, no temp files (memory-cached streams;
+  * ImageIO's disk cache is disabled).
+  */
+object ImageCodec {
+
+  ImageIO.setUseCache(false)
+
+  /** Deterministic test-card geometry from the opaque payload length. */
+  def widthFor(len: Long): Int = (8 + len % 24).toInt
+  def heightFor(len: Long): Int = (8 + (len * 31) % 16).toInt
+
+  /** Deterministic gray value at (x, y) — integer-exact in every engine. */
+  def gray(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Render the test card and encode it as real PNG (even ids) / BMP (odd). */
+  def encode(docId: Long, len: Long): Array[Byte] = {
+    val (w, h) = (widthFor(len), heightFor(len))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = gray(docId, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (docId % 2 == 0) "png" else "bmp"
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      if (!ImageIO.write(img, fmt, ios)) sys.error(s"no ImageIO writer for $fmt")
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** One decoded image: sniffed format, dimensions, grayscale stats. */
+  final case class Decoded(format: String, width: Int, height: Int,
+      pixSum: Long, firstPx: Int, lastPx: Int) {
+    def nPixels: Long = width.toLong * height
+  }
+
+  /** Decode opaque media bytes: format comes from the registry sniff (magic
+    * bytes), pixels from the decoded raster. Throws on undecodable bytes —
+    * the dead-letter path upstream, not silent nulls.
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val iis = new MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) sys.error(s"undecodable media (${bytes.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(fmt, w, h, sum, img.getRGB(0, 0) & 0xff, img.getRGB(w - 1, h - 1) & 0xff)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Per-scanline decode for the frame-fan-out key: row index, row pixel sum,
+    * leading pixel — one output row per decoded scanline.
+    */
+  def decodeRows(bytes: Array[Byte]): IndexedSeq[(Int, Long, Int)] = {
+    val iis = new MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) sys.error(s"undecodable media (${bytes.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val w = img.getWidth
+        (0 until img.getHeight).map { y =>
+          var sum = 0L
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          (y, sum, img.getRGB(0, y) & 0xff)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+}

@@ -1270,11 +1270,18 @@ object InfluxQLPlanner {
       case "last"   => max_by(v, col("ts"))
       case "spread" => round(max(v) - min(v), 2)
       case "stddev" => round(stddev_samp(v), 4)
-      case "median" => round(expr(s"percentile(${f.arg}, 0.5)"), 4)
+      // MEDIAN/PERCENTILE ride the same approx tier as the batch family
+      // (Q.pctl): exact interpolated percentile by default, Greenwald-Khanna
+      // approx_percentile under graft.percentile.approx=true — at 100 TB a
+      // wide GROUP BY time() bucket is exactly the unbounded-group case the
+      // tier exists for. The planner always runs with an active session.
+      case "median" => round(expr(graft.queries.Q.pctl(
+        org.apache.spark.sql.SparkSession.active, f.arg, "0.5")), 4)
       case "mode"   => expr(s"mode(${f.arg}, true)")
       case "percentile" =>
         val p = f.param.get / 100.0
-        round(expr(s"percentile(${f.arg}, $p)"), 4)
+        round(expr(graft.queries.Q.pctl(
+          org.apache.spark.sql.SparkSession.active, f.arg, s"$p")), 4)
       case "integral" => throw InfluxQLParseException(
         "INTEGRAL needs raw point order — not available in this context")
       case other => throw InfluxQLParseException(s"unknown function: $other")

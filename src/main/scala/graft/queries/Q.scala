@@ -75,6 +75,28 @@ object Q {
       df.checkpoint(eager = true)
     else df.localCheckpoint(true)
 
+  /** Percentile spelling with a runtime approx tier (r12, VERDICT r11 #3 —
+    * the documented "swap approx_percentile at 100 TB" claim, now an
+    * executable switch like the reliable-checkpoint tier):
+    *  - default: exact interpolated `percentile` — a full per-group sort
+    *    buffer; right wherever the oracle verifies, and fine while groups
+    *    fit in memory.
+    *  - `graft.percentile.approx=true` (runtime SQL conf): Spark's
+    *    `approx_percentile` with the given accuracy — the Greenwald-Khanna
+    *    sketch bounds the buffer at O(accuracy) PER GROUP regardless of
+    *    group size, with rank error ≤ n/accuracy. Identical plan shape
+    *    (one hash aggregate / one window aggregate), so the swap changes
+    *    memory, not topology.
+    * Note the semantics difference: approx returns an OBSERVED value
+    * (no interpolation). PercentileApproxGateSpec pins the deviation of
+    * every key in the family under the flag.
+    */
+  def pctl(s: org.apache.spark.sql.SparkSession, valueExpr: String, p: String,
+      accuracy: Int = 10000): String =
+    if (s.conf.get("graft.percentile.approx", "false").toBoolean)
+      s"approx_percentile($valueExpr, $p, $accuracy)"
+    else s"percentile($valueExpr, $p)"
+
   /** Exact global `ntile(buckets)` without a single-reducer sort (r10,
     * VERDICT r9 #3). Same two-pass range-partitioned shape as the Pareto
     * prefix sum in q_abc_analysis:

@@ -111,8 +111,8 @@ object QAgg {
         |       round(stddev_samp(value), 4) AS sd_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        .agg(round(expr(Q.pctl(s, "value", "0.5")), 4).as("median_value"),
+          round(expr(Q.pctl(s, "value", "0.9")), 4).as("p90_value"),
           round(stddev_samp(col("value")), 4).as("sd_value"))
         .orderBy("event_type")
     },
@@ -174,10 +174,10 @@ object QAgg {
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
         round(col("value") * 100, 0).cast("long").as("v100"))
-      val m = e.groupBy("event_type").agg(expr("percentile(v100, 0.5D)").as("med100"))
+      val m = e.groupBy("event_type").agg(expr(Q.pctl(s, "v100", "0.5D")).as("med100"))
       val d = e.join(broadcast(m), Seq("event_type"))
       val md = d.groupBy("event_type")
-        .agg(expr("percentile(abs(v100 - med100), 0.5D)").as("mad100"))
+        .agg(expr(Q.pctl(s, "abs(v100 - med100)", "0.5D")).as("mad100"))
       d.join(broadcast(md), Seq("event_type"))
         .filter(abs(col("v100") - col("med100")) > lit(3) * col("mad100"))
         .select(col("event_id"), col("event_type"), col("value"),
@@ -223,13 +223,13 @@ object QAgg {
         round(col("value") * 100, 0).cast("long").as("v100"),
         hour(col("ts")).as("hr"))
       val m = e.groupBy("event_type").agg(
-        expr("percentile(v100, 0.5D)").as("med100"),
-        expr("percentile(v100, 0.25D)").as("q1"),
-        expr("percentile(v100, 0.75D)").as("q3"))
+        expr(Q.pctl(s, "v100", "0.5D")).as("med100"),
+        expr(Q.pctl(s, "v100", "0.25D")).as("q1"),
+        expr(Q.pctl(s, "v100", "0.75D")).as("q3"))
       val d = e.join(broadcast(m), Seq("event_type"))
       val md = d.groupBy("event_type")
-        .agg(expr("percentile(abs(v100 - med100), 0.5D)").as("mad100"))
-      val hm = e.groupBy("event_type", "hr").agg(expr("percentile(v100, 0.5D)").as("hmed100"))
+        .agg(expr(Q.pctl(s, "abs(v100 - med100)", "0.5D")).as("mad100"))
+      val hm = e.groupBy("event_type", "hr").agg(expr(Q.pctl(s, "v100", "0.5D")).as("hmed100"))
       val fMad = when(abs(col("v100") - col("med100")) > lit(3) * col("mad100"), 1).otherwise(0)
       val iqr = col("q3") - col("q1")
       val fIqr = when(col("v100") < col("q1") - lit(1.5) * iqr ||
@@ -292,7 +292,7 @@ object QAgg {
       val e = events(s, dir).select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("v100"),
         when(col("ts") < lit("2024-01-16").cast("timestamp"), 1).otherwise(2).as("period"))
-      val bAggs = (1 to 9).map(i => expr(s"percentile(v100, 0.${i}D)").as(s"b$i"))
+      val bAggs = (1 to 9).map(i => expr(Q.pctl(s, "v100", s"0.${i}D")).as(s"b$i"))
       val b = e.filter(col("period") === 1).groupBy("event_type")
         .agg(bAggs.head, bAggs.tail: _*)
       val binCol = (1 to 9).map(i => when(col("v100") > col(s"b$i"), 1).otherwise(0))
@@ -354,8 +354,8 @@ object QAgg {
       val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
         round(col("value") * 100, 0).cast("long").as("v100"))
       val m = e.groupBy("event_type").agg(
-        expr("percentile(v100, 0.05D)").as("p05"),
-        expr("percentile(v100, 0.95D)").as("p95"))
+        expr(Q.pctl(s, "v100", "0.05D")).as("p05"),
+        expr(Q.pctl(s, "v100", "0.95D")).as("p95"))
       e.join(broadcast(m), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
           round(least(greatest(col("v100"), col("p05")), col("p95")) / 100, 4).as("clipped"),

@@ -816,9 +816,9 @@ object QVector {
         expr(s"CAST(vec_dot(${sQuant("embedding")}, $vLit) AS BIGINT)").as("sc"),
         when(col("vec_id") < half, 1).otherwise(2).as("period"))
       val bq = pl.filter(col("period") === 1).groupBy("label")
-        .agg(expr("percentile(sc, 0.25D)").as("b1"),
-          expr("percentile(sc, 0.5D)").as("b2"),
-          expr("percentile(sc, 0.75D)").as("b3"))
+        .agg(expr(Q.pctl(s, "sc", "0.25D")).as("b1"),
+          expr(Q.pctl(s, "sc", "0.5D")).as("b2"),
+          expr(Q.pctl(s, "sc", "0.75D")).as("b3"))
       val binCol = (1 to 3).map(i => when(col("sc") > col(s"b$i"), 1).otherwise(0))
         .foldLeft(lit(1))(_ + _)
       val binned = pl.join(broadcast(bq), Seq("label")).withColumn("bin", binCol)

@@ -172,7 +172,7 @@ object QWin {
         .rowsBetween(-4, Window.currentRow)
       events(s, dir)
         .withColumn("v100", round(col("value") * 100, 0).cast("long"))
-        .withColumn("med5", round(expr("percentile(v100, 0.5D)")
+        .withColumn("med5", round(expr(Q.pctl(s, "v100", "0.5D"))
           .over(wm) / 100, 4))
         .select("event_id", "event_type", "med5")
         .orderBy("event_id")

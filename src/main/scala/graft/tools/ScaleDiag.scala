@@ -97,6 +97,20 @@ object ScaleDiag {
           println(f"DIAG ann nprobe=$np%d frac_read=${np.toDouble / k}%.3f recall5=$rec%.2f sec=$sec%.1f")
         }
 
+      case "pctl" =>
+        // r12 (VERDICT r11 #3): exact interpolated percentile vs the
+        // graft.percentile.approx tier over the whole Q.pctl family —
+        // the timing half of PercentileApproxGateSpec's deviation gates.
+        val family = Seq("q_agg_percentile", "q_anomaly_mad", "q_anomaly_ensemble",
+          "q_value_psi", "q_winsorize", "q_embedding_drift", "q_win_rolling_median")
+        for (mode <- Seq("exact", "approx"); key <- family) {
+          spark.conf.set("graft.percentile.approx", (mode == "approx").toString)
+          // count() executes the full aggregate without driver-collecting rows
+          time(s"$mode $key")(println(
+            graft.Registry.byName(key).run(spark, dir).count()))
+        }
+        spark.conf.unset("graft.percentile.approx")
+
       case "novelty" =>
         graft.functions.TextHash.register(spark)
         val g = graft.tables.Tables.table(spark, dir, "documents")
