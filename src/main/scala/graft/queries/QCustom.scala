@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
-import graft.functions.{DecodeS7, EmaAggregator, S7}
+import graft.functions.{DecodeS7, EmaAggregator, ImageCodec, S7}
 import graft.sinks.LineProtocol
 import graft.sources.ConfigXml
 import Q._
@@ -154,54 +154,75 @@ object QCustom {
 
     GraftQuery(
       "q_multimodal_meta",
-      "Extension: multimodal binary-column plumbing — typed mapPartitions 'decode' over opaque bytes",
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-        |       64 + octet_length(encode(text)) % 1217 AS width,
-        |       64 + (octet_length(encode(text)) * 31) % 929 AS height,
-        |       octet_length(encode(text)) // 1024 + 1 AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      "Extension: multimodal binary columns with a REAL pure-JVM codec (r12) — executor-side " +
+        "javax.imageio PNG/BMP decode of opaque media bytes inside typed mapPartitions",
+      // The oracle never sees the bytes: it recomputes what a FAITHFUL
+      // encode->decode round trip of the deterministic test card must
+      // yield (dims from the payload length, pixel (doc_id*31+x*7+y*13)%256)
+      // by pure integer arithmetic. Any drift in the real zlib/CRC/BMP
+      // codec path, the format sniff, or the raster readback breaks parity.
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, 8 + len % 24 AS w, 8 + (len * 31) % 16 AS h FROM d),
+        |s AS (SELECT doc_id, w, h,
+        |             sum((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS pix_sum
+        |      FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p)
+        |      GROUP BY doc_id, w, h)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |       w::BIGINT AS width, h::BIGINT AS height,
+        |       (w * h)::BIGINT AS n_pixels,
+        |       pix_sum::BIGINT AS pix_sum,
+        |       round(pix_sum / (w * h), 4) AS pix_mean,
+        |       ((doc_id * 31) % 256)::BIGINT AS first_px,
+        |       ((doc_id * 31 + (w - 1) * 7 + (h - 1) * 13) % 256)::BIGINT AS last_px
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // Real multimodal plumbing: an opaque binary column flows through a
-      // typed per-partition batch "decoder". The decode itself is a
-      // deterministic stand-in (no image/audio libs in this container) —
-      // swap `fakeDecode` for a real codec; schema/partitioning/batching
-      // stay identical.
-      def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
-        val len = bytes.length.toLong
-        (id, len, 64 + len % 1217, 64 + (len * 31) % 929, len / 1024 + 1)
-      }
+      // Opaque binary -> typed mapPartitions decode, one image per row, no
+      // driver involvement. Encode is fixture scaffolding (the q_decode_s7
+      // convention); decode — format sniff off the magic bytes, ImageIO
+      // read, raster readback — is the operator under test and a genuine
+      // PNG (zlib+CRC) / BMP codec, not a stand-in.
       Q.fanout(documents(s, dir))
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
-        .toDF("doc_id", "byte_len", "width", "height", "frames")
+        .select(col("doc_id"), expr("octet_length(text)").cast("long").as("len"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, len) =>
+          val d = ImageCodec.decode(ImageCodec.encode(id, len))
+          (id, d.format, d.width.toLong, d.height.toLong, d.nPixels,
+            d.pixSum, d.firstPx.toLong, d.lastPx.toLong)
+        })
+        .toDF("doc_id", "format", "width", "height", "n_pixels", "pix_sum",
+          "first_px", "last_px")
+        .withColumn("pix_mean", round(col("pix_sum") / col("n_pixels"), 4))
         .orderBy("doc_id")
     },
 
     GraftQuery(
       "q_multimodal_frames",
-      "Extension: frame-sampling plumbing — explode one row per 64-byte 'frame' of an opaque media column, per-frame feature",
-      """SELECT doc_id, frame_idx,
-        |       unicode(substr(text, frame_idx * 64 + 1, 1)) AS first_byte,
-        |       octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS frame_len
-        |FROM (SELECT doc_id, text,
-        |             unnest(range((octet_length(encode(text)) + 63) // 64)) AS frame_idx
-        |      FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-      // The real-codec version swaps the substr "decode" for an image/video
-      // frame grab inside the same shape: sequence+explode fans one row per
-      // frame out ON THE EXECUTORS (output-proportional, no driver loop),
-      // and downstream per-frame features are ordinary columns. Row count
-      // = total frames, so a 100 TB corpus fans out in parallel with no
-      // skew beyond document length itself. (Division by 64 — a power of
-      // two — is exact in binary FP, so the cast truncation equals the
-      // oracle's integer division.)
+      "Extension: frame-sampling over REAL decoded images (r12) — one output row per decoded " +
+        "scanline with per-row pixel features, fanned out on the executors",
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, 8 + len % 24 AS w, 8 + (len * 31) % 16 AS h FROM d),
+        |ln AS (SELECT doc_id, w, unnest(range(h)) AS y FROM p),
+        |px AS (SELECT doc_id, y, unnest(range(w)) AS x FROM ln)
+        |SELECT doc_id, y::BIGINT AS frame_idx,
+        |       sum((doc_id * 31 + x * 7 + y * 13) % 256)::BIGINT AS row_sum,
+        |       ((doc_id * 31 + y * 13) % 256)::BIGINT AS row_first
+        |FROM px GROUP BY doc_id, y ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // The frame grab is now a real decode: mapPartitions emits one row
+      // per decoded scanline (flatMap = executor-side fan-out, row count
+      // proportional to output, no driver loop), and per-frame features
+      // are read from the decoded raster. At 100 TB the fan-out
+      // parallelizes per document with no skew beyond media size itself.
       Q.fanout(documents(s, dir))
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(0, CAST((length(text) + 63) / 64 AS INT) - 1)")).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
-          ascii(expr("substr(text, frame_idx * 64 + 1, 1)")).cast("bigint").as("first_byte"),
-          length(expr("substr(text, frame_idx * 64 + 1, 64)")).cast("bigint").as("frame_len"))
+        .select(col("doc_id"), expr("octet_length(text)").cast("long").as("len"))
+        .as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, len) =>
+          ImageCodec.decodeRows(ImageCodec.encode(id, len)).map {
+            case (y, rowSum, rowFirst) => (id, y.toLong, rowSum, rowFirst.toLong)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "row_sum", "row_first")
         .orderBy("doc_id", "frame_idx")
     },
 
