@@ -81,6 +81,18 @@ case class FeatState(n: Long, ring: Seq[Double],
   */
 object Pipelines {
 
+  /** Deterministic fold order inside one micro-batch group: (ts, event_id).
+    * Spark hands flatMapGroupsWithState an UNORDERED iterator over the
+    * group's slice of the CURRENT micro-batch, so the fold buffers and
+    * sorts that slice on the executor. The buffer is bounded by micro-batch
+    * size (trigger interval × per-series ingest rate), NOT by stream
+    * history — the O(1)-state claims of these folds refer to the
+    * checkpointed per-series state, which never grows; intra-batch
+    * buffering is the standard cost of ordered stateful folds.
+    */
+  private def eventTimeOrdered[T](it: Iterator[T])(key: T => (Long, Long)): Seq[T] =
+    it.toSeq.sortBy(key)
+
   /** T4 + T7: watermarked tumbling aggregation over a streaming frame. */
   def tumbling(stream: DataFrame, watermark: String = "30 seconds"): DataFrame =
     QStream.tumbling(stream.withWatermark("ts", watermark))
@@ -138,7 +150,7 @@ object Pipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[BandSample], state: GroupState[Long]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = eventTimeOrdered(it)(e => (e.ts.getTime, e.event_id))
           var last: Option[Long] = if (state.exists) Some(state.get) else None
           val out = sorted.flatMap { e =>
             if (last.contains(e.band)) None
@@ -211,7 +223,7 @@ object Pipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Double, Long)]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = eventTimeOrdered(it)(e => (e.ts.getTime, e.event_id))
           var (sp, sn, alarms) = state.getOption.getOrElse((0.0, 0.0, 0L))
           val out = sorted.flatMap { e =>
             sp = math.max(0.0, sp + (e.value - target) - slack)
@@ -251,7 +263,7 @@ object Pipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Double, Double, Double, Long)]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = eventTimeOrdered(it)(e => (e.ts.getTime, e.event_id))
           var (ef, es, m, sg, n) = state.getOption.getOrElse((0.0, 0.0, 0.0, 0.0, 0L))
           val out = sorted.flatMap { e =>
             if (n == 0L) { ef = e.value; es = e.value; m = 0.0; sg = 0.0; n = 1L; None }
@@ -289,7 +301,7 @@ object Pipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[CusumSample], state: GroupState[(Double, Long)]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = eventTimeOrdered(it)(e => (e.ts.getTime, e.event_id))
           var (z, alarms) = state.getOption.getOrElse((target, 0L))
           val out = sorted.flatMap { e =>
             z = lambda * e.value + (1.0 - lambda) * z
@@ -449,7 +461,7 @@ object Pipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[CusumSample], state: GroupState[FeatState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = eventTimeOrdered(it)(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(FeatState(0L, Nil, None))
           val out = scala.collection.mutable.ArrayBuffer.empty[FeatureRow]
           for (e <- sorted) {
