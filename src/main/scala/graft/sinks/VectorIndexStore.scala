@@ -66,11 +66,15 @@ object VectorIndexStore {
   private def genPath(d: String) = s"$d/gen"
 
   /** The index GENERATION: a counter bumped atomically by every committed
-    * centroid swap (build commit or crash roll-forward). The driver-side
-    * centroid cache keys on it (r12, VERDICT r11 #2 — /ann/query paid a
+    * index mutation — centroid swaps (build commit, crash roll-forward)
+    * AND incremental list folds. The driver-side centroid cache and the
+    * hot-cell cache key on it (r12, VERDICT r11 #2 — /ann/query paid a
     * parquet read per request for a k×d table that only changes on
-    * retrain); an index predating the marker reads as generation 0 and
-    * its first rebuild bumps to 1, invalidating any cached copy.
+    * retrain); incremental folds leave centroids byte-identical but DO
+    * change cell membership, so they must invalidate too (the
+    * probe-finds-new-vector lifecycle test pins this). An index predating
+    * the marker reads as generation 0 and its first rebuild bumps to 1,
+    * invalidating any cached copy.
     */
   def generation(indexDir: String): Long = {
     val f = new java.io.File(genPath(indexDir))
@@ -359,6 +363,7 @@ object VectorIndexStore {
       Kmeans.assignScaled(frozen, cents)
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
+      bumpGeneration(indexDir) // cell membership changed
     }
     rm(fDir)
   }
@@ -417,6 +422,7 @@ object VectorIndexStore {
           cents)
         .select("vec_id", "embedding", "cluster")
         .write.partitionBy("cluster").mode("append").parquet(listsDir(indexDir))
+      bumpGeneration(indexDir) // centroids untouched, cell membership changed
       trace(s"tick: incremental fold appended $nDelta")
     }
     rm(fDir)
@@ -493,9 +499,59 @@ object VectorIndexStore {
       .select("probe_id", "vec_id", "score", "rnk")
   }
 
-  /** Exact-cosine top-k over the `nprobe` nearest cells. The cluster
-    * IN (…) predicate prunes the partitioned lists at file listing —
-    * the fine scan reads nprobe/k of the corpus.
+  /** Driver-side HOT-CELL cache for the single-probe serving path (r12):
+    * the centroid cache removed the per-request centroids read, but every
+    * `/ann/query` still paid a full Spark job (~300 ms of planning +
+    * scheduling) to fine-scan nprobe cells that are usually a few hundred
+    * KB. This is the serving-node RAM tier an IVF deployment runs: probed
+    * cells' vectors stay resident, keyed by (indexDir, GENERATION,
+    * cluster) so a commit swap can never serve stale vectors (old-gen
+    * entries age out of the LRU), bounded by a byte budget
+    * (`graft.ann.cellCacheMB`, default 256; 0 disables). A cell whose
+    * fine scan exceeds the per-query residency cap falls back to the
+    * Spark path for that query instead of evicting the whole cache —
+    * at the 2¹⁶-cell cap a 100 TB corpus has ~150k-vector cells, which is
+    * exactly the "hot cells in RAM, cold cells hit the store" split.
+    */
+  private object CellCache {
+    private val lru = new java.util.LinkedHashMap[
+        (String, Long, Int), Array[(Long, Array[Float])]](64, 0.75f, true)
+    private var bytes = 0L
+    private def sizeOf(v: Array[(Long, Array[Float])]): Long =
+      v.foldLeft(0L)((s, e) => s + 40L + 4L * e._2.length)
+    def get(key: (String, Long, Int)): Option[Array[(Long, Array[Float])]] =
+      synchronized(Option(lru.get(key)))
+    def put(key: (String, Long, Int), v: Array[(Long, Array[Float])],
+        budgetBytes: Long): Unit = synchronized {
+      if (!lru.containsKey(key)) {
+        lru.put(key, v): Unit
+        bytes += sizeOf(v)
+        val it = lru.entrySet().iterator()
+        while (bytes > budgetBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { bytes -= sizeOf(e.getValue); it.remove() }
+        }
+      }
+    }
+  }
+
+  /** Bit-exact driver twin of the codegen'd `vec_cos` (same left-to-right
+    * double accumulation — [[graft.functions.VectorMath.cos]]), so the
+    * cached path scores identically to the Spark path.
+    */
+  private def cosF(a: Array[Float], b: Array[Double]): Double = {
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i)
+      sab += x * y; saa += x * x; sbb += y * y; i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  /** Exact-cosine top-k over the `nprobe` nearest cells. Hot cells serve
+    * driver-direct from [[CellCache]] (no Spark job — the result is a
+    * LocalRelation); cold or over-budget cells fine-scan via the cluster
+    * IN (…) predicate, which prunes the partitioned lists at file listing.
     */
   def search(spark: SparkSession, indexDir: String, probe: Seq[Double],
       topK: Int, nprobe: Int = 3): DataFrame = {
@@ -507,6 +563,54 @@ object VectorIndexStore {
       .map { case (cid, cv) =>
         (cid, cv.zip(qp).map { case (a, b) => val d = a - b; d * d }.sum) }
       .sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
+
+    val budgetMb = spark.conf.get("graft.ann.cellCacheMB", "256").toLong
+    if (budgetMb > 0) {
+      val gen = generation(indexDir)
+      val resident = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[(Long, Array[Float])])]
+      val missing = scala.collection.mutable.ArrayBuffer.empty[Int]
+      cells.foreach { cid =>
+        CellCache.get((indexDir, gen, cid)) match {
+          case Some(v) => resident += ((cid, v))
+          case None    => missing += cid
+        }
+      }
+      // all misses in ONE pruned scan; cap residency per query at half the
+      // budget so a pathological cell can't evict everything
+      val cap = budgetMb * 1024 * 1024 / 2
+      var ok = true
+      if (missing.nonEmpty) {
+        val fetched = spark.read.parquet(listsDir(indexDir))
+          .filter(col("cluster").isin(missing.toSeq: _*))
+          .select("cluster", "vec_id", "embedding")
+          .collect()
+        val est = fetched.foldLeft(0L)((s, r) =>
+          s + 40L + 4L * r.getSeq[Any](2).length)
+        if (est > cap) ok = false
+        else {
+          val byCell = fetched.groupBy(_.getInt(0))
+          missing.foreach { cid =>
+            val v = byCell.getOrElse(cid, Array.empty[org.apache.spark.sql.Row])
+              .map(r => (r.getLong(1),
+                r.getSeq[Number](2).map(_.floatValue).toArray))
+            CellCache.put((indexDir, gen, cid), v, budgetMb * 1024 * 1024)
+            resident += ((cid, v))
+          }
+        }
+      }
+      if (ok) {
+        val pArr = probe.toArray
+        val top = resident.iterator.flatMap { case (cid, vs) =>
+          vs.iterator.collect { case (id, e) if e.length == pArr.length =>
+            (id, cosF(e, pArr), cid) }
+        }.toSeq
+          .sortBy { case (id, s, _) => (-s, id) }
+          .take(topK)
+        val sq = spark; import sq.implicits._
+        return top.toDF("vec_id", "score", "cluster")
+      }
+    }
+
     val pLit = s"array(${probe.map(v => s"${v}D").mkString(",")})"
     spark.read.parquet(listsDir(indexDir))
       .filter(col("cluster").isin(cells: _*))

@@ -195,11 +195,39 @@ class VectorIndexStoreSpec extends SparkTestBase {
     val post = VectorIndexStore.search(spark, dir, probe, topK = 3).collect()
     assert(post.head.getLong(0) === 400L && math.abs(post.head.getDouble(1) - 1.0) < 1e-9,
       s"post-retrain search must find vec 400 via the new centroids, got ${post.toSeq}")
-    // incremental ticks do NOT bump the generation (centroids untouched)
+    // incremental ticks leave centroids untouched but DO bump the
+    // generation (r12: cell membership changed — the hot-cell cache must
+    // not serve the pre-fold cell), and the freshly folded vector is
+    // visible through the caches immediately
     val sq = spark; import sq.implicits._
     VectorIndexStore.append(spark,
       Seq((300001L, donor)).toDF("vec_id", "embedding"), dir)
     assert(VectorIndexStore.tick(spark, dir) === ((1L, false)))
-    assert(VectorIndexStore.generation(dir) === 2L)
+    assert(VectorIndexStore.generation(dir) === 3L,
+      "incremental fold must bump the generation (cell-cache invalidation)")
+    val folded = VectorIndexStore.search(spark, dir, probe, topK = 3).collect()
+    assert(folded.map(_.getLong(0)).contains(300001L),
+      s"post-fold search must see the folded vector, got ${folded.toSeq}")
+  }
+
+  test("hot-cell cache: bit-identical to the Spark fine scan, and job-free once resident (r12)") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val probe = corpus.filter(col("vec_id") === 7L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val cached = VectorIndexStore.search(spark, dir, probe, topK = 10).collect()
+    spark.conf.set("graft.ann.cellCacheMB", "0")
+    val viaSpark =
+      try VectorIndexStore.search(spark, dir, probe, topK = 10).collect()
+      finally spark.conf.unset("graft.ann.cellCacheMB")
+    // same ids, same clusters, scores bit-equal (cosF mirrors vec_cos's
+    // accumulation order exactly)
+    assert(cached.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq ===
+      viaSpark.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+    // with the probed cells resident, the result is a LocalRelation —
+    // collect() runs zero Spark jobs (the serving-latency point)
+    val plan = VectorIndexStore.search(spark, dir, probe, topK = 10)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), s"expected LocalRelation, got:\n$plan")
   }
 }
