@@ -653,6 +653,99 @@ object QAgg {
         "theoretical band."),
 
     GraftQuery(
+      "q_hll_union",
+      "A22 (r12): HLL MERGEABILITY — the property that makes sketches the 100 TB " +
+        "distinct story: per-DAY register tables (the per-partition artifact a fleet " +
+        "of executors or a day-partitioned store ships) merge by max-per-register " +
+        "into EXACTLY the registers a single global pass produces (max is " +
+        "associative and commutative), so the union cardinality of any day range " +
+        "needs m longs per day, never a re-scan — while the naive sum of daily " +
+        "distinct counts overcounts every returning user. Output pins all three: " +
+        "merged_est == direct_est bit-for-bit (the mergeability proof, hash-checked " +
+        "by the oracle replaying both paths), against n_exact and the inflated " +
+        "sum_daily_exact. Same m=64 avalanche-hash registers as q_hll_sketch.",
+      s"""WITH x1 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |              (user_id * 2654435761) % 2147483648 AS x1 FROM events),
+         |x2 AS (SELECT event_type, day, xor(x1, x1 // 32768) AS x2 FROM x1),
+         |x3 AS (SELECT event_type, day, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
+         |b AS (SELECT event_type, day,
+         |             xor(x3, x3 // 8192) % 64 AS reg,
+         |             xor(x3, x3 // 8192) // 64 AS h2
+         |      FROM x3),
+         |rk AS (SELECT event_type, day, reg, max($rankLadder) AS m
+         |       FROM b GROUP BY event_type, day, reg),
+         |mg AS (SELECT event_type, reg, max(m) AS m FROM rk GROUP BY event_type, reg),
+         |dr AS (SELECT event_type, reg, max($rankLadder) AS m
+         |       FROM b GROUP BY event_type, reg),
+         |ma AS (SELECT event_type, count(*) AS present,
+         |              sum(1.0 / (1::BIGINT << m)) AS sp FROM mg GROUP BY event_type),
+         |me AS (SELECT event_type,
+         |              CASE WHEN 0.709 * 4096.0 / (sp + (64 - present)) <= 160.0
+         |                        AND 64 - present > 0
+         |                   THEN 64.0 * ln(64.0 / (64 - present))
+         |                   ELSE 0.709 * 4096.0 / (sp + (64 - present)) END AS est
+         |       FROM ma),
+         |da AS (SELECT event_type, count(*) AS present,
+         |              sum(1.0 / (1::BIGINT << m)) AS sp FROM dr GROUP BY event_type),
+         |de AS (SELECT event_type,
+         |              CASE WHEN 0.709 * 4096.0 / (sp + (64 - present)) <= 160.0
+         |                        AND 64 - present > 0
+         |                   THEN 64.0 * ln(64.0 / (64 - present))
+         |                   ELSE 0.709 * 4096.0 / (sp + (64 - present)) END AS est
+         |       FROM da),
+         |dx AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |              count(DISTINCT user_id) AS dn
+         |       FROM events GROUP BY event_type, day),
+         |sd AS (SELECT event_type, count(*) AS n_days, sum(dn) AS sum_daily_exact
+         |       FROM dx GROUP BY event_type),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY event_type)
+         |SELECT x.event_type, sd.n_days::BIGINT AS n_days, x.n_exact,
+         |       sd.sum_daily_exact::BIGINT AS sum_daily_exact,
+         |       round(me.est, 4) AS merged_est, round(de.est, 4) AS direct_est
+         |FROM x JOIN sd USING (event_type) JOIN me USING (event_type)
+         |     JOIN de USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val b = events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("x1", expr("(user_id * 2654435761L) % 2147483648L"))
+        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
+        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
+        .withColumn("g", expr("x3 ^ (x3 div 8192)"))
+        .select(col("event_type"), col("day"),
+          expr("g % 64").as("reg"), expr("g div 64").as("h2"))
+        .withColumn("rank", expr(rankLadder))
+      // the per-day artifact, then the max-merge — vs the direct pass
+      val daily = b.groupBy("event_type", "day", "reg").agg(max(col("rank")).as("m"))
+      val merged = daily.groupBy("event_type", "reg").agg(max(col("m")).as("m"))
+      val direct = b.groupBy("event_type", "reg").agg(max(col("rank")).as("m"))
+      def estOf(regs: org.apache.spark.sql.DataFrame, out: String) = regs
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("present"),
+          sum(expr("1.0D / CAST(shiftleft(1L, m) AS DOUBLE)")).as("sp"))
+        .select(col("event_type"),
+          (col("sp") + (lit(64) - col("present"))).as("s"),
+          (lit(64) - col("present")).as("zeros"))
+        .select(col("event_type"),
+          when(lit(0.709) * 4096.0 / col("s") <= 160.0 && col("zeros") > 0,
+            lit(64.0) * log(lit(64.0) / col("zeros")))
+            .otherwise(lit(0.709) * 4096.0 / col("s")).as(out))
+      val sd = events(s, dir).withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day").agg(countDistinct(col("user_id")).as("dn"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("dn")).as("sum_daily_exact"))
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(sd, "event_type")
+        .join(estOf(merged, "me"), "event_type")
+        .join(estOf(direct, "de"), "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          col("sum_daily_exact"),
+          round(col("me"), 4).as("merged_est"), round(col("de"), 4).as("direct_est"))
+        .orderBy("event_type")
+    },
+
+    GraftQuery(
       "q_heavy_hitters_cms",
       "A19 (r11): Count-Min-sketch heavy hitters — the mergeable counting sketch " +
         "next to A18's cardinality sketch: a 4x512 integer counter grid (four " +
