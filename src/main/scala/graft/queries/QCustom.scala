@@ -227,6 +227,43 @@ object QCustom {
     },
 
     GraftQuery(
+      "q_multimodal_filter",
+      "Extension (r12): image QUALITY FILTER over decoded media — the multimodal twin of " +
+        "the text quality scorers: decode each image (real javax.imageio path), keep docs " +
+        "whose decoded resolution and exposure pass the training-set bands",
+      // Bands: min resolution 16px wide, mean gray in [100, 160] (the
+      // exposure filter an image pipeline runs before training). The
+      // oracle recomputes decoded stats arithmetically, so the filter
+      // verdict depends on a faithful decode.
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, 8 + len % 24 AS w, 8 + (len * 31) % 16 AS h FROM d),
+        |s AS (SELECT doc_id, w, h,
+        |             sum((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS pix_sum
+        |      FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p)
+        |      GROUP BY doc_id, w, h)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |       round(pix_sum / (w * h), 4) AS pix_mean
+        |FROM s
+        |WHERE w >= 16 AND pix_sum / (w * h) BETWEEN 100 AND 160
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Q.fanout(documents(s, dir))
+        .select(col("doc_id"), expr("octet_length(text)").cast("long").as("len"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, len) =>
+          val d = ImageCodec.decode(ImageCodec.encode(id, len))
+          (id, d.width.toLong, d.height.toLong,
+            d.pixSum.toDouble / (d.width.toLong * d.height))
+        })
+        .toDF("doc_id", "width", "height", "mean_raw")
+        .filter(col("width") >= 16 &&
+          col("mean_raw") >= 100 && col("mean_raw") <= 160)
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_raw"), 4).as("pix_mean"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
       "q_line_protocol",
       "S3: line-protocol point shaping (batched sink formatting, fixes per-sample POST of InfluxConnector2.py:176)",
       """SELECT event_id,
