@@ -561,6 +561,14 @@ object InfluxQLHttp {
     * "cluster":…}…],"stale":n}` where `stale` counts vectors appended but
     * not yet folded by a tick (the documented staleness window). 503
     * until the first tick builds the index.
+    *
+    * POST /ann/query[?k&nprobe] (r12) — the BATCH form a real consumer
+    * sends: one `probe_id v1,v2,…` line per probe (the /ann/write line
+    * shape), answered in ONE [[graft.sinks.VectorIndexStore.searchBatch]]
+    * plan — per-probe cell selection against the broadcast centroid
+    * table, the union of probed cells pruned once. Returns
+    * `{"results":[{"probe_id":…,"hits":[{"vec_id":…,"score":…,"rnk":…}…]}…],
+    * "stale":n}`.
     */
   private def handleAnnQuery(ex: HttpExchange, spark: SparkSession,
       storeDir: String,
@@ -572,6 +580,9 @@ object InfluxQLHttp {
       authUser(ex, params, auth, Some(storeDir), jwtSecret) match {
         case None => respond(ex, 401, errJson("authorization failed")); return
         case Some(_) => ()
+      }
+      if (ex.getRequestMethod == "POST") {
+        handleAnnQueryBatch(ex, spark, storeDir, lock, params); return
       }
       // malformed numerics (k=abc, nprobe=, probe=1,x,3) are CLIENT errors
       // — parse them under a catch so they 400 like missing/out-of-range
@@ -595,12 +606,15 @@ object InfluxQLHttp {
       }
       val idx = annIndexDir(storeDir)
       // a probe of the wrong dimensionality can never match — reject it
-      // as a client error instead of letting a distance call blow up
-      graft.sinks.VectorIndexStore.dimOf(idx).foreach { d =>
-        if (probe.size != d) {
+      // as a client error instead of letting a distance call blow up.
+      // (match, not foreach: a `return` inside a lambda is a
+      // NonLocalReturnControl throw that the Throwable handler below
+      // would intercept and double-respond on)
+      graft.sinks.VectorIndexStore.dimOf(idx) match {
+        case Some(d) if probe.size != d =>
           respond(ex, 400, errJson(
             s"probe has ${probe.size} dimensions; the index holds $d")); return
-        }
+        case _ => ()
       }
       lock.readLock.lock()
       val out = try {
@@ -621,6 +635,88 @@ object InfluxQLHttp {
     } catch {
       case e: Throwable => respond(ex, 500, errJson(String.valueOf(e.getMessage)))
     }
+  }
+
+  /** The POST /ann/query batch path: parse `probe_id v1,v2,…` lines,
+    * dimension-check against the index, answer all probes in one
+    * searchBatch plan under the read lock.
+    */
+  private def handleAnnQueryBatch(ex: HttpExchange, spark: SparkSession,
+      storeDir: String,
+      lock: java.util.concurrent.locks.ReentrantReadWriteLock,
+      params: Map[String, String]): Unit = {
+    val (k, nprobe) =
+      try (params.get("k").map(_.trim.toInt).getOrElse(10),
+        params.get("nprobe").map(_.trim.toInt).getOrElse(3))
+      catch {
+        case e: NumberFormatException =>
+          respond(ex, 400, errJson(
+            s"malformed numeric parameter: ${String.valueOf(e.getMessage)}")); return
+      }
+    if (k <= 0 || k > 1000 || nprobe <= 0) {
+      respond(ex, 400, errJson("k must be in [1,1000] and nprobe >= 1")); return
+    }
+    val maxBody = 25 * 1024 * 1024
+    val bytes = ex.getRequestBody.readNBytes(maxBody + 1)
+    if (bytes.length > maxBody) {
+      respond(ex, 413, errJson(s"request body too large (limit $maxBody bytes)")); return
+    }
+    val lines = new String(bytes, StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty) { respond(ex, 400, errJson("empty probe body")); return }
+    if (lines.size > 10000) {
+      respond(ex, 413, errJson("too many probes in one batch (limit 10000)")); return
+    }
+    val parsed = lines.map { line =>
+      val sp = line.indexOf(' ')
+      if (sp <= 0) Left(line)
+      else try Right((line.substring(0, sp).toLong,
+        line.substring(sp + 1).split(',').map(_.trim.toFloat)))
+      catch { case _: NumberFormatException => Left(line) }
+    }
+    parsed.collectFirst { case Left(bad) => bad } match {
+      case Some(bad) =>
+        respond(ex, 400, errJson(
+          s"unable to parse probe line: '$bad' (expected: probe_id v1,v2,…)")); return
+      case None => ()
+    }
+    val probes = parsed.collect { case Right(r) => r }
+    if (probes.exists(_._2.exists(v => v.isNaN || v.isInfinite))) {
+      respond(ex, 400, errJson("probe values must be finite")); return
+    }
+    val idx = annIndexDir(storeDir)
+    val dimBad = graft.sinks.VectorIndexStore.dimOf(idx).flatMap(d =>
+      probes.find(_._2.length != d).map(p => (p._1, p._2.length, d)))
+    dimBad match {
+      case Some((pid, got, d)) =>
+        respond(ex, 400, errJson(
+          s"probe $pid has $got dimensions; the index holds $d")); return
+      case None => ()
+    }
+    lock.readLock.lock()
+    val out = try {
+      if (!new java.io.File(s"$idx/lists").exists()) {
+        val stale = graft.sinks.VectorIndexStore.staleCount(spark, idx)
+        respond(ex, 503, errJson(
+          s"vector index not built yet ($stale vectors pending the next tick)")); return
+      }
+      val sq = spark; import sq.implicits._
+      val pdf = probes.toDF("probe_id", "embedding")
+      val hits = graft.sinks.VectorIndexStore
+        .searchBatch(spark, idx, pdf, topK = k, nprobe = nprobe)
+        .collect()
+      val stale = graft.sinks.VectorIndexStore.staleCount(spark, idx)
+      val byProbe = hits.groupBy(_.getLong(0))
+      val items = probes.map(_._1).distinct.map { pid =>
+        val hs = byProbe.getOrElse(pid, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getInt(3))
+          .map(r => s"""{"vec_id":${r.getLong(1)},"score":${r.getDouble(2)},""" +
+            s""""rnk":${r.getInt(3)}}""").mkString(",")
+        s"""{"probe_id":$pid,"hits":[$hs]}"""
+      }.mkString(",")
+      s"""{"results":[$items],"stale":$stale}"""
+    } finally lock.readLock.unlock()
+    respond(ex, 200, out)
   }
 
   /** Is this statement a store mutation (InfluxDB runs these through

@@ -112,6 +112,33 @@ class AnnHttpSpec extends SparkTestBase {
     } finally h.stop()
   }
 
+  test("POST /ann/query answers a probe batch in one plan; malformed batches 400 (r12)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ann-batch").toFile
+    val h = InfluxQLHttp.startStore(spark, store.toString, cqTickSec = Some(1))
+    try {
+      assert(call(h.port, "POST", "/ann/write", Some(lines(0 until 100)))._1 == 204)
+      assert(pollUntil(90000)(
+        call(h.port, "GET", s"/ann/query?probe=${vec(1).mkString(",")}")._1 == 200),
+        "index never became queryable")
+      // three probes, one POST: each probe's self-match tops its hit list
+      val batch = Seq(11, 22, 33).map(i => s"$i ${vec(i).mkString(",")}").mkString("\n")
+      val (code, body) = call(h.port, "POST", "/ann/query?k=3&nprobe=2", Some(batch))
+      assert(code == 200, body)
+      for (pid <- Seq(11, 22, 33)) {
+        val section = body.split(s""""probe_id":$pid""")(1).split("}]")(0)
+        assert(section.contains(s""""vec_id":$pid"""),
+          s"probe $pid must self-match in its own hit list: $section")
+      }
+      assert(body.contains("\"stale\":"), body)
+      // malformed lines / dims / params are client errors
+      assert(call(h.port, "POST", "/ann/query", Some("nope"))._1 == 400)
+      assert(call(h.port, "POST", "/ann/query", Some("1 1,0,0"))._1 == 400) // wrong dim
+      assert(call(h.port, "POST", "/ann/query?k=abc", Some("1 " +
+        vec(1).mkString(",")))._1 == 400)
+      assert(call(h.port, "POST", "/ann/query", Some(""))._1 == 400)
+    } finally h.stop()
+  }
+
   test("GraftSession.annSearch registers the SQL view over a store index") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-ann-sql").toFile
