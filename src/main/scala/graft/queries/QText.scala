@@ -687,15 +687,21 @@ object QText {
         |       coalesce(s.shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |WHERE d.doc_id >= 10 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val grams = documents(s, dir)
+      // Each side explodes from its own pushed-down scan (r12): the bench
+      // side re-tokenizes only 10 docs — trivially cheaper than
+      // checkpointing the corpus's millions of gram strings to share one
+      // explode (the materialize dominated the key at sf1: 4.6 s of the
+      // 5.1 s total), and the corpus side now streams straight into the
+      // broadcast join with nothing persisted.
+      def gramsOf(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"
         )).as("gram"))
-        .transform(Q.materialize) // referenced by bench AND scored; gram once
-      val bench = grams.filter(col("doc_id") < 10).select("gram").distinct()
-      val scored = grams.filter(col("doc_id") >= 10)
+      val docs = documents(s, dir)
+      val bench = gramsOf(docs.filter(col("doc_id") < 10)).select("gram").distinct()
+      val scored = gramsOf(docs.filter(col("doc_id") >= 10))
         .join(broadcast(bench), "gram")
         .groupBy("doc_id").agg(count_distinct(col("gram")).as("shared"))
       documents(s, dir).filter(col("doc_id") >= 10)
@@ -1234,17 +1240,26 @@ object QText {
         |      GROUP BY 1, 2)
         |SELECT src_a, src_b, shared_grams FROM p
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      val g = Q.fanout(documents(s, dir))
+      // ONE aggregate instead of a materialized self-join (r12): per gram,
+      // collect the sorted distinct source set (bounded by #sources, not
+      // documents — collect_set's partial agg collapses repeats map-side,
+      // subsuming the old DISTINCT shuffle), then fan the (i<j) pairs out
+      // ON THE EXECUTORS. Same counts as the src_a < src_b self-join, with
+      // one shuffle total and nothing checkpointed — the sf1 board had the
+      // join spelling at 5.7 s, this runs the key scan-bound.
+      Q.fanout(documents(s, dir))
         .select(col("source"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("source"), explode(expr(
           "transform(sequence(1, size(toks) - 7)," +
             " i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
-        .distinct() // (gram, source): partial agg collapses repeats map-side
-        .transform(Q.materialize) // both join sides read one shuffle's output
-      val a = g.select(col("source").as("src_a"), col("gram"))
-      val b = g.select(col("source").as("src_b"), col("gram").as("gram_b"))
-      a.join(b, col("gram") === col("gram_b") && col("src_a") < col("src_b"))
+        .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(srcs) - 2), i ->" +
+            " transform(sequence(i + 1, size(srcs) - 1), j ->" +
+            " struct(srcs[i] AS src_a, srcs[j] AS src_b))))")).as("p"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
         .orderBy("src_a", "src_b")
     },

@@ -294,10 +294,36 @@ object VectorIndexStore {
     trace(s"appendLocal: committed ${rows.size} rows (${fin.getName})")
   }
 
-  /** Vectors appended since the last tick (the staleness window). */
-  def staleCount(spark: SparkSession, indexDir: String): Long =
-    if (!hasVisibleFiles(new java.io.File(deltaDir(indexDir)))) 0L
-    else spark.read.parquet(deltaDir(indexDir)).count()
+  /** Vectors appended since the last tick (the staleness window). Counted
+    * from parquet FOOTER metadata driver-side (r12) — every `/ann/query`
+    * response carries this number, and a Spark `count()` job per request
+    * (planning + scheduling, ~100 ms) dwarfed the served search once cells
+    * went resident. Row counts live in each file's footer; delta files are
+    * one-per-POST and bounded by the tick cadence, so this is a few
+    * ~1 ms footer reads. Parquet-exact: it is the same metadata Spark's
+    * count-pushdown reads. Files mid-write are invisible (dot-prefixed,
+    * the r11 rename-into-place discipline), matching the Spark listing.
+    */
+  def staleCount(spark: SparkSession, indexDir: String): Long = {
+    val d = new java.io.File(deltaDir(indexDir))
+    val files = Option(d.listFiles()).getOrElse(Array.empty).filter(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+        f.getName.endsWith(".parquet"))
+    if (files.isEmpty) 0L
+    else files.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch {
+        // a lock-free caller can race the tick's delta→folding rename:
+        // a vanished file means those vectors just got indexed — count 0
+        case _: java.io.FileNotFoundException => 0L
+      }
+    }.sum
+  }
 
   /** No maintenance in flight and nothing pending: delta empty, no
     * `delta.folding` marker, no staged `.building` dirs. With builds now

@@ -111,6 +111,26 @@ object ScaleDiag {
         }
         spark.conf.unset("graft.percentile.approx")
 
+      case "decon" =>
+        // r12: localize q_decontaminate's sf1 board bend (7.2x at 10x)
+        val grams0 = graft.tables.Tables.documents(spark, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"
+          )).as("gram"))
+        time("grams-count")(println(grams0.count()))
+        val grams = time("materialize")(graft.queries.Q.materialize(grams0))
+        val bench = grams.filter(col("doc_id") < 10).select("gram").distinct()
+        time("bench-distinct")(println(bench.count()))
+        val joined = grams.filter(col("doc_id") >= 10).join(broadcast(bench), "gram")
+        time("join-count")(println(joined.count()))
+        val scored = joined.groupBy("doc_id")
+          .agg(count_distinct(col("gram")).as("shared"))
+        time("scored")(println(scored.count()))
+        time("full-key")(println(
+          graft.Registry.byName("q_decontaminate").run(spark, dir).count()))
+
       case "novelty" =>
         graft.functions.TextHash.register(spark)
         val g = graft.tables.Tables.table(spark, dir, "documents")
