@@ -791,6 +791,64 @@ object QAgg {
     },
 
     GraftQuery(
+      "q_cms_union",
+      "A23 (r12): Count-Min MERGEABILITY — the additive twin of q_hll_union: per-DAY " +
+        "4x512 counter grids (the artifact a day-partitioned store ships) SUM into the " +
+        "grid of any day range, so a range's heavy-hitter estimates need 2048 longs per " +
+        "day, never a re-scan. Demonstrated as a real range query: the first half-month's " +
+        "estimates from summed daily grids, pinned bit-equal to the direct single-pass " +
+        "grid over the same range (count over a partition union IS the sum — " +
+        "associativity made executable) next to the range's exact counts. All-integer " +
+        "like A19: no rounding convention anywhere.",
+      {
+        val hs = CmsA.indices.map(i =>
+          s"((${CmsA(i)} * user_id + ${CmsB(i)}) % 1000000007) % 512")
+        s"""WITH e1 AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+           |            WHERE ts < '2024-01-16'),
+           |cells AS (${hs.zipWithIndex.map { case (h, i) =>
+             s"SELECT day, user_id, $i AS r, $h AS c FROM e1" }.mkString(" UNION ALL ")}
+           |),
+           |dsk AS (SELECT day, r, c, count(*) AS n FROM cells GROUP BY day, r, c),
+           |msk AS (SELECT r, c, sum(n) AS n FROM dsk GROUP BY r, c),
+           |drk AS (SELECT r, c, count(*) AS n FROM cells GROUP BY r, c),
+           |ex AS (SELECT user_id, count(*) AS exact_n FROM e1 GROUP BY user_id
+           |       ORDER BY exact_n DESC, user_id LIMIT 10),
+           |cand AS (${hs.zipWithIndex.map { case (h, i) =>
+             s"SELECT user_id, exact_n, $i AS r, $h AS c FROM ex" }.mkString(" UNION ALL ")}
+           |),
+           |est AS (SELECT cand.user_id, cand.exact_n,
+           |               min(msk.n)::BIGINT AS cms_merged,
+           |               min(drk.n)::BIGINT AS cms_direct
+           |        FROM cand JOIN msk USING (r, c) JOIN drk USING (r, c)
+           |        GROUP BY 1, 2)
+           |SELECT user_id, exact_n, cms_merged, cms_direct,
+           |       cms_merged - exact_n AS overestimate
+           |FROM est ORDER BY exact_n DESC, user_id""".stripMargin
+      }) { (s, dir) =>
+      val e1 = events(s, dir).filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      def cellCol(i: Int) =
+        expr(s"((${CmsA(i)}L * user_id + ${CmsB(i)}L) % 1000000007L) % 512")
+      val cells = e1.select(col("day"),
+        posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+      // the per-day artifact, the additive merge, and the direct pass
+      val dsk = cells.groupBy("day", "r", "c").agg(count(lit(1)).as("n"))
+      val msk = dsk.groupBy("r", "c").agg(sum(col("n")).as("mn"))
+      val drk = cells.groupBy("r", "c").agg(count(lit(1)).as("dn"))
+      val ex = e1.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      val cand = ex.select(col("user_id"), col("exact_n"),
+        posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
+      cand.join(broadcast(msk), Seq("r", "c")).join(broadcast(drk), Seq("r", "c"))
+        .groupBy("user_id", "exact_n")
+        .agg(min(col("mn")).cast("bigint").as("cms_merged"),
+          min(col("dn")).cast("bigint").as("cms_direct"))
+        .select(col("user_id"), col("exact_n"), col("cms_merged"), col("cms_direct"),
+          (col("cms_merged") - col("exact_n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    },
+
+    GraftQuery(
       "q_cms_width_sweep",
       "A20 (r11): Count-Min WIDTH tuning curve — the sketch-sizing twin of " +
         "q_knn_probe_sweep/q_dedup_threshold_sweep: for width w in {64, 256, " +
