@@ -61,6 +61,7 @@ object VectorIndexStore {
   private def centPath(d: String) = s"$d/centroids.parquet"
   private def listsBuilding(d: String) = s"$d/lists.building"
   private def centBuilding(d: String) = s"$d/centroids.building.parquet"
+  private def listsCompacting(d: String) = s"$d/lists.compacting"
 
   private def dimPath(d: String) = s"$d/dim"
   private def genPath(d: String) = s"$d/gen"
@@ -221,6 +222,7 @@ object VectorIndexStore {
       .coalesce(1).write.mode("overwrite").parquet(centBuilding(indexDir))
     Kmeans.assignScaled(qdf, cents)
       .select("vec_id", "embedding", "cluster")
+      .repartition(col("cluster")) // one file per cluster, not one per task
       .write.partitionBy("cluster").mode("overwrite").parquet(listsBuilding(indexDir))
     crit {
       val cent = new java.io.File(centPath(indexDir))
@@ -336,7 +338,8 @@ object VectorIndexStore {
     !hasVisibleFiles(new java.io.File(deltaDir(indexDir))) &&
       !new java.io.File(foldingDir(indexDir)).exists() &&
       !new java.io.File(listsBuilding(indexDir)).exists() &&
-      !new java.io.File(centBuilding(indexDir)).exists()
+      !new java.io.File(centBuilding(indexDir)).exists() &&
+      !new java.io.File(listsCompacting(indexDir)).exists()
 
   /** Crash recovery: an orphaned `delta.folding/` means a prior tick died
     * between folding and cleanup, so its list-append may or may not have
@@ -353,6 +356,19 @@ object VectorIndexStore {
     val cb    = new java.io.File(centBuilding(indexDir))
     val lists = new java.io.File(listsDir(indexDir))
     val cent  = new java.io.File(centPath(indexDir))
+    // Compaction recovery (r12). Compaction is content-preserving, so its
+    // crash rules are simpler than the build's: an orphaned
+    // lists.compacting NEXT TO live lists may be a half-written rewrite —
+    // always roll BACK (the live lists stay the source of truth and a
+    // later tick just re-compacts); compacting WITHOUT live lists means
+    // the commit's rm(lists) ran, so the rewrite had completed — roll
+    // forward.
+    val lc = new java.io.File(listsCompacting(indexDir))
+    if (lc.exists() && lists.exists()) rm(lc)
+    else if (lc.exists()) crit {
+      lc.renameTo(lists): Unit
+      bumpGeneration(indexDir)
+    }
     // Retrain-swap recovery first. Build writes cb THEN lb; commit is
     // delete cent → rename cb→cent → delete lists → rename lb→lists. Every
     // crash state is therefore unambiguous:
@@ -453,7 +469,62 @@ object VectorIndexStore {
     }
     rm(fDir)
     trace(s"tick: cleared folding marker")
+    // lists compaction rides the tick AFTER the fold clears its marker:
+    // when incremental folds have accreted past ~4 files per cell, rewrite
+    // to one file per cluster (graft.ann.compactFilesPerCell tunes it)
+    if (!retrain) {
+      val (dirs, files) = listsFileStats(indexDir)
+      val perCell = spark.conf.get("graft.ann.compactFilesPerCell", "4").toInt
+      if (dirs > 0 && files > perCell.toLong * dirs) {
+        trace(s"tick: compacting lists ($files files over $dirs cells)")
+        compactLists(spark, indexDir, crit)
+      }
+    }
     (nDelta, retrain)
+  }
+
+  /** Small-file stats of the live lists: (cluster dirs, visible part
+    * files). Every incremental fold appends one file per touched cluster,
+    * so files grow O(folds × cells) while dirs stay at the cell count.
+    */
+  private def listsFileStats(indexDir: String): (Int, Int) = {
+    val d = new java.io.File(listsDir(indexDir))
+    val dirs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    val files = dirs.map(cd => Option(cd.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))).sum
+    (dirs.length, files)
+  }
+
+  /** Compact the inverted lists back to ~one file per cluster (r12 — the
+    * missing half of the compaction analogy: PointStoreDirect.compact
+    * handles the point store, but lists only got rewritten on RETRAIN, so
+    * a write-heavy index accreted one file per touched cluster per tick
+    * and every later fold's rowcount, the recovery anti-join, and the
+    * cold-cell Spark scans degraded with file count, not data size).
+    * Content-preserving staged rewrite: read live lists → write
+    * lists.compacting partitioned by cluster (one shuffle partition per
+    * cluster ⇒ one file) → swap under `crit` + generation bump. Must run
+    * on the tick thread only (a concurrent fold's append would be lost in
+    * the swap); readers keep serving the old lists until the rename.
+    */
+  def compactLists(spark: SparkSession, indexDir: String,
+      crit: Critical = Critical.inline): Unit = {
+    val lists = new java.io.File(listsDir(indexDir))
+    if (!lists.exists()) return
+    val lc = listsCompacting(indexDir)
+    spark.read.parquet(lists.getPath)
+      .select("vec_id", "embedding", "cluster")
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(lc)
+    crit {
+      rm(lists)
+      if (!new java.io.File(lc).renameTo(lists))
+        throw new IllegalStateException(s"cannot commit compaction $lc -> $lists")
+      bumpGeneration(indexDir)
+    }
+    trace("compactLists: committed")
   }
 
   /** Daemon-tick entry for a SERVED index (r11 — the HTTP front door's

@@ -203,11 +203,74 @@ class VectorIndexStoreSpec extends SparkTestBase {
     VectorIndexStore.append(spark,
       Seq((300001L, donor)).toDF("vec_id", "embedding"), dir)
     assert(VectorIndexStore.tick(spark, dir) === ((1L, false)))
-    assert(VectorIndexStore.generation(dir) === 3L,
-      "incremental fold must bump the generation (cell-cache invalidation)")
+    assert(VectorIndexStore.generation(dir) >= 3L,
+      "incremental fold must bump the generation (cell-cache invalidation); " +
+        "a post-fold lists compaction may add one more bump")
     val folded = VectorIndexStore.search(spark, dir, probe, topK = 3).collect()
     assert(folded.map(_.getLong(0)).contains(300001L),
       s"post-fold search must see the folded vector, got ${folded.toSeq}")
+  }
+
+  test("lists compaction: accreted fold files rewrite to ~one per cluster; results identical (r12)") {
+    val dir = freshDir()
+    val sq = spark; import sq.implicits._
+    VectorIndexStore.build(spark, corpus, dir)
+    val probe = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1).map(_.toDouble)
+    val donor = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1)
+    def listsFiles(): Int = {
+      val d = new java.io.File(s"$dir/lists")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(cd => cd.listFiles().count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))).sum
+    }
+    try {
+      val before = VectorIndexStore.search(spark, dir, probe, topK = 5).collect()
+      // accrete: folds append one file per touched cluster while the
+      // threshold is out of reach
+      spark.conf.set("graft.ann.compactFilesPerCell", "1000000")
+      val base = listsFiles()
+      for (i <- 0 until 4) {
+        VectorIndexStore.append(spark,
+          Seq((200001L + i, donor)).toDF("vec_id", "embedding"), dir)
+        VectorIndexStore.tick(spark, dir)
+      }
+      assert(listsFiles() === base + 4, "each fold should add one file")
+      // threshold 1: the next tick's fold pushes past one file per cell
+      // and the compaction rewrite collapses the accretion
+      spark.conf.set("graft.ann.compactFilesPerCell", "1")
+      VectorIndexStore.append(spark,
+        Seq((200100L, donor)).toDF("vec_id", "embedding"), dir)
+      VectorIndexStore.tick(spark, dir)
+      val nCells = Option(new java.io.File(s"$dir/lists").listFiles()).get
+        .count(_.getName.startsWith("cluster="))
+      assert(listsFiles() <= nCells, s"${listsFiles()} files over $nCells cells after compaction")
+      // content preserved: the original corpus hits are still served
+      val after = VectorIndexStore.search(spark, dir, probe, topK = 5).collect()
+      assert(after.head.getLong(0) === before.head.getLong(0))
+    } finally spark.conf.unset("graft.ann.compactFilesPerCell")
+  }
+
+  test("compaction crash states recover: half-written stage rolls back, post-rm stage rolls forward (r12)") {
+    val dir = freshDir()
+    VectorIndexStore.build(spark, corpus, dir)
+    val probe = corpus.filter(col("vec_id") === 3L).head().getSeq[Float](1).map(_.toDouble)
+    val lists = new java.io.File(s"$dir/lists")
+    val lc = new java.io.File(s"$dir/lists.compacting")
+    // (a) crash mid-rewrite: stage next to live lists → recovery rolls back
+    lc.mkdirs()
+    new java.io.File(lc, "cluster=0").mkdirs()
+    VectorIndexStore.tick(spark, dir) // recoverFolding runs first
+    assert(!lc.exists() && lists.exists(), "half-written stage must roll back")
+    assert(VectorIndexStore.search(spark, dir, probe, topK = 1).collect().nonEmpty)
+    // (b) crash between rm(lists) and rename: stage alone → roll forward
+    val gen0 = VectorIndexStore.generation(dir)
+    assert(lists.renameTo(lc)) // simulate: rewrite completed, rm(lists) ran
+    VectorIndexStore.tick(spark, dir)
+    assert(lists.exists() && !lc.exists(), "completed stage must roll forward")
+    assert(VectorIndexStore.generation(dir) > gen0, "adoption must bump the generation")
+    assert(VectorIndexStore.search(spark, dir, probe, topK = 1)
+      .collect().head.getLong(0) === 3L)
   }
 
   test("hot-cell cache: bit-identical to the Spark fine scan, and job-free once resident (r12)") {
