@@ -313,12 +313,23 @@ object VectorIndexStore {
         f.getName.endsWith(".parquet"))
     if (files.isEmpty) 0L
     else files.map { f =>
-      try {
+      // committed delta files are IMMUTABLE (written hidden, renamed into
+      // place), so their row counts memoize by path: a 20 s single-vector
+      // write burst leaves ~20k one-row files, and re-reading 20k footers
+      // per /ann/query response is exactly the per-request scan this
+      // method exists to avoid
+      val key = f.getPath
+      val hit = footerRows.get(key)
+      if (hit != null) hit.longValue
+      else try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(key),
           spark.sessionState.newHadoopConf())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
+        val n = try r.getRecordCount finally r.close()
+        if (footerRows.size > 1000000) footerRows.clear() // unbounded-growth backstop
+        footerRows.put(key, java.lang.Long.valueOf(n)): Unit
+        n
       } catch {
         // a lock-free caller can race the tick's delta→folding rename:
         // a vanished file means those vectors just got indexed — count 0
@@ -326,6 +337,10 @@ object VectorIndexStore {
       }
     }.sum
   }
+
+  /** Path → row count for committed (immutable) delta files. */
+  private val footerRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** No maintenance in flight and nothing pending: delta empty, no
     * `delta.folding` marker, no staged `.building` dirs. With builds now

@@ -125,6 +125,31 @@ object AnnServeBench {
       import scala.jdk.CollectionConverters._
       val concLat = lats.asScala.map(_.doubleValue).toSeq
 
+      // ---- batch query: 100 probes per POST, amortized per-probe latency
+      val nBatchProbes = 100
+      val r2 = new scala.util.Random(7)
+      val batchBody = (0 until nBatchProbes).map { i =>
+        val v = Array.fill(dim)(r2.nextFloat() * 2f - 1f)
+        s"$i ${v.map(x => f"$x%.4f").mkString(",")}"
+      }.mkString("\n")
+      def postQuery(): Int = {
+        val conn = new URI(s"http://127.0.0.1:${h.port}/ann/query?k=10&nprobe=3")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(batchBody.getBytes(StandardCharsets.UTF_8))
+        val code = conn.getResponseCode
+        conn.getInputStream.readAllBytes(): Unit
+        conn.disconnect()
+        code
+      }
+      require(postQuery() == 200) // warm
+      val bq0 = System.nanoTime()
+      val bqReps = 5
+      (0 until bqReps).foreach(_ => require(postQuery() == 200))
+      val batchQuerySec = (System.nanoTime() - bq0) / 1e9
+      val probesPerSec = nBatchProbes * bqReps / batchQuerySec
+
       // ---- /ann/write ingest: serial single-vector POSTs
       val w0 = System.nanoTime()
       (0 until nSerialW).foreach { _ =>
@@ -195,6 +220,8 @@ object AnnServeBench {
         s""""query_conc_threads":$nThreads,""" +
         s""""query_conc_p50_ms":${f"${pct(concLat, 0.5)}%.1f"},""" +
         s""""query_conc_p95_ms":${f"${pct(concLat, 0.95)}%.1f"},""" +
+        s""""batch_probes_per_post":$nBatchProbes,""" +
+        s""""batch_probes_per_sec":${f"$probesPerSec%.0f"},""" +
         s""""write_serial_posts_per_sec":${f"${nSerialW / wSerialSec}%.1f"},""" +
         s""""write_conc_posts_per_sec":${f"${nThreads * perThreadW / wConcSec}%.1f"},""" +
         s""""sustain_sec":$sustainSec,"sustained_writes":$sustainedWrites,""" +
