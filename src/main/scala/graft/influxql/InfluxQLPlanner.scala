@@ -1824,8 +1824,11 @@ object InfluxQLPlanner {
           case "triple_exponential_moving_average" => s"(3 * $e1n - 3 * $e2n + $e3n)"
           // TRIX diffs e3 IN the fold (acc.e3 = e3ₖ₋₁): indexing the fold's
           // output with a post-hoc transform would re-inline the whole
-          // O(n) fold per element (measured 3.3 s vs 0.6 s at sf0.1)
-          case _ => s"(100.0 * ($e3n - acc.e3) / acc.e3)"
+          // O(n) fold per element (measured 3.3 s vs 0.6 s at sf0.1).
+          // nullif: a zero previous e3 (e.g. SPREAD of single-point
+          // buckets) yields NULL, the engine's x/0 convention — under
+          // ANSI it otherwise THROWS mid-task (plan-fuzz finding, r12)
+          case _ => s"(100.0 * ($e3n - acc.e3) / nullif(acc.e3, CAST(0 AS DOUBLE)))"
         }
         // seed: every non-TRIX variant's first output equals the first
         // bucket value (2v−v = v and 3v−3v+v = v bit-exactly in IEEE);

@@ -50,6 +50,21 @@ class InfluxQLPlanFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("TRIX over zero-valued buckets yields NULL, not DIVIDE_BY_ZERO (r12 fuzz find)") {
+    // minimized from a failing generated case: SPREAD of single-point 5m
+    // buckets is 0 everywhere, so TRIX's previous-e3 divisor is 0 — under
+    // ANSI the old spelling threw mid-task; the x/0 convention is NULL
+    val rows = InfluxQLPlanner.sql(spark, dir,
+      """SELECT TRIPLE_EXPONENTIAL_DERIVATIVE(SPREAD(value), 3) AS t0
+        |FROM events
+        |WHERE time >= 1704104127957347594 AND time < 1704134608096023933
+        |GROUP BY time(5m)""".stripMargin,
+      nowNs = Some(nowNs)).collect()
+    assert(rows.nonEmpty)
+    // every populated single-point bucket spreads to 0 ⇒ TRIX is NULL
+    assert(rows.forall(r => r.isNullAt(1)), s"expected NULLs, got ${rows.take(3).toSeq}")
+  }
+
   test("20 generated SHOW TAG VALUES statements plan and execute without throwing") {
     val prop = Prop.forAll(InfluxQLGen.genShowTagValues) { st =>
       val q = InfluxQLRender.render(st)
