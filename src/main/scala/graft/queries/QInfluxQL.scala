@@ -775,7 +775,7 @@ object QInfluxQL {
          |       FROM s3 GROUP BY user_id, ts_, n),
          |x AS (SELECT user_id, ts_, unnest(range(2, n + 1)) AS i, v3 FROM o4 WHERE n >= 2)
          |SELECT strftime(ts_[i], '%Y-%m-%d %H:%M:%S') AS time, user_id,
-         |       floor(100 * (v3[i] - v3[i - 1]) / v3[i - 1] * 10000) / 10000 AS trix
+         |       floor(100 * (v3[i] - v3[i - 1]) / nullif(v3[i - 1], 0) * 10000) / 10000 AS trix
          |FROM x ORDER BY time, user_id""".stripMargin)(influx(
       """SELECT TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 9) AS trix FROM events
         |WHERE time >= '2024-01-01' AND time < '2024-01-08'
