@@ -667,6 +667,12 @@ object InfluxQLHttp {
     if (lines.size > 10000) {
       respond(ex, 413, errJson("too many probes in one batch (limit 10000)")); return
     }
+    // the response materializes probes×k hit rows on the driver — bound
+    // the product, not just each factor (10k probes × k=1000 is 10M rows)
+    if (lines.size.toLong * k > 1000000L) {
+      respond(ex, 413, errJson(
+        s"probes × k = ${lines.size.toLong * k} exceeds the 1e6 result cap")); return
+    }
     val parsed = lines.map { line =>
       val sp = line.indexOf(' ')
       if (sp <= 0) Left(line)
