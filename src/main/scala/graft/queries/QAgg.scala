@@ -144,13 +144,27 @@ object QAgg {
 
     GraftQuery(
       "q_downsample_1m",
-      "A9/F8 FLAGSHIP: GROUP BY time(1m), series — the InfluxQL continuous-query surface (README.md:3)",
+      "A9/F8 FLAGSHIP: GROUP BY time(1m), series — the InfluxQL continuous-query surface " +
+        "(README.md:3). The mean runs over INTEGER cents with the floor half-up spelling " +
+        "(r12): the sf1 parity sweep caught avg-of-doubles landing on round(4) ties where " +
+        "the engines' partial-sum orders differ by an ulp — and a naive integer mean " +
+        "round(s/n/100, 4) is WORSE, because exact dyadic ties (n = 8 buckets) hit the " +
+        "engines' opposite tie rules (Spark HALF_UP on the decimal string vs DuckDB " +
+        "half-to-even in float space). floor(s·100/n + 0.5)/10⁴ is the same op sequence " +
+        "in both engines — exact integer sum, one division, floor — bit-equal at any " +
+        "scale, tie rule half-up by construction.",
       """SELECT strftime(time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
-        |       event_type, round(avg(value), 4) AS mean_value, count(*) AS n
+        |       event_type,
+        |       floor(CAST(sum(round(value * 100)::BIGINT) * 100 AS DOUBLE) / count(*) + 0.5)
+        |         / 10000 AS mean_value,
+        |       count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       events(s, dir)
+        .withColumn("v100", round(col("value") * 100, 0).cast("long"))
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
-        .agg(round(avg("value"), 4).as("mean_value"), count(lit(1)).as("n"))
+        .agg((floor((sum(col("v100")) * 100).cast("double") / count(lit(1)) + 0.5) / 10000)
+          .as("mean_value"),
+          count(lit(1)).as("n"))
         .select(tsS(col("window.start")).as("ws"), col("event_type"), col("mean_value"), col("n"))
         .orderBy("ws", "event_type")
     },

@@ -258,32 +258,40 @@ object QInflux {
     GraftQuery(
       "q_win_rsi",
       "W10: RELATIVE_STRENGTH_INDEX(14) per series — SMA variant, window-expressible (InfluxQL technical analysis)",
+      // Integer-cents + floor half-up (r12, the sf1-parity convention):
+      // 100 − 100/(1 + ag/al) == 100·su/(su+sd) over the window SUMS, so
+      // the whole statistic is one division of exact integers — identical
+      // op sequence in both engines at any scale, no round() tie exposure.
       s"""WITH d AS (
          |  SELECT event_id, user_id, ts,
-         |         value - lag(value) OVER ($duckW) AS df
+         |         round(value * 100)::BIGINT
+         |           - lag(round(value * 100)::BIGINT) OVER ($duckW) AS df
          |  FROM events),
          |g AS (
          |  SELECT event_id, user_id,
-         |         avg(CASE WHEN df > 0 THEN df ELSE 0 END) OVER ($duckW
-         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
-         |         avg(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER ($duckW
-         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+         |         sum(CASE WHEN df > 0 THEN df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS su,
+         |         sum(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER ($duckW
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sd
          |  FROM d WHERE df IS NOT NULL)
          |SELECT event_id, user_id,
-         |       CASE WHEN al = 0 THEN 100
-         |            ELSE round(100 - 100 / (1 + ag / al), 4) END AS rsi
+         |       CASE WHEN sd = 0 THEN 100
+         |            ELSE floor(CAST(su * 1000000 AS DOUBLE) / (su + sd) + 0.5)
+         |                   / 10000 END AS rsi
          |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val df14 = col("value") - lag(col("value"), 1).over(w)
+      val v100 = round(col("value") * 100, 0).cast("long")
       val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-13, Window.currentRow)
       events(s, dir)
-        .withColumn("df", df14)
+        .withColumn("v100", v100)
+        .withColumn("df", col("v100") - lag(col("v100"), 1).over(w))
         .filter(col("df").isNotNull)
-        .withColumn("ag", avg(when(col("df") > 0, col("df")).otherwise(0)).over(wf))
-        .withColumn("al", avg(when(col("df") < 0, -col("df")).otherwise(0)).over(wf))
+        .withColumn("su", sum(when(col("df") > 0, col("df")).otherwise(0L)).over(wf))
+        .withColumn("sd", sum(when(col("df") < 0, -col("df")).otherwise(0L)).over(wf))
         .select(col("event_id"), col("user_id"),
-          when(col("al") === 0, 100.0)
-            .otherwise(round(lit(100) - lit(100) / (lit(1) + col("ag") / col("al")), 4))
+          when(col("sd") === 0, 100.0)
+            .otherwise(floor((col("su") * 1000000L).cast("double")
+              / (col("su") + col("sd")) + 0.5) / 10000)
             .as("rsi"))
         .orderBy("event_id")
     },
@@ -293,7 +301,8 @@ object QInflux {
       "W11: CHANDE_MOMENTUM_OSCILLATOR(14) per series — windowed up/down momentum sums (InfluxQL technical analysis)",
       s"""WITH d AS (
          |  SELECT event_id, user_id, ts,
-         |         value - lag(value) OVER ($duckW) AS df
+         |         round(value * 100)::BIGINT
+         |           - lag(round(value * 100)::BIGINT) OVER ($duckW) AS df
          |  FROM events),
          |g AS (
          |  SELECT event_id, user_id,
@@ -304,19 +313,23 @@ object QInflux {
          |  FROM d WHERE df IS NOT NULL)
          |SELECT event_id, user_id,
          |       CASE WHEN su + sd = 0 THEN 0
-         |            ELSE round(100 * (su - sd) / (su + sd), 4) + 0 END AS cmo
+         |            ELSE floor(CAST((su - sd) * 1000000 AS DOUBLE) / (su + sd) + 0.5)
+         |                   / 10000 END AS cmo
          |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val dff = col("value") - lag(col("value"), 1).over(w)
+      // same integer-cents floor half-up convention as q_win_rsi (r12)
+      val v100c = round(col("value") * 100, 0).cast("long")
       val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-13, Window.currentRow)
       events(s, dir)
-        .withColumn("df", dff)
+        .withColumn("v100", v100c)
+        .withColumn("df", col("v100") - lag(col("v100"), 1).over(w))
         .filter(col("df").isNotNull)
-        .withColumn("su", sum(when(col("df") > 0, col("df")).otherwise(0)).over(wf))
-        .withColumn("sd", sum(when(col("df") < 0, -col("df")).otherwise(0)).over(wf))
+        .withColumn("su", sum(when(col("df") > 0, col("df")).otherwise(0L)).over(wf))
+        .withColumn("sd", sum(when(col("df") < 0, -col("df")).otherwise(0L)).over(wf))
         .select(col("event_id"), col("user_id"),
           when(col("su") + col("sd") === 0, 0.0)
-            .otherwise(round(lit(100) * (col("su") - col("sd")) / (col("su") + col("sd")), 4) + lit(0.0))
+            .otherwise(floor(((col("su") - col("sd")) * 1000000L).cast("double")
+              / (col("su") + col("sd")) + 0.5) / 10000)
             .as("cmo"))
         .orderBy("event_id")
     },
@@ -324,10 +337,15 @@ object QInflux {
     GraftQuery(
       "q_win_ker",
       "W12: KAUFMANS_EFFICIENCY_RATIO(10) per series — |net change| / path length (InfluxQL technical analysis)",
+      // Integer-cents + floor half-up (r12, the sf1-parity convention):
+      // |net change| and path length are exact integer cents, so the ratio
+      // is one division of exact integers in both engines at any scale.
       s"""WITH d AS (
-         |  SELECT event_id, user_id, ts, value,
-         |         abs(value - lag(value) OVER ($duckW)) AS adf,
-         |         abs(value - lag(value, 10) OVER ($duckW)) AS chg,
+         |  SELECT event_id, user_id, ts,
+         |         abs(round(value * 100)::BIGINT
+         |             - lag(round(value * 100)::BIGINT) OVER ($duckW)) AS adf,
+         |         abs(round(value * 100)::BIGINT
+         |             - lag(round(value * 100)::BIGINT, 10) OVER ($duckW)) AS chg,
          |         row_number() OVER ($duckW) AS rn
          |  FROM events),
          |g AS (
@@ -335,20 +353,23 @@ object QInflux {
          |         sum(adf) OVER ($duckW ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
          |  FROM d)
          |SELECT event_id, user_id,
-         |       CASE WHEN vol = 0 THEN 0 ELSE round(chg / vol, 4) + 0 END AS ker
+         |       CASE WHEN vol = 0 THEN 0
+         |            ELSE floor(CAST(chg * 10000 AS DOUBLE) / vol + 0.5) / 10000 END AS ker
          |FROM g WHERE rn > 10 ORDER BY event_id""".stripMargin) { (s, dir) =>
       val wrn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-9, Window.currentRow)
+      val v100k = round(col("value") * 100, 0).cast("long")
       events(s, dir)
-        .withColumn("adf", abs(col("value") - lag(col("value"), 1).over(wrn)))
-        .withColumn("chg", abs(col("value") - lag(col("value"), 10).over(wrn)))
+        .withColumn("v100", v100k)
+        .withColumn("adf", abs(col("v100") - lag(col("v100"), 1).over(wrn)))
+        .withColumn("chg", abs(col("v100") - lag(col("v100"), 10).over(wrn)))
         .withColumn("rn", row_number().over(wrn))
         .withColumn("vol", sum(col("adf")).over(wf))
         .filter(col("rn") > 10)
         .select(col("event_id"), col("user_id"),
           when(col("vol") === 0, 0.0)
-            .otherwise(round(col("chg") / col("vol"), 4) + lit(0.0))
+            .otherwise(floor((col("chg") * 10000L).cast("double") / col("vol") + 0.5) / 10000)
             .as("ker"))
         .orderBy("event_id")
     },
