@@ -14,7 +14,14 @@ import graft.tables.Tables
   *  - floats rounded to a fixed scale AFTER aggregation; money-critical
   *    sums go through DECIMAL(18,2) so they are order-independent;
   *  - deterministic ORDER BY on a unique key in both engines;
-  *  - window ORDER BY always tie-broken by a unique column.
+  *  - window ORDER BY always tie-broken by a unique column;
+  *  - means/ratios that must stay bit-equal PAST the gate SFs (r12: the
+  *    sf1 sweep caught round(4) ties where partial-sum orders differ by
+  *    an ulp) run on integer cents with `floor(x·10⁴ + 0.5)/10⁴` — exact
+  *    integer sums, ONE division, floor: op-identical in both engines.
+  *    NEVER `round(intSum/n/100, 4)`: exact dyadic ties (n = 8 buckets)
+  *    hit the engines' OPPOSITE tie rules (Spark HALF_UP on the decimal
+  *    string, DuckDB half-to-even in float space) on every tie.
   */
 object Q {
 
