@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
-import graft.functions.{DecodeS7, EmaAggregator, ImageCodec, S7}
+import graft.functions.{AudioCodec, DecodeS7, EmaAggregator, ImageCodec, S7}
 import graft.sinks.LineProtocol
 import graft.sources.ConfigXml
 import Q._
@@ -260,6 +260,37 @@ object QCustom {
           col("mean_raw") >= 100 && col("mean_raw") <= 160)
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_raw"), 4).as("pix_mean"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery(
+      "q_multimodal_audio",
+      "Extension (r12): audio as the SECOND real-codec modality — executor-side " +
+        "javax.sound.sampled decode of genuine RIFF/WAVE PCM bytes: sample rate/bit " +
+        "depth read from the DECODED header, sample stats folded from the decoded PCM",
+      // Same oracle discipline as the image keys: DuckDB replays the
+      // deterministic 16-bit test tone by pure integer arithmetic, so any
+      // header or PCM unfaithfulness in the real container round trip
+      // breaks hash parity.
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, 64 + len % 192 AS n FROM d),
+        |sm AS (SELECT doc_id, n, ((doc_id * 7 + i * 13) % 65536) - 32768 AS s
+        |       FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM p))
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, 16::BIGINT AS bits,
+        |       n::BIGINT AS n_samples, sum(s)::BIGINT AS pcm_sum,
+        |       min(s)::BIGINT AS pcm_min, max(s)::BIGINT AS pcm_max
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Q.fanout(documents(s, dir))
+        .select(col("doc_id"), expr("octet_length(text)").cast("long").as("len"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, len) =>
+          val d = AudioCodec.decode(AudioCodec.encode(id, len))
+          (id, d.sampleRate.toLong, d.bits.toLong, d.nSamples,
+            d.pcmSum, d.pcmMin.toLong, d.pcmMax.toLong)
+        })
+        .toDF("doc_id", "sample_rate", "bits", "n_samples", "pcm_sum",
+          "pcm_min", "pcm_max")
         .orderBy("doc_id")
     },
 
