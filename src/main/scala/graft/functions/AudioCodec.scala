@@ -26,14 +26,50 @@ object AudioCodec {
   def sample(docId: Long, i: Int): Int =
     (((docId * 7 + i.toLong * 13) % 65536) - 32768).toInt
 
-  /** Render the tone and encode it as a real 16-bit mono PCM WAVE file. */
+  /** Render the tone and encode it as a real 16-bit mono PCM WAVE file.
+    * The canonical 44-byte RIFF/fmt/data header is written directly
+    * (AudioSystem.write's provider machinery cost ~6× the whole key at
+    * sf1 — fixture overhead, not operator cost); [[encodeViaProvider]]
+    * keeps the library path and the spec pins both byte-identical, so
+    * the hand-rolled container is exactly what javax.sound itself emits.
+    */
   def encode(docId: Long, len: Long): Array[Byte] = {
+    val n = samplesFor(len)
+    val out = new Array[Byte](44 + n * 2)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    val sr = SampleRate.toInt
+    tag(0, "RIFF"); le32(4, 36 + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+    le32(24, sr); le32(28, sr * 2 /* byte rate */); le16(32, 2 /* block */); le16(34, 16)
+    tag(36, "data"); le32(40, n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(docId, i)
+      out(44 + 2 * i) = (s & 0xff).toByte       // little-endian PCM
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The javax.sound encode path — kept as the reference the spec pins
+    * [[encode]] byte-identical against.
+    */
+  def encodeViaProvider(docId: Long, len: Long): Array[Byte] = {
     val n = samplesFor(len)
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
       val s = sample(docId, i)
-      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }

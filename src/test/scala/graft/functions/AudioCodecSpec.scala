@@ -15,6 +15,14 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "WAVE type")
   }
 
+  test("hand-rolled header is byte-identical to javax.sound's own WAVE output") {
+    for (id <- Seq(0L, 5L, 999L); len <- Seq(0L, 31L, 4096L)) {
+      val fast = AudioCodec.encode(id, len)
+      val ref = AudioCodec.encodeViaProvider(id, len)
+      assert(fast.sameElements(ref), s"id=$id len=$len containers differ")
+    }
+  }
+
   test("decode reads header metadata and round-trips samples exactly") {
     for (id <- Seq(0L, 7L, 1234L); len <- Seq(0L, 17L, 5000L)) {
       val d = AudioCodec.decode(AudioCodec.encode(id, len))
