@@ -9,7 +9,8 @@ object Registry {
 
   lazy val all: Seq[GraftQuery] =
     QCore.all ++ QAgg.all ++ QWin.all ++ QInflux.all ++ QInfluxQL.all ++ QJoin.all ++
-      QFunc.all ++ QStream.all ++ QText.all ++ QDedup.all ++ QVector.all ++ QCustom.all
+      QFunc.all ++ QStream.all ++ QText.all ++ QDedup.all ++ QVector.all ++ QCustom.all ++
+      QLayout.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -913,6 +913,222 @@ object QAgg {
             col("max_over").cast("bigint").as("max_over"))
       }.reduce(_ unionByName _).orderBy("width")
     },
+
+    GraftQuery(
+      "q_hist_quantiles",
+      "A24 (r13): mergeable equi-width HISTOGRAM quantiles — the rank/quantile member " +
+        "of the sketch family (HLL counts distinct, CMS counts frequency, this ranks): " +
+        "l_extendedprice in integer cents binned into a FIXED 4096-bin grid (width " +
+        "2600 cents covering [0, 106,496.00]) — 4096 mergeable longs per store " +
+        "partition (counts add, like the CMS grid), where an exact percentile sorts " +
+        "the corpus. Quantile inversion for p in {250,500,750,900,990}permille: " +
+        "target rank r = ceil(n*p/1000) (all-integer), estimate = the first bin whose " +
+        "cumulative count reaches r. The oracle pins the sketch's GUARANTEE exactly: " +
+        "the exact CDF straddles the chosen bin (rank_lo < r <= rank_hi, bracketed=1 " +
+        "on every row) — error bounded by one bin width by construction, no float " +
+        "convention anywhere. At 100 TB: one partial+final 4096-group aggregate, the " +
+        "inversion runs on the bounded bin frame, and per-day/per-partition grids " +
+        "sum into any range's quantiles without a re-scan (q_cms_union's additive " +
+        "merge, verbatim).",
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |h AS (SELECT cents // 2600 AS bin, count(*) AS cnt FROM c GROUP BY bin),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM c),
+        |p AS (SELECT p FROM (VALUES (250),(500),(750),(900),(990)) AS t(p)),
+        |r AS (SELECT p.p, (n.n * p.p + 999) // 1000 AS r, n.n AS n FROM p, n),
+        |est AS (SELECT r.p, r.n, r.r, min(cum.bin) AS bin
+        |        FROM r JOIN cum ON cum.cum >= r.r GROUP BY 1, 2, 3),
+        |b AS (SELECT p, n, r, bin * 2600 AS lo, bin * 2600 + 2600 AS hi FROM est),
+        |x AS (SELECT b.p, b.n, b.r, b.lo, b.hi,
+        |             sum(CASE WHEN c.cents < b.lo THEN 1 ELSE 0 END)::BIGINT AS rank_lo,
+        |             sum(CASE WHEN c.cents < b.hi THEN 1 ELSE 0 END)::BIGINT AS rank_hi
+        |      FROM b, c GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(p AS INT) AS p_permille, n, r AS target_rank,
+        |       lo AS est_lo_cents, hi AS est_hi_cents, rank_lo, rank_hi,
+        |       CAST(CASE WHEN rank_lo < r AND r <= rank_hi THEN 1 ELSE 0 END AS INT)
+        |         AS bracketed
+        |FROM x ORDER BY p_permille""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = lineitem(s, dir)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val h = c.groupBy(expr("cents div 2600").as("bin")).agg(count(lit(1)).as("cnt"))
+      // the inversion runs on the ≤4096-row bin frame (the Lorenz-curve
+      // precedent): a global-window cumsum over the SKETCH, never the data
+      val cum = h.select(col("bin"), sum(col("cnt")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val p = s.range(0, 5).select(
+        expr("element_at(array(250, 500, 750, 900, 990), CAST(id + 1 AS INT))").as("p"))
+      val r = p.crossJoin(broadcast(n))
+        .select(col("p"), expr("(n * p + 999) div 1000").as("r"), col("n"))
+      val est = r.join(broadcast(cum), cum("cum") >= r("r"))
+        .groupBy("p", "n", "r").agg(min(col("bin")).as("bin"))
+      val b = est.select(col("p"), col("n"), col("r"),
+        (col("bin") * 2600).as("lo"), (col("bin") * 2600 + 2600).as("hi"))
+      c.crossJoin(broadcast(b))
+        .groupBy("p", "n", "r", "lo", "hi")
+        .agg(sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("cents") < col("hi"), 1L).otherwise(0L)).as("rank_hi"))
+        .select(col("p").cast("int").as("p_permille"), col("n"),
+          col("r").as("target_rank"),
+          col("lo").as("est_lo_cents"), col("hi").as("est_hi_cents"),
+          col("rank_lo"), col("rank_hi"),
+          when(col("rank_lo") < col("r") && col("r") <= col("rank_hi"), 1)
+            .otherwise(0).cast("int").as("bracketed"))
+        .orderBy("p_permille")
+    },
+
+    GraftQuery(
+      "q_ams_f2",
+      "A25 (r13): AMS second-moment (F2) sketch — the JOIN-SIZE estimator: F2 of the " +
+        "events user_id distribution IS the self-equi-join row count, the number an " +
+        "optimizer wants before committing a shuffle plan. 96 independent ±1-sign " +
+        "estimators (estimator constants GENERATED from the index j — one lateral " +
+        "range join, not 96 scan arms; the q_hll_sketch avalanche per estimator, " +
+        "sign = avalanched low bit), each a plain SUM — 96 longs per partition, " +
+        "merged associatively — squared, then the classic MEDIAN-OF-MEANS: mean of " +
+        "each 32-estimator group (an exact integer floor-division), median of the 3 " +
+        "group values via the sum−max−min identity (exact, no float median " +
+        "convention; a bare median of SQUARES is biased ~0.45·F2 low — the χ²₁ " +
+        "median — which round-13 measured before landing on this shape). Everything " +
+        "through the estimate is INTEGER, bit-replayed by the oracle; only rel_err " +
+        "rounds. Measured 8.3%/7.5% error at sf0.1/sf0.01 vs the √(2/32)≈25% " +
+        "per-group deviation. At 100 TB the sketch state is 96 longs where exact F2 " +
+        "needs a full per-key count (the exact side here is the honesty check).",
+      """WITH tj AS (SELECT j, (1103515245 + j * 2654435761) % 2147483648 AS r,
+        |                  (12345 + j * 99991) % 2147483648 AS b
+        |            FROM range(96) t(j)),
+        |ab AS (SELECT j, r + (1 - r % 2) AS a, b FROM tj),
+        |x1 AS (SELECT ab.j, (e.user_id * ab.a + ab.b) % 2147483648 AS x1
+        |       FROM events e, ab),
+        |x2 AS (SELECT j, xor(x1, x1 // 32768) AS x2 FROM x1),
+        |x3 AS (SELECT j, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
+        |sgn AS (SELECT j, 1 - 2 * (xor(x3, x3 // 8192) % 2) AS s FROM x3),
+        |sj AS (SELECT j, sum(s)::BIGINT AS sj FROM sgn GROUP BY j),
+        |gm AS (SELECT j // 32 AS g, sum(sj * sj) // 32 AS m FROM sj GROUP BY g),
+        |med AS (SELECT (sum(m) - max(m) - min(m))::BIGINT AS ams_est FROM gm),
+        |ex AS (SELECT sum(c * c)::BIGINT AS exact_f2
+        |       FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id))
+        |SELECT exact_f2, ams_est,
+        |       round(abs(ams_est - exact_f2) / CAST(exact_f2 AS DOUBLE), 4) AS rel_err
+        |FROM ex, med""".stripMargin) { (s, dir) =>
+      val sj = events(s, dir)
+        .select(col("user_id"), explode(sequence(lit(0L), lit(95L))).as("j"))
+        .withColumn("r", expr("(1103515245L + j * 2654435761L) % 2147483648L"))
+        .withColumn("a", expr("r + (1 - r % 2)")) // odd multiplier per estimator
+        .withColumn("b", expr("(12345L + j * 99991L) % 2147483648L"))
+        .withColumn("x1", expr("(user_id * a + b) % 2147483648L"))
+        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
+        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
+        .withColumn("s", expr("1 - 2 * ((x3 ^ (x3 div 8192)) % 2)"))
+        .groupBy("j").agg(sum(col("s")).cast("long").as("sj"))
+      val med = sj.groupBy(expr("j div 32").as("g"))
+        .agg(expr("sum(sj * sj) div 32").as("m"))
+        // median of the 3 group means = sum − max − min, exact in integers
+        .agg((sum(col("m")) - max(col("m")) - min(col("m"))).cast("long").as("ams_est"))
+      val ex = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("exact_f2"))
+      ex.crossJoin(med)
+        .select(col("exact_f2"), col("ams_est"),
+          round(abs(col("ams_est") - col("exact_f2")) /
+            col("exact_f2").cast("double"), 4).as("rel_err"))
+    },
+
+    GraftQuery(
+      "q_hll_intersect",
+      "A26 (r13): HLL set INTERSECTION by inclusion-exclusion — the audience-overlap " +
+        "estimator: distinct (user, day) pairs with a click AND with a purchase, " +
+        "estimated as est(A) + est(B) − est(A∪B) from three m=256 register tables " +
+        "(the union registers are just the max-merge of rows from either set — " +
+        "q_hll_union's property applied sideways), next to the exact intersection. " +
+        "The keyed grain (user_id·100000 + epoch-day) keeps the demo non-degenerate " +
+        "(every user does every event type; user-DAYS overlap ~36%). This is the " +
+        "sketch answer to 'how many entities are in both partitions' at 100 TB: " +
+        "3×256 longs instead of two distinct-sets and a join — with the documented " +
+        "caveat that inclusion-exclusion COMPOUNDS the ±1.04/√m error of three " +
+        "estimates, so m sizes against the expected overlap, not the set sizes.",
+      {
+        def est(src: String, out: String) =
+          s"""${out}_a AS (SELECT count(*) AS present,
+             |       sum(1.0 / (1::BIGINT << m)) AS sp FROM $src),
+             |$out AS (SELECT CASE WHEN 0.7183 * 65536.0 / (sp + (256 - present)) <= 640.0
+             |                 AND 256 - present > 0
+             |            THEN 256.0 * ln(256.0 / (256 - present))
+             |            ELSE 0.7183 * 65536.0 / (sp + (256 - present)) END AS est
+             |         FROM ${out}_a)""".stripMargin
+        s"""WITH e AS (SELECT event_type,
+           |             user_id * 100000 + date_diff('day', DATE '1970-01-01',
+           |               CAST(ts AS DATE)) AS k
+           |           FROM events WHERE event_type IN ('click', 'purchase')),
+           |x1 AS (SELECT event_type, (k * 2654435761) % 2147483648 AS x1 FROM e),
+           |x2 AS (SELECT event_type, xor(x1, x1 // 32768) AS x2 FROM x1),
+           |x3 AS (SELECT event_type, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
+           |b AS (SELECT event_type,
+           |             xor(x3, x3 // 8192) % 256 AS reg,
+           |             xor(x3, x3 // 8192) // 256 AS h2
+           |      FROM x3),
+           |ra AS (SELECT reg, max($rankLadder) AS m FROM b
+           |       WHERE event_type = 'click' GROUP BY reg),
+           |rb AS (SELECT reg, max($rankLadder) AS m FROM b
+           |       WHERE event_type = 'purchase' GROUP BY reg),
+           |ru AS (SELECT reg, max($rankLadder) AS m FROM b GROUP BY reg),
+           |${est("ra", "ea")},
+           |${est("rb", "eb")},
+           |${est("ru", "eu")},
+           |xa AS (SELECT count(DISTINCT k) AS n FROM e WHERE event_type = 'click'),
+           |xb AS (SELECT count(DISTINCT k) AS n FROM e WHERE event_type = 'purchase'),
+           |xi AS (SELECT count(*) AS n FROM
+           |        (SELECT k FROM e WHERE event_type = 'click'
+           |         INTERSECT SELECT k FROM e WHERE event_type = 'purchase'))
+           |SELECT xa.n AS exact_a, xb.n AS exact_b, xi.n AS exact_both,
+           |       round(ea.est, 4) AS est_a, round(eb.est, 4) AS est_b,
+           |       round(eu.est, 4) AS est_union,
+           |       round(ea.est + eb.est - eu.est, 4) AS est_intersect,
+           |       round(abs(ea.est + eb.est - eu.est - xi.n) / xi.n, 4) AS rel_err
+           |FROM xa, xb, xi, ea, eb, eu""".stripMargin
+      }) { (s, dir) =>
+      val e = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L +
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))).as("k"))
+        .transform(Q.materialize) // three register passes + exact side share it
+      val b = e
+        .withColumn("x1", expr("(k * 2654435761L) % 2147483648L"))
+        .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
+        .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
+        .withColumn("g", expr("x3 ^ (x3 div 8192)"))
+        .select(col("event_type"), expr("g % 256").as("reg"), expr("g div 256").as("h2"))
+        .withColumn("rank", expr(rankLadder))
+      def estOf(regs: org.apache.spark.sql.DataFrame, out: String) = regs
+        .agg(count(lit(1)).as("present"),
+          sum(expr("1.0D / CAST(shiftleft(1L, m) AS DOUBLE)")).as("sp"))
+        .select((col("sp") + (lit(256) - col("present"))).as("s"),
+          (lit(256) - col("present")).as("zeros"))
+        .select(when(lit(0.7183) * 65536.0 / col("s") <= 640.0 && col("zeros") > 0,
+          lit(256.0) * log(lit(256.0) / col("zeros")))
+          .otherwise(lit(0.7183) * 65536.0 / col("s")).as(out))
+      val ea = estOf(b.filter(col("event_type") === "click")
+        .groupBy("reg").agg(max(col("rank")).as("m")), "ea")
+      val eb = estOf(b.filter(col("event_type") === "purchase")
+        .groupBy("reg").agg(max(col("rank")).as("m")), "eb")
+      val eu = estOf(b.groupBy("reg").agg(max(col("rank")).as("m")), "eu")
+      val xa = e.filter(col("event_type") === "click")
+        .agg(countDistinct(col("k")).as("exact_a"))
+      val xb = e.filter(col("event_type") === "purchase")
+        .agg(countDistinct(col("k")).as("exact_b"))
+      val xi = e.groupBy("k").agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2).agg(count(lit(1)).as("exact_both"))
+      xa.crossJoin(xb).crossJoin(xi).crossJoin(ea).crossJoin(eb).crossJoin(eu)
+        .select(col("exact_a"), col("exact_b"), col("exact_both"),
+          round(col("ea"), 4).as("est_a"), round(col("eb"), 4).as("est_b"),
+          round(col("eu"), 4).as("est_union"),
+          round(col("ea") + col("eb") - col("eu"), 4).as("est_intersect"),
+          round(abs(col("ea") + col("eb") - col("eu") - col("exact_both")) /
+            col("exact_both"), 4).as("rel_err"))
+    },
   )
 
   /** Width-parameterized HyperLogLog key builder (A18 at m = 64, A21 at

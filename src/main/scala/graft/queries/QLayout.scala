@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import Q._
+
+/** Data-LAYOUT operators (r13) — the storage-side half of the 100 TB
+  * story. Query-side pruning (PushedFilters, partition pruning, zone
+  * maps) only pays when the data is physically clustered so that a
+  * predicate's rows live in FEW files; these operators compute and
+  * measure that clustering.
+  *
+  * Z-ORDERING interleaves the bits of several clustering dimensions into
+  * one sort key, so a range predicate on ANY of the dimensions maps to a
+  * bounded set of key ranges — after a range-partitioned write, every
+  * file's min/max footer stats (parquet zone maps) are tight on EVERY
+  * dimension, where a 1-D sort is tight on the leading dimension only.
+  * This is the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`;
+  * here it is a plain integer expression + `repartitionByRange`, nothing
+  * engine-private. The bit-interleave is the classic magic-mask spread
+  * (each step doubles the gap between payload bits), all BIGINT `|`/`&`/
+  * shift arithmetic — both engines replay it bit-for-bit.
+  *
+  * ZOrderSkipSpec is the physical twin: it writes real parquet both ways
+  * and counts the files a 2-D predicate actually touches.
+  */
+object QLayout {
+
+  /** 16-bit → 32-bit bit spread (payload bits land on even positions):
+    * the standard magic-mask doubling ladder. Input must be < 65536. */
+  private def spread(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(16711935L))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(252645135L))
+    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(858993459L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Two-dimensional z-value: a's bits on odd positions, b's on even.
+    * `2·spread(a) + spread(b)` — the operands are bit-disjoint so the
+    * addition IS the interleave. */
+  def zValue(a: Column, b: Column): Column =
+    spread(a) * 2 + spread(b)
+
+  /** The same spread ladder as ONE DuckDB SQL expression (textual
+    * duplication is fine — the oracle runs once at tiny SF). */
+  private def spreadSql(x: String): String = {
+    val s1 = s"(($x | ($x << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_zorder_layout",
+      "L1 (r13): Z-ORDER layout planner — the analytic zone-map skip-rate report a " +
+        "100 TB table owner reads before choosing a clustering key. lineitem rows are " +
+        "bucketed into 64 equal-count 'files' two ways: 1-D (sorted by l_partkey — " +
+        "what a naive date/key sort gives) and Z-ORDER (bit-interleaved " +
+        "l_partkey×l_suppkey, the magic-mask spread ladder in plain BIGINT " +
+        "arithmetic). Per bucket the min/max of BOTH dimensions — exactly the parquet " +
+        "footer stats a scan prunes on — then for three predicates (partkey range, " +
+        "suppkey range, both) the number of files whose bounding box intersects: the " +
+        "files a zone-map-pruning scan MUST read. The 1-D layout is near-perfect on " +
+        "its own sort key and reads EVERY file for the other dimension (sf0.01: " +
+        "8 vs 64 of 64); z-order stays bounded on BOTH single dimensions (12 and 18) " +
+        "and is multiplicatively better on the conjunction (3 vs 8) — the measured, " +
+        "all-integer version of the curve every OPTIMIZE-ZORDER doc sketches. Each " +
+        "dimension is normalized to a 16-bit rank (value·65536 div domain) before " +
+        "interleaving so unequal key widths cannot let one dimension dominate the " +
+        "curve. At scale the buckets are real files " +
+        "(repartitionByRange on the z-value + per-file footer stats; ZOrderSkipSpec " +
+        "is that physical twin), and equal-count bucketing is Spark's own " +
+        "range-partitioner contract (Q.distributedNtile — no SinglePartition sort).",
+      s"""WITH bounds0 AS (SELECT max(l_partkey) + 1 AS np, max(l_suppkey) + 1 AS ns
+         |                 FROM lineitem),
+         |z0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |             2 * ${spreadSql("(l_partkey * 65536 // np)")}
+         |               + ${spreadSql("(l_suppkey * 65536 // ns)")} AS z
+         |            FROM lineitem, bounds0),
+         |zt AS (SELECT l_partkey, l_suppkey,
+         |              ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS zb,
+         |              ntile(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS lb
+         |       FROM z0),
+         |boxes AS (
+         |  SELECT 'zorder' AS layout, zb AS f,
+         |         min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM zt GROUP BY zb
+         |  UNION ALL
+         |  SELECT 'linear', lb, min(l_partkey), max(l_partkey),
+         |         min(l_suppkey), max(l_suppkey)
+         |  FROM zt GROUP BY lb),
+         |bounds AS (SELECT max(l_partkey) + 1 AS np, max(l_suppkey) + 1 AS ns
+         |           FROM lineitem),
+         |preds AS (SELECT predicate,
+         |            CASE WHEN usep THEN np // 4 ELSE 0 END AS plo,
+         |            CASE WHEN usep THEN np // 4 + np // 10 - 1 ELSE np END AS phi,
+         |            CASE WHEN uses THEN ns // 10 ELSE 0 END AS slo,
+         |            CASE WHEN uses THEN 2 * (ns // 10) - 1 ELSE ns END AS shi
+         |          FROM bounds, (VALUES
+         |            ('p_range', true, false),
+         |            ('s_range', false, true),
+         |            ('both',    true, true)) AS t(predicate, usep, uses)),
+         |hits AS (SELECT layout, predicate, count(*) AS files_hit
+         |         FROM boxes JOIN preds
+         |           ON pmin <= phi AND pmax >= plo AND smin <= shi AND smax >= slo
+         |         GROUP BY 1, 2),
+         |m AS (SELECT predicate, count(*)::BIGINT AS rows_matched
+         |      FROM lineitem, preds
+         |      WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+         |      GROUP BY 1)
+         |SELECT h.layout, h.predicate, h.files_hit::BIGINT AS files_hit,
+         |       m.rows_matched
+         |FROM hits h JOIN m USING (predicate)
+         |ORDER BY layout, predicate""".stripMargin) { (s, dir) =>
+      // normalize each dimension to a 16-bit rank before interleaving —
+      // unequal raw bit widths would otherwise let the wider dimension's
+      // high bits dominate the curve (measured at sf0.01: unnormalized
+      // interleave pruned s_range to 59/64 files; normalized, 18/64)
+      val bounds0 = lineitem(s, dir)
+        .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
+      val li = lineitem(s, dir).crossJoin(broadcast(bounds0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          zValue(expr("l_partkey * 65536 div np"), expr("l_suppkey * 65536 div ns"))
+            .as("z"))
+      val zt = Q.distributedNtile(
+        Q.distributedNtile(li, 64,
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "zb"),
+        64, Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), "lb")
+        .transform(Q.materialize) // both box aggregates share one pass
+      def boxesOf(bucket: String, layout: String): DataFrame =
+        zt.groupBy(col(bucket).as("f"))
+          .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+            min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+          .select(lit(layout).as("layout"), col("f"),
+            col("pmin"), col("pmax"), col("smin"), col("smax"))
+      val boxes = boxesOf("zb", "zorder").unionByName(boxesOf("lb", "linear"))
+      // predicate bounds derive from the key domain (max+1) so the same
+      // 10%-wide ranges select real rows at every SF — all integer div,
+      // identical in both engines
+      val bounds = lineitem(s, dir)
+        .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
+      val shapes = s.createDataFrame(Seq(
+        ("p_range", true, false), ("s_range", false, true), ("both", true, true)))
+        .toDF("predicate", "usep", "uses")
+      val preds = shapes.crossJoin(broadcast(bounds)).select(col("predicate"),
+        when(col("usep"), expr("np div 4")).otherwise(0L).as("plo"),
+        when(col("usep"), expr("np div 4 + np div 10 - 1")).otherwise(col("np")).as("phi"),
+        when(col("uses"), expr("ns div 10")).otherwise(0L).as("slo"),
+        when(col("uses"), expr("2 * (ns div 10) - 1")).otherwise(col("ns")).as("shi"))
+      val hits = boxes.join(broadcast(preds),
+        col("pmin") <= col("phi") && col("pmax") >= col("plo") &&
+          col("smin") <= col("shi") && col("smax") >= col("slo"))
+        .groupBy("layout", "predicate").agg(count(lit(1)).as("files_hit"))
+      val m = lineitem(s, dir).crossJoin(broadcast(preds))
+        .filter(col("l_partkey").between(col("plo"), col("phi")) &&
+          col("l_suppkey").between(col("slo"), col("shi")))
+        .groupBy("predicate").agg(count(lit(1)).as("rows_matched"))
+      hits.join(m, "predicate")
+        .select(col("layout"), col("predicate"),
+          col("files_hit").cast("bigint").as("files_hit"), col("rows_matched"))
+        .orderBy("layout", "predicate")
+    },
+  )
+}
