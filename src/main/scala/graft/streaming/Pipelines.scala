@@ -42,6 +42,12 @@ case class HllEstimate(event_type: String, n_rows: Long, zeros: Int,
 case class CmsEstimate(event_type: String, user_id: Long, cms_est: Long,
     n_rows: Long)
 
+/** Output of the streaming histogram-quantile monitor (T22, r13): the
+  * live p50/p99 estimates (histogram-bin lower bounds in integer cents)
+  * for one series group after a micro-batch. */
+case class HistQuantileEstimate(event_type: String, n_rows: Long,
+    p50_lo_cents: Long, p99_lo_cents: Long)
+
 /** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
@@ -436,6 +442,61 @@ object Pipelines {
           }
           state.update((grid, n, lastEmit))
           out.iterator
+        })
+  }
+
+  /** T22 (r13): streaming histogram-QUANTILE monitor — the LIVE twin of
+    * the batch q_hist_quantiles (A24): per series group, the fixed
+    * equi-width bin counts (integer cents div `binWidth`) carried in
+    * checkpointed state — bounded by domain/binWidth bins FOREVER (4096
+    * at the batch key's domain), where an exact streaming percentile
+    * would buffer every value — with the live p50/p99 inverted from the
+    * bin CDF after each micro-batch using EXACTLY the batch arithmetic:
+    * cents = floor(value·100 + 0.5), target rank r = ceil(n·p/1000)
+    * all-integer, estimate = lower bound of the first bin whose
+    * cumulative count reaches r. Quantile estimates are integers, so the
+    * emit gate is exact change detection: a micro-batch that moves
+    * neither estimate emits nothing (the r12 emit-volume bound).
+    * HistStreamSpec pins terminal estimates bit-equal to the
+    * oracle-verified batch key over the same rows.
+    * Input columns: event_type STRING, value DOUBLE.
+    */
+  def histQuantileMonitor(stream: DataFrame,
+      binWidth: Long = 2600L): Dataset[HistQuantileEstimate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("event_type"), col("value").cast("double").as("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, it: Iterator[(String, Double)],
+         state: GroupState[(Map[Int, Long], Long, Long, Long)]) => {
+          var (bins, n, lastP50, lastP99) =
+            state.getOption.getOrElse((Map.empty[Int, Long], 0L, -1L, -1L))
+          for ((_, v) <- it) {
+            val cents = math.floor(v * 100 + 0.5).toLong
+            val bin = (cents / binWidth).toInt
+            bins = bins.updated(bin, bins.getOrElse(bin, 0L) + 1L)
+            n += 1
+          }
+          if (n == 0L) Iterator.empty
+          else {
+            // invert the bin CDF at p∈{500, 990} permille — the batch
+            // key's exact integer spelling on the bounded bin frame
+            def invert(p: Long): Long = {
+              val r = (n * p + 999L) / 1000L
+              var cum = 0L
+              val sorted = bins.toSeq.sortBy(_._1)
+              val hit = sorted.find { case (_, c) => cum += c; cum >= r }
+              hit.map(_._1.toLong * binWidth).getOrElse(Long.MinValue)
+            }
+            val p50 = invert(500L)
+            val p99 = invert(990L)
+            val moved = p50 != lastP50 || p99 != lastP99
+            state.update((bins, n, p50, p99))
+            if (moved) Iterator.single(HistQuantileEstimate(etype, n, p50, p99))
+            else Iterator.empty
+          }
         })
   }
 
