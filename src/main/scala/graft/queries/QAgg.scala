@@ -1129,6 +1129,52 @@ object QAgg {
           round(abs(col("ea") + col("eb") - col("eu") - col("exact_both")) /
             col("exact_both"), 4).as("rel_err"))
     },
+
+    GraftQuery(
+      "q_k_anonymity",
+      "A27 (r13): k-ANONYMITY audit — the re-identification risk report a " +
+        "training-data release runs before publishing: rows are grouped into " +
+        "quasi-identifier classes (event_type × calendar day × fixed 50-unit value " +
+        "band — the attacker-joinable attributes), and for k ∈ {2, 5, 10} the report " +
+        "counts equivalence classes smaller than k, the rows inside them (the " +
+        "linkable individuals), and that risk mass in integer basis points. A release " +
+        "gate reads this to decide suppression/generalization before export. One " +
+        "partial+final aggregate over the bounded class space (|types|·|days|·|bands|), " +
+        "then the k-grid scans the k-row class frame — never the corpus again. " +
+        "All-integer end to end.",
+      """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  CAST(floor(value / 50) AS BIGINT) AS vband,
+        |                  count(*) AS sz
+        |           FROM events GROUP BY 1, 2, 3),
+        |n AS (SELECT sum(sz) AS n, count(*) AS classes FROM q),
+        |ks AS (SELECT k FROM (VALUES (2), (5), (10)) AS t(k)),
+        |r AS (SELECT ks.k, count(CASE WHEN q.sz < ks.k THEN 1 END) AS classes_below,
+        |             coalesce(sum(CASE WHEN q.sz < ks.k THEN q.sz END), 0) AS rows_at_risk
+        |      FROM ks, q GROUP BY ks.k)
+        |SELECT CAST(r.k AS INT) AS k, n.classes::BIGINT AS classes,
+        |       r.classes_below::BIGINT AS classes_below,
+        |       r.rows_at_risk::BIGINT AS rows_at_risk,
+        |       (r.rows_at_risk::BIGINT * 10000) // n.n::BIGINT AS risk_bp
+        |FROM r, n ORDER BY k""".stripMargin) { (s, dir) =>
+      val q = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") / 50).cast("long").as("vband"))
+        .agg(count(lit(1)).as("sz"))
+        .transform(Q.materialize) // k-row class frame, scanned per k
+      val n = q.agg(sum(col("sz")).as("n"), count(lit(1)).as("classes"))
+      val ks = s.range(0, 3).select(
+        expr("element_at(array(2, 5, 10), CAST(id + 1 AS INT))").as("k"))
+      ks.crossJoin(q)
+        .groupBy("k")
+        .agg(count(when(col("sz") < col("k"), 1)).as("classes_below"),
+          coalesce(sum(when(col("sz") < col("k"), col("sz"))), lit(0L)).as("rows_at_risk"))
+        .crossJoin(broadcast(n))
+        .select(col("k").cast("int").as("k"), col("classes").cast("bigint").as("classes"),
+          col("classes_below").cast("bigint").as("classes_below"),
+          col("rows_at_risk").cast("bigint").as("rows_at_risk"),
+          expr("(rows_at_risk * 10000) div n").as("risk_bp"))
+        .orderBy("k")
+    },
   )
 
   /** Width-parameterized HyperLogLog key builder (A18 at m = 64, A21 at
