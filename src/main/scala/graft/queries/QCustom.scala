@@ -295,6 +295,48 @@ object QCustom {
     },
 
     GraftQuery(
+      "q_multimodal_video",
+      "Extension (r13): video as the THIRD real-codec modality — executor-side " +
+        "javax.imageio decode of genuine multi-frame ANIMATED GIF bytes (real LZW " +
+        "container), with FRAME SAMPLING as the operator: every 2nd decoded frame " +
+        "emits one row of raster features — the keyframe-extraction shape of a video " +
+        "training pipeline (decode → sample → featurize), fanned out on the executors",
+      // Oracle discipline of the image/audio keys: DuckDB replays the
+      // deterministic frame arithmetic; any unfaithfulness in the real
+      // GIF write->read round trip (palette, LZW, frame enumeration)
+      // breaks hash parity.
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, 2 + len % 4 AS nf, 8 + len % 8 AS w,
+        |             8 + (len * 31) % 4 AS h FROM d),
+        |f AS (SELECT doc_id, nf, w, h, unnest(range(nf)) AS fr FROM p),
+        |sampled AS (SELECT * FROM f WHERE fr % 2 = 0),
+        |px AS (SELECT doc_id, nf, fr, w, h, unnest(range(w * h)) AS i FROM sampled)
+        |SELECT doc_id, nf::BIGINT AS n_frames, fr::BIGINT AS frame_idx,
+        |       w::BIGINT AS width, h::BIGINT AS height,
+        |       sum((doc_id * 31 + fr * 17 + (i % w) * 7 + (i // w) * 13) % 256)::BIGINT
+        |         AS frame_sum,
+        |       ((doc_id * 31 + fr * 17) % 256)::BIGINT AS frame_first
+        |FROM px GROUP BY doc_id, nf, fr, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.VideoCodec
+      Q.fanout(documents(s, dir))
+        .select(col("doc_id"), expr("octet_length(text)").cast("long").as("len"))
+        .as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, len) =>
+          val frames = VideoCodec.decode(VideoCodec.encode(id, len))
+          val nf = frames.size.toLong
+          frames.iterator.filter(_.idx % 2 == 0).map { fr =>
+            (id, nf, fr.idx.toLong, fr.width.toLong, fr.height.toLong,
+              fr.pixSum, fr.firstPx.toLong)
+          }
+        })
+        .toDF("doc_id", "n_frames", "frame_idx", "width", "height",
+          "frame_sum", "frame_first")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    GraftQuery(
       "q_line_protocol",
       "S3: line-protocol point shaping (batched sink formatting, fixes per-sample POST of InfluxConnector2.py:176)",
       """SELECT event_id,

@@ -123,23 +123,32 @@ object QLayout {
       // interleave pruned s_range to 59/64 files; normalized, 18/64)
       val bounds0 = lineitem(s, dir)
         .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
+      // materialize the narrow 5-column base ONCE: both bucketings, their
+      // range-partitioner sampling passes, and the selectivity aggregate
+      // read executor-local blocks instead of re-scanning + re-hashing
       val li = lineitem(s, dir).crossJoin(broadcast(bounds0))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           zValue(expr("l_partkey * 65536 div np"), expr("l_suppkey * 65536 div ns"))
             .as("z"))
-      val zt = Q.distributedNtile(
-        Q.distributedNtile(li, 64,
-          Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "zb"),
-        64, Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), "lb")
-        .transform(Q.materialize) // both box aggregates share one pass
-      def boxesOf(bucket: String, layout: String): DataFrame =
-        zt.groupBy(col(bucket).as("f"))
+        .transform(Q.materialize)
+      // the two bucketings are INDEPENDENT (zb and lb never meet on one
+      // row — each feeds only its own box aggregate), so they run as two
+      // parallel narrow ntiles instead of one chained pass carrying both
+      def boxesOf(df: DataFrame, bucket: String, layout: String): DataFrame =
+        df.groupBy(col(bucket).as("f"))
           .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
             min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
           .select(lit(layout).as("layout"), col("f"),
             col("pmin"), col("pmax"), col("smin"), col("smax"))
-      val boxes = boxesOf("zb", "zorder").unionByName(boxesOf("lb", "linear"))
+      val boxes = boxesOf(
+        Q.distributedNtile(li, 64,
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "zb"),
+        "zb", "zorder")
+        .unionByName(boxesOf(
+          Q.distributedNtile(li.drop("z"), 64,
+            Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), "lb"),
+          "lb", "linear"))
       // predicate bounds derive from the key domain (max+1) so the same
       // 10%-wide ranges select real rows at every SF — all integer div,
       // identical in both engines
@@ -157,10 +166,17 @@ object QLayout {
         col("pmin") <= col("phi") && col("pmax") >= col("plo") &&
           col("smin") <= col("shi") && col("smax") >= col("slo"))
         .groupBy("layout", "predicate").agg(count(lit(1)).as("files_hit"))
-      val m = lineitem(s, dir).crossJoin(broadcast(preds))
-        .filter(col("l_partkey").between(col("plo"), col("phi")) &&
-          col("l_suppkey").between(col("slo"), col("shi")))
-        .groupBy("predicate").agg(count(lit(1)).as("rows_matched"))
+      // exact selectivities in ONE conditional-aggregation pass over the
+      // two-column scan (no 3× row fan-out)
+      val pIn = expr("l_partkey BETWEEN np div 4 AND np div 4 + np div 10 - 1")
+      val sIn = expr("l_suppkey BETWEEN ns div 10 AND 2 * (ns div 10) - 1")
+      val m1 = li.crossJoin(broadcast(bounds0)).agg(
+        sum(when(pIn, 1L).otherwise(0L)).as("m_p"),
+        sum(when(sIn, 1L).otherwise(0L)).as("m_s"),
+        sum(when(pIn && sIn, 1L).otherwise(0L)).as("m_b"))
+      val m = m1.select(lit("p_range").as("predicate"), col("m_p").as("rows_matched"))
+        .unionByName(m1.select(lit("s_range").as("predicate"), col("m_s").as("rows_matched")))
+        .unionByName(m1.select(lit("both").as("predicate"), col("m_b").as("rows_matched")))
       hits.join(m, "predicate")
         .select(col("layout"), col("predicate"),
           col("files_hit").cast("bigint").as("files_hit"), col("rows_matched"))
