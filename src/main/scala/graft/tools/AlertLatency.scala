@@ -144,10 +144,40 @@ object AlertLatency {
       stat(lat.toSeq, lastAlerts)
     }
 
+    // ---- T22 histogram-quantile monitor: a tail shift moves p99 in ITS
+    // OWN batch; steady-state batches (same distribution) emit nothing ----
+    val histMs = {
+      val ms = MemoryStream[(String, Double)]
+      val q = Pipelines.histQuantileMonitor(
+          ms.toDF().toDF("event_type", "value"))
+        .writeStream.format("memory").queryName("lat_hist").outputMode("append").start()
+      def emits() = spark.table("lat_hist").count()
+      val lat = (0 until rounds).map { r =>
+        val g = s"m$r"
+        // settle this round's series (first estimate emits here, untimed)
+        ms.addData((0 until load).map(i => (g, (i % 100) * 26.0)))
+        q.processAllAvailable()
+        // the timed batch: background + a 20% tail burst that moves p99
+        // by whole bins — the alerting micro-batch turnaround
+        val bg = (0 until load).map(i => (g, (i % 100) * 26.0))
+        val tail = (0 until load / 5).map(i => (g, 50000.0 + i % 10))
+        val before = emits()
+        val start = System.nanoTime()
+        ms.addData(bg ++ tail)
+        q.processAllAvailable()
+        val elapsed = (System.nanoTime() - start) / 1000000L
+        require(emits() == before + 1, s"hist round $r: p99 shift not visible")
+        elapsed
+      }
+      q.stop()
+      stat(lat, emits())
+    }
+
     def j(name: String, s: Stat) =
       s""""$name":{"p50_ms":${s.p50},"p95_ms":${s.p95},"max_ms":${s.max},"alerts":${s.alerts}}"""
     println(s"""{"metric":"alert_latency","load_rows_per_batch":$load,"rounds":$rounds,""" +
-      s"""${j("cusum_t14", cusumMs)},${j("deadman_t12", deadmanMs)},${j("mixture_t17", mixtureMs)}}""")
+      s"""${j("cusum_t14", cusumMs)},${j("deadman_t12", deadmanMs)},""" +
+      s"""${j("mixture_t17", mixtureMs)},${j("hist_t22", histMs)}}""")
     spark.stop()
   }
 }
