@@ -88,4 +88,38 @@ class ZOrderSkipSpec extends SparkTestBase {
     assert(zB < lS, s"z-order conjunction ($zB) should beat 1-D's smear ($lS)")
     assert(zB <= zP && zB <= zS, "conjunction can only prune further")
   }
+
+  test("Layout.zorderWrite clusters 3 dimensions: every single-dim predicate stays bounded") {
+    import graft.operators.Layout
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty"))
+    val Seq(np, ns, nq) = li
+      .agg(max("l_partkey") + 1, max("l_suppkey") + 1, max("l_qty") + 1).head()
+      .toSeq.map(_.asInstanceOf[Number].longValue)
+
+    val dir = Files.createTempDirectory("graft-zorder3").toString + "/z3"
+    Layout.zorderWrite(li, Seq("l_partkey", "l_suppkey", "l_qty"), files, dir)
+    assert(spark.read.parquet(dir).count() === li.count())
+
+    def touched(cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    // 10%-wide range on each dimension independently
+    val tP = touched(col("l_partkey").between(np / 4, np / 4 + np / 10 - 1))
+    val tS = touched(col("l_suppkey").between(ns / 10, 2 * (ns / 10) - 1))
+    val tQ = touched(col("l_qty").between(nq / 10, 2 * (nq / 10) - 1))
+    val tAll = touched(
+      col("l_partkey").between(np / 4, np / 4 + np / 10 - 1) &&
+        col("l_suppkey").between(ns / 10, 2 * (ns / 10) - 1) &&
+        col("l_qty").between(nq / 10, 2 * (nq / 10) - 1))
+    info(s"3-D z-order files touched of $files: p=$tP s=$tS q=$tQ conjunction=$tAll")
+
+    // no dimension smears across every file (the 1-D failure mode), and
+    // the conjunction prunes at least as hard as any single dimension
+    for ((t, d) <- Seq((tP, "partkey"), (tS, "suppkey"), (tQ, "qty")))
+      assert(t < files.toLong, s"3-D z-order must bound the $d predicate, touched $t/$files")
+    assert(tAll <= Seq(tP, tS, tQ).min)
+  }
 }
