@@ -1062,7 +1062,8 @@ object QAgg {
            |             user_id * 100000 + date_diff('day', DATE '1970-01-01',
            |               CAST(ts AS DATE)) AS k
            |           FROM events WHERE event_type IN ('click', 'purchase')),
-           |x1 AS (SELECT event_type, (k * 2654435761) % 2147483648 AS x1 FROM e),
+           |x1 AS (SELECT event_type,
+           |              ((k % 2147483648) * 2654435761) % 2147483648 AS x1 FROM e),
            |x2 AS (SELECT event_type, xor(x1, x1 // 32768) AS x2 FROM x1),
            |x3 AS (SELECT event_type, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
            |b AS (SELECT event_type,
@@ -1096,7 +1097,10 @@ object QAgg {
             datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))).as("k"))
         .transform(Q.materialize) // three register passes + exact side share it
       val b = e
-        .withColumn("x1", expr("(k * 2654435761L) % 2147483648L"))
+        // pre-fold k into 31 bits so the avalanche multiply cannot
+        // overflow Long at any corpus scale (the 31-bit hash caps sketch
+        // range anyway; the exact side keeps the full key)
+        .withColumn("x1", expr("((k % 2147483648L) * 2654435761L) % 2147483648L"))
         .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
         .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
         .withColumn("g", expr("x3 ^ (x3 div 8192)"))

@@ -123,15 +123,16 @@ object QLayout {
       // interleave pruned s_range to 59/64 files; normalized, 18/64)
       val bounds0 = lineitem(s, dir)
         .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
-      // materialize the narrow 5-column base ONCE: both bucketings, their
-      // range-partitioner sampling passes, and the selectivity aggregate
-      // read executor-local blocks instead of re-scanning + re-hashing
+      // the narrow 5-column base is recomputed per consumer: a pruned
+      // 4-column parquet scan + integer hashing is CHEAPER than another
+      // 60M-row checkpoint at sf10 (each ntile already materializes its
+      // range-partitioned copy inside rankedWithTotal — adding a base
+      // checkpoint made the key slower at scale, measured both ways)
       val li = lineitem(s, dir).crossJoin(broadcast(bounds0))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           zValue(expr("l_partkey * 65536 div np"), expr("l_suppkey * 65536 div ns"))
             .as("z"))
-        .transform(Q.materialize)
       // the two bucketings are INDEPENDENT (zb and lb never meet on one
       // row — each feeds only its own box aggregate), so they run as two
       // parallel narrow ntiles instead of one chained pass carrying both
@@ -170,7 +171,8 @@ object QLayout {
       // two-column scan (no 3× row fan-out)
       val pIn = expr("l_partkey BETWEEN np div 4 AND np div 4 + np div 10 - 1")
       val sIn = expr("l_suppkey BETWEEN ns div 10 AND 2 * (ns div 10) - 1")
-      val m1 = li.crossJoin(broadcast(bounds0)).agg(
+      val m1 = lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .crossJoin(broadcast(bounds0)).agg(
         sum(when(pIn, 1L).otherwise(0L)).as("m_p"),
         sum(when(sIn, 1L).otherwise(0L)).as("m_s"),
         sum(when(pIn && sIn, 1L).otherwise(0L)).as("m_b"))
