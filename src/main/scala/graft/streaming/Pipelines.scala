@@ -48,6 +48,11 @@ case class CmsEstimate(event_type: String, user_id: Long, cms_est: Long,
 case class HistQuantileEstimate(event_type: String, n_rows: Long,
     p50_lo_cents: Long, p99_lo_cents: Long)
 
+/** Output of the streaming AMS F2 monitor (T23, r13): the live
+  * second-moment (self-join size) estimate for one series group after a
+  * micro-batch, next to the exact row count. */
+case class AmsF2Estimate(event_type: String, n_rows: Long, f2_est: Long)
+
 /** Output of the mixture-drift monitor (T17, r10): one row per (closed
   * window, source) — observed token share vs the target mixture weight. */
 case class MixtureDrift(window_start: java.sql.Timestamp, source: String,
@@ -496,6 +501,70 @@ object Pipelines {
             state.update((bins, n, p50, p99))
             if (moved) Iterator.single(HistQuantileEstimate(etype, n, p50, p99))
             else Iterator.empty
+          }
+        })
+  }
+
+  /** T23 (r13): streaming AMS F2 monitor — the LIVE twin of the batch
+    * q_ams_f2 (A25): per series group, the 96 ±1-sign sums carried in
+    * checkpointed state (768 bytes per group FOREVER — the live
+    * "how big would a self-join on this key be" / skew panel, where an
+    * exact F2 needs every key's count), updated with the SAME generated
+    * estimator constants and avalanche hash, estimate = median-of-means
+    * (mean per 32, median-of-3 by sum−max−min) exactly as the batch key
+    * spells it. Sign sums are plain integer additions — order-independent
+    * — so the terminal estimate is bit-equal to the batch sketch over the
+    * same rows regardless of micro-batch boundaries (AmsStreamSpec pins
+    * it). Estimates are integers: the emit gate is exact change detection
+    * scaled by `minRelDelta` (first estimate always emits).
+    * Input columns: event_type STRING, user_id LONG.
+    */
+  /** The q_ams_f2 generated estimator constants, precomputed once:
+    * (odd multiplier a_j, offset b_j) for j in 0..95. */
+  private val AmsConsts: Array[(Long, Long)] = Array.tabulate(96) { j =>
+    val r = (1103515245L + j * 2654435761L) % 2147483648L
+    (r + (1L - r % 2L), (12345L + j * 99991L) % 2147483648L)
+  }
+
+  def amsMonitor(stream: DataFrame, minRelDelta: Double = 0.0): Dataset[AmsF2Estimate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, it: Iterator[(String, Long)],
+         state: GroupState[(Array[Long], Long, Long)]) => {
+          var (sums, n, lastEst) = state.getOption.getOrElse((new Array[Long](96), 0L, -1L))
+          for ((_, u) <- it) {
+            var j = 0
+            while (j < 96) {
+              // EXACTLY the q_ams_f2 arithmetic (QAgg.scala): generated
+              // odd multiplier + offset, two multiply-mod-2^31 rounds
+              val (a, b) = AmsConsts(j)
+              val x1 = (u * a + b) % 2147483648L
+              val x2 = x1 ^ (x1 / 32768L)
+              val x3 = (x2 * 2246822519L) % 2147483648L
+              sums(j) += 1L - 2L * ((x3 ^ (x3 / 8192L)) % 2L)
+              j += 1
+            }
+            n += 1
+          }
+          val gm = (0 until 3).map { g =>
+            var acc = 0L
+            var j = g * 32
+            while (j < (g + 1) * 32) { acc += sums(j) * sums(j); j += 1 }
+            acc / 32L
+          }
+          val est = gm.sum - gm.max - gm.min
+          val moved = lastEst < 0L ||
+            math.abs(est - lastEst).toDouble > minRelDelta * math.max(lastEst, 1L).toDouble
+          if (moved && est != lastEst) {
+            state.update((sums, n, est))
+            Iterator.single(AmsF2Estimate(etype, n, est))
+          } else {
+            state.update((sums, n, lastEst))
+            Iterator.empty
           }
         })
   }
