@@ -934,7 +934,7 @@ object QAgg {
         |           FROM lineitem),
         |h AS (SELECT cents // 2600 AS bin, count(*) AS cnt FROM c GROUP BY bin),
         |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
-        |n AS (SELECT count(*) AS n FROM c),
+        |n AS (SELECT sum(cnt)::BIGINT AS n FROM h),
         |p AS (SELECT p FROM (VALUES (250),(500),(750),(900),(990)) AS t(p)),
         |r AS (SELECT p.p, (n.n * p.p + 999) // 1000 AS r, n.n AS n FROM p, n),
         |est AS (SELECT r.p, r.n, r.r, min(cum.bin) AS bin
@@ -953,12 +953,14 @@ object QAgg {
       val c = lineitem(s, dir)
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       val h = c.groupBy(expr("cents div 2600").as("bin")).agg(count(lit(1)).as("cnt"))
+        .transform(Q.materialize) // ≤4096 rows feed cum AND n — one corpus pass
       // the inversion runs on the ≤4096-row bin frame (the Lorenz-curve
       // precedent): a global-window cumsum over the SKETCH, never the data
       val cum = h.select(col("bin"), sum(col("cnt")).over(
         Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("cum"))
-      val n = c.agg(count(lit(1)).as("n"))
+      // n from the bin frame — no second corpus scan
+      val n = h.agg(sum(col("cnt")).as("n"))
       val p = s.range(0, 5).select(
         expr("element_at(array(250, 500, 750, 900, 990), CAST(id + 1 AS INT))").as("p"))
       val r = p.crossJoin(broadcast(n))
@@ -1001,7 +1003,8 @@ object QAgg {
         |                  (12345 + j * 99991) % 2147483648 AS b
         |            FROM range(96) t(j)),
         |ab AS (SELECT j, r + (1 - r % 2) AS a, b FROM tj),
-        |x1 AS (SELECT ab.j, (e.user_id * ab.a + ab.b) % 2147483648 AS x1
+        |x1 AS (SELECT ab.j,
+        |              ((e.user_id % 2147483648) * ab.a + ab.b) % 2147483648 AS x1
         |       FROM events e, ab),
         |x2 AS (SELECT j, xor(x1, x1 // 32768) AS x2 FROM x1),
         |x3 AS (SELECT j, (x2 * 2246822519) % 2147483648 AS x3 FROM x2),
@@ -1019,7 +1022,10 @@ object QAgg {
         .withColumn("r", expr("(1103515245L + j * 2654435761L) % 2147483648L"))
         .withColumn("a", expr("r + (1 - r % 2)")) // odd multiplier per estimator
         .withColumn("b", expr("(12345L + j * 99991L) % 2147483648L"))
-        .withColumn("x1", expr("(user_id * a + b) % 2147483648L"))
+        // pre-fold user_id to 31 bits: the raw key times a ~2^31
+        // multiplier would overflow Long at large key domains (the
+        // q_hll_intersect overflow class, fixed the same way)
+        .withColumn("x1", expr("((user_id % 2147483648L) * a + b) % 2147483648L"))
         .withColumn("x2", expr("x1 ^ (x1 div 32768)"))
         .withColumn("x3", expr("(x2 * 2246822519L) % 2147483648L"))
         .withColumn("s", expr("1 - 2 * ((x3 ^ (x3 div 8192)) % 2)"))

@@ -28,20 +28,12 @@ import Q._
   */
 object QLayout {
 
-  /** 16-bit → 32-bit bit spread (payload bits land on even positions):
-    * the standard magic-mask doubling ladder. Input must be < 65536. */
-  private def spread(c: Column): Column = {
-    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(16711935L))
-    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(252645135L))
-    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(858993459L))
-    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(1431655765L))
-  }
-
-  /** Two-dimensional z-value: a's bits on odd positions, b's on even.
-    * `2·spread(a) + spread(b)` — the operands are bit-disjoint so the
-    * addition IS the interleave. */
+  /** Two-dimensional z-value: a's bits on odd positions, b's on even —
+    * delegates to the ONE spread-ladder implementation in
+    * `operators/Layout` (the write-side utility), so planner and writer
+    * can never drift. */
   def zValue(a: Column, b: Column): Column =
-    spread(a) * 2 + spread(b)
+    graft.operators.Layout.zValueN(Seq(a, b))
 
   /** The same spread ladder as ONE DuckDB SQL expression (textual
     * duplication is fine — the oracle runs once at tiny SF). */
@@ -94,14 +86,12 @@ object QLayout {
          |  SELECT 'linear', lb, min(l_partkey), max(l_partkey),
          |         min(l_suppkey), max(l_suppkey)
          |  FROM zt GROUP BY lb),
-         |bounds AS (SELECT max(l_partkey) + 1 AS np, max(l_suppkey) + 1 AS ns
-         |           FROM lineitem),
          |preds AS (SELECT predicate,
          |            CASE WHEN usep THEN np // 4 ELSE 0 END AS plo,
          |            CASE WHEN usep THEN np // 4 + np // 10 - 1 ELSE np END AS phi,
          |            CASE WHEN uses THEN ns // 10 ELSE 0 END AS slo,
          |            CASE WHEN uses THEN 2 * (ns // 10) - 1 ELSE ns END AS shi
-         |          FROM bounds, (VALUES
+         |          FROM bounds0, (VALUES
          |            ('p_range', true, false),
          |            ('s_range', false, true),
          |            ('both',    true, true)) AS t(predicate, usep, uses)),
@@ -109,10 +99,18 @@ object QLayout {
          |         FROM boxes JOIN preds
          |           ON pmin <= phi AND pmax >= plo AND smin <= shi AND smax >= slo
          |         GROUP BY 1, 2),
-         |m AS (SELECT predicate, count(*)::BIGINT AS rows_matched
-         |      FROM lineitem, preds
-         |      WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
-         |      GROUP BY 1)
+         |m1 AS (SELECT
+         |         sum(CASE WHEN l_partkey BETWEEN np // 4 AND np // 4 + np // 10 - 1
+         |                  THEN 1 ELSE 0 END)::BIGINT AS m_p,
+         |         sum(CASE WHEN l_suppkey BETWEEN ns // 10 AND 2 * (ns // 10) - 1
+         |                  THEN 1 ELSE 0 END)::BIGINT AS m_s,
+         |         sum(CASE WHEN l_partkey BETWEEN np // 4 AND np // 4 + np // 10 - 1
+         |                   AND l_suppkey BETWEEN ns // 10 AND 2 * (ns // 10) - 1
+         |                  THEN 1 ELSE 0 END)::BIGINT AS m_b
+         |       FROM lineitem, bounds0),
+         |m AS (SELECT 'p_range' AS predicate, m_p AS rows_matched FROM m1
+         |      UNION ALL SELECT 's_range', m_s FROM m1
+         |      UNION ALL SELECT 'both', m_b FROM m1)
          |SELECT h.layout, h.predicate, h.files_hit::BIGINT AS files_hit,
          |       m.rows_matched
          |FROM hits h JOIN m USING (predicate)
@@ -120,7 +118,9 @@ object QLayout {
       // normalize each dimension to a 16-bit rank before interleaving —
       // unequal raw bit widths would otherwise let the wider dimension's
       // high bits dominate the curve (measured at sf0.01: unnormalized
-      // interleave pruned s_range to 59/64 files; normalized, 18/64)
+      // interleave pruned s_range to 59/64 files; normalized, 18/64).
+      // ONE bounds frame feeds the z normalization, the predicate grid
+      // AND the selectivity pass — the domains cannot drift apart.
       val bounds0 = lineitem(s, dir)
         .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
       // the narrow 5-column base is recomputed per consumer: a pruned
@@ -153,12 +153,10 @@ object QLayout {
       // predicate bounds derive from the key domain (max+1) so the same
       // 10%-wide ranges select real rows at every SF — all integer div,
       // identical in both engines
-      val bounds = lineitem(s, dir)
-        .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
       val shapes = s.createDataFrame(Seq(
         ("p_range", true, false), ("s_range", false, true), ("both", true, true)))
         .toDF("predicate", "usep", "uses")
-      val preds = shapes.crossJoin(broadcast(bounds)).select(col("predicate"),
+      val preds = shapes.crossJoin(broadcast(bounds0)).select(col("predicate"),
         when(col("usep"), expr("np div 4")).otherwise(0L).as("plo"),
         when(col("usep"), expr("np div 4 + np div 10 - 1")).otherwise(col("np")).as("phi"),
         when(col("uses"), expr("ns div 10")).otherwise(0L).as("slo"),

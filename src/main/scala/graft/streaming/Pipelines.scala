@@ -542,7 +542,8 @@ object Pipelines {
               // EXACTLY the q_ams_f2 arithmetic (QAgg.scala): generated
               // odd multiplier + offset, two multiply-mod-2^31 rounds
               val (a, b) = AmsConsts(j)
-              val x1 = (u * a + b) % 2147483648L
+              // pre-fold to 31 bits like the batch key (overflow guard)
+              val x1 = ((u % 2147483648L) * a + b) % 2147483648L
               val x2 = x1 ^ (x1 / 32768L)
               val x3 = (x2 * 2246822519L) % 2147483648L
               sums(j) += 1L - 2L * ((x3 ^ (x3 / 8192L)) % 2L)

@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalePair {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: runMain graft.tools.ScalePair <key>[,key...] <dirSmall> <dirBig>")
     val Array(keys, dirA, dirB) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

