@@ -1185,6 +1185,60 @@ object QAgg {
           expr("(rows_at_risk * 10000) div n").as("risk_bp"))
         .orderBy("k")
     },
+
+    GraftQuery(
+      "q_l_diversity",
+      "A28 (r13): l-DIVERSITY audit — the homogeneity half of the privacy pair with " +
+        "A27: a k-anonymous class still leaks when every member shares one SENSITIVE " +
+        "value (the attacker learns it without identifying anyone). Same " +
+        "quasi-identifier grid as q_k_anonymity (event_type × day × value band), " +
+        "sensitive attribute = the user's event row's user_id bucket (a stand-in for " +
+        "diagnosis/salary in the classic formulation): for l ∈ {2, 3, 5} the classes " +
+        "whose distinct-sensitive count is below l, the rows inside them, and the " +
+        "homogeneous-class count (exactly one sensitive value — the total-disclosure " +
+        "set). One aggregate computes class size + distinct sensitive values per " +
+        "class; the l-grid scans the bounded class frame. All-integer.",
+      """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  CAST(floor(value / 50) AS BIGINT) AS vband,
+        |                  count(*) AS sz,
+        |                  count(DISTINCT user_id % 10) AS sens
+        |           FROM events GROUP BY 1, 2, 3),
+        |n AS (SELECT sum(sz) AS n, count(*) AS classes,
+        |             sum(CASE WHEN sens = 1 THEN 1 ELSE 0 END)::BIGINT AS homogeneous
+        |      FROM q),
+        |ls AS (SELECT l FROM (VALUES (2), (3), (5)) AS t(l)),
+        |r AS (SELECT ls.l, count(CASE WHEN q.sens < ls.l THEN 1 END) AS classes_below,
+        |             coalesce(sum(CASE WHEN q.sens < ls.l THEN q.sz END), 0) AS rows_at_risk
+        |      FROM ls, q GROUP BY ls.l)
+        |SELECT CAST(r.l AS INT) AS l, n.classes::BIGINT AS classes,
+        |       n.homogeneous,
+        |       r.classes_below::BIGINT AS classes_below,
+        |       r.rows_at_risk::BIGINT AS rows_at_risk,
+        |       (r.rows_at_risk::BIGINT * 10000) // n.n::BIGINT AS risk_bp
+        |FROM r, n ORDER BY l""".stripMargin) { (s, dir) =>
+      val q = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") / 50).cast("long").as("vband"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(expr("user_id % 10")).as("sens"))
+        .transform(Q.materialize) // bounded class frame, scanned per l
+      val n = q.agg(sum(col("sz")).as("n"), count(lit(1)).as("classes"),
+        sum(when(col("sens") === 1, 1L).otherwise(0L)).as("homogeneous"))
+      val ls = s.range(0, 3).select(
+        expr("element_at(array(2, 3, 5), CAST(id + 1 AS INT))").as("l"))
+      ls.crossJoin(q)
+        .groupBy("l")
+        .agg(count(when(col("sens") < col("l"), 1)).as("classes_below"),
+          coalesce(sum(when(col("sens") < col("l"), col("sz"))), lit(0L)).as("rows_at_risk"))
+        .crossJoin(broadcast(n))
+        .select(col("l").cast("int").as("l"),
+          col("classes").cast("bigint").as("classes"),
+          col("homogeneous").cast("bigint").as("homogeneous"),
+          col("classes_below").cast("bigint").as("classes_below"),
+          col("rows_at_risk").cast("bigint").as("rows_at_risk"),
+          expr("(rows_at_risk * 10000) div n").as("risk_bp"))
+        .orderBy("l")
+    },
   )
 
   /** Width-parameterized HyperLogLog key builder (A18 at m = 64, A21 at

@@ -151,7 +151,7 @@ class PlanAuditSpec extends SparkTestBase {
         assert(Set("q_knn_brute", "q_array_dot", "q_quantized_dot", "q_knn_recall",
             "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep", "q_knn_mrr",
             "q_knn_label_vote", "q_hist_quantiles", "q_ams_f2", "q_hll_intersect",
-            "q_zorder_layout", "q_k_anonymity").contains(q.name),
+            "q_zorder_layout", "q_k_anonymity", "q_l_diversity").contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
     }
   }
