@@ -119,19 +119,25 @@ object QLayout {
       // unequal raw bit widths would otherwise let the wider dimension's
       // high bits dominate the curve (measured at sf0.01: unnormalized
       // interleave pruned s_range to 59/64 files; normalized, 18/64).
-      // ONE bounds frame feeds the z normalization, the predicate grid
-      // AND the selectivity pass — the domains cannot drift apart.
-      val bounds0 = lineitem(s, dir)
+      // ONE bounds row feeds the z normalization, the predicate grid AND
+      // the selectivity pass — the domains cannot drift apart. Collected
+      // ONCE to the driver (1 row — the bounded-scalar rule): the r13
+      // spelling crossJoin(broadcast(bounds0)) re-ran the max() aggregate
+      // scan for every consumer (3 extra lineitem scans + 3
+      // BroadcastNestedLoopJoins in the formatted plan).
+      val b0 = lineitem(s, dir)
         .agg((max(col("l_partkey")) + 1).as("np"), (max(col("l_suppkey")) + 1).as("ns"))
+        .head()
+      val (np, ns) = (b0.getLong(0), b0.getLong(1))
       // the narrow 5-column base is recomputed per consumer: a pruned
       // 4-column parquet scan + integer hashing is CHEAPER than another
       // 60M-row checkpoint at sf10 (each ntile already materializes its
       // range-partitioned copy inside rankedWithTotal — adding a base
       // checkpoint made the key slower at scale, measured both ways)
-      val li = lineitem(s, dir).crossJoin(broadcast(bounds0))
+      val li = lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
-          zValue(expr("l_partkey * 65536 div np"), expr("l_suppkey * 65536 div ns"))
+          zValue(expr(s"l_partkey * 65536 div ${np}L"), expr(s"l_suppkey * 65536 div ${ns}L"))
             .as("z"))
       // the two bucketings are INDEPENDENT (zb and lb never meet on one
       // row — each feeds only its own box aggregate), so they run as two
@@ -152,25 +158,23 @@ object QLayout {
           "lb", "linear"))
       // predicate bounds derive from the key domain (max+1) so the same
       // 10%-wide ranges select real rows at every SF — all integer div,
-      // identical in both engines
-      val shapes = s.createDataFrame(Seq(
-        ("p_range", true, false), ("s_range", false, true), ("both", true, true)))
-        .toDF("predicate", "usep", "uses")
-      val preds = shapes.crossJoin(broadcast(bounds0)).select(col("predicate"),
-        when(col("usep"), expr("np div 4")).otherwise(0L).as("plo"),
-        when(col("usep"), expr("np div 4 + np div 10 - 1")).otherwise(col("np")).as("phi"),
-        when(col("uses"), expr("ns div 10")).otherwise(0L).as("slo"),
-        when(col("uses"), expr("2 * (ns div 10) - 1")).otherwise(col("ns")).as("shi"))
+      // identical in both engines; a pure local table now that np/ns are
+      // driver values (no broadcast of a re-aggregated scan)
+      val preds = s.createDataFrame(Seq(
+        ("p_range", np / 4, np / 4 + np / 10 - 1, 0L, ns),
+        ("s_range", 0L, np, ns / 10, 2 * (ns / 10) - 1),
+        ("both", np / 4, np / 4 + np / 10 - 1, ns / 10, 2 * (ns / 10) - 1)))
+        .toDF("predicate", "plo", "phi", "slo", "shi")
       val hits = boxes.join(broadcast(preds),
         col("pmin") <= col("phi") && col("pmax") >= col("plo") &&
           col("smin") <= col("shi") && col("smax") >= col("slo"))
         .groupBy("layout", "predicate").agg(count(lit(1)).as("files_hit"))
       // exact selectivities in ONE conditional-aggregation pass over the
-      // two-column scan (no 3× row fan-out)
-      val pIn = expr("l_partkey BETWEEN np div 4 AND np div 4 + np div 10 - 1")
-      val sIn = expr("l_suppkey BETWEEN ns div 10 AND 2 * (ns div 10) - 1")
-      val m1 = lineitem(s, dir).select("l_partkey", "l_suppkey")
-        .crossJoin(broadcast(bounds0)).agg(
+      // two-column scan (no 3× row fan-out); literal bounds so the
+      // BETWEENs are codegen'd constants
+      val pIn = expr(s"l_partkey BETWEEN ${np / 4} AND ${np / 4 + np / 10 - 1}")
+      val sIn = expr(s"l_suppkey BETWEEN ${ns / 10} AND ${2 * (ns / 10) - 1}")
+      val m1 = lineitem(s, dir).select("l_partkey", "l_suppkey").agg(
         sum(when(pIn, 1L).otherwise(0L)).as("m_p"),
         sum(when(sIn, 1L).otherwise(0L)).as("m_s"),
         sum(when(pIn && sIn, 1L).otherwise(0L)).as("m_b"))
