@@ -19,6 +19,44 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   val Mod = 1000000007L
 
+  /** The 8 universal-hash (a, b) pairs of the MinHash signature and their
+    * modulus — the ONE definition both sides read: QDedup's DuckDB oracle
+    * fragments interpolate these, and [[MinHashSig]] evaluates them
+    * natively (r12 optimization: the 8 interpreted
+    * `array_min(transform(hs, hv -> (a*hv+b) % p))` lambda trees cost
+    * ~µs/element × 8 passes; this is one codegen'd call per row).
+    */
+  val MinHashP = 100003L
+  val MinHashA: Array[Long] = Array(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  val MinHashB: Array[Long] = Array(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+
+  /** All 8 minhashes of a shingle-hash array in ONE pass. Null elements
+    * are skipped and an empty (or all-null) array yields null minhashes —
+    * exactly `array_min(transform(...))`'s null semantics. */
+  def minHashSig(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val nh = MinHashA.length
+    val out = new Array[Any](nh)
+    var j = 0
+    while (j < nh) {
+      val a = MinHashA(j); val b = MinHashB(j)
+      var m = Long.MaxValue
+      var seen = false
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val v = (a * arr.getLong(i) + b) % MinHashP
+          if (v < m) m = v
+          seen = true
+        }
+        i += 1
+      }
+      out(j) = if (seen) m else null
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[functions] def requireStringArray(
       fn: String, child: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -104,7 +142,42 @@ object TextHash {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head))
   }
+}
+
+/** `minhash_sig(array<long>) → array<long>` — the 8-hash MinHash signature
+  * ([[TextHash.MinHashA]]/[[TextHash.MinHashB]] mod [[TextHash.MinHashP]])
+  * in one JVM pass (== array_min(transform(hs, hv -> (aᵢ*hv+bᵢ) % p)) for
+  * each i). Output element i is mhᵢ; null iff the input has no non-null
+  * element (array_min of an empty projection).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects ARRAY<BIGINT>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minHashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.TextHash.minHashSig($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `poly_hash(string) → long` — the whole-string polynomial hash

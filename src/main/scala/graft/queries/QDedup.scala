@@ -25,11 +25,15 @@ import Q._
 object QDedup {
 
   // 8 universal hashes for MinHash (4 bands × 2 rows), 16 for SimHash bits.
-  private val A  = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
-  private val B  = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  // The MinHash (a, b, p) constants live in TextHash so the native
+  // MinHashSig expression and the DuckDB oracle fragments here can never
+  // drift (r12: the signature is evaluated natively, not via 8 interpreted
+  // array_min(transform) lambdas).
+  private val A  = graft.functions.TextHash.MinHashA.toSeq
+  private val B  = graft.functions.TextHash.MinHashB.toSeq
   private val A2 = A ++ Seq(173L, 179L, 181L, 191L, 193L, 197L, 199L, 211L)
   private val B2 = B ++ Seq(37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
-  private val P  = 100003L
+  private val P  = graft.functions.TextHash.MinHashP
   private val CP = 1000000007L
 
   /** documents → (doc_id, hs: array<long> of DISTINCT 3-token-shingle
@@ -50,12 +54,17 @@ object QDedup {
       .withColumn("hs", expr("shingle_hashes(toks)"))
   }
 
-  /** (doc_id, mh0..mh7) MinHash signature — per-row, no shuffle. */
+  /** (doc_id, mh0..mh7) MinHash signature — per-row, no shuffle. One
+    * native `minhash_sig` pass over the shingle hashes (r12); the 8
+    * `element_at`s each read the shared array column (CollapseProject
+    * keeps the non-cheap producer un-inlined, so the signature is
+    * evaluated once per row — 8× fewer array passes than the interpreted
+    * transform spelling, and no per-element lambda dispatch).
+    */
   private def signatures(df: DataFrame): DataFrame = {
-    val sig = A.indices.foldLeft(shingled(df)) { (d, i) =>
-      d.withColumn(s"mh$i", expr(s"array_min(transform(hs, hv -> (${A(i)} * hv + ${B(i)}) % $P))"))
-    }
-    sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")): _*)
+    val sig = shingled(df).withColumn("__sig", expr("minhash_sig(hs)"))
+    sig.select(col("doc_id") +:
+      A.indices.map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** Stop-bucket cap (r11, sf10 audit): an LSH bucket with more members
@@ -95,11 +104,11 @@ object QDedup {
   /** The UNCUT banded frame — q_dedup_stopbuckets reports the bucket-size
     * histogram over this (including what the cut drops); every candidate
     * join goes through the capped [[bandedSignatures]] instead. */
-  private[queries] def bandedSignaturesRaw(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // eager localCheckpoint: the signature is reused by both join sides;
-    // without it the higher-order-fn lineage is recomputed per branch.
-    val sig = Q.materialize(signatures(documents(s, dir)))
+  /** The band explode over a given signature frame — shared by the
+    * per-run builders below and by q_dedup_incremental, whose batch and
+    * snapshot sides band a CHECKPOINTED signature separately so each side
+    * keeps the window's (band_id, k) hash partitioning into its join. */
+  private[queries] def bandExplode(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(j =>
       struct(lit(j).as("band_id"), (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("k")))
     sig.select(col("doc_id") +: A.indices.map(i => col(s"mh$i")) :+
@@ -108,14 +117,25 @@ object QDedup {
         col("bk.band_id").as("band_id") :+ col("bk.k").as("k"): _*)
   }
 
-  def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // stop-bucket cut (see [[maxBucket]]); the window's (band_id, k) hash
-    // partitioning is the SAME distribution every downstream candidate
-    // join requires, so Catalyst reuses the exchange — the cut is free
+  /** Stop-bucket cut (see [[maxBucket]]) over a banded frame; the window's
+    * (band_id, k) hash partitioning is the SAME distribution every
+    * downstream bucket aggregate / candidate join requires, so Catalyst
+    * reuses the exchange — the cut is free. */
+  private[queries] def stopBucketCut(banded: DataFrame): DataFrame = {
     val wb = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "k")
-    bandedSignaturesRaw(s, dir).withColumn("__bn", count(lit(1)).over(wb))
+    banded.withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucket).drop("__bn")
   }
+
+  private[queries] def bandedSignaturesRaw(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    // No checkpoint here (r12): since candidatePairs stopped self-joining
+    // the banded frame, every caller consumes this lineage exactly once
+    // (q_dedup_incremental checkpoints the signature at its own call site).
+    bandExplode(signatures(documents(s, dir)))
+
+  def bandedSignatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    stopBucketCut(bandedSignaturesRaw(s, dir))
 
   // ---- DuckDB-side fragments ----
   private val duckCharHash =
@@ -182,23 +202,39 @@ object QDedup {
        |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
        |       FROM reach GROUP BY src)""".stripMargin
 
-  /** LSH candidate pairs from ONE renamed self-join of the banded
-    * signature table: (doc_a, doc_b, m) with m = number of agreeing
+  /** LSH candidate pairs: (doc_a, doc_b, m) with m = number of agreeing
     * minhashes (0..8, so est_sim = m/8 and the near-dup cut is the
     * INTEGER m >= 4 — no FP boundary between engines). The single place
     * the banding scheme lives on the Spark side; q_dedup_minhash,
     * q_minhash_calibration and clusterGroups all consume this frame.
+    *
+    * r12 re-spell (guide §2.4 — remove the shuffle outright): the r10
+    * spelling SELF-JOINED two renamed copies of the banded frame, paying
+    * the shingle→signature→explode→exchange→window pass TWICE plus the
+    * join. Post-cut buckets are bounded (≤ [[maxBucket]] members by the
+    * stop-bucket QUALIFY), so each bucket's member list fits one bounded
+    * aggregation buffer: collect the members per (band_id, k) ON the
+    * window's own hash partitioning (no new exchange) and fan out the
+    * i<j pairs map-side with a double explode. One pass over the corpus,
+    * one exchange on (band_id, k), no join. The pair SET is order-
+    * independent (all i,j with doc_a < doc_b), and m is a pure function
+    * of the two signatures, so results are bit-identical to the
+    * self-join. Memory stays safe in the adversarial hot-bucket case
+    * because the CUT runs before the collect (the uncut frame never
+    * reaches an aggregation buffer).
     */
   private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val bands = bandedSignatures(s, dir)
-    val bx = bands.toDF("doc_a" +: A.indices.map(i => s"amh$i") :+ "band_a" :+ "k_a": _*)
-    val by = bands.toDF("doc_b" +: A.indices.map(i => s"bmh$i") :+ "band_b" :+ "k_b": _*)
+    val member = struct(col("doc_id") +: A.indices.map(i => col(s"mh$i")): _*)
+    val buckets = bandedSignatures(s, dir)
+      .groupBy("band_id", "k")
+      .agg(collect_list(member).as("ms"))
     val est = A.indices.map(i =>
-      when(col(s"amh$i") === col(s"bmh$i"), 1).otherwise(0)).reduce(_ + _)
-    bx.join(by,
-        col("band_a") === col("band_b") && col("k_a") === col("k_b") &&
-          col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(max(est).as("m"))
   }
 
@@ -827,7 +863,14 @@ object QDedup {
       // the snapshot side (the aliased-self-join trap, see bandedSignatures
       // doc) — and since both sides carry the full signature, est_sim needs
       // no join back to sig.
-      val sigAll = bandedSignatures(s, dir)
+      // the ONE remaining two-sided consumer of the banded frame: both the
+      // batch and snapshot sides band the SAME checkpointed signature, and
+      // each side's window cut leaves it hash-partitioned on (band_id, k)
+      // — the join below then needs NO further exchange (checkpointing the
+      // banded frame instead measured +0.5 s: the ExistingRDD loses the
+      // partitioning metadata and the join re-shuffles both sides)
+      val sigAll = stopBucketCut(bandExplode(
+        Q.materialize(signatures(documents(s, dir)))))
       val batchSig = sigAll.filter(col("doc_id") % 2 === 1)
       val snapSig = sigAll.filter(col("doc_id") % 2 === 0)
         .toDF(("s_doc" +: A.indices.map(i => s"smh$i")) ++ Seq("s_band", "s_k"): _*)
