@@ -1,10 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Plan/timing inspector: `runMain graft.Explain <query> [sfDir] [runs]` —
   * times the query in-JVM (warm runs expose structural cost vs first-run
-  * codegen latency, PERF.md "host noise") and prints the executed plan.
+  * codegen latency, PERF.md "host noise"), counts Spark jobs/stages/tasks
+  * per run (r12: at bench SF the fixed per-job/per-stage cost dominates, so
+  * job count is the structural metric to drive down), and prints the
+  * executed plan.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -14,13 +19,24 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
     val q = Registry.byName(args(0))
     for (i <- 1 to runs) {
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val n = q.run(spark, dir).count()
-      println(f"RUN$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async; drain before reading the counters
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      println(f"RUN$i rows=$n time=$sec%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     val df = q.run(spark, dir)
     df.count() // populate the final adaptive plan

@@ -1049,11 +1049,14 @@ object QText {
       // state = one row). The interpreted-HOF spelling
       // (filter/transform/struct lambdas per TOKEN) costs ~µs/element and
       // was 3× the board's slowest key — the QText.curriculum pitfall.
+      // NOT checkpointed (r12): tk feeds the bigram window and the unigram
+      // count, but the lineage is a codegen'd scan+split+explode with no
+      // shuffle — recomputing it once is cheaper than checkpointing the
+      // full exploded token table (the largest frame in this query).
       val tk = Q.fanout(documents(s, dir))
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
         .filter(col("token") =!= "")
-        .transform(Q.materialize) // feeds the unigram count AND the bigram pass
       val wd = Window.partitionBy("doc_id").orderBy("pos")
       val bg = tk
         .withColumn("w2", lead("token", 1).over(wd))
@@ -1113,20 +1116,23 @@ object QText {
         .select(col("doc_id"), col("source"),
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
-        .transform(Q.materialize) // feeds both counts, both totals, the doc side
+        .transform(Q.materialize) // feeds both count aggregates + the doc side
       val raw = tk.groupBy("token").agg(count(lit(1)).as("cr"))
-        .transform(Q.materialize) // feeds the vocab join AND the |V| scalar
       val tgt = tk.filter(col("source") === "src0")
         .groupBy("token").agg(count(lit(1)).as("ct"))
       val vocab = raw.join(tgt, Seq("token"), "left")
         .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        .transform(Q.materialize) // feeds the scalar aggregate AND the join
       // The normalizer ln(nRaw+|V|) − ln(nTgt+|V|) is a constant over the
       // whole corpus: three driver-side longs (the scalar-subquery rule,
       // see q_unigram_logprob), added AFTER the avg so the distributed part
-      // is the same ln(c+1) shape both engines fold identically.
-      val vSize = raw.count()
-      val nRaw  = tk.count()
-      val nTgt  = tk.filter(col("source") === "src0").count()
+      // is the same ln(c+1) shape both engines fold identically. All three
+      // come out of ONE k-row aggregate over the vocab table (r12): |V| is
+      // its row count, the token totals are exact long sums of cr/ct — the
+      // r10 spelling paid three separate count jobs, two of them full
+      // passes over the exploded token table.
+      val t0 = vocab.agg(count(lit(1)), sum("cr"), sum("ct")).head()
+      val (vSize, nRaw, nTgt) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
       val off   = math.log((nRaw + vSize).toDouble) - math.log((nTgt + vSize).toDouble)
       tk.join(broadcast(vocab), Seq("token"))
         .groupBy("doc_id")
@@ -1164,8 +1170,11 @@ object QText {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .transform(Q.materialize) // tf feeds df AND the weight join
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      // corpus doc count: one driver-side long (see q_unigram_logprob)
-      val nDocs = documents(s, dir).select("doc_id").distinct().count().toDouble
+      // corpus doc count: one driver-side long (see q_unigram_logprob).
+      // doc_id is the table's unique key, so count(DISTINCT doc_id) ==
+      // count(*) — the bare count needs no distinct exchange and Spark
+      // answers it from parquet row-group metadata (r12).
+      val nDocs = documents(s, dir).count().toDouble
       val wTop = Window.partitionBy("doc_id").orderBy(col("weight_raw").desc, col("token"))
       tf.join(broadcast(df), Seq("token"))
         .withColumn("weight_raw", col("tf") * log(lit(nDocs) / col("df").cast("double")))

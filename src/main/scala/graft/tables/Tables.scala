@@ -18,8 +18,38 @@ object Tables {
   val starTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session scan-relation cache (r12, guide §6 "file listing").
+    *
+    * `spark.read.parquet(path)` lists the path and reads a footer for
+    * schema inference EVERY call; the query inventory creates ~2-4 scans
+    * per key × 252 keys × 3 bench passes, so the driver pays the same
+    * listing/footer work thousands of times per run. A catalog-backed
+    * engine resolves a table's schema once per session — this cache is
+    * that behavior for the path-based loaders: the ANALYZED scan
+    * DataFrame (logical relation only, never rows — each query still
+    * computes from parquet) is built once per (session, path).
+    *
+    * Keyed WEAKLY on the session so test sessions don't pin their plans
+    * after stop(); within a session the testdata files are immutable
+    * (the driver generates them before the JVM starts).
+    */
+  private val relationCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    val path = s"$dir/$name.parquet"
+    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
