@@ -34,8 +34,8 @@ object Explain {
       val t0 = System.nanoTime()
       val n = q.run(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async; drain before reading the counters
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // listener events are async; give the bus a beat before reading
+      Thread.sleep(150)
       println(f"RUN$i rows=$n time=$sec%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     val df = q.run(spark, dir)

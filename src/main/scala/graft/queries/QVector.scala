@@ -709,17 +709,22 @@ object QVector {
                   |       ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
                   |GROUP BY b.probe_id""".stripMargin).mkString("\nUNION ALL\n")}
          |) ORDER BY nprobe, probe_id""".stripMargin) { (s, dir) =>
-      val b = Q.materialize(bruteTop(s, dir, 5).select("probe_id", "neighbor_id"))
-      (1 to sweepMaxNprobe).map { np =>
-        val i = kmeansIvfTop(s, dir, 5, np)
-          .select(col("probe_id").as("i_probe"), col("neighbor_id").as("i_neighbor"))
-        b.join(i,
-            col("probe_id") === col("i_probe") && col("neighbor_id") === col("i_neighbor"),
-            "left")
-          .groupBy("probe_id")
-          .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
-          .select(lit(np).cast("int").as("nprobe"), col("probe_id"), col("recall5"))
-      }.reduce(_ unionByName _)
+      // ONE shared candidate/score/rank pass for all 8 sweep points (see
+      // kmeansIvfSweepTop), then one recall join: the ground-truth side
+      // fans out to the 8 sweep points and left-joins the sweep hits —
+      // 4 exchanges total where the r11 spelling planned 8 branch plans.
+      val b = bruteTop(s, dir, 5).select("probe_id", "neighbor_id")
+        .withColumn("nprobe", explode(expr(s"sequence(1, $sweepMaxNprobe)")))
+      val i = kmeansIvfSweepTop(s, dir, 5, sweepMaxNprobe)
+        .select(col("nprobe").as("i_np"), col("probe_id").as("i_probe"),
+          col("neighbor_id").as("i_neighbor"))
+      b.join(i,
+          col("nprobe") === col("i_np") && col("probe_id") === col("i_probe") &&
+            col("neighbor_id") === col("i_neighbor"),
+          "left")
+        .groupBy("nprobe", "probe_id")
+        .agg((count(col("i_neighbor")) / lit(5.0)).as("recall5"))
+        .select(col("nprobe").cast("int").as("nprobe"), col("probe_id"), col("recall5"))
         .orderBy("nprobe", "probe_id")
     },
 
@@ -945,6 +950,46 @@ object QVector {
         expr(sCos("ce", "pe")).as("score_raw"))
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") <= k)
+  }
+
+  /** The WHOLE nprobe sweep 1..maxNprobe in one shared pass (r12,
+    * guide §2.4): the r11 spelling built maxNprobe independent branch
+    * plans — each re-joining candidates to the corpus, re-scoring and
+    * re-ranking — though the np-point candidate set is just the np=max
+    * set filtered to cell rank ≤ np. Here candidates are scored ONCE with
+    * their cell rank riding along, each row fans out to the sweep points
+    * that probe it (np = rn..max, a bounded ≤max× explode of the RARE
+    * candidate slice), and a single (nprobe, probe_id) window ranks all
+    * sweep points together. Row-for-row equal to per-np kmeansIvfTop:
+    * same deterministic cell cut (d2, cid) and same (score desc,
+    * neighbor_id) ranking. Returns (nprobe, probe_id, neighbor_id, rnk ≤ k).
+    */
+  private def kmeansIvfSweepTop(
+      s: SparkSession, dir: String, k: Int, maxNprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assignedRaw, c1) = kmeansModel(s, dir)
+    val assigned = assignedRaw
+      .select(col("vec_id"), col("embedding").as("ce"), col("__a2.cid").as("cluster"))
+    val sq = s; import sq.implicits._
+    val cents = c1.map { case (cid, cv) => (cid, cv.toArray) }.toDF("cid", "cv")
+    val probes = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        expr(sQuant("embedding")).as("qp"))
+    val wSel = Window.partitionBy("probe_id").orderBy(col("__d2"), col("cid"))
+    val sel = probes.crossJoin(broadcast(cents))
+      .withColumn("__d2", expr("vec_l2sq(qp, cv)"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= maxNprobe)
+      .select("probe_id", "pe", "cid", "rn")
+    val wk = Window.partitionBy("nprobe", "probe_id")
+      .orderBy(col("score_raw").desc, col("neighbor_id"))
+    sel.join(assigned, col("cluster") === col("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        expr(sCos("ce", "pe")).as("score_raw"))
+      .withColumn("nprobe", explode(expr(s"sequence(rn, $maxNprobe)")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select("nprobe", "probe_id", "neighbor_id", "rnk")
   }
 
   /** DuckDB twin of [[kmeansIvfTop]] (needs [[dKmeans]] in scope):
