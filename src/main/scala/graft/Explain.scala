@@ -28,19 +28,24 @@ object Explain {
     })
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
-    val q = Registry.byName(args(0))
-    for (i <- 1 to runs) {
-      jobs.set(0); stages.set(0); tasks.set(0)
-      val t0 = System.nanoTime()
-      val n = q.run(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a beat before reading
-      Thread.sleep(150)
-      println(f"RUN$i rows=$n time=$sec%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    names.foreach { name =>
+      val q = Registry.byName(name)
+      for (i <- 1 to runs) {
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        val n = q.run(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a beat before reading
+        Thread.sleep(150)
+        println(f"$name%-26s RUN$i rows=$n time=$sec%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      }
     }
-    val df = q.run(spark, dir)
-    df.count() // populate the final adaptive plan
-    println(df.queryExecution.executedPlan.toString)
+    if (names.length == 1) {
+      val df = Registry.byName(names.head).run(spark, dir)
+      df.count() // populate the final adaptive plan
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

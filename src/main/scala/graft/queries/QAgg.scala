@@ -604,6 +604,10 @@ object QAgg {
         |FROM sc ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val o = orders(s, dir)
+      // (r12 note: checkpointing the customer aggregate before the first
+      // ntile was tried and measured SLOWER at sf0.1 — the saved orders
+      // re-aggregation is smaller than the extra checkpoint+head jobs;
+      // reverted, unlike q_gini/q_lorenz where the pre-rank checkpoint won.)
       val mxStr = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0).toString
       val m = o.groupBy("o_custkey")
         .agg(max(to_date(col("o_orderdate"))).as("last_o"),
@@ -897,21 +901,30 @@ object QAgg {
       val ex = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(10)
         .transform(Q.materialize) // 10 rows, probed once per width
-      Seq(64, 256, 1024).map { wd =>
-        def cellCol(i: Int) =
-          expr(s"((${CmsA(i)}L * user_id + ${CmsB(i)}L) % 1000000007L) % $wd")
-        val sk = ev.select(posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
-          .groupBy("r", "c").agg(count(lit(1)).as("n"))
-        val cand = ex.select(col("user_id"), col("exact_n"),
-          posexplode(array(CmsA.indices.map(cellCol): _*)).as(Seq("r", "c")))
-        cand.join(broadcast(sk), Seq("r", "c"))
-          .groupBy("user_id", "exact_n")
-          .agg((min(col("n")) - first(col("exact_n"))).as("over_n"))
-          .agg(sum(col("over_n")).as("total_over"), max(col("over_n")).as("max_over"))
-          .select(lit(wd).cast("int").as("width"),
-            col("total_over").cast("bigint").as("total_over"),
-            col("max_over").cast("bigint").as("max_over"))
-      }.reduce(_ unionByName _).orderBy("width")
+      // ONE corpus pass for all three widths (r12): the cell is just
+      // h % width of a width-independent row hash, so the widths ride a
+      // 3-way explode map-side instead of three full events scans + three
+      // sketch aggregates — same integers, one exchange on (width, r, c).
+      val widths = Seq(64, 256, 1024)
+      val wArr = explode(array(widths.map(w => lit(w)): _*)).as("width")
+      def hashCol(i: Int) = expr(s"(${CmsA(i)}L * user_id + ${CmsB(i)}L) % 1000000007L")
+      val hashes = posexplode(array(CmsA.indices.map(hashCol): _*)).as(Seq("r", "h"))
+      val sk = ev.select(hashes)
+        .select(col("r"), col("h"), wArr)
+        .groupBy(col("width"), col("r"), (col("h") % col("width")).as("c"))
+        .agg(count(lit(1)).as("n"))
+      val cand = ex.select(col("user_id"), col("exact_n"), hashes)
+        .select(col("user_id"), col("exact_n"), col("r"), col("h"), wArr)
+        .withColumn("c", col("h") % col("width"))
+      cand.join(broadcast(sk), Seq("width", "r", "c"))
+        .groupBy("width", "user_id", "exact_n")
+        .agg((min(col("n")) - first(col("exact_n"))).as("over_n"))
+        .groupBy("width")
+        .agg(sum(col("over_n")).as("total_over"), max(col("over_n")).as("max_over"))
+        .select(col("width").cast("int").as("width"),
+          col("total_over").cast("bigint").as("total_over"),
+          col("max_over").cast("bigint").as("max_over"))
+        .orderBy("width")
     },
 
     GraftQuery(

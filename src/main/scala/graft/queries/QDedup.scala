@@ -952,17 +952,21 @@ object QDedup {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
-      // Renamed frames for every self-join (see q_dedup_minhash note).
-      val shA = sh.toDF("doc_a", "sh_a")
       // (sh uses explode_outer: plain explode gets an InferFiltersFromGenerate
       // size(sh)>0 filter pushed below the fanout exchange with the whole
       // shingle lambda inlined — re-splitting the text per element on the
       // single pre-shuffle partition. sh is non-empty by the len>=3 guard,
       // so outer == inner here.)
-      val shB = sh.toDF("doc_b", "sh_b")
-      val cand = shA.join(rare, col("sh_a") === col("shingle"))
-        .join(shB, col("sh_b") === col("sh_a") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // Candidate pairs map-side (r12, the candidatePairs pattern): a rare
+      // shingle has 2..5 member docs BY THE FILTER, so each bucket's
+      // member list is a bounded collect on the join's own (shingle)
+      // partitioning and the i<j fan-out needs no second full-sh join side.
+      val cand = sh.join(rare, Seq("shingle"))
+        .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val shX = sh.toDF("xd", "xs")
       val shY = sh.toDF("yd", "ys")
       val shared = cand.join(shX, col("doc_a") === col("xd"))
@@ -1003,14 +1007,17 @@ object QDedup {
       // codegen'd work after it.
       val sh = shingled(documents(s, dir))
         .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .transform(Q.materialize)  // referenced 3× below; shingle once
+        .transform(Q.materialize)  // feeds the df aggregate AND the rare join
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
-      val shA = sh.toDF("doc_a", "sh_a")
-      val shB = sh.toDF("doc_b", "sh_b")
-      val cand = shA.join(rare, col("sh_a") === col("shingle"))
-        .join(shB, col("sh_b") === col("sh_a") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // map-side pair fan-out over bounded (df ≤ 5) rare buckets — see the
+      // q_ngram_jaccard cand note; drops the second full-sh join side
+      val cand = sh.join(rare, Seq("shingle"))
+        .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val docsA = documents(s, dir)
         .select(col("doc_id").as("da"), substring(lower(col("text")), 1, 200).as("ta"))
       val docsB = documents(s, dir)

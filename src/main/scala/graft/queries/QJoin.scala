@@ -266,7 +266,10 @@ object QJoin {
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           * 100).cast("decimal(38,0)").as("rc"))
-      Q.distributedRank(r, Seq(col("rc"), col("l_partkey")), "i")
+      // checkpoint the per-part aggregate before ranking: the range
+      // partitioner's sampling pass re-executes its input, so the
+      // unmaterialized spelling ran the lineitem decimal aggregate twice
+      Q.distributedRank(Q.materialize(r), Seq(col("rc"), col("l_partkey")), "i")
         .agg(count(lit(1)).as("n"),
           sum(col("rc")).as("sx"),
           sum(col("i") * col("rc")).as("six"))
@@ -305,20 +308,25 @@ object QJoin {
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           * 100).cast("decimal(38,0)").as("rc"))
-      val d = Q.distributedNtile(r, 10, Seq(col("rc"), col("l_partkey")), "decile")
+      // same pre-rank checkpoint as q_gini_revenue (range sampling
+      // re-executes unmaterialized input)
+      val d = Q.distributedNtile(Q.materialize(r), 10,
+          Seq(col("rc"), col("l_partkey")), "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev"))
-        .transform(Q.materialize) // 10 rows, read for total AND the curve
-      // driver-side grand total (the scalar-subquery rule); decimal sum of
-      // the same 10 exact values is bit-identical to a direct corpus sum
-      val total = d.agg(sum(col("rev"))).head().getDecimal(0)
-      // the cumulative window runs on the 10-row decile frame — a
-      // SinglePartition over 10 rows is bounded by construction
+      // BOTH the cumulative sum and the grand total run as windows on the
+      // 10-row decile frame (a SinglePartition over 10 rows is bounded by
+      // construction) — one plan, no checkpoint and no driver round-trip
+      // for the total (r12: the materialize + head pair cost two jobs).
+      // The full-frame window total is the same exact decimal sum of the
+      // same 10 values the old d.agg(sum) collected.
       val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       d.select(col("decile").cast("int").as("decile"), col("n_parts"),
           round(col("rev").cast("double") / 100, 2).as("revenue"),
           round(sum(col("rev")).over(wc).cast("double")
-            / lit(total).cast("double"), 4).as("cum_share"))
+            / sum(col("rev")).over(wt).cast("double"), 4).as("cum_share"))
         .orderBy("decile")
     },
 
@@ -354,6 +362,10 @@ object QJoin {
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        // pre-range checkpoint (r12): the range partitioner's sampling pass
+        // re-executes its input, so without it the lineitem decimal
+        // aggregate ran twice; the k-row part frame checkpoints cheaply
+        .transform(Q.materialize)
         // pid is frozen by the materialize: the offsets pass and the window
         // pass below must see the SAME partition ids
         .repartitionByRange(col("rev").desc, col("l_partkey"))

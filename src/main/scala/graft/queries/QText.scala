@@ -29,13 +29,18 @@ object QText {
     * driver-bounded like the ntile partition counts.
     */
   private[queries] def curriculum(base: DataFrame): DataFrame = {
-    val sizes = base.groupBy("source").count()
+    // (r12 note: checkpointing `base` here was tried and measured slower
+    // at sf0.1 for both callers — their inputs are already mostly
+    // checkpointed chains, so the extra eager job outweighed the saved
+    // recomputes; reverted.)
+    val b = base
+    val sizes = b.groupBy("source").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     if (sizes.isEmpty)
-      return base.select(col("doc_id").as("global_pos"), col("doc_id"),
+      return b.select(col("doc_id").as("global_pos"), col("doc_id"),
         col("source"), col("doc_id").as("stage"), col("n_chars")).limit(0)
     val ranked = Q.distributedRank(
-      base, Seq(col("source"), col("n_chars"), col("doc_id")), "__grk")
+      b, Seq(col("source"), col("n_chars"), col("doc_id")), "__grk")
     val srcOff = sizes.scanLeft(0L)(_ + _._2).init
       .zip(sizes).map { case (o, (src, _)) => (src, o) }
     import base.sparkSession.implicits._

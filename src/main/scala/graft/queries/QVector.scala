@@ -766,9 +766,11 @@ object QVector {
          |FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val v = pcaLoading(s, dir)
       val vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
-      val proj = Q.fanout(embeddings(s, dir))
+      // checkpoint the projection before ranking (range sampling would
+      // re-run the corpus-wide quantize+dot pass, see q_gini_revenue)
+      val proj = Q.materialize(Q.fanout(embeddings(s, dir))
         .select(col("vec_id"),
-          expr(s"CAST(vec_dot(${sQuant("embedding")}, $vLit) AS BIGINT)").as("score"))
+          expr(s"CAST(vec_dot(${sQuant("embedding")}, $vLit) AS BIGINT)").as("score")))
       Q.distributedNtile(proj, 10, Seq(col("score").asc, col("vec_id")), "decile")
         .orderBy("vec_id")
     },

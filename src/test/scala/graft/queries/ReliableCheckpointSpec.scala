@@ -15,9 +15,10 @@ class ReliableCheckpointSpec extends SparkTestBase {
 
   test("reliable-checkpoint branch writes RDD checkpoints and matches localCheckpoint results") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
-    // q_dedup_minhash runs the full shingle → signature → banded-join
-    // lineage through several materialize points
-    val q = QDedup.all.find(_.name == "q_dedup_minhash").get
+    // q_ngram_jaccard runs the full shingle → inverted-index → candidate
+    // lineage through a materialize point (r12: q_dedup_minhash no longer
+    // checkpoints at all — its candidate pass became single-lineage)
+    val q = QDedup.all.find(_.name == "q_ngram_jaccard").get
     val localRows = q.run(spark, dir).collect().toSeq
     spark.sparkContext.setCheckpointDir(ckptDir)
     spark.conf.set("spark.graft.checkpoint.reliable", "true")
