@@ -127,6 +127,40 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** All sliding word n-grams of a token array as "t1 t2 … tn" strings —
+    * exactly `transform(sequence(1, size-n+1), i -> concat_ws(' ',
+    * slice(toks, i, n)))` (null tokens skipped like concat_ws, result
+    * empty when size < n), in one JVM pass instead of an interpreted
+    * lambda + array copy per gram (r12, guide §4). */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g < m) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < n) {
+        val t = toks(g + j)
+        if (t != null) { // concat_ws semantics: null contributes nothing
+          if (!first) sb.append(' ')
+          sb.append(t.toString)
+          first = false
+        }
+        j += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Register the expressions in the session registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -146,7 +180,45 @@ object TextHash {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children.head, children(1)))
   }
+}
+
+/** `word_ngrams(array<string>, n) → array<string>` — sliding word n-grams
+  * joined by single spaces; see [[TextHash.wordNgrams]]. `n` must be a
+  * foldable positive integer.
+  */
+case class WordNgrams(tokens: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = tokens
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (tokens.dataType, n.dataType, n.foldable) match {
+      case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects (ARRAY<STRING>, foldable INT), got $other")
+    }
+
+  override protected def nullSafeEval(toks: Any, nv: Any): Any =
+    TextHash.wordNgrams(toks.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.TextHash.wordNgrams($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, n = newRight)
 }
 
 /** `minhash_sig(array<long>) → array<long>` — the 8-hash MinHash signature

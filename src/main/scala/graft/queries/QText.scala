@@ -692,6 +692,7 @@ object QText {
         |       coalesce(s.shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |WHERE d.doc_id >= 10 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.functions.TextHash.register(s) // word_ngrams
       // Each side explodes from its own pushed-down scan (r12): the bench
       // side re-tokenizes only 10 docs — trivially cheaper than
       // checkpointing the corpus's millions of gram strings to share one
@@ -702,7 +703,7 @@ object QText {
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"
+          "word_ngrams(toks, 5)" // native one-pass gram builder (r12)
         )).as("gram"))
       val docs = documents(s, dir)
       val bench = gramsOf(docs.filter(col("doc_id") < 10)).select("gram").distinct()
@@ -951,6 +952,7 @@ object QText {
         |       coalesce(per.max_run, 0) >= 4 AS dup_span
         |FROM t LEFT JOIN per USING (doc_id)
         |WHERE len(t.toks) >= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.TextHash.register(s) // word_ngrams
       import org.apache.spark.sql.expressions.Window
       val W = 8
       val toks = documents(s, dir)
@@ -959,7 +961,7 @@ object QText {
       // (doc_id, pos, gram): pos is the 0-based gram start, the island key
       val g = Q.fanout(toks)
         .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${W - 1}), i -> concat_ws(' ', slice(toks, i, $W)))"
+          s"word_ngrams(toks, $W)" // native one-pass gram builder (r12)
         )).as(Seq("pos", "gram")))
         .transform(Q.materialize) // feeds BOTH the df aggregate and the join back
       // inverted-index bound: only grams seen in >1 doc survive (partial
@@ -1254,6 +1256,7 @@ object QText {
         |      GROUP BY 1, 2)
         |SELECT src_a, src_b, shared_grams FROM p
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      graft.functions.TextHash.register(s) // word_ngrams
       // ONE aggregate instead of a materialized self-join (r12): per gram,
       // collect the sorted distinct source set (bounded by #sources, not
       // documents — collect_set's partial agg collapses repeats map-side,
@@ -1265,8 +1268,8 @@ object QText {
         .select(col("source"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("source"), explode(expr(
-          "transform(sequence(1, size(toks) - 7)," +
-            " i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
+          "word_ngrams(toks, 8)" // native one-pass gram builder (r12)
+        )).as("gram"))
         .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("srcs"))
         .filter(size(col("srcs")) >= 2)
         .select(explode(expr(
@@ -1337,12 +1340,12 @@ object QText {
         |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM c)
         |SELECT rnk, pair, n FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.functions.TextHash.register(s)
       val pairs = Q.fanout(documents(s, dir))
         .select(split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
+        // adjacent pairs ARE the 2-grams — native one-pass builder (r12)
+        .select(explode(expr("word_ngrams(toks, 2)")).as("pair"))
       val counts = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
       // global top-20 via limit → TakeOrderedAndProject (distributed
       // per-partition top-k, no full sort); the unpartitioned rank window
