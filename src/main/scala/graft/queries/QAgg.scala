@@ -506,24 +506,34 @@ object QAgg {
         "seasonal-naive reference that W6's z-score and W13's CUSUM compare against. Both " +
         "levels come from ONE partial aggregate: per-(type, hour) count+sum rows (k×24, tiny " +
         "at any scale) re-aggregate to per-type totals and join back broadcast — the raw " +
-        "events are scanned exactly once. `+0` folds IEEE -0.0 on the near-zero deviations.",
+        "events are scanned exactly once. Means run on INTEGER cents with the floor " +
+        "half-up spelling (the q_downsample_1m r12 sf1-parity convention; this round's " +
+        "sf0.001 sweep caught the avg-of-doubles form losing a round(4) ulp tie at row " +
+        "77), and the deviation is the exact difference of the two quantized means. " +
+        "`+0` folds IEEE -0.0 on the near-zero deviations.",
       """WITH h AS (
         |  SELECT event_type, extract(hour FROM ts)::BIGINT AS hr,
-        |         count(*) AS n, sum(value) AS sv
+        |         count(*) AS n, sum(round(value * 100)::BIGINT) AS sv100
         |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT event_type, sum(n)::BIGINT AS tn, sum(sv) AS tsv FROM h GROUP BY 1)
+        |t AS (SELECT event_type, sum(n)::BIGINT AS tn, sum(sv100) AS tsv100 FROM h GROUP BY 1)
         |SELECT h.event_type, h.hr, h.n,
-        |       round(h.sv / h.n, 4) AS avg_v,
-        |       round(h.sv / h.n - t.tsv / t.tn, 4) + 0 AS seasonal_dev
+        |       floor(CAST(h.sv100 * 100 AS DOUBLE) / h.n + 0.5) / 10000 AS avg_v,
+        |       floor(CAST(h.sv100 * 100 AS DOUBLE) / h.n + 0.5) / 10000
+        |         - floor(CAST(t.tsv100 * 100 AS DOUBLE) / t.tn + 0.5) / 10000 + 0
+        |         AS seasonal_dev
         |FROM h JOIN t USING (event_type) ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
       val h = events(s, dir)
+        .withColumn("v100", round(col("value") * 100, 0).cast("long"))
         .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      val t = h.groupBy("event_type").agg(sum(col("n")).as("tn"), sum(col("sv")).as("tsv"))
+        .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv100"))
+      val t = h.groupBy("event_type")
+        .agg(sum(col("n")).as("tn"), sum(col("sv100")).as("tsv100"))
+      val hourMean = floor((col("sv100") * 100).cast("double") / col("n") + 0.5) / 10000
+      val allMean  = floor((col("tsv100") * 100).cast("double") / col("tn") + 0.5) / 10000
       h.join(broadcast(t), Seq("event_type"))
         .select(col("event_type"), col("hr"), col("n"),
-          round(col("sv") / col("n"), 4).as("avg_v"),
-          (round(col("sv") / col("n") - col("tsv") / col("tn"), 4) + 0).as("seasonal_dev"))
+          hourMean.as("avg_v"),
+          (hourMean - allMean + lit(0.0)).as("seasonal_dev"))
         .orderBy("event_type", "hr")
     },
 

@@ -39,6 +39,17 @@ object Tables {
         java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Pin the timestamp-inference confs BEFORE every cached read: parquet
+    // TIMESTAMP(isAdjustedToUTC=false) columns (lineitem.l_shipdate,
+    // events.ts micros vintage) would otherwise infer as TimestampNTZ or
+    // TimestampType depending on WHICH caller read them first — the
+    // session-wide flip used to happen lazily on the first Tables.events
+    // call, which made the cached schema order-dependent (caught by
+    // SchemaCheckSpec under full-suite ordering). Session TZ is pinned
+    // UTC everywhere, so the epochs are identical either way; pinning
+    // here makes the inferred TYPE deterministic too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val perSession = relationCache.synchronized {
       var m = relationCache.get(spark)
       if (m == null) {
@@ -48,7 +59,18 @@ object Tables {
       m
     }
     val path = s"$dir/$name.parquet"
-    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+    // events' INFERRED schema depends on two session confs (the ts-vintage
+    // switches [[events]] sets), so its cache entry is keyed by them —
+    // otherwise whichever caller read it first would freeze a
+    // conf-order-dependent schema for the whole session (caught by
+    // SchemaCheckSpec, which reads the raw vintage under its own confs).
+    val key =
+      if (name == "events")
+        path +
+          "#nanos=" + spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") +
+          "#ntz=" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      else path
+    perSession.computeIfAbsent(key, _ => spark.read.parquet(path))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
