@@ -186,6 +186,66 @@ object Q {
     withSums.select((cols ++ sums.map(_._2)).map(col): _*)
   }
 
+  /** Exact global ntile over SEVERAL independent orderings of ONE frame in
+    * a single range exchange + checkpoint + count collect (r13, VERDICT r12
+    * #1 — the multi-key rank pass). Chaining [[distributedNtile]] k times
+    * costs k × (range-sample job + checkpoint + collect); here the frame is
+    * replicated once per ordering MAP-SIDE (explode of a k-element struct
+    * array, no join), tagged `__sid` = 1..k, and range-partitioned ONCE by
+    * (__sid, value, ties…). `__sid` leads the sort, so partition ranges
+    * never interleave orderings and within a __sid block the order is
+    * exactly (value ASC, ties ASC) — callers encode DESC by negating the
+    * value, and must pre-cast all values to ONE orderable type whose cast
+    * is order-preserving and injective on the data (ints/counts < 2⁵³ cast
+    * to double exactly; longs stay long when every ordering is long).
+    *
+    * Every ordering has exactly N = |df| rows, so
+    * rank-within-ordering = global stacked rank − (__sid − 1)·N, and the
+    * same SQL bucket formula as [[distributedNtile]] applies per ordering.
+    * No row ever crosses a SinglePartition Exchange (same contract).
+    *
+    * Returns the STACKED frame: original columns + `__sid` + `out` (the
+    * ordering's ntile bucket, INT). Callers either aggregate per __sid
+    * directly (q_zorder_layout's per-layout box stats) or pivot back by a
+    * unique key (q_rfm_segments). Bit-equal per ordering to
+    * `distributedNtile(df, buckets, Seq(value, ties…), out)` —
+    * RfmNtileSpec pins it against the global-window ntile.
+    */
+  def stackedNtile(df: DataFrame, buckets: Int,
+      values: Seq[Column], ties: Seq[Column], out: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val cols = df.columns.toSeq
+    val k = values.size
+    val stacked = df.select(cols.map(col) :+
+      explode(array(values.zipWithIndex.map { case (v, i) =>
+        struct(lit(i + 1).as("s"), v.as("v")) }: _*)).as("__sv"): _*)
+      .select(cols.map(col) :+ col("__sv.s").as("__sid") :+ col("__sv.v").as("__val"): _*)
+    val sort = col("__sid") +: col("__val") +: ties
+    val keyed = stacked.repartitionByRange(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .transform(materialize) // pid must be identical in both passes
+    val counts = keyed.groupBy("__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum / k.max(1) // rows per ordering = |df|
+    val offs = counts.scanLeft(0L)(_ + _._2).init
+      .zip(counts).map { case (off, (pid, _)) => (pid, off) }
+    val offDf = broadcast(offs.toSeq.toDF("__pid", "__off"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid").orderBy(sort: _*)
+    // global stacked rank − the ordering's block offset = rank within __sid
+    val ranked = keyed.join(offDf, "__pid")
+      .withColumn("__rk", row_number().over(w).cast("long") + col("__off")
+        - (col("__sid").cast("long") - 1L) * n)
+    val q = n / buckets
+    val r = n % buckets
+    val bucketSql =
+      if (q == 0L) "__rk" // fewer rows than buckets: ntile(rank) = rank
+      else s"""CASE WHEN __rk <= ${r * (q + 1)} THEN (__rk - 1) DIV ${q + 1} + 1
+              |     ELSE $r + (__rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
+    ranked
+      .withColumn(out, expr(s"CAST(($bucketSql) AS INT)"))
+      .select((cols :+ "__sid" :+ out).map(col): _*)
+  }
+
   /** The shared two-pass core: range-partition on `sort`, freeze pids,
     * collect the k per-partition counts (k = shuffle partitions,
     * driver-bounded), then per-partition row_number + broadcast prefix

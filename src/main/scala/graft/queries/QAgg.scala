@@ -614,16 +614,24 @@ object QAgg {
         |FROM sc ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val o = orders(s, dir)
-      // (r12 note: checkpointing the customer aggregate before the first
-      // ntile was tried and measured SLOWER at sf0.1 — the saved orders
-      // re-aggregation is smaller than the extra checkpoint+head jobs;
-      // reverted, unlike q_gini/q_lorenz where the pre-rank checkpoint won.)
-      val mxStr = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0).toString
-      val m = o.groupBy("o_custkey")
+      // r13 (VERDICT r12 #1): the three quintiles ride ONE stacked ntile
+      // pass (one range exchange + one checkpoint + one collect) instead of
+      // three chained distributedNtile calls (3 × sample/checkpoint/collect,
+      // ~25 jobs). The customer aggregate is checkpointed FIRST so the
+      // anchor-date scalar, the range sampler and the range shuffle all read
+      // k checkpointed rows instead of re-running the orders aggregate
+      // (the r12 counter-measurement that rejected this checkpoint predates
+      // the stacked pass — with one consumer chain it lost; with three
+      // readers it wins, re-measured r13).
+      val m0 = Q.materialize(o.groupBy("o_custkey")
         .agg(max(to_date(col("o_orderdate"))).as("last_o"),
           count(lit(1)).as("freq"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("money"))
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("money")))
+      // anchor = max(last_o) over customers == max(o_orderdate) over orders
+      val mxStr = m0.agg(max(col("last_o"))).head().getDate(0).toString
+      val m = m0
         .withColumn("recency_d", datediff(lit(mxStr).cast("date"), col("last_o")))
+        .select("o_custkey", "recency_d", "freq", "money")
       val sc =
         if (s.conf.getOption("graft.rfm.globalNtile").exists(_.toBoolean))
           m.withColumn("r_score",
@@ -633,12 +641,22 @@ object QAgg {
             .withColumn("m_score",
               ntile(5).over(Window.orderBy(col("money").asc, col("o_custkey"))))
         else {
-          val r = Q.distributedNtile(m, 5,
-            Seq(col("recency_d").desc, col("o_custkey")), "r_score")
-          val f = Q.distributedNtile(r, 5,
-            Seq(col("freq").asc, col("o_custkey")), "f_score")
-          Q.distributedNtile(f, 5,
-            Seq(col("money").asc, col("o_custkey")), "m_score")
+          // ascending stacked orderings; DESC recency = ASC −recency_d.
+          // Exact double casts: recency_d is a day diff (≤ ~10⁵) and freq a
+          // per-customer order count (< 2⁵³ at any real scale); money is
+          // already double.
+          Q.stackedNtile(m, 5,
+            Seq((-col("recency_d")).cast("double"),
+              col("freq").cast("double"),
+              col("money")),
+            Seq(col("o_custkey")), "__score")
+            .groupBy("o_custkey")
+            .agg(first(col("recency_d")).as("recency_d"),
+              first(col("freq")).as("freq"),
+              first(col("money")).as("money"),
+              max(when(col("__sid") === 1, col("__score"))).as("r_score"),
+              max(when(col("__sid") === 2, col("__score"))).as("f_score"),
+              max(when(col("__sid") === 3, col("__score"))).as("m_score"))
         }
       sc.select(col("o_custkey"),
           col("recency_d").cast("bigint").as("recency_d"), col("freq"), col("money"),

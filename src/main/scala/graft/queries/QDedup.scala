@@ -349,28 +349,30 @@ object QDedup {
       }) { (s, dir) =>
       val est = candidatePairs(s, dir)
         .select(col("doc_a"), col("doc_b"), (col("m") / lit(8.0)).as("est_raw"))
-      val sh = shingled(documents(s, dir))
-        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .transform(Q.materialize) // both shared-join sides + sizes
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shX = sh.toDF("xd", "xs")
-      val shY = sh.toDF("yd", "ys")
-      val shared = est.join(shX, col("doc_a") === col("xd"))
-        .join(shY, col("doc_b") === col("yd") && col("ys") === col("xs"))
-        .groupBy(col("doc_a").as("sa_id"), col("doc_b").as("sb_id"))
-        .agg(count(lit(1)).as("shared"))
-      val sizeA = sizes.toDF("da", "na")
-      val sizeB = sizes.toDF("db", "nb")
-      val jac = coalesce(col("shared"), lit(0L)).cast("double") /
-        (col("na") + col("nb") - coalesce(col("shared"), lit(0L)))
+      // r13 (VERDICT r12 #3 — the last dedup-family sort-merge): `hs` is a
+      // DISTINCT shingle-hash SET per doc, so the exact side needs no
+      // exploded-shingle frame at all — |A∩B| = size(array_intersect) and
+      // |A| = size(hs), computed per PAIR after two doc-keyed equi-joins of
+      // the compact (doc_id, hs) frame. The r12 spelling exploded hs
+      // (corpus shingle count rows), checkpointed it, shuffled it twice
+      // for the (pair × shared-shingle) fan-out join, re-aggregated the
+      // fan-out, and joined two size frames back: 5 joins + 2 aggregates
+      // → 2 joins + 0 aggregates, and the checkpoint shrinks to the
+      // per-doc array frame.
+      val base = Q.materialize(
+        shingled(documents(s, dir)).select(col("doc_id"), col("hs")))
+      val hsA = base.select(col("doc_id").as("da"), col("hs").as("hsa"))
+      val hsB = base.select(col("doc_id").as("db"), col("hs").as("hsb"))
       est
-        .join(shared, col("doc_a") === col("sa_id") && col("doc_b") === col("sb_id"), "left")
-        .join(sizeA, col("doc_a") === col("da"))
-        .join(sizeB, col("doc_b") === col("db"))
+        .join(hsA, col("doc_a") === col("da"))
+        .join(hsB, col("doc_b") === col("db"))
+        .withColumn("__sh", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+        .withColumn("__jac", col("__sh").cast("double") /
+          (size(col("hsa")).cast("long") + size(col("hsb")).cast("long") - col("__sh")))
         .select(col("doc_a"), col("doc_b"),
           round(col("est_raw"), 4).as("est_sim"),
-          round(jac, 4).as("jaccard"),
-          round(abs(col("est_raw") - jac), 4).as("abs_err"))
+          round(col("__jac"), 4).as("jaccard"),
+          round(abs(col("est_raw") - col("__jac")), 4).as("abs_err"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -946,17 +948,18 @@ object QDedup {
         |FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
         |JOIN sizes sb ON sb.doc_id = s.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = shingled(documents(s, dir))
-        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .transform(Q.materialize)  // reused 5× below; avoid re-shingling
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // r13: materialize the COMPACT per-doc shingle-set frame (the
+      // q_ngram_novelty shape) instead of the exploded one — the exact
+      // shared counts then come from size(array_intersect) on two doc-keyed
+      // joins of the array frame (hs is a distinct set per doc), and sizes
+      // are size(hs). Drops the (pair × shared-shingle) fan-out join, its
+      // re-aggregation and both size joins (5 joins + 3 aggregates → the
+      // inverted-index join + 2 array joins; see q_minhash_calibration).
+      val base = Q.materialize(
+        shingled(documents(s, dir)).select(col("doc_id"), col("hs")))
+      val sh = base.select(col("doc_id"), explode(col("hs")).as("shingle"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
-      // (sh uses explode_outer: plain explode gets an InferFiltersFromGenerate
-      // size(sh)>0 filter pushed below the fanout exchange with the whole
-      // shingle lambda inlined — re-splitting the text per element on the
-      // single pre-shuffle partition. sh is non-empty by the len>=3 guard,
-      // so outer == inner here.)
       // Candidate pairs map-side (r12, the candidatePairs pattern): a rare
       // shingle has 2..5 member docs BY THE FILTER, so each bucket's
       // member list is a bounded collect on the join's own (shingle)
@@ -967,18 +970,16 @@ object QDedup {
         .select(col("doc_a"), explode(col("ds")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val shX = sh.toDF("xd", "xs")
-      val shY = sh.toDF("yd", "ys")
-      val shared = cand.join(shX, col("doc_a") === col("xd"))
-        .join(shY, col("doc_b") === col("yd") && col("ys") === col("xs"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      val sizeA = sizes.toDF("da", "na")
-      val sizeB = sizes.toDF("db", "nb")
-      shared
-        .join(sizeA, col("doc_a") === col("da"))
-        .join(sizeB, col("doc_b") === col("db"))
+      val hsA = base.select(col("doc_id").as("da"), col("hs").as("hsa"))
+      val hsB = base.select(col("doc_id").as("db"), col("hs").as("hsb"))
+      cand
+        .join(hsA, col("doc_a") === col("da"))
+        .join(hsB, col("doc_b") === col("db"))
+        .withColumn("shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("shared"),
-          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+          round(col("shared").cast("double") /
+            (size(col("hsa")).cast("long") + size(col("hsb")).cast("long") - col("shared")), 4)
+            .as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1005,9 +1006,12 @@ object QDedup {
       // DP per pair is capped regardless of document length. At 100 TB the
       // candidate join is the bucketed equi-join; levenshtein is per-pair
       // codegen'd work after it.
-      val sh = shingled(documents(s, dir))
-        .select(col("doc_id"), explode_outer(col("hs")).as("shingle"))
-        .transform(Q.materialize)  // feeds the df aggregate AND the rare join
+      // r13: checkpoint the COMPACT per-doc frame and explode from it (both
+      // consumers read the checkpoint; the exploded frame is corpus-shingle
+      // sized and was the query's largest checkpoint)
+      val sh = Q.materialize(
+        shingled(documents(s, dir)).select(col("doc_id"), col("hs")))
+        .select(col("doc_id"), explode(col("hs")).as("shingle"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("shingle")
       // map-side pair fan-out over bounded (df ≤ 5) rare buckets — see the

@@ -66,7 +66,8 @@ object QLayout {
         "curve. At scale the buckets are real files " +
         "(repartitionByRange on the z-value + per-file footer stats; ZOrderSkipSpec " +
         "is that physical twin), and equal-count bucketing is Spark's own " +
-        "range-partitioner contract (Q.distributedNtile — no SinglePartition sort).",
+        "range-partitioner contract (Q.stackedNtile — both layouts' buckets in one " +
+        "range exchange, no SinglePartition sort).",
       s"""WITH bounds0 AS (SELECT max(l_partkey) + 1 AS np, max(l_suppkey) + 1 AS ns
          |                 FROM lineitem),
          |z0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -140,35 +141,42 @@ object QLayout {
           zValue(expr(s"l_partkey * 65536 div ${np}L"), expr(s"l_suppkey * 65536 div ${ns}L"))
             .as("z"))
       // the two bucketings are INDEPENDENT (zb and lb never meet on one
-      // row — each feeds only its own box aggregate), so they run as two
-      // parallel narrow ntiles instead of one chained pass carrying both
-      def boxesOf(df: DataFrame, bucket: String, layout: String): DataFrame =
-        df.groupBy(col(bucket).as("f"))
-          .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
-            min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
-          .select(lit(layout).as("layout"), col("f"),
-            col("pmin"), col("pmax"), col("smin"), col("smax"))
-      val boxes = boxesOf(
-        Q.distributedNtile(li, 64,
-          Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "zb"),
-        "zb", "zorder")
-        .unionByName(boxesOf(
-          Q.distributedNtile(li.drop("z"), 64,
-            Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), "lb"),
-          "lb", "linear"))
+      // row — each feeds only its own box aggregate), and both are exact
+      // 64-bucket equal-count ntiles of the SAME rows under different
+      // orderings — exactly Q.stackedNtile's shape (r13, VERDICT r12 #1/#6):
+      // ONE range exchange + ONE checkpoint + ONE collect computes both
+      // bucketings (the r12 spelling paid 2 × sample/checkpoint/collect),
+      // and each layout's box stats aggregate straight off the stacked
+      // frame — no union of two ntile pipelines. Both orderings' lead
+      // values are BIGINT (z, l_partkey), so no cast is involved.
+      val stacked = Q.stackedNtile(li, 64,
+        Seq(col("z"), col("l_partkey")),
+        Seq(col("l_orderkey"), col("l_linenumber")), "f")
+      val boxes = stacked.groupBy(col("__sid"), col("f"))
+        .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+        .select(when(col("__sid") === 1, "zorder").otherwise("linear").as("layout"),
+          col("f"), col("pmin"), col("pmax"), col("smin"), col("smax"))
       // predicate bounds derive from the key domain (max+1) so the same
-      // 10%-wide ranges select real rows at every SF — all integer div,
-      // identical in both engines; a pure local table now that np/ns are
-      // driver values (no broadcast of a re-aggregated scan)
-      val preds = s.createDataFrame(Seq(
-        ("p_range", np / 4, np / 4 + np / 10 - 1, 0L, ns),
-        ("s_range", 0L, np, ns / 10, 2 * (ns / 10) - 1),
-        ("both", np / 4, np / 4 + np / 10 - 1, ns / 10, 2 * (ns / 10) - 1)))
-        .toDF("predicate", "plo", "phi", "slo", "shi")
-      val hits = boxes.join(broadcast(preds),
-        col("pmin") <= col("phi") && col("pmax") >= col("plo") &&
-          col("smin") <= col("shi") && col("smax") >= col("slo"))
-        .groupBy("layout", "predicate").agg(count(lit(1)).as("files_hit"))
+      // 10%-wide ranges select real rows at every SF — all integer LITERALS
+      // now that np/ns are driver values, so the per-predicate file count is
+      // ONE conditional aggregation over the 128-row box frame (the r12
+      // boxes⋈preds broadcast join + regroup collapsed away, VERDICT r12 #6)
+      val predBounds = Seq(
+        ("p", np / 4, np / 4 + np / 10 - 1, 0L, ns),
+        ("s", 0L, np, ns / 10, 2 * (ns / 10) - 1),
+        ("b", np / 4, np / 4 + np / 10 - 1, ns / 10, 2 * (ns / 10) - 1))
+      val hitCols = predBounds.map { case (tag, plo, phi, slo, shi) =>
+        sum(when(col("pmin") <= phi && col("pmax") >= plo &&
+          col("smin") <= shi && col("smax") >= slo, 1L).otherwise(0L)).as(s"h_$tag")
+      }
+      val hits = boxes.groupBy("layout").agg(hitCols.head, hitCols.tail: _*)
+        .selectExpr("layout",
+          "stack(3, 'p_range', h_p, 's_range', h_s, 'both', h_b) AS (predicate, files_hit)")
+        // the oracle's boxes⋈preds INNER join drops a (layout, predicate)
+        // with zero intersecting files outright; keep that set identical
+        // (can only fire if a predicate matches zero rows)
+        .filter(col("files_hit") > 0)
       // exact selectivities in ONE conditional-aggregation pass over the
       // two-column scan (no 3× row fan-out); literal bounds so the
       // BETWEENs are codegen'd constants
@@ -178,9 +186,10 @@ object QLayout {
         sum(when(pIn, 1L).otherwise(0L)).as("m_p"),
         sum(when(sIn, 1L).otherwise(0L)).as("m_s"),
         sum(when(pIn && sIn, 1L).otherwise(0L)).as("m_b"))
-      val m = m1.select(lit("p_range").as("predicate"), col("m_p").as("rows_matched"))
-        .unionByName(m1.select(lit("s_range").as("predicate"), col("m_s").as("rows_matched")))
-        .unionByName(m1.select(lit("both").as("predicate"), col("m_b").as("rows_matched")))
+      // unpivot the 1-row selectivity frame with ONE stack generator — the
+      // r12 3-way unionByName re-executed the m1 aggregate subtree 3×
+      val m = m1.selectExpr(
+        "stack(3, 'p_range', m_p, 's_range', m_s, 'both', m_b) AS (predicate, rows_matched)")
       hits.join(m, "predicate")
         .select(col("layout"), col("predicate"),
           col("files_hit").cast("bigint").as("files_hit"), col("rows_matched"))
