@@ -36,8 +36,16 @@ object Explain {
         val t0 = System.nanoTime()
         val n = q.run(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events are async; give the bus a beat before reading
-        Thread.sleep(150)
+        // listener events are async — DRAIN the bus before reading the
+        // counters (ADVICE r12: a fixed sleep under load let events bleed
+        // into the next run's counters). listenerBus is private[spark], so
+        // reach it reflectively; fall back to the old sleep if the internal
+        // API ever moves.
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(150) }
         println(f"$name%-26s RUN$i rows=$n time=$sec%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
       }
     }

@@ -138,7 +138,13 @@ object TextHash {
     if (m <= 0) return new GenericArrayData(new Array[Any](0))
     val toks = new Array[UTF8String](sz)
     var i = 0
-    while (i < sz) { toks(i) = arr.getUTF8String(i); i += 1 }
+    // isNullAt guard (ADVICE r12): UnsafeArrayData.getUTF8String reads a
+    // null element as an EMPTY string, which would break the concat_ws
+    // null-skip semantics below for any ARRAY<STRING> with null elements
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
     val out = new Array[Any](m)
     val sb = new java.lang.StringBuilder(64)
     var g = 0
@@ -183,7 +189,16 @@ object TextHash {
     registry.registerFunction(
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      (children: Seq[Expression]) => WordNgrams(children.head, children(1)))
+      {
+        case Seq(toks, n) => WordNgrams(toks, n)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`word_ngrams`",
+            "expectedNum" -> "2",
+            "actualNum" -> other.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      })
   }
 }
 

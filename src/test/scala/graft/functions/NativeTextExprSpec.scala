@@ -33,6 +33,38 @@ class NativeTextExprSpec extends SparkTestBase {
     }
   }
 
+  test("word_ngrams skips NULL array elements like concat_ws (ADVICE r12 — " +
+      "UnsafeArrayData reads a null element as empty string without the guard)") {
+    TextHash.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b", "c")),
+      (2L, Seq[String](null, null, "x")),
+      (3L, Seq[String]("only")))
+      .toDF("id", "toks")
+      // force the UnsafeArrayData representation through an exchange
+      .repartition(2)
+      .withColumn("native", expr("word_ngrams(toks, 2)"))
+      .withColumn("hof", expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i, 2))) ELSE array() END"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0L,
+      "null elements must contribute nothing, exactly like concat_ws")
+    // "a NULL" must be the gram "a", not "a " (the empty-string read)
+    val g = df.filter(col("id") === 1).select(expr("element_at(native, 1)")).head().getString(0)
+    assert(g == "a", s"expected 'a', got '$g'")
+  }
+
+  test("word_ngrams with the wrong arity raises an AnalysisException, not an index error") {
+    TextHash.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("word_ngrams(toks)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("word_ngrams"))
+  }
+
   test("minhash_sig(hs) == array_min(transform(hs, (a*hv+b) % p)) for all 8 hashes") {
     TextHash.register(spark)
     import spark.implicits._

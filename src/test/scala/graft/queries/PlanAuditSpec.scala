@@ -142,16 +142,22 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
       // BroadcastNestedLoopJoin is acceptable only when one side is a
       // BOUNDED broadcast frame: the ≤5-row probe crossJoins in
-      // knn/array_dot, and (r13) the sketch/layout keys that attach a
+      // knn/array_dot, (r13) the sketch/layout keys that attach a
       // 1-row scalar frame (n, median, exact counts), a ≤5-row literal
       // grid (permilles, k thresholds, predicates), or the ≤4096-row
       // inverted bin frame to every row — the correct 100 TB plan for
-      // "join everything against a handful of constants".
+      // "join everything against a handful of constants" — and (r13
+      // optimization round) the text keys whose scalar normalizers
+      // (ln N, |V|, avgdl, the DSIR triple) ride the plan as 1-row
+      // aggregates attached by a constant-key join (the key folds away,
+      // leaving a 1-row IdentityBroadcastMode BNLJ — same bounded shape).
       if (plan.contains("BroadcastNestedLoopJoin"))
         assert(Set("q_knn_brute", "q_array_dot", "q_quantized_dot", "q_knn_recall",
             "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep", "q_knn_mrr",
             "q_knn_label_vote", "q_hist_quantiles", "q_ams_f2", "q_hll_intersect",
-            "q_zorder_layout", "q_k_anonymity", "q_l_diversity").contains(q.name),
+            "q_zorder_layout", "q_k_anonymity", "q_l_diversity",
+            "q_unigram_logprob", "q_bigram_logprob", "q_bm25",
+            "q_importance_weights", "q_pmi_bigrams").contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
     }
   }

@@ -64,6 +64,43 @@ class RfmNtileSpec extends SparkTestBase {
     assert(out.columns.toSeq === Seq("l_partkey", "revenue", "cum_share", "abc"))
   }
 
+  test("stackedNtile == one ntile window per ordering (asc, desc-via-negation, ties)") {
+    import spark.implicits._
+    // 23 rows, 5 buckets (N % n != 0), heavy ties in every ordering so the
+    // id tie-break decides bucket edges; ordering 3 is DESC via negation.
+    val df = (1 to 23).map(i =>
+      (i.toLong, (i % 5).toDouble, ((i * 7) % 11).toLong, (i % 3).toDouble))
+      .toDF("id", "a", "b", "c").repartition(4)
+    val got = Q.stackedNtile(df, 5,
+        Seq(col("a"), col("b").cast("double"), (-col("c")).cast("double")),
+        Seq(col("id")), "nt")
+      .groupBy("id").agg(
+        max(when(col("__sid") === 1, col("nt"))).as("n1"),
+        max(when(col("__sid") === 2, col("nt"))).as("n2"),
+        max(when(col("__sid") === 3, col("nt"))).as("n3"))
+      .orderBy("id").collect()
+    val want = df
+      .withColumn("n1", ntile(5).over(Window.orderBy(col("a").asc, col("id"))))
+      .withColumn("n2", ntile(5).over(Window.orderBy(col("b").asc, col("id"))))
+      .withColumn("n3", ntile(5).over(Window.orderBy(col("c").desc, col("id"))))
+      .select("id", "n1", "n2", "n3").orderBy("id").collect()
+    assert(got.length === want.length && got.length > 0)
+    got.zip(want).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("stackedNtile: fewer rows than buckets, empty frame, single ordering") {
+    import spark.implicits._
+    val tiny = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val got = Q.stackedNtile(tiny, 5, Seq(col("v")), Seq(col("id")), "nt")
+      .filter(col("__sid") === 1).orderBy("id").collect()
+    val want = tiny.withColumn("nt", ntile(5).over(Window.orderBy(col("v").asc, col("id"))))
+      .withColumn("__sid", lit(1)).select("id", "v", "__sid", "nt")
+      .orderBy("id").collect()
+    got.zip(want).foreach { case (x, y) => assert(x === y) }
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Q.stackedNtile(empty, 5, Seq(col("v")), Seq(col("id")), "nt").count() === 0L)
+  }
+
   test("q_rfm_segments: distributed branch == legacy global-window branch on real orders") {
     val dir = "/root/testdata/sf0.001"
     val dist = Registry.byName("q_rfm_segments").run(spark, dir).collect()
