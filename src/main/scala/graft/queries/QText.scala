@@ -1030,11 +1030,12 @@ object QText {
         .filter(col("token") =!= "")
         .transform(Q.materialize) // feeds counts, total, and the doc side once
       val cnt = tk.groupBy("token").agg(count(lit(1)).as("c"))
-      // the corpus total rides the plan as a 1-row aggregate over the
-      // checkpointed tk, attached as a bounded 1-row broadcast (r13,
-      // VERDICT r12 #4 — the scalar-attach BNLJ shape PlanAuditSpec
-      // allows); the r12 spelling paid a driver count job
-      val nAgg = tk.agg(count(lit(1)).as("__n"))
+      // the corpus total rides the plan as a 1-row aggregate attached as a
+      // bounded 1-row broadcast (r13, VERDICT r12 #4 — the scalar-attach
+      // BNLJ shape PlanAuditSpec allows); the r12 spelling paid a driver
+      // count job. Derived from the VOCAB counts (Σc == |tk| exactly, long
+      // sums), so the extra pass reads k vocab rows, not the token table.
+      val nAgg = cnt.agg(sum(col("c")).as("__n"))
       tk.join(broadcast(cnt), Seq("token"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
@@ -1131,10 +1132,11 @@ object QText {
         "target-domain vs whole-corpus unigram probability (add-one smoothed over the " +
         "corpus vocab), the score importance resampling ranks by when steering a " +
         "mixture toward a clean reference domain (here source='src0'). Token log-ratio " +
-        "reduces to ln(ct+1) − ln(cr+1) plus a constant normalizer folded in " +
-        "driver-side, so the heavy path is the two word-count aggregates + ONE " +
-        "broadcast vocab join — at 100 TB the corpus never re-shuffles beyond the " +
-        "token count, and the vocab side stays broadcastable.",
+        "reduces to ln(ct+1) − ln(cr+1) plus a constant normalizer riding the plan as " +
+        "a 1-row broadcast, so the heavy path is ONE conditional word-count aggregate " +
+        "(cr and ct in one pass; r13) + ONE broadcast vocab join — at 100 TB the " +
+        "corpus never re-shuffles beyond the token count, and the vocab side stays " +
+        "broadcastable.",
       """WITH tok AS (SELECT doc_id, source,
         |                    unnest(string_split(lower(text), ' ')) AS token
         |             FROM documents),
@@ -1156,12 +1158,15 @@ object QText {
         .select(col("doc_id"), col("source"),
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
-        .transform(Q.materialize) // feeds both count aggregates + the doc side
-      val raw = tk.groupBy("token").agg(count(lit(1)).as("cr"))
-      val tgt = tk.filter(col("source") === "src0")
-        .groupBy("token").agg(count(lit(1)).as("ct"))
-      val vocab = raw.join(tgt, Seq("token"), "left")
-        .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        .transform(Q.materialize) // feeds the vocab aggregate + the doc side
+      // r13: the whole-corpus and target-domain counts are ONE conditional
+      // aggregation over one pass of tk — raw LEFT JOIN tgt with
+      // coalesce(ct, 0) is exactly sum(CASE source='src0') per token, so
+      // the second full tk aggregate and the vocab self-join collapse away
+      // (guide §2.4); identical exact long counts.
+      val vocab = tk.groupBy("token")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
         .transform(Q.materialize) // feeds the scalar aggregate AND the join
       // The normalizer ln(nRaw+|V|) − ln(nTgt+|V|) is a constant over the
       // whole corpus, added AFTER the avg so the distributed part is the
