@@ -125,15 +125,24 @@ object Q {
   def distributedNtile(df: DataFrame, buckets: Int, sort: Seq[Column], out: String): DataFrame = {
     val cols = df.columns.toSeq
     val (ranked, total) = rankedWithTotal(df, sort, "__rk")
+    ranked
+      .withColumn(out, expr(ntileBucketSql(total, buckets, "__rk")))
+      .select((cols :+ out).map(col): _*)
+  }
+
+  /** The standard SQL ntile bucket formula over an exact 1..N rank column
+    * (first N mod n buckets get the extra row) — the ONE spelling both
+    * [[distributedNtile]] and [[stackedNtile]] apply (r13 review: it was
+    * duplicated verbatim; a tie/offset fix must land once). Integer DIV
+    * throughout (a double floor(/) would wobble past 2⁵³). */
+  private def ntileBucketSql(total: Long, buckets: Int, rk: String): String = {
     val q = total / buckets
     val r = total % buckets
     val bucketSql =
-      if (q == 0L) "__rk" // fewer rows than buckets: ntile(rank) = rank
-      else s"""CASE WHEN __rk <= ${r * (q + 1)} THEN (__rk - 1) DIV ${q + 1} + 1
-              |     ELSE $r + (__rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
-    ranked
-      .withColumn(out, expr(s"CAST(($bucketSql) AS INT)"))
-      .select((cols :+ out).map(col): _*)
+      if (q == 0L) rk // fewer rows than buckets: ntile(rank) = rank
+      else s"""CASE WHEN $rk <= ${r * (q + 1)} THEN ($rk - 1) DIV ${q + 1} + 1
+              |     ELSE $r + ($rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
+    s"CAST(($bucketSql) AS INT)"
   }
 
   /** Exact global rank 1..N by `sort` (a TOTAL order — callers tie-break
@@ -235,14 +244,8 @@ object Q {
     val ranked = keyed.join(offDf, "__pid")
       .withColumn("__rk", row_number().over(w).cast("long") + col("__off")
         - (col("__sid").cast("long") - 1L) * n)
-    val q = n / buckets
-    val r = n % buckets
-    val bucketSql =
-      if (q == 0L) "__rk" // fewer rows than buckets: ntile(rank) = rank
-      else s"""CASE WHEN __rk <= ${r * (q + 1)} THEN (__rk - 1) DIV ${q + 1} + 1
-              |     ELSE $r + (__rk - 1 - ${r * (q + 1)}) DIV $q + 1 END""".stripMargin
     ranked
-      .withColumn(out, expr(s"CAST(($bucketSql) AS INT)"))
+      .withColumn(out, expr(ntileBucketSql(n, buckets, "__rk")))
       .select((cols :+ "__sid" :+ out).map(col): _*)
   }
 

@@ -41,6 +41,30 @@ object Tables {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
+  /** ONE eviction listener per SparkContext (r13 review): a per-SESSION
+    * listener would itself accumulate on a long-lived shared context. On
+    * application end the listener drops every cached session of that
+    * context (they all die with it). Residual, documented: sessions
+    * churned on a STILL-LIVE context keep their entries until it ends —
+    * inherent while the cached values strongly reference their session.
+    */
+  private val evictorRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def ensureEvictor(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (evictorRegistered.putIfAbsent(sc, java.lang.Boolean.TRUE) == null)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          relationCache.synchronized {
+            val it = relationCache.keySet.iterator()
+            while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+          }
+      })
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Pin the timestamp-inference confs BEFORE every cached read: parquet
     // TIMESTAMP(isAdjustedToUTC=false) columns (lineitem.l_shipdate,
@@ -53,19 +77,14 @@ object Tables {
     // here makes the inferred TYPE deterministic too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // evict on context end so the session ⇄ DataFrame cycle can be
+    // collected (ADVICE r12 — the weak key alone never fires)
+    ensureEvictor(spark)
     val perSession = relationCache.synchronized {
       var m = relationCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
         relationCache.put(spark, m)
-        // evict on context end so the session ⇄ DataFrame cycle can be
-        // collected (ADVICE r12 — the weak key alone never fires)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              relationCache.remove(spark)
-          })
       }
       m
     }

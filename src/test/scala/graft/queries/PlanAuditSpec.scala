@@ -151,14 +151,32 @@ class PlanAuditSpec extends SparkTestBase {
       // (ln N, |V|, avgdl, the DSIR triple) ride the plan as 1-row
       // aggregates attached by a constant-key join (the key folds away,
       // leaving a 1-row IdentityBroadcastMode BNLJ — same bounded shape).
-      if (plan.contains("BroadcastNestedLoopJoin"))
+      val scalarAttachKeys = Set("q_unigram_logprob", "q_bigram_logprob", "q_bm25",
+        "q_importance_weights", "q_pmi_bigrams")
+      if (plan.contains("BroadcastNestedLoopJoin")) {
         assert(Set("q_knn_brute", "q_array_dot", "q_quantized_dot", "q_knn_recall",
             "q_knn_ivf_kmeans", "q_knn_recall_kmeans", "q_knn_probe_sweep", "q_knn_mrr",
             "q_knn_label_vote", "q_hist_quantiles", "q_ams_f2", "q_hll_intersect",
-            "q_zorder_layout", "q_k_anonymity", "q_l_diversity",
-            "q_unigram_logprob", "q_bigram_logprob", "q_bm25",
-            "q_importance_weights", "q_pmi_bigrams").contains(q.name),
+            "q_zorder_layout", "q_k_anonymity", "q_l_diversity").contains(q.name) ||
+          scalarAttachKeys.contains(q.name),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+        // the text keys' only sanctioned BNLJ is the 1-row scalar attach:
+        // a Cross join whose broadcast side is an IdentityBroadcastMode
+        // 1-row aggregate. Pin both properties so a future edit that
+        // flips the build side or grows the broadcast frame (losing the
+        // hint → BNLJ of two large frames) fails loudly instead of hiding
+        // behind the name allowlist (r13 review finding).
+        if (scalarAttachKeys.contains(q.name)) {
+          assert(plan.contains("IdentityBroadcastMode"),
+            s"${q.name}: the scalar-attach BNLJ must broadcast a 1-row aggregate:\n${plan.take(800)}")
+          val bnljTypes = "BroadcastNestedLoopJoin BuildRight, (\\w+)".r
+            .findAllMatchIn(plan).map(_.group(1)).toSeq ++
+            "BroadcastNestedLoopJoin (\\w+)".r.findAllMatchIn(plan)
+              .map(_.group(1)).filterNot(_ == "BuildRight").toSeq
+          assert(bnljTypes.forall(t => t == "Cross" || t == "BuildRight"),
+            s"${q.name}: only the Cross scalar attach is sanctioned, got $bnljTypes")
+        }
+      }
     }
   }
 
